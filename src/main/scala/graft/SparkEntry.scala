@@ -1,13 +1,224 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.{RefShape, Sources}
+import graft.kpi.Kpi
+import graft.merge.KpiMerge
+import graft.validate.Validation
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with matching DuckDB oracle SQL. Query names carry the
+  * SURVEY §2 operator ids (a1 = §2.4 A1, j3 = §2.3 J3, …) so the inventory
+  * check maps line-by-line.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val money = DecimalType(18, 2)
+
+  /** Flagship: category KPI (J1 three-way join + A1/A5 aggregates). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("a1_category_kpi")(spark, "/root/testdata/sf0.001")
+
+  // -- reference-shaped inputs (FIXTURES.md §4 mapping) ---------------------
+  private def o(s: SparkSession, d: String) = RefShape.orders(s, d)
+  private def oi(s: SparkSession, d: String) = RefShape.orderItems(s, d)
+  private def p(s: SparkSession, d: String) = RefShape.products(s, d)
+
+  /** Category KPI at (category, order_date) grain with a provenance tag —
+    * input to the m1 merge query. `half` selects even/odd item ids so the
+    * two merge sides overlap on keys but disagree on rows. */
+  private def categoryKpiByDate(s: SparkSession, d: String, half: Int,
+      full: Boolean, source: String): DataFrame = {
+    val joined = Kpi.threeWayJoin(o(s, d), oi(s, d).filter(col("id") % 2 === half), p(s, d))
+    val base = joined.groupBy(col("p.category").as("category"),
+      substring(col("o.created_at"), 1, 10).as("order_date"))
+    val rev = sum(col("oi.sale_price").cast(money)).cast(money).as("daily_revenue")
+    val kpis =
+      if (full) base.agg(rev,
+        (sum(col("oi.sale_price").cast(money)).cast("double") /
+          count(col("oi.id"))).as("avg_order_value"),
+        (count(when(col("oi.status") === "returned", true)).cast("double") /
+          count(col("oi.id"))).as("avg_return_rate"))
+      else base.agg(rev,
+        lit(null).cast("double").as("avg_order_value"),
+        lit(null).cast("double").as("avg_return_rate"))
+    kpis.withColumn("data_sources", array(lit(source)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 A1/A5 + §2.3 J1: per-category KPIs over the 3-way join
+    // (reference scripts/transformation.py:180-191).
+    "a1_category_kpi" -> ((s, d) =>
+      Kpi.categoryKpi(Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d)))),
+
+    // §2.4 A2: global order KPIs, complete mode (transformation.py:197-203).
+    "a2_order_kpi_complete" -> ((s, d) =>
+      Kpi.orderKpiComplete(Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d)))),
+
+    // §2.4 A3: order_items_only mode (transformation.py:225-231).
+    "a3_order_kpi_items_only" -> ((s, d) => Kpi.orderKpiItemsOnly(oi(s, d))),
+
+    // §2.4 A4: orders_only mode (transformation.py:238-244).
+    "a4_order_kpi_orders_only" -> ((s, d) => Kpi.orderKpiOrdersOnly(o(s, d))),
+
+    // §2.4 A6 fused single-pass null/NaN check (validation.py:83-91).
+    "a6_null_check" -> ((s, d) => Validation.nullCheck(oi(s, d),
+      Seq("id", "order_id", "product_id", "created_at", "sale_price"))),
+
+    // §2.3 J3: RI anti-join — items with no parent order (validation.py:100-108).
+    "j3_ri_items_without_order" -> ((s, d) =>
+      Validation.riViolations(oi(s, d), "order_id", o(s, d), "order_id")),
+
+    // §2.3 J4: RI anti-join — items with no product (validation.py:110-116).
+    "j4_ri_items_without_product" -> ((s, d) =>
+      Validation.riViolations(oi(s, d), "product_id", p(s, d), "id")),
+
+    // §2.2 P3: NOT-IN as left-anti — parents with no children (non-empty here).
+    "p3_anti_orders_without_items" -> ((s, d) =>
+      Validation.riViolations(o(s, d), "order_id", oi(s, d), "order_id")),
+
+    // §2.6 U1 + §2.1 S2: multi-part union scan then aggregate
+    // (validation.py:67-80).
+    "u1_union_parts_agg" -> ((s, d) => {
+      val path = s"$d/lineitem.parquet"
+      Sources.readAndUnion(s, Seq(path, path)).get
+        .groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(money)).cast(money).as("sum_qty"))
+    }),
+
+    // §2.4 A8: distinct key projection (validation.py:100-101).
+    "a8_distinct_keys" -> ((s, d) =>
+      oi(s, d).select(col("order_id")).distinct()),
+
+    // §2.2 P1/P4/P7: projection + equality filter + literal column.
+    "p1_filter_project" -> ((s, d) =>
+      Sources.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("dt", lit("2024-06-01"))),
+
+    // §2.5 W1: processing-date extraction — deterministic min variant of
+    // first()["created_at"][:10] (validation.py:191).
+    "w1_processing_date" -> ((s, d) =>
+      o(s, d).agg(substring(min(col("created_at")), 1, 10).as("processing_date"))),
+
+    // §2.7 M: keyed merge-upsert with per-field coalesce + provenance union
+    // (helperfunction.py:53-208) as full-outer join — Delta MERGE equivalent.
+    "m1_merge_category_kpi" -> ((s, d) => {
+      val target = categoryKpiByDate(s, d, 0, full = true, "order_items")
+      val updates = categoryKpiByDate(s, d, 1, full = false, "orders")
+      KpiMerge.mergeCategoryKpi(target, updates)
+        .withColumn("data_sources", array_join(col("data_sources"), ","))
+    })
+  )
+
+  // -- DuckDB oracles -------------------------------------------------------
+  private val ctes = RefShape.sqlCtes
+
+  private val kpiJoin =
+    """FROM o JOIN oi ON o.order_id = oi.order_id
+      |JOIN p ON oi.product_id = p.id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "a1_category_kpi" -> s"""$ctes
+      SELECT p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(oi.id) AS avg_order_value,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS avg_return_rate
+      $kpiJoin
+      GROUP BY 1""",
+
+    "a2_order_kpi_complete" -> s"""$ctes
+      SELECT count(DISTINCT o.order_id) AS total_orders,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        count(oi.id) AS total_items_sold,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS return_rate,
+        count(DISTINCT o.user_id) AS unique_customers
+      $kpiJoin""",
+
+    "a3_order_kpi_items_only" -> s"""$ctes
+      SELECT CAST(NULL AS BIGINT) AS total_orders,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        count(id) AS total_items_sold,
+        CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / count(id) AS return_rate,
+        CAST(NULL AS BIGINT) AS unique_customers
+      FROM oi""",
+
+    "a4_order_kpi_orders_only" -> s"""$ctes
+      SELECT count(DISTINCT order_id) AS total_orders,
+        CAST(NULL AS DECIMAL(18,2)) AS total_revenue,
+        CAST(NULL AS BIGINT) AS total_items_sold,
+        CAST(NULL AS DOUBLE) AS return_rate,
+        count(DISTINCT user_id) AS unique_customers
+      FROM o""",
+
+    "a6_null_check" -> s"""$ctes
+      SELECT count(*) FILTER (WHERE id IS NULL) AS null_id,
+        count(*) FILTER (WHERE order_id IS NULL) AS null_order_id,
+        count(*) FILTER (WHERE product_id IS NULL) AS null_product_id,
+        count(*) FILTER (WHERE created_at IS NULL
+          OR isnan(TRY_CAST(created_at AS DOUBLE))) AS null_created_at,
+        count(*) FILTER (WHERE sale_price IS NULL
+          OR isnan(sale_price)) AS null_sale_price
+      FROM oi""",
+
+    "j3_ri_items_without_order" -> s"""$ctes
+      SELECT DISTINCT oi.order_id FROM oi
+      WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.order_id = oi.order_id)""",
+
+    "j4_ri_items_without_product" -> s"""$ctes
+      SELECT DISTINCT oi.product_id FROM oi
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id = oi.product_id)""",
+
+    "p3_anti_orders_without_items" -> s"""$ctes
+      SELECT DISTINCT o.order_id FROM o
+      WHERE NOT EXISTS (SELECT 1 FROM oi WHERE oi.order_id = o.order_id)""",
+
+    "u1_union_parts_agg" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+      GROUP BY 1""",
+
+    "a8_distinct_keys" -> s"""$ctes
+      SELECT DISTINCT order_id FROM oi""",
+
+    "p1_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice, '2024-06-01' AS dt
+      FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "w1_processing_date" -> s"""$ctes
+      SELECT substr(min(created_at), 1, 10) AS processing_date FROM o""",
+
+    "m1_merge_category_kpi" -> s"""$ctes,
+      jall AS (SELECT p.category, substr(o.created_at, 1, 10) AS order_date,
+        oi.id, oi.sale_price, oi.status
+        $kpiJoin),
+      t AS (SELECT category, order_date,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(id) AS avg_order_value,
+        CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / count(id) AS avg_return_rate
+        FROM jall WHERE id % 2 = 0 GROUP BY 1, 2),
+      u AS (SELECT category, order_date,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        CAST(NULL AS DOUBLE) AS avg_order_value,
+        CAST(NULL AS DOUBLE) AS avg_return_rate
+        FROM jall WHERE id % 2 = 1 GROUP BY 1, 2)
+      SELECT COALESCE(u.category, t.category) AS category,
+        COALESCE(u.order_date, t.order_date) AS order_date,
+        COALESCE(u.daily_revenue, t.daily_revenue) AS daily_revenue,
+        COALESCE(u.avg_order_value, t.avg_order_value) AS avg_order_value,
+        COALESCE(u.avg_return_rate, t.avg_return_rate) AS avg_return_rate,
+        CASE WHEN u.category IS NOT NULL AND t.category IS NOT NULL
+               THEN 'order_items,orders'
+             WHEN u.category IS NOT NULL THEN 'orders'
+             ELSE 'order_items' END AS data_sources
+      FROM u FULL OUTER JOIN t
+        ON u.category = t.category AND u.order_date = t.order_date"""
+  )
 }

@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.util.Try
+
+/** Scan/source/sink combinators (reference SURVEY.md §2.1, S1-S6).
+  *
+  * Scale notes (100 TB): every reader here is a plain declarative scan, so
+  * Catalyst applies predicate pushdown, column pruning, and partition pruning
+  * automatically; a multi-path scan of N parts is a single FileScan with one
+  * split list (no per-file union nodes), which is what you want for tens of
+  * thousands of input files.
+  */
+object Sources {
+
+  /** S1: primary-format-or-CSV scan. The reference tries Delta and falls back
+    * to headered, schema-less CSV (reference `scripts/validation.py:51-64`).
+    * Delta jars are not on this classpath, so the lake format here is parquet;
+    * the combinator shape (try columnar table, fall back to raw CSV) is the
+    * same. Pass a schema to keep the CSV path strongly typed; pass
+    * `Schemas.allStrings(s)` for reference-parity stringly typing.
+    */
+  def readParquetOrCsv(spark: SparkSession, path: String,
+      csvSchema: Option[StructType] = None): DataFrame =
+    Try(spark.read.parquet(path)).getOrElse {
+      val r = spark.read.option("header", "true")
+      csvSchema.fold(r)(s => r.schema(s)).csv(path)
+    }
+
+  /** S2: multi-file union scan (reference `scripts/validation.py:67-80`).
+    * When all parts share a declared schema, prefer [[readMultiPath]] — one
+    * scan node instead of a `Union` of N scans. The fold form exists for the
+    * schema-less case where parts may disagree on column order.
+    */
+  def readAndUnion(spark: SparkSession, paths: Seq[String],
+      csvSchema: Option[StructType] = None): Option[DataFrame] =
+    paths.map(readParquetOrCsv(spark, _, csvSchema))
+      .reduceOption(_.unionByName(_))
+
+  /** S2 (scale path): single multi-path scan — the planner gets one relation
+    * with N files, so file listing, split planning, and pushdown happen once.
+    */
+  def readMultiPath(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S3: strict single-table scan, None on failure
+    * (reference `scripts/transformation.py:107-119`). */
+  def readTable(spark: SparkSession, path: String): Option[DataFrame] =
+    Try(spark.read.parquet(path)).toOption
+
+  /** Load one testdata table: `<dir>/<name>.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S5: partitioned lake write (reference `scripts/validation.py:121-129`):
+    * stamp the literal processing-date partition column and overwrite.
+    * Partitioning by `dt` gives downstream readers partition pruning — at
+    * 100 TB the transform stage should read `.where($"dt" === date)` and
+    * touch one partition, not the whole base path.
+    */
+  def writePartitioned(df: DataFrame, path: String, dt: String): Unit =
+    df.withColumn("dt", lit(dt))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
+  /** S5 variant: unpartitioned overwrite (reference products write,
+    * `scripts/validation.py:196-199`). */
+  def writeUnpartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S6: JSON result doc (reference `scripts/validation.py:132-142`) — a
+    * one-row control message, written driver-side (this is metadata, not
+    * data; no reason to spin up a job for it). */
+  def writeResultJson(path: String, fields: Map[String, String]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val json = fields.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}

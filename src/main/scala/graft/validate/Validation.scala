@@ -1,0 +1,128 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+
+/** Validation stage (reference SURVEY.md §2.2 P2, §2.4 A6/A7, §2.3 J3/J4).
+  *
+  * The reference runs one Spark job per required column (filter+count,
+  * `scripts/validation.py:83-91`) and does referential integrity by
+  * `distinct().collect()` to the driver followed by a giant `isin` filter
+  * (`scripts/validation.py:100-116`). Both formulations die at 100 TB: N
+  * full scans for N columns, and O(keys) driver memory. Here:
+  *
+  *  - null checks fuse into ONE aggregation pass over the table
+  *    (`count(when(isNullOrNan(c), 1))` per column in a single `agg`);
+  *  - RI checks are left-anti joins, which Catalyst plans as a normal
+  *    distributed join (broadcast when the parent key set is small, shuffled
+  *    hash/sort-merge otherwise) — no driver round-trip.
+  */
+object Validation {
+
+  /** Typed error results mirroring the reference's
+    * `DataValidationError(error_type)` (`scripts/validation.py:45-48,207-219`). */
+  sealed trait ValidationError { def errorType: String; def message: String }
+  final case class NullValidationError(message: String) extends ValidationError {
+    val errorType = "NULL_VALIDATION_ERROR"
+  }
+  final case class ReferentialError(message: String) extends ValidationError {
+    val errorType = "REFERENTIAL_ERROR"
+  }
+  final case class UnknownError(message: String) extends ValidationError {
+    val errorType = "UNKNOWN"
+  }
+
+  /** The reference's null predicate is `isnull(c) | isnan(c)`
+    * (`scripts/validation.py:89`). `isnan` only types on float/double (on the
+    * reference's all-string frames PySpark 3.x inserted an implicit
+    * string->double cast that yielded NULL on malformed input); Spark 4 runs
+    * ANSI mode, so the parity path must be an explicit `try_cast`. */
+  def isNullOrNan(df: DataFrame, c: String): Column = {
+    val col0 = col(c)
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => col0.isNull || isnan(col0)
+      case StringType => col0.isNull || isnan(expr(s"try_cast(`$c` AS DOUBLE)"))
+      case _ => col0.isNull
+    }
+  }
+
+  /** A6 fused: null/NaN counts for every required column in ONE pass.
+    * Output: a single wide row, one `null_<col>` column per input column. */
+  def nullCheck(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      count(when(isNullOrNan(df, c), lit(1))).as(s"null_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A6 compat: the reference's one-job-per-column formulation, kept for the
+    * equivalence test (same numbers, N scans — do not use at scale). */
+  def nullCheckPerColumn(df: DataFrame, cols: Seq[String]): Map[String, Long] =
+    cols.map(c => c -> df.filter(isNullOrNan(df, c)).count()).toMap
+
+  /** J3/J4: referential-integrity violations — distinct child keys with no
+    * matching parent key, as a left-anti join
+    * (replaces `scripts/validation.py:100-116`'s collect+isin).
+    *
+    * Scale: the parent side is pruned to its key column before the join, so
+    * Catalyst broadcasts it when small; otherwise both sides shuffle on the
+    * key — the correct plan at any size.
+    */
+  def riViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .distinct()
+
+  /** Full validation verdict over the three tables, mirroring
+    * `scripts/validation.py:176-191`: null gates first (NULL_VALIDATION_ERROR),
+    * then RI gates (REFERENTIAL_ERROR). Returns the first failure, like the
+    * reference's exception flow, or None when valid.
+    *
+    * One aggregation job per table for nulls + one anti-join count per FK —
+    * 5 jobs total vs the reference's ~12.
+    */
+  def validate(orders: DataFrame, orderItems: DataFrame,
+      products: Option[DataFrame],
+      requiredNonNull: Map[String, Seq[String]]): Option[ValidationError] = {
+
+    def nullFailures(df: DataFrame, table: String): Seq[String] = {
+      val cols = requiredNonNull.getOrElse(table, Nil)
+      if (cols.isEmpty) Nil
+      else {
+        val row = nullCheck(df, cols).head()
+        cols.zipWithIndex.collect {
+          case (c, i) if row.getLong(i) > 0 =>
+            s"$table.$c has ${row.getLong(i)} null values"
+        }
+      }
+    }
+
+    val nullErrs = nullFailures(orders, "orders") ++
+      nullFailures(orderItems, "order_items") ++
+      products.toSeq.flatMap(nullFailures(_, "products"))
+    if (nullErrs.nonEmpty)
+      return Some(NullValidationError(nullErrs.mkString("; ")))
+
+    val orderViol =
+      riViolations(orderItems, "order_id", orders, "order_id").count()
+    if (orderViol > 0)
+      return Some(ReferentialError(
+        s"$orderViol order_id values in order_items missing from orders"))
+
+    products.foreach { p =>
+      val prodViol = riViolations(orderItems, "product_id", p, "id").count()
+      if (prodViol > 0)
+        return Some(ReferentialError(
+          s"$prodViol product_id values in order_items missing from products"))
+    }
+    None
+  }
+
+  /** Ingest-time header check (reference `lambda/s3_validation.py:128-135`):
+    * required-column set difference, driver-side (it is header metadata, not
+    * data). Returns missing columns, empty when valid. */
+  def missingHeaders(required: Set[String], present: Seq[String]): Set[String] =
+    required -- present.toSet
+}
