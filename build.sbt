@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked `run` output must reach stdout undecorated — the driver parses
+// Bench's single JSON line and sbt's [info] prefix breaks that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -35,11 +35,14 @@ object SparkEntry {
     val joined = Kpi.threeWayJoin(o(s, d), oi(s, d).filter(col("id") % 2 === half), p(s, d))
     val base = joined.groupBy(col("p.category").as("category"),
       substring(col("o.created_at"), 1, 10).as("order_date"))
-    val rev = sum(col("oi.sale_price").cast(money)).cast(money).as("daily_revenue")
+    // Exact decimal sum internally; double at the output boundary — pyarrow
+    // hands Decimal objects to the driver's compare while the DuckDB oracle
+    // hands float64, and their string forms differ on trailing zeros.
+    val rev = sum(col("oi.sale_price").cast(money)).cast("double").as("daily_revenue")
     val kpis =
       if (full) base.agg(rev,
         (sum(col("oi.sale_price").cast(money)).cast("double") /
-          count(col("oi.id"))).as("avg_order_value"),
+          count(col("oi.sale_price"))).as("avg_order_value"),
         (count(when(col("oi.status") === "returned", true)).cast("double") /
           count(col("oi.id"))).as("avg_return_rate"))
       else base.agg(rev,
@@ -59,8 +62,10 @@ object SparkEntry {
     "a2_order_kpi_complete" -> ((s, d) =>
       Kpi.orderKpiComplete(Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d)))),
 
-    // §2.4 A3: order_items_only mode (transformation.py:225-231).
-    "a3_order_kpi_items_only" -> ((s, d) => Kpi.orderKpiItemsOnly(oi(s, d))),
+    // §2.4 A3: order_items_only mode over the items⋈products inner join
+    // (transformation.py:211-233).
+    "a3_order_kpi_items_only" -> ((s, d) =>
+      Kpi.orderKpiItemsOnly(Kpi.itemsProductsJoin(oi(s, d), p(s, d)))),
 
     // §2.4 A4: orders_only mode (transformation.py:238-244).
     "a4_order_kpi_orders_only" -> ((s, d) => Kpi.orderKpiOrdersOnly(o(s, d))),
@@ -88,7 +93,7 @@ object SparkEntry {
       Sources.readAndUnion(s, Seq(path, path)).get
         .groupBy(col("l_returnflag")).agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast(money)).cast(money).as("sum_qty"))
+          sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"))
     }),
 
     // §2.4 A8: distinct key projection (validation.py:100-101).
@@ -127,15 +132,15 @@ object SparkEntry {
 
     "a1_category_kpi" -> s"""$ctes
       SELECT p.category AS category,
-        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
-        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(oi.id) AS avg_order_value,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(oi.sale_price) AS avg_order_value,
         CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS avg_return_rate
       $kpiJoin
       GROUP BY 1""",
 
     "a2_order_kpi_complete" -> s"""$ctes
       SELECT count(DISTINCT o.order_id) AS total_orders,
-        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         count(oi.id) AS total_items_sold,
         CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS return_rate,
         count(DISTINCT o.user_id) AS unique_customers
@@ -143,15 +148,15 @@ object SparkEntry {
 
     "a3_order_kpi_items_only" -> s"""$ctes
       SELECT CAST(NULL AS BIGINT) AS total_orders,
-        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
-        count(id) AS total_items_sold,
-        CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / count(id) AS return_rate,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        count(oi.id) AS total_items_sold,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS return_rate,
         CAST(NULL AS BIGINT) AS unique_customers
-      FROM oi""",
+      FROM oi JOIN p ON oi.product_id = p.id""",
 
     "a4_order_kpi_orders_only" -> s"""$ctes
       SELECT count(DISTINCT order_id) AS total_orders,
-        CAST(NULL AS DECIMAL(18,2)) AS total_revenue,
+        CAST(NULL AS DOUBLE) AS total_revenue,
         CAST(NULL AS BIGINT) AS total_items_sold,
         CAST(NULL AS DOUBLE) AS return_rate,
         count(DISTINCT user_id) AS unique_customers
@@ -169,19 +174,22 @@ object SparkEntry {
 
     "j3_ri_items_without_order" -> s"""$ctes
       SELECT DISTINCT oi.order_id FROM oi
-      WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.order_id = oi.order_id)""",
+      WHERE oi.order_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM o WHERE o.order_id = oi.order_id)""",
 
     "j4_ri_items_without_product" -> s"""$ctes
       SELECT DISTINCT oi.product_id FROM oi
-      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id = oi.product_id)""",
+      WHERE oi.product_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM p WHERE p.id = oi.product_id)""",
 
     "p3_anti_orders_without_items" -> s"""$ctes
       SELECT DISTINCT o.order_id FROM o
-      WHERE NOT EXISTS (SELECT 1 FROM oi WHERE oi.order_id = o.order_id)""",
+      WHERE o.order_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM oi WHERE oi.order_id = o.order_id)""",
 
     "u1_union_parts_agg" -> """
       SELECT l_returnflag, count(*) AS cnt,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
       GROUP BY 1""",
 
@@ -200,12 +208,12 @@ object SparkEntry {
         oi.id, oi.sale_price, oi.status
         $kpiJoin),
       t AS (SELECT category, order_date,
-        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
-        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(id) AS avg_order_value,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(sale_price) AS avg_order_value,
         CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / count(id) AS avg_return_rate
         FROM jall WHERE id % 2 = 0 GROUP BY 1, 2),
       u AS (SELECT category, order_date,
-        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
         CAST(NULL AS DOUBLE) AS avg_order_value,
         CAST(NULL AS DOUBLE) AS avg_return_rate
         FROM jall WHERE id % 2 = 1 GROUP BY 1, 2)

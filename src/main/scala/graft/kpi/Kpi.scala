@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Money semantics: the reference sums raw doubles, which is
   * order-nondeterministic. We sum `DECIMAL(18,2)` — exact, associative,
-  * reproducible across any partitioning/AQE replan — and derive the averages
-  * from the exact decimal sum with one final double division (deterministic
-  * IEEE op). At 100 TB reproducibility of money aggregates is a correctness
-  * property, not a style choice.
+  * reproducible across any partitioning/AQE replan — then cast the final
+  * sum to double at the output boundary (one deterministic conversion; the
+  * averages likewise divide the exact decimal sum as a final IEEE op). At
+  * 100 TB reproducibility of money aggregates is a correctness property,
+  * not a style choice; exposing double keeps the public schema identical to
+  * the reference's (which sums doubles end-to-end).
   *
   * Scale notes:
   *  - products is the small dimension → explicit `broadcast` hint (the
@@ -51,9 +53,11 @@ object Kpi {
     * (reference `scripts/transformation.py:187-191`). */
   def categoryKpi(joined: DataFrame): DataFrame =
     joined.groupBy(col("p.category").as("category")).agg(
-      sum(col("oi.sale_price").cast(money)).cast(money).as("daily_revenue"),
+      sum(col("oi.sale_price").cast(money)).cast("double").as("daily_revenue"),
+      // avg(sale_price) semantics (transformation.py:189): the denominator is
+      // count(sale_price) — non-null values only — NOT count(id).
       (sum(col("oi.sale_price").cast(money)).cast("double") /
-        count(col("oi.id"))).as("avg_order_value"),
+        count(col("oi.sale_price"))).as("avg_order_value"),
       (count(when(col("oi.status") === "returned", true)).cast("double") /
         count(col("oi.id"))).as("avg_return_rate"))
 
@@ -62,18 +66,22 @@ object Kpi {
   def orderKpiComplete(joined: DataFrame): DataFrame =
     joined.agg(
       countDistinct(col("o.order_id")).as("total_orders"),
-      sum(col("oi.sale_price").cast(money)).cast(money).as("total_revenue"),
+      sum(col("oi.sale_price").cast(money)).cast("double").as("total_revenue"),
       count(col("oi.id")).as("total_items_sold"),
       (count(when(col("oi.status") === "returned", true)).cast("double") /
         count(col("oi.id"))).as("return_rate"),
       countDistinct(col("o.user_id")).as("unique_customers"))
 
   /** A3: order_items_only mode — orders-table KPIs are typed nulls
-    * (reference `scripts/transformation.py:225-231`). */
+    * (reference `scripts/transformation.py:225-231`). NB the reference
+    * computes this over the items⋈products INNER join (`:212-213`), so items
+    * whose product_id has no product match are excluded — pass
+    * [[itemsProductsJoin]] output here (already carrying the `oi` alias),
+    * not raw items. */
   def orderKpiItemsOnly(items: DataFrame): DataFrame =
-    items.as("oi").agg(
+    items.agg(
       lit(null).cast("long").as("total_orders"),
-      sum(col("oi.sale_price").cast(money)).cast(money).as("total_revenue"),
+      sum(col("oi.sale_price").cast(money)).cast("double").as("total_revenue"),
       count(col("oi.id")).as("total_items_sold"),
       (count(when(col("oi.status") === "returned", true)).cast("double") /
         count(col("oi.id"))).as("return_rate"),
@@ -83,7 +91,7 @@ object Kpi {
   def orderKpiOrdersOnly(orders: DataFrame): DataFrame =
     orders.as("o").agg(
       countDistinct(col("o.order_id")).as("total_orders"),
-      lit(null).cast(money).as("total_revenue"),
+      lit(null).cast("double").as("total_revenue"),
       lit(null).cast("long").as("total_items_sold"),
       lit(null).cast("double").as("return_rate"),
       countDistinct(col("o.user_id")).as("unique_customers"))
@@ -92,19 +100,27 @@ object Kpi {
     * run whichever KPI families the present tables allow, computing both
     * families of the complete mode from ONE persisted join. Returns
     * (categoryKpi?, orderKpi?).
+    *
+    * Products is MANDATORY: the reference raises "Products Delta table is
+    * required" before any availability branch (`transformation.py:163-166`),
+    * even in orders-only mode — missing products fails loud, never silently
+    * skips. In order_items_only mode both KPI families run over the
+    * items⋈products inner join (`transformation.py:211-233`).
     */
   def computeKpis(orders: Option[DataFrame], items: Option[DataFrame],
-      products: Option[DataFrame]): (Option[DataFrame], Option[DataFrame]) =
-    (orders, items, products) match {
-      case (Some(o), Some(i), Some(p)) =>
+      products: Option[DataFrame]): (Option[DataFrame], Option[DataFrame]) = {
+    val p = products.getOrElse(throw new IllegalArgumentException(
+      "Products table is required for KPI computation"))
+    (orders, items) match {
+      case (Some(o), Some(i)) =>
         val joined = threeWayJoin(o, i, p).persist()
         (Some(categoryKpi(joined)), Some(orderKpiComplete(joined)))
-      case (None, Some(i), Some(p)) =>
-        (Some(categoryKpi(itemsProductsJoin(i, p))), Some(orderKpiItemsOnly(i)))
-      case (None, Some(i), None) =>
-        (None, Some(orderKpiItemsOnly(i)))
-      case (Some(o), None, _) =>
+      case (None, Some(i)) =>
+        val joined = itemsProductsJoin(i, p).persist()
+        (Some(categoryKpi(joined)), Some(orderKpiItemsOnly(joined)))
+      case (Some(o), None) =>
         (None, Some(orderKpiOrdersOnly(o)))
-      case _ => (None, None)
+      case (None, None) => (None, None)
     }
+  }
 }

@@ -70,7 +70,10 @@ object Validation {
     */
   def riViolations(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    child.select(col(childKey))
+    // NULL child keys are excluded: the reference's `~isin(keys)` evaluates
+    // to NULL for a NULL key, so the filter drops the row (nulls are the
+    // null-check gate's job, not RI's). A bare left-anti would keep them.
+    child.select(col(childKey)).filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
       .distinct()
