@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.dedup.Dedup
 import graft.io.{RefShape, Sources}
 import graft.kpi.Kpi
 import graft.merge.KpiMerge
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 import graft.validate.Validation
 
 /** Driver contract — one named query per implemented operator from
@@ -118,7 +122,69 @@ object SparkEntry {
       val updates = categoryKpiByDate(s, d, 1, full = false, "orders")
       KpiMerge.mergeCategoryKpi(target, updates)
         .withColumn("data_sources", array_join(col("data_sources"), ","))
-    })
+    }),
+
+    // ---- training-data pipeline extensions (SURVEY.md §2.11) --------------
+
+    // E1: token statistics (whitespace + BPE-ish subword counts).
+    "t1_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Sources.table(s, d, "documents"))),
+
+    // E2: language-ID by stopword-marker scoring.
+    "t2_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Sources.table(s, d, "documents"))),
+
+    // E3: quality scoring for corpus filtering.
+    "t3_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Sources.table(s, d, "documents"))),
+
+    // E4: md5 + rolling-hash document fingerprints.
+    "t4_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Sources.table(s, d, "documents"))),
+
+    // E5: exact dedup by content hash over a doubled corpus.
+    "d1_exact_dedup" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.exactDedup(docs.unionByName(docs))
+    }),
+
+    // E6: word-3-gram Jaccard near-dup pairs (planted twins corpus).
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
+    "d3_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E8: 32-bit SimHash signatures.
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E9: SimHash near-dup pairs (hamming ≤ 3 via band pigeonhole).
+    "d5_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E10: embedding-cosine near-dup pairs (LSH-bucketed).
+    "d6_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDups(Sources.table(s, d, "embeddings"))),
+
+    // E11: brute-force cosine top-k ANN baseline.
+    "n1_ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E12: LSH-bucketed approximate top-k (scale path).
+    "n2_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E13: multimodal binary plumbing — synth payloads, partition-wise
+    // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
+    // driver records the rows-only check.
+    "mm1_media_summary" -> ((s, d) =>
+      Multimodal.mediaSummary(s, Sources.table(s, d, "documents")))
   )
 
   // -- DuckDB oracles -------------------------------------------------------
@@ -227,6 +293,26 @@ object SparkEntry {
              WHEN u.category IS NOT NULL THEN 'orders'
              ELSE 'order_items' END AS data_sources
       FROM u FULL OUTER JOIN t
-        ON u.category = t.category AND u.order_date = t.order_date"""
+        ON u.category = t.category AND u.order_date = t.order_date""",
+
+    // ---- training-data pipeline extension oracles -------------------------
+
+    "t1_token_stats" -> TextAnalysis.tokenStatsSql,
+    "t2_lang_id" -> TextAnalysis.langIdSql,
+    "t3_quality_score" -> TextAnalysis.qualityScoreSql,
+    "t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d2_ngram_jaccard" ->
+      Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
+    "d3_minhash_lsh" ->
+      Dedup.minhashLshPairsSql(Dedup.withNearDupsSql("documents")),
+    "d4_simhash" ->
+      Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
+    "d5_simhash_pairs" ->
+      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents")),
+    "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
+    "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
+    "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5)
+    // mm1_media_summary: intentionally no oracle (rows-only check)
   )
 }

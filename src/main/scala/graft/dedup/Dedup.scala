@@ -1,0 +1,301 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for a training-data pipeline: exact (hash-group),
+  * n-gram Jaccard, MinHash+LSH, SimHash — the standard ladder from cheap
+  * exact dedup to scalable near-dup detection.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one shuffle on the content fingerprint (hash-partition
+  *    by md5, keep min doc_id per group) — the optimal distributed plan;
+  *  - naive pairwise Jaccard is O(n²) and exists as the verification oracle;
+  *    the scale path is MinHash signatures (one narrow pass) + LSH banding
+  *    (shuffle on band key; only same-bucket pairs are compared), turning
+  *    all-pairs into per-bucket micro-joins;
+  *  - SimHash reduces each doc to a 32-bit signature (narrow pass), and
+  *    near-dup candidates share at least one of 4 signature bands
+  *    (pigeonhole: hamming ≤ 3 ⇒ some 8-bit band equal), again a key join
+  *    instead of a cross product;
+  *  - everything is built-in expressions (no UDFs) so signature computation
+  *    stays inside whole-stage codegen.
+  *
+  * The `withNearDups` corpus doubles `documents` with a perturbed twin of
+  * each doc (one token appended, id offset +100000) so near-dup operators
+  * have planted positives to find at any scale factor — the oracle plants
+  * the identical twins.
+  */
+object Dedup {
+
+  val TwinOffset = 100000L
+
+  /** Test corpus with planted near-duplicates: every doc gets a twin with
+    * one appended token. Exact-dedup corpus instead unions verbatim copies. */
+  def withNearDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + TwinOffset).as("doc_id"),
+        concat(col("text"), lit(" spark")).as("text")))
+
+  def withNearDupsSql(docs: String): String = s"""
+    SELECT doc_id, text FROM $docs
+    UNION ALL
+    SELECT doc_id + $TwinOffset AS doc_id, text || ' spark' AS text FROM $docs"""
+
+  // ---- D1: exact dedup -----------------------------------------------------
+
+  /** Exact dedup by content fingerprint: one row per distinct normalized
+    * text, keeping the smallest doc_id; `copies` counts collapsed rows.
+    * Input is the corpus doubled verbatim, so every group has ≥ 2 copies. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("copies"))
+
+  val exactDedupSql: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM documents)
+    SELECT md5(${normSql("text")}) AS fp,
+      min(doc_id) AS keeper_doc_id, count(*) AS copies
+    FROM corpus GROUP BY 1"""
+
+  // ---- D2: n-gram Jaccard near-dup ----------------------------------------
+
+  val JaccardThreshold = 0.6
+  val ShingleN = 3
+
+  /** Distinct (doc_id, shingle-hash) pairs — the shingle set relation. */
+  private def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(norm(col("text"))), ShingleN)))
+        .as("sh"))
+      .select(col("doc_id"), charHash(col("sh")).as("h"))
+
+  /** Word-3-gram Jaccard similarity join: pairs of docs sharing enough of
+    * their shingle sets. Pairwise-on-shared-shingle formulation — the
+    * shuffle key is the shingle hash, so only docs sharing a shingle ever
+    * meet (no cross product); still quadratic within hot shingles, which is
+    * what MinHash banding (D3) fixes at scale. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  private def shingleSetSql(corpus: String): String = {
+    val toks = tokensSql(normSql("text"))
+    s"""
+      SELECT DISTINCT doc_id, ${charHashSql("sh")} AS h
+      FROM (SELECT doc_id, unnest(${shinglesSql(toks, ShingleN)}) AS sh
+            FROM $corpus)"""
+  }
+
+  def ngramJaccardPairsSql(corpus: String): String = s"""
+    WITH corpus AS ($corpus),
+    sh AS (${shingleSetSql("corpus")}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold"""
+
+  // ---- D3: MinHash + LSH banding ------------------------------------------
+
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+  val MinhashEstThreshold = 0.5
+
+  /** Permutation constants for h_i(x) = (a_i·x + b_i) mod P — small odd
+    * multipliers, deterministic, mirrored verbatim in the oracle SQL. */
+  private def perm(i: Int): (Long, Long) = (2L * i + 3L, 7919L * (i + 1))
+
+  /** MinHash signatures: for each doc, min over its shingle hashes of each
+    * permutation — one narrow aggregation, K min() columns. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs)
+    val mins = (0 until NumHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("h") * lit(a) + lit(b), lit(HashP))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one (band, band-signature)
+    * bucket, scored by the fraction of equal signature components; kept when
+    * the estimate clears the threshold. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until NumHashes / NumBands)
+        .map(r => col(s"mh_${b * (NumHashes / NumBands) + r}"))
+      struct(lit(b).as("band"), concat_ws("|", rows.map(_.cast("string")): _*)
+        .as("key")).as(s"band_$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until NumBands)
+        .map(b => col(s"band_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = (0 until NumHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(NumHashes.toDouble)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= MinhashEstThreshold)
+  }
+
+  def minhashLshPairsSql(corpus: String): String = {
+    val r = NumHashes / NumBands
+    val minCols = (0 until NumHashes).map { i =>
+      val (a, b) = perm(i)
+      s"min((h * $a + $b) % $HashP) AS mh_$i"
+    }.mkString(",\n        ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until r).map(rr => s"mh_${b * r + rr}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val estExpr = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH corpus AS ($corpus),
+    sh AS (${shingleSetSql("corpus")}),
+    sig AS (
+      SELECT doc_id,
+        $minCols
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      $bandRows),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+      ($estExpr)::DOUBLE / $NumHashes AS est_jaccard
+    FROM cand
+    JOIN sig a ON doc_a = a.doc_id
+    JOIN sig b ON doc_b = b.doc_id
+    WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold"""
+  }
+
+  // ---- D4: SimHash ---------------------------------------------------------
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per doc over token hashes: bit b is set when the sum of
+    * ±1 contributions from each token's bit b is positive. One explode +
+    * one grouped aggregation with 32 conditional sums — no UDF. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(norm(col("text")))).as("t"))
+      .select(col("doc_id"), charHash(col("t")).as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash signature computation as a subquery over a CTE named `corpus`
+    * — composable into larger oracle queries. */
+  private def simhashSigSubquerySql: String = {
+    val toks = tokensSql(normSql("text"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n          ")
+    val sig = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, ($sig)::BIGINT AS simhash FROM (
+        SELECT doc_id,
+          $bitSums
+        FROM (SELECT doc_id, ${charHashSql("t")} AS h
+              FROM (SELECT doc_id, unnest($toks) AS t FROM corpus))
+        GROUP BY doc_id)"""
+  }
+
+  def simhashSignaturesSql(corpus: String): String = s"""
+    WITH corpus AS ($corpus)
+    $simhashSigSubquerySql"""
+
+  // Hamming ≤ 1: the synthetic corpus is a shared-vocabulary word soup, so
+  // docs are globally similar — at distance 3 the pair set grows
+  // quadratically with corpus size. Distance 1 keeps the planted twins and
+  // stays linear. The 4-band pigeonhole holds for any threshold < 4.
+  val SimhashMaxHamming = 1
+
+  /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]] via 4-band
+    * pigeonhole: a qualifying pair must agree on at least one 8-bit band,
+    * so candidates come from a band-key join, never a cross product. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs).cache()
+    val bands = 4
+    val width = SimhashBits / bands
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
+  def simhashPairsSql(corpus: String): String = {
+    val bands = 4
+    val width = SimhashBits / bands
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * width}) & ${(1L << width) - 1} AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH corpus AS ($corpus),
+    sig AS ($simhashSigSubquerySql),
+    banded AS (
+      $bandRows)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming"""
+  }
+}

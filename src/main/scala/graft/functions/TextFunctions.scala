@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar text primitives for the training-data pipeline operators
+  * (dedup, language-ID, quality scoring, fingerprinting).
+  *
+  * Every primitive here has a DuckDB-SQL twin (the `Sql` members) built from
+  * the SAME constants, so each operator can be oracle-verified by exact value
+  * hash, not just row counts. The conventions are chosen to be engine-neutral:
+  *
+  *  - normalization collapses whitespace FIRST, so tokenization is a split on
+  *    a single literal space — no regex-engine divergence;
+  *  - the rolling char hash is a mod-arithmetic fold (h*31 + codepoint mod
+  *    1e9+7) that both engines evaluate in BIGINT exactly;
+  *  - everything is a built-in codegen'd expression (aggregate / transform /
+  *    filter higher-order functions) — no UDFs, so whole-stage codegen spans
+  *    stay intact and the same code runs unchanged on a 1000-executor
+  *    cluster.
+  */
+object TextFunctions {
+
+  /** Mod prime for the rolling hash — fits h*31+cp well inside a long. */
+  val HashP = 1000000007L
+
+  /** Canonical text normalization: collapse whitespace, trim, lowercase. */
+  def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def normSql(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  /** Tokens of a normalized string: split on the single canonical space.
+    * Empty input yields an empty array, not [""]. */
+  def tokens(normed: Column): Column =
+    when(normed === "", array().cast("array<string>"))
+      .otherwise(split(normed, " ", -1))
+
+  def tokensSql(normed: String): String =
+    s"CASE WHEN $normed = '' THEN []::VARCHAR[] ELSE string_split($normed, ' ') END"
+
+  /** Rolling char hash: fold h = (h*31 + codepoint) mod 1e9+7 over the
+    * string's characters, left to right. Deterministic, associo-free
+    * (sequential fold), and exactly mirrored in DuckDB via list_reduce. */
+  def charHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (h, ch) => pmod(h * lit(31L) + ascii(ch), lit(HashP)))
+
+  def charHashSql(c: String): String =
+    // list_reduce has no init arg in DuckDB — prepend the 0 seed.
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)),
+       |  (h, cp) -> (h * 31 + cp) % ${HashP})""".stripMargin
+
+  /** BPE-ish subword token pattern: letter runs, single digits, single
+    * non-alnum marks — the shape of a byte-pair pre-tokenizer's splits. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Language-marker stopword lists for the n-gram/stopword language-ID
+    * heuristic. Alphabetical by language code — the tie-break order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "de", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "une", "dans", "pour"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you", "ren"))
+
+  /** Word n-gram shingles over the token array (n consecutive tokens joined
+    * by a single space); empty when fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+
+  def shinglesSql(toks: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$toks[i + $k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toks) < $n THEN []::VARCHAR[]
+       |  ELSE list_transform(range(1, len($toks) - ${n - 2}), i -> $parts)
+       |END""".stripMargin
+  }
+}

@@ -1,0 +1,205 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Determinism: cosine is computed as a SEQUENTIAL left fold over the
+  * vector (Spark `aggregate` ≙ DuckDB `list_reduce`), in double, element
+  * order fixed — so Spark and the DuckDB oracle produce bitwise-identical
+  * doubles and the rank windows order identically (ties broken by id).
+  *
+  * Scale design (100 TB):
+  *  - brute force is a broadcast nested-loop of Q queries × N vectors —
+  *    fine for small Q (the query side broadcasts), O(QN) regardless;
+  *  - the LSH variant hashes every vector once (narrow pass) into a
+  *    2^planes-bucket key and joins queries to SAME-BUCKET vectors only —
+  *    the shuffle key is the bucket, so the candidate set shrinks by ~2^p
+  *    and the plan is a plain equi-join any cluster executes well;
+  *  - an IVF build (k-means coarse quantizer) would follow the same shape:
+  *    assign-to-centroid narrow pass, then per-cell joins. The LSH form is
+  *    preferred here because it needs no trained state.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component j·dim+i →
+    * Knuth-hash mapped into [-0.5, 0.5). Mirrored verbatim in SQL. */
+  val PlaneMod = 1000003L
+  val PlaneMul = 2654435761L
+
+  private def planeVal(j: Int, i: Column): Column =
+    ((lit(j * 64L) + i) * lit(PlaneMul) % lit(PlaneMod)).cast("double") /
+      lit(PlaneMod.toDouble) - lit(0.5)
+
+  private def planeValSql(j: Int, i: String): String =
+    s"((($j * 64 + $i) * $PlaneMul) % $PlaneMod)::DOUBLE / $PlaneMod.0 - 0.5"
+
+  /** Sequential-fold dot product of two same-length float vectors, in
+    * double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def norm2Sql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${norm2Sql(a)} * ${norm2Sql(b)})"
+
+  /** N1: brute-force cosine top-k — for each query vector (vec_id <
+    * numQueries), the k nearest other vectors by cosine, rank-ordered with
+    * id tie-break. */
+  def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val joined = broadcast(q).join(emb.as("c"), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("c.embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  def bruteForceTopKSql(numQueries: Int, k: Int): String = s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${cosineSql("qv", "c.embedding")} AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $k"""
+
+  val NumPlanes = 6
+
+  /** LSH bucket id: sign bits of the vector's dot products with the
+    * deterministic hyperplanes, packed into a long. */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val d = aggregate(
+        transform(sequence(lit(1), size(v)),
+          i => element_at(v, i).cast("double") * planeVal(j, (i - 1).cast("long"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(v: String): String =
+    (0 until NumPlanes).map { j =>
+      val d = s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(range(1, len($v) + 1),
+         |    i -> $v[i]::DOUBLE * (${planeValSql(j, "(i - 1)")}))),
+         |  (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** N2: LSH-bucketed approximate top-k — queries only meet vectors in the
+    * SAME hyperplane-sign bucket; per-bucket exact cosine + rank. The
+    * candidate join key is the bucket, so at scale this is a hash join on
+    * a low-cardinality key instead of a cross product. */
+  def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qb"))
+    val joined = q.join(bucketed.as("c"),
+        col("c.bucket") === col("qb") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("c.embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  def lshTopKSql(numQueries: Int, k: Int): String = s"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+        ${lshBucketSql("embedding")} AS bucket
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+      FROM bucketed WHERE vec_id < $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${cosineSql("qv", "c.embedding")} AS cosine
+      FROM q JOIN bucketed c ON c.bucket = qb AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $k"""
+
+  val NearDupCosine = 0.9
+  val VecTwinOffset = 100000L
+
+  /** Corpus with planted duplicate vectors (verbatim twin at id+offset) so
+    * the near-dup operator has positives to find at any scale factor. */
+  def withNearDupVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + VecTwinOffset).as("vec_id"),
+        col("embedding")))
+
+  def withNearDupVecsSql: String = s"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + $VecTwinOffset AS vec_id, embedding FROM embeddings"""
+
+  /** D6: embedding-cosine near-dup pairs — all pairs above the threshold,
+    * LSH-bucket-restricted (same rationale as [[lshTopK]]: near-identical
+    * vectors land in the same sign bucket with high probability, so the
+    * pair join is per-bucket, not all-pairs). Runs over the planted-twin
+    * corpus so positives exist (each twin pair has cosine 1.0). */
+  def embeddingNearDups(embRaw: DataFrame): DataFrame = {
+    val emb = withNearDupVecs(embRaw)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+  }
+
+  def embeddingNearDupsSql: String = s"""
+    WITH twinned AS ($withNearDupVecsSql),
+    bucketed AS (
+      SELECT vec_id, embedding,
+        ${lshBucketSql("embedding")} AS bucket
+      FROM twinned)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      ${cosineSql("x.embedding", "y.embedding")} AS cosine
+    FROM bucketed x JOIN bucketed y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE ${cosineSql("x.embedding", "y.embedding")} >= $NearDupCosine"""
+}

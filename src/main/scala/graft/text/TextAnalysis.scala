@@ -1,0 +1,157 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token statistics, language-ID, quality scoring, fingerprinting.
+  *
+  * All four are single-pass, shuffle-free per-row projections (narrow
+  * transformations) built from codegen'd higher-order functions — at 100 TB
+  * they scan once, prune to the columns they touch, and never exchange.
+  * Each has an exact DuckDB oracle (`graft.SparkEntry.oracleSql`) built from
+  * the same constants in [[graft.functions.TextFunctions]].
+  */
+object TextAnalysis {
+
+  private def toksCol: Column = tokens(norm(col("text")))
+
+  /** T1: token statistics — whitespace token count, BPE-ish subword token
+    * count, character count, mean word length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toksCol).as("ws_tokens").cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("chars"),
+      (length(regexp_replace(norm(col("text")), " ", "")).cast("double") /
+        greatest(size(toksCol), lit(1))).as("mean_word_len"))
+
+  /** T2: language-ID by stopword-marker scoring — count of tokens hitting
+    * each language's marker list, argmax with alphabetical tie-break.
+    * A classic n-gram/stopword heuristic; deterministic and columnar. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = toksCol
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val predicted = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        predicted.as("predicted_lang"): _*)
+  }
+
+  /** T3: quality scoring — length, punctuation ratio, stopword ratio, mean
+    * word length folded into one [0,1]-ish score plus a bucket label.
+    * The shape every corpus-filtering pipeline needs before training. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = toksCol
+    val nChars = length(col("text")).cast("long")
+    val wordCount = size(toks).cast("long")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val stopHits = size(filter(toks,
+      t => t.isin(LangMarkers.toMap.apply("en"): _*))).cast("long")
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
+    val stopRatio = stopHits.cast("double") / greatest(wordCount, lit(1L))
+    val meanLen = (length(regexp_replace(norm(col("text")), " ", ""))
+      .cast("double") / greatest(wordCount, lit(1L)))
+    val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val score = lenScore * lit(0.4) + stopRatio * lit(0.3) +
+      (lit(1.0) - punctRatio) * lit(0.2) +
+      least(meanLen / lit(8.0), lit(1.0)) * lit(0.1)
+    docs.select(
+      col("doc_id"), wordCount.as("word_count"), nChars.as("n_chars_actual"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      meanLen.as("mean_word_len"), score.as("quality_score"),
+      when(score >= 0.6, "high").when(score >= 0.4, "medium")
+        .otherwise("low").as("quality_bucket"))
+  }
+
+  /** T4: document fingerprinting — md5 content fingerprint plus the rolling
+    * char hash (both over normalized text). The md5 keys exact dedup; the
+    * rolling hash is the shingle-hash primitive minhash builds on. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(norm(col("text")).cast("binary")).as("fp_md5"),
+      charHash(norm(col("text"))).as("fp_roll"))
+
+  // ---- DuckDB oracle twins -------------------------------------------------
+
+  private val normT = normSql("text")
+  private val toksT = tokensSql(normT)
+
+  val tokenStatsSql: String = s"""
+    SELECT doc_id,
+      len($toksT)::BIGINT AS ws_tokens,
+      len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS bpe_tokens,
+      length(text)::BIGINT AS chars,
+      length(replace($normT, ' ', ''))::DOUBLE
+        / greatest(len($toksT), 1) AS mean_word_len
+    FROM documents"""
+
+  val langIdSql: String = {
+    val scoreCols = LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksT, t -> t IN ($list)))::BIGINT AS score_$lang"
+    }.mkString(",\n      ")
+    val best = LangMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+    val pick = LangMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString("\n        ")
+    s"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+      $scoreCols
+      FROM documents)
+    SELECT doc_id, actual_lang,
+      ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")},
+      CASE $pick ELSE 'und' END AS predicted_lang
+    FROM scored"""
+  }
+
+  val qualityScoreSql: String = {
+    val en = LangMarkers.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH base AS (
+      SELECT doc_id,
+        len($toksT)::BIGINT AS word_count,
+        length(text)::BIGINT AS n_chars_actual,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS punct,
+        len(list_filter($toksT, t -> t IN ($en)))::BIGINT AS stop_hits,
+        length(replace($normT, ' ', ''))::BIGINT AS alpha_chars
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, word_count, n_chars_actual,
+        punct::DOUBLE / greatest(n_chars_actual, 1) AS punct_ratio,
+        stop_hits::DOUBLE / greatest(word_count, 1) AS stopword_ratio,
+        alpha_chars::DOUBLE / greatest(word_count, 1) AS mean_word_len,
+        least(n_chars_actual::DOUBLE / 500.0, 1.0) AS len_score
+      FROM base)
+    SELECT doc_id, word_count, n_chars_actual, punct_ratio, stopword_ratio,
+      mean_word_len,
+      len_score * 0.4 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+        + least(mean_word_len / 8.0, 1.0) * 0.1 AS quality_score,
+      CASE WHEN len_score * 0.4 + stopword_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.2
+             + least(mean_word_len / 8.0, 1.0) * 0.1 >= 0.6 THEN 'high'
+           WHEN len_score * 0.4 + stopword_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.2
+             + least(mean_word_len / 8.0, 1.0) * 0.1 >= 0.4 THEN 'medium'
+           ELSE 'low' END AS quality_bucket
+    FROM ratios"""
+  }
+
+  val fingerprintSql: String = s"""
+    SELECT doc_id, md5($normT) AS fp_md5,
+      ${charHashSql(normT)} AS fp_roll
+    FROM documents"""
+}
