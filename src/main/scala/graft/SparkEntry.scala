@@ -184,7 +184,28 @@ object SparkEntry {
     // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
     // driver records the rows-only check.
     "mm1_media_summary" -> ((s, d) =>
-      Multimodal.mediaSummary(s, Sources.table(s, d, "documents")))
+      Multimodal.mediaSummary(s, Sources.table(s, d, "documents"))),
+
+    // §2.5 W2: FIFO top-1 pick (controller.py:64-69) — TakeOrderedAndProject.
+    // `ts` reads as epoch-nanos long (nanosAsLong); DIV 1000 = epoch micros.
+    "w2_fifo_next" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .orderBy(col("ts").asc, col("event_id").asc).limit(1)
+        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          col("user_id"), col("event_type"))),
+
+    // §2.5 W3: existence probe via limit-1 (controller.py:52-56).
+    "w3_exists_probe" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .filter(col("event_type") === "error" && col("value") > 90.0)
+        .limit(1).agg(count(lit(1)).as("found"))),
+
+    // §2.9 T1/T2: anchored debounce windows over the events stream table
+    // (flatMapGroups recurrence — not SQL-expressible; rows-only check).
+    "e1_debounce_batches" -> ((s, d) =>
+      graft.streaming.Debounce.batchAssignDf(
+        Sources.table(s, d, "events"), windowSec = 3600L))
   )
 
   // -- DuckDB oracles -------------------------------------------------------
@@ -312,7 +333,19 @@ object SparkEntry {
       Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents")),
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
-    "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5)
-    // mm1_media_summary: intentionally no oracle (rows-only check)
+    "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
+    // mm1_media_summary, e1_debounce_batches: intentionally no oracle
+    // (mapPartitions / flatMapGroups are not SQL-expressible) — the driver
+    // records the weaker rows-only check for these.
+
+    "w2_fifo_next" -> """
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY ts ASC, event_id ASC LIMIT 1""",
+
+    "w3_exists_probe" -> """
+      SELECT least(count(*), 1)::BIGINT AS found
+      FROM (SELECT 1 FROM events
+            WHERE event_type = 'error' AND value > 90.0 LIMIT 1)"""
   )
 }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Debounce/batching window semantics (reference SURVEY.md §2.9 T1/T2,
+  * `lambda/s3_validation.py:64-94`): the FIRST event for a key anchors
+  * `batch_start`; every event with `ts <= batch_start + window` joins that
+  * batch; the first event after it anchors a NEW batch. This is an
+  * anchored-from-first-event window — NOT a session window (the gap is
+  * measured from the batch START, not the last event), and not a tumbling
+  * window (anchors follow the data, not the epoch).
+  *
+  * Three implementations, one semantics:
+  *  - [[assign]]: the pure per-key function — the testable core;
+  *  - [[batchAssign]]: batch Dataset form via sort-within-group
+  *    `flatMapGroups` (shuffle on key + per-key sequential scan — the only
+  *    correct distributed shape for an inherently sequential recurrence);
+  *  - [[streamingBatches]]: Structured Streaming form via
+  *    `flatMapGroupsWithState` with a processing-time timeout of the
+  *    REMAINING window (`batch_start + window - now`), emitting a batch
+  *    row when the window expires — reference T2's TTL-expiry trigger.
+  */
+object Debounce {
+
+  /** One event's batch assignment: (eventTs, batchStartTs). */
+  final case class Assigned(ts: Long, batchStart: Long)
+
+  /** Pure anchored-window assignment over ASCENDING timestamps (seconds or
+    * any consistent unit). Total, deterministic, O(n). */
+  def assign(sortedTs: Seq[Long], window: Long): Seq[Assigned] = {
+    var anchor = Long.MinValue
+    sortedTs.map { t =>
+      if (anchor == Long.MinValue || t > anchor + window) anchor = t
+      Assigned(t, anchor)
+    }
+  }
+
+  final case class Event(key: Long, ts: Long)
+  final case class BatchRow(key: Long, batchStart: Long, nEvents: Long,
+      lastTs: Long)
+
+  /** Batch form: group by key, sort each group's timestamps, run the pure
+    * recurrence, emit one row per (key, batch) with its event count.
+    *
+    * Scale: one shuffle on the key; each group is processed sequentially on
+    * its executor (the recurrence admits no intra-key parallelism). Skewed
+    * keys are bounded by per-key event counts, not table size.
+    */
+  def batchAssign(events: Dataset[Event], window: Long): Dataset[BatchRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroups { (key, it) =>
+      val ts = it.map(_.ts).toArray
+      java.util.Arrays.sort(ts)
+      assign(ts.toIndexedSeq, window)
+        .groupBy(_.batchStart).toSeq.sortBy(_._1)
+        .map { case (start, as) =>
+          BatchRow(key, start, as.size.toLong, as.map(_.ts).max)
+        }
+    }
+  }
+
+  /** DataFrame adapter over the `events` testdata table (`ts` is epoch
+    * nanos via nanosAsLong): converts to epoch seconds, keys by `user_id`. */
+  def batchAssignDf(events: DataFrame, windowSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long").as("key"),
+      expr("ts DIV 1000000000").as("ts")).as[Event]
+    batchAssign(ds, windowSec).toDF()
+  }
+
+  /** Streaming state per key: current batch anchor + accumulated events. */
+  final case class DebounceState(batchStart: Long, nEvents: Long, lastTs: Long)
+
+  /** Streaming form (T1+T2): events accumulate into the keyed state; when
+    * the anchored window expires (processing-time timeout set to the
+    * REMAINING time, not a fixed gap), the batch row is emitted — the
+    * reference's debounce-TTL → batch-chunk-creation trigger. Late events
+    * after expiry anchor a fresh batch (T5: no drop, no watermark).
+    * Use with `OutputMode.Append` and a streaming query over an events
+    * source.
+    */
+  def streamingBatches(events: Dataset[Event], windowMs: Long)
+      : Dataset[BatchRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceState, BatchRow](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, it, state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(BatchRow(key, s.batchStart, s.nEvents, s.lastTs))
+          } else {
+            val now = System.currentTimeMillis()
+            val evs = it.toSeq
+            val s0 = state.getOption
+              .getOrElse(DebounceState(now, 0L, Long.MinValue))
+            val s1 = DebounceState(s0.batchStart, s0.nEvents + evs.size,
+              math.max(s0.lastTs, if (evs.isEmpty) Long.MinValue
+                else evs.map(_.ts).max))
+            state.update(s1)
+            val remaining = math.max(1L, s1.batchStart + windowMs - now)
+            state.setTimeoutDuration(remaining)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.Debounce
+import graft.streaming.Debounce.{Assigned, Event}
+
+/** Anchored-window debounce semantics (SURVEY §2.9 T1): the window is
+  * measured from the batch START, not the last event — the property that
+  * separates it from a session window. */
+class DebounceSpec extends SparkSpec {
+
+  test("first event anchors; events inside start+window join the batch") {
+    val out = Debounce.assign(Seq(0L, 30L, 89L, 90L), window = 90L)
+    assert(out === Seq(Assigned(0, 0), Assigned(30, 0), Assigned(89, 0),
+      Assigned(90, 0)))
+  }
+
+  test("event after start+window anchors a NEW batch (not session-extended)") {
+    // a session window with gap 90 would chain 0→80→160 into one session;
+    // the anchored window closes at 90, so 160 starts batch 2
+    val out = Debounce.assign(Seq(0L, 80L, 160L, 170L, 260L), window = 90L)
+    assert(out.map(_.batchStart) === Seq(0L, 0L, 160L, 160L, 260L))
+  }
+
+  test("ttl = batch_start + window invariant: every event within its batch") {
+    val ts = Seq(3L, 5L, 100L, 101L, 150L, 400L, 480L, 481L)
+    val out = Debounce.assign(ts, window = 90L)
+    out.foreach { a =>
+      assert(a.ts >= a.batchStart && a.ts <= a.batchStart + 90L)
+    }
+    // batch starts are themselves events
+    assert(out.map(_.batchStart).distinct.forall(ts.contains))
+  }
+
+  test("batchAssign groups per key and matches the pure recurrence") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, 0), Event(1, 50), Event(1, 200),
+      Event(2, 10), Event(2, 500)).toDS()
+    val rows = Debounce.batchAssign(events, window = 90L)
+      .collect().sortBy(r => (r.key, r.batchStart))
+    assert(rows.map(r => (r.key, r.batchStart, r.nEvents)).toSeq === Seq(
+      (1L, 0L, 2L), (1L, 200L, 1L), (2L, 10L, 1L), (2L, 500L, 1L)))
+  }
+
+  test("streaming flatMapGroupsWithState emits batches on window expiry") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Debounce.streamingBatches(mem.toDS(), windowMs = 800L)
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+    // NB: processAllAvailable cannot be used here — with processing-time
+    // timeouts every trigger constructs a batch (shouldRunAnotherBatch is
+    // always true), so the no-new-data signal never fires. Poll instead.
+    try {
+      mem.addData(Event(7, 1000L), Event(7, 1001L))
+      val deadline = System.currentTimeMillis() + 30000L
+      var rows = Array.empty[(Long, Long)]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        rows = spark.sql("SELECT key, nEvents FROM debounce_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(rows.toSeq === Seq((7L, 2L)),
+        "window expiry must emit exactly one batch row for the key")
+    } finally q.stop()
+  }
+}

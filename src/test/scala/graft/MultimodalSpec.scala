@@ -1,0 +1,52 @@
+package graft
+
+import graft.io.Sources
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary payload column, partition-wise decode stub,
+  * frame sampling — schema and batch shape are the real contract. */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Sources.table(spark, sf0001, "documents")
+  private lazy val media = Multimodal.mediaCorpus(docs).cache()
+
+  test("media corpus carries binary payload + typed metadata struct") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName === "binary")
+    assert(schema("media_meta").dataType.typeName === "struct")
+    val r = media.filter(org.apache.spark.sql.functions.col("doc_id") === 5)
+      .select("media_meta.format", "media_meta.width").head()
+    assert(Set("png", "jpeg", "wav").contains(r.getString(0)))
+    assert(r.getInt(1) >= 320)
+  }
+
+  test("decode stub is deterministic and partition-amortized") {
+    val a = Multimodal.decodeFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    val b = Multimodal.decodeFeatures(media.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "features must not depend on partitioning")
+    assert(a.length === docs.count())
+  }
+
+  test("frame sampling strides deterministically over the payload") {
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    // stride 2 over n frames yields ceil(n/2) samples; frame bytes bounded
+    val r = frames.head()
+    assert(r.getAs[Long]("frame_len") <= Multimodal.FrameSize)
+    // frame_no values follow the stride
+    val nos = frames.filter("doc_id = 3").collect()
+      .map(_.getAs[Long]("frame_no")).sorted
+    assert(nos.zipWithIndex.forall { case (n, i) => n == 2L * i })
+  }
+
+  test("mediaSummary joins decode + frames + pruned metadata") {
+    val out = Multimodal.mediaSummary(spark, docs)
+    assert(out.count() === docs.count())
+    val cols = out.columns.toSet
+    assert(Set("doc_id", "format", "byte_len", "mean_byte", "width",
+      "sampled_frames", "distinct_frames").subsetOf(cols))
+  }
+}
