@@ -70,12 +70,15 @@ object Dedup {
   val JaccardThreshold = 0.6
   val ShingleN = 3
 
-  /** Distinct (doc_id, shingle-hash) pairs — the shingle set relation. */
+  /** Distinct (doc_id, shingle-hash) pairs — the shingle set relation.
+    * Token hashes are materialized as a column first, then combined
+    * arithmetically into shingle hashes ([[hashedShinglesFromTh]]): no
+    * shingle strings are ever built, which is ~10× cheaper per doc. */
   private def shingleSet(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(norm(col("text"))), ShingleN)))
-        .as("sh"))
-      .select(col("doc_id"), charHash(col("sh")).as("h"))
+      tokenHashes(tokens(norm(col("text")))).as("th"))
+      .select(col("doc_id"),
+        explode(array_distinct(hashedShinglesFromTh(col("th")))).as("h"))
 
   /** Word-3-gram Jaccard similarity join: pairs of docs sharing enough of
     * their shingle sets. Pairwise-on-shared-shingle formulation — the
@@ -84,6 +87,8 @@ object Dedup {
     * what MinHash banding (D3) fixes at scale. */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs).cache()
+    sh.count() // materialize: the plan below uses sh three times in one
+               // action; an unpopulated cache would compute it three times
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&
@@ -102,9 +107,8 @@ object Dedup {
   private def shingleSetSql(corpus: String): String = {
     val toks = tokensSql(normSql("text"))
     s"""
-      SELECT DISTINCT doc_id, ${charHashSql("sh")} AS h
-      FROM (SELECT doc_id, unnest(${shinglesSql(toks, ShingleN)}) AS sh
-            FROM $corpus)"""
+      SELECT DISTINCT doc_id, unnest(${hashedShinglesFromThSql("th")}) AS h
+      FROM (SELECT doc_id, ${tokenHashesSql(toks)} AS th FROM $corpus)"""
   }
 
   def ngramJaccardPairsSql(corpus: String): String = s"""
@@ -144,33 +148,37 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing at least one (band, band-signature)
-    * bucket, scored by the fraction of equal signature components; kept when
-    * the estimate clears the threshold. */
+    * bucket, scored by the fraction of equal signature components; kept
+    * when the estimate clears the threshold.
+    *
+    * Single-pass shape: the banded rows CARRY the full signature array, so
+    * the pair estimate comes straight out of the band self-join — no
+    * re-join against the signature relation (which would recompute the
+    * shingle pass or demand a materialized cache). The self-join's two
+    * sides share one shuffle (ReusedExchange). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until NumHashes / NumBands)
-        .map(r => col(s"mh_${b * (NumHashes / NumBands) + r}"))
-      struct(lit(b).as("band"), concat_ws("|", rows.map(_.cast("string")): _*)
-        .as("key")).as(s"band_$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(array((0 until NumBands)
-        .map(b => col(s"band_$b")): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("x")
+    val r = NumHashes / NumBands
+    val sig = minhashSignatures(docs)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"), concat_ws("|", (0 until r)
+          .map(rr => element_at(col("sig"), b * r + rr + 1).cast("string")): _*)
+          .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val est = (aggregate(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)).cast("double") / lit(NumHashes.toDouble)
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        est.as("est_jaccard"))
       .distinct()
-    val est = (0 until NumHashes)
-      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / lit(NumHashes.toDouble)
-    cand
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= MinhashEstThreshold)
   }
 
@@ -259,17 +267,29 @@ object Dedup {
   // stays linear. The 4-band pigeonhole holds for any threshold < 4.
   val SimhashMaxHamming = 1
 
-  /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]] via 4-band
-    * pigeonhole: a qualifying pair must agree on at least one 8-bit band,
-    * so candidates come from a band-key join, never a cross product. */
+  /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]] via band-
+    * PAIR pigeonhole: one flipped bit touches at most one of the 4 8-bit
+    * bands, so a qualifying pair agrees on at least one of the 6 two-band
+    * (16-bit) combinations. The 16-bit candidate key is 256× sparser than a
+    * single band's — on corpora whose signatures concentrate (like this
+    * word soup) that is the difference between a candidate set near the
+    * cross product and one near the true pair set. The hamming filter runs
+    * BEFORE distinct so dedup happens on the surviving pairs only. */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sig = simhashSignatures(docs).cache()
+    // no cache: the band self-join's two sides share one plan, so the
+    // exchange is reused rather than recomputed
+    val sig = simhashSignatures(docs)
     val bands = 4
     val width = SimhashBits / bands
+    val bandPairs = for { i <- 0 until bands; j <- i + 1 until bands }
+      yield (i, j)
+    def bandKey(b: Int) = shiftright(col("simhash"), b * width)
+      .bitwiseAND(lit((1L << width) - 1))
     val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      explode(array(bandPairs.zipWithIndex.map { case ((i, j), id) =>
+        struct(lit(id).as("band"),
+          (bandKey(i) * lit(1L << width) + bandKey(j)).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("x").join(banded.as("y"),
@@ -277,8 +297,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
   }
 
   def simhashPairsSql(corpus: String): String = {

@@ -82,4 +82,39 @@ object TextFunctions {
        |  ELSE list_transform(range(1, len($toks) - ${n - 2}), i -> $parts)
        |END""".stripMargin
   }
+
+  /** Per-token rolling hashes of a token array. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => charHash(t))
+
+  def tokenHashesSql(toks: String): String =
+    s"list_transform($toks, t -> ${charHashSql("t")})"
+
+  /** Shingle-combine multipliers for [[hashedShingles]]. */
+  val ShingleC1 = 1000003L
+  val ShingleC2 = 8191L
+
+  /** Hashed word-3-gram shingles combined ARITHMETICALLY from an already-
+    * materialized per-token-hash array column `th` — h(i)·C1 + h(i+1)·C2 +
+    * h(i+2) mod P — instead of materializing shingle strings and re-folding
+    * their characters. Far fewer interpreted ops per doc than the string
+    * form at equivalent set semantics (order-sensitive, collision-sparse);
+    * the scale-critical path for MinHash over billions of documents.
+    * `th` must be a real column (not an inline expression) so neither
+    * engine re-evaluates the token hashing per element access. */
+  def hashedShinglesFromTh(th: Column): Column =
+    when(size(th) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(th) - lit(2)),
+        i => pmod(
+          element_at(th, i) * lit(ShingleC1) +
+            element_at(th, i + lit(1)) * lit(ShingleC2) +
+            element_at(th, i + lit(2)),
+          lit(HashP))))
+
+  def hashedShinglesFromThSql(th: String): String =
+    s"""CASE WHEN len($th) < 3 THEN []::BIGINT[]
+       |  ELSE list_transform(range(1, len($th) - 1),
+       |    i -> ($th[i] * $ShingleC1 + $th[i + 1] * $ShingleC2 + $th[i + 2])
+       |         % $HashP)
+       |END""".stripMargin
 }

@@ -16,6 +16,13 @@ import scala.util.Try
   */
 object Sources {
 
+  /** F1: `s3://` → `s3a://` scheme rewrite (reference
+    * `scripts/transformation.py:18-27`) — the Hadoop connector expects the
+    * `s3a` scheme; everything else passes through untouched. */
+  def normalizeScheme(path: String): String =
+    if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+    else path
+
   /** S1: primary-format-or-CSV scan. The reference tries Delta and falls back
     * to headered, schema-less CSV (reference `scripts/validation.py:51-64`).
     * Delta jars are not on this classpath, so the lake format here is parquet;

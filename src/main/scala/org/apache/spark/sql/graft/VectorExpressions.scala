@@ -1,0 +1,78 @@
+// Hosted inside the org.apache.spark.sql package scope: a custom Catalyst
+// Expression needs private[sql] API surface (AbstractDataType for input
+// typing, ExpressionUtils for Column wrapping) — the standard shape for a
+// Spark extension library's native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-vector dot product — the one
+  * hot-path scalar where the built-in operators genuinely can't keep up:
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` is a higher-order expression
+  * chain that Spark evaluates INTERPRETED (per element: lambda-variable
+  * binding, boxing, null checks), which dominates every similarity-join
+  * stage. This expression compiles to a tight primitive loop inside
+  * whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the fold form: a strict sequential
+  * left-to-right accumulation in double of `(double)a(i) * (double)b(i)` —
+  * the same IEEE operation order — so results are bitwise-equal to the
+  * HOF formulation and to the DuckDB `list_reduce` oracle mirror
+  * ([[graft.sim.Similarity.dotSql]]). Preference order per SURVEY §7:
+  * compose built-ins first (done elsewhere); native `Expression` with
+  * `doGenCode` where the built-ins can't express it EFFICIENTLY; UDF never.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "fvec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Codegen'd float-vector dot product column. */
+  def fvecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Source/sink combinators (SURVEY §2.1): parquet-or-CSV fallback, union
+  * fold, multi-path scan equivalence, partitioned write + pruning, scheme
+  * rewrite. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-io").toString
+
+  test("normalizeScheme rewrites s3:// only") {
+    assert(Sources.normalizeScheme("s3://b/k.csv") === "s3a://b/k.csv")
+    assert(Sources.normalizeScheme("s3a://b/k.csv") === "s3a://b/k.csv")
+    assert(Sources.normalizeScheme("/local/p.parquet") === "/local/p.parquet")
+  }
+
+  test("readParquetOrCsv falls back to headered CSV with declared schema") {
+    val csv = s"$tmp/orders_part1.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "order_id,amount\n1,10.5\n2,20.0\n")
+    val schema = StructType(Seq(
+      StructField("order_id", LongType), StructField("amount", DoubleType)))
+    val df = Sources.readParquetOrCsv(spark, csv, Some(schema))
+    assert(df.schema === schema)
+    assert(df.count() === 2)
+  }
+
+  test("readAndUnion folds parts; empty list is None") {
+    val p = s"$sf0001/lineitem.parquet"
+    assert(Sources.readAndUnion(spark, Nil).isEmpty)
+    val one = Sources.readAndUnion(spark, Seq(p)).get.count()
+    val two = Sources.readAndUnion(spark, Seq(p, p)).get.count()
+    assert(two === 2 * one)
+    // scale path: single multi-path scan sees the same rows
+    assert(Sources.readMultiPath(spark, Seq(p, p)).count() === two)
+  }
+
+  test("writePartitioned lays out dt partitions that prune") {
+    val out = s"$tmp/validated"
+    val df = Sources.table(spark, sf0001, "region")
+    Sources.writePartitioned(df, out, "2024-06-01")
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/dt=2024-06-01")))
+    val read = spark.read.parquet(out).filter("dt = '2024-06-01'")
+    assert(read.count() === df.count())
+    // a non-matching dt predicate prunes to zero files -> zero rows
+    assert(spark.read.parquet(out).filter("dt = '1999-01-01'").count() === 0)
+  }
+
+  test("readTable returns None on a missing path") {
+    assert(Sources.readTable(spark, s"$tmp/nope.parquet").isEmpty)
+    assert(Sources.readTable(spark, s"$sf0001/region.parquet").nonEmpty)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Unit coverage for the extension primitives (each operator is also
+  * value-verified against the DuckDB oracle by the driver gate; these
+  * specs pin the local semantics). */
+class TextDedupSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t) => Row(i, t, "en") }, 2), docSchema)
+
+  test("charHash: deterministic rolling fold, whitespace-normalized input") {
+    val out = docs((1L, "ab")).select(
+      TextFunctions.charHash(col("text"))).head().getLong(0)
+    // h("ab") = (0*31 + 97)*31 + 98 mod P = 3105
+    assert(out === 3105L)
+    val empty = docs((1L, "")).select(
+      TextFunctions.charHash(col("text"))).head().getLong(0)
+    assert(empty === 0L)
+  }
+
+  test("tokens: empty and multi-space input normalize cleanly") {
+    val toks = docs((1L, "  a   b  c "), (2L, ""))
+      .select(col("doc_id"),
+        TextFunctions.tokens(TextFunctions.norm(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L) === Seq("a", "b", "c"))
+    assert(toks(2L) === Seq.empty)
+  }
+
+  test("exact dedup keeps the min doc_id and counts copies") {
+    val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
+    val out = Dedup.exactDedup(d).collect()
+      .map(r => (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("copies")))
+      .toSet
+    assert(out === Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today friends"))
+    val pairs = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs === Map((1L, 2L) -> 1.0))
+  }
+
+  test("simhash: identical docs share a signature; pairs find them") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally other completely distinct text body"))
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val pairs = Dedup.simhashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("langId picks the marker-richest language deterministically") {
+    val d = docs(
+      (1L, "the cat is of the house and it is a thing"),
+      (2L, "der hund ist nicht das und der die"))
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+  }
+
+  test("cosine: identical vectors score 1.0, orthogonal 0.0") {
+    val schema = StructType(Seq(StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      Row(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))), 1), schema)
+    val out = df.select(
+      (Similarity.dot(col("a"), col("b")) /
+        (Similarity.norm2(col("a")) * Similarity.norm2(col("b"))))
+        .as("cos")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) === 0.0)
+  }
+
+  test("codegen'd FloatVectorDot is bitwise-equal to the HOF fold") {
+    val emb = graft.io.Sources.table(spark, sf0001, "embeddings")
+    val both = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotFold(col("embedding"), col("embedding")).as("fold"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(both.length === 500)
+  }
+
+  test("quality buckets are ordered with the score") {
+    val d = docs(
+      (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
+      (2L, "!!! ??? ###"))
+    val out = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("quality_score"), r.getAs[String]("quality_bucket")))
+      .toMap
+    assert(out(1L)._1 > out(2L)._1)
+    assert(out(2L)._2 === "low")
+  }
+}
