@@ -31,11 +31,16 @@ object Sources {
     * `Schemas.allStrings(s)` for reference-parity stringly typing.
     */
   def readParquetOrCsv(spark: SparkSession, path: String,
-      csvSchema: Option[StructType] = None): DataFrame =
-    Try(spark.read.parquet(path)).getOrElse {
+      csvSchema: Option[StructType] = None): DataFrame = {
+    def csv = {
       val r = spark.read.option("header", "true")
       csvSchema.fold(r)(s => r.schema(s)).csv(path)
     }
+    // short-circuit the probe for explicit .csv paths — probing parquet
+    // first would cost a doomed footer read per file and a logged error
+    if (path.endsWith(".csv")) csv
+    else Try(spark.read.parquet(path)).getOrElse(csv)
+  }
 
   /** S2: multi-file union scan (reference `scripts/validation.py:67-80`).
     * When all parts share a declared schema, prefer [[readMultiPath]] — one

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.pipeline.Pipeline
+
+/** End-to-end lifecycle (SURVEY §3): multi-part CSV ingest → validation
+  * gates (error taxonomy) → partitioned validated write → result doc →
+  * KPI computation → merge-upsert into the store across partial-data runs. */
+class PipelineSpec extends SparkSpec {
+
+  private def dir(): Path = Files.createTempDirectory("graft-e2e")
+
+  private val ordersHeader =
+    "order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item"
+  private val itemsHeader =
+    "id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price"
+  private val productsHeader =
+    "id,sku,cost,category,name,brand,retail_price,department"
+
+  private def write(d: Path, name: String, lines: String*): String = {
+    val f = d.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private def cleanFixtures(d: Path): (Seq[String], Seq[String], String) = {
+    val o1 = write(d, "orders_part1.csv", ordersHeader,
+      "1,10,complete,2024-06-01 10:00:00,,,,2",
+      "2,11,complete,2024-06-01 11:00:00,,,,1")
+    val o2 = write(d, "orders_part2.csv", ordersHeader,
+      "3,10,returned,2024-06-02 09:00:00,,,,1")
+    val i1 = write(d, "order_items_part1.csv", itemsHeader,
+      "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0",
+      "102,1,10,8,complete,2024-06-01 10:00:00,,,,75.0",
+      "103,2,11,7,returned,2024-06-01 11:00:00,,,,50.0",
+      "104,3,10,8,complete,2024-06-02 09:00:00,,,,20.0")
+    val p = write(d, "products.csv", productsHeader,
+      "7,SKU7,10.0,toys,Car,BrandA,25.0,kids",
+      "8,SKU8,30.0,books,Atlas,BrandB,75.0,media")
+    (Seq(o1, o2), Seq(i1), p)
+  }
+
+  test("null violations fail with NULL_VALIDATION_ERROR and a result doc") {
+    val d = dir()
+    val (op, _, p) = cleanFixtures(d)
+    val bad = write(d, "order_items_bad.csv", itemsHeader,
+      "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0",
+      ",1,10,7,complete,2024-06-01 10:00:00,,,,30.0") // null id
+    val res = Pipeline.validateJob(spark, op, Seq(bad), Some(p),
+      s"$d/validated", s"$d/result.json")
+    assert(res.status === "failed")
+    assert(res.errorType === Some("NULL_VALIDATION_ERROR"))
+    assert(Files.readString(d.resolve("result.json"))
+      .contains("NULL_VALIDATION_ERROR"))
+  }
+
+  test("dangling foreign keys fail with REFERENTIAL_ERROR") {
+    val d = dir()
+    val (op, _, p) = cleanFixtures(d)
+    val dangling = write(d, "order_items_dangling.csv", itemsHeader,
+      "101,999,10,7,complete,2024-06-01 10:00:00,,,,25.0") // order 999 absent
+    val res = Pipeline.validateJob(spark, op, Seq(dangling), Some(p),
+      s"$d/validated", s"$d/result.json")
+    assert(res.status === "failed")
+    assert(res.errorType === Some("REFERENTIAL_ERROR"))
+  }
+
+  test("clean run validates, writes dt-partitioned tables, computes and merges KPIs") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    val res = Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated", s"$d/result.json")
+    assert(res.status === "success")
+    assert(res.processingDate === Some("2024-06-01"))
+    assert(Files.exists(d.resolve("validated/orders/dt=2024-06-01")))
+
+    val (cat, ord) = Pipeline.transformJob(spark, s"$d/validated",
+      "2024-06-01", s"$d/store", now = "2024-06-01T12:00:00Z")
+    assert(cat === 2L && ord === 1L) // toys + books; one order_date row
+
+    val catDf = spark.read.parquet(s"$d/store/category_kpi")
+    val toys = catDf.filter("category = 'toys'").head()
+    // items 101 (25.0) + 103 (50.0) → toys revenue 75.0, 1 of 2 returned
+    assert(toys.getAs[Double]("daily_revenue") === 75.0)
+    assert(toys.getAs[Double]("avg_return_rate") === 0.5)
+
+    val ordRow = spark.read.parquet(s"$d/store/order_kpi").head()
+    assert(ordRow.getAs[Long]("total_orders") === 3L)
+    assert(ordRow.getAs[Double]("total_revenue") === 170.0)
+    assert(ordRow.getAs[Long]("total_items_sold") === 4L)
+    assert(ordRow.getAs[Long]("unique_customers") === 2L)
+    assert(ordRow.getAs[String]("last_updated") === "2024-06-01T12:00:00Z")
+  }
+
+  test("orders-only rerun merges counts but preserves revenue fields") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated", s"$d/result.json")
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t1")
+
+    // simulate a later orders-only batch for the same date: remove items
+    val itemsDir = d.resolve("validated/order_items")
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => deleteRec(c))
+      Files.deleteIfExists(p)
+    }
+    deleteRec(itemsDir)
+
+    val (cat2, ord2) = Pipeline.transformJob(spark, s"$d/validated",
+      "2024-06-01", s"$d/store", now = "t2")
+    assert(cat2 === 0L) // category KPIs need items: family skipped
+    assert(ord2 === 1L)
+
+    val row = spark.read.parquet(s"$d/store/order_kpi").head()
+    // counts refreshed by the orders_only run...
+    assert(row.getAs[Long]("total_orders") === 3L)
+    assert(row.getAs[String]("last_updated") === "t2")
+    // ...revenue fields preserved from the complete run (coalesce-to-old)
+    assert(row.getAs[Double]("total_revenue") === 170.0)
+    assert(row.getAs[Long]("total_items_sold") === 4L)
+    // provenance union accumulates both runs' sources
+    assert(row.getSeq[String](row.fieldIndex("data_sources")).sorted ===
+      Seq("order_items", "orders"))
+    // category store untouched by the orders-only run
+    assert(spark.read.parquet(s"$d/store/category_kpi").count() === 2L)
+  }
+
+  test("transform is idempotent: re-running the same batch changes nothing") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated", s"$d/result.json")
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t1")
+    val before = spark.read.parquet(s"$d/store/order_kpi").collect().toSeq
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t1")
+    val after = spark.read.parquet(s"$d/store/order_kpi").collect().toSeq
+    assert(before.map(_.toString).sorted === after.map(_.toString).sorted)
+  }
+}
