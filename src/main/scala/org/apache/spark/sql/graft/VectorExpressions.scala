@@ -75,4 +75,33 @@ object VectorExpressions {
   def fvecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val fvecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fvec_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "fvec_dot takes exactly 2 arguments")
+      FloatVectorDot(children.head, children(1))
+    })
+
+  /** Register `fvec_dot` into an existing session's function registry —
+    * the imperative twin of [[GraftExtensions]] for sessions already
+    * built. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      fvecDotDescriptor._1, fvecDotDescriptor._2, fvecDotDescriptor._3)
+}
+
+/** SparkSessionExtensions hook: `spark.sql.extensions =
+  * org.apache.spark.sql.graft.GraftExtensions` makes `fvec_dot` available
+  * to pure-SQL users — the standard deployment shape for an engine
+  * extension library. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(VectorExpressions.fvecDotDescriptor)
 }

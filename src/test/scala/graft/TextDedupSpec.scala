@@ -110,6 +110,15 @@ class TextDedupSpec extends SparkSpec {
     assert(both.length === 500)
   }
 
+  test("fvec_dot registers as a SQL function via the extensions hook") {
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val out = spark.sql(
+      """SELECT fvec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d"""
+        .stripMargin).head().getDouble(0)
+    assert(out === 11.0)
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
