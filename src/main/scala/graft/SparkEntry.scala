@@ -205,7 +205,16 @@ object SparkEntry {
     // (flatMapGroups recurrence — not SQL-expressible; rows-only check).
     "e1_debounce_batches" -> ((s, d) =>
       graft.streaming.Debounce.batchAssignDf(
-        Sources.table(s, d, "events"), windowSec = 3600L))
+        Sources.table(s, d, "events"), windowSec = 3600L)),
+
+    // §2.4 A9: earliest unprocessed event per group
+    // (s3_validation.py:104-112 as a grouped min).
+    "a9_min_batch_start" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .filter(col("event_type") =!= "error")
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts DIV 1000")).as("batch_start_us"),
+          count(lit(1)).as("n_events")))
   )
 
   // -- DuckDB oracles -------------------------------------------------------
@@ -346,6 +355,12 @@ object SparkEntry {
     "w3_exists_probe" -> """
       SELECT least(count(*), 1)::BIGINT AS found
       FROM (SELECT 1 FROM events
-            WHERE event_type = 'error' AND value > 90.0 LIMIT 1)"""
+            WHERE event_type = 'error' AND value > 90.0 LIMIT 1)""",
+
+    "a9_min_batch_start" -> """
+      SELECT user_id, min(epoch_us(ts)) AS batch_start_us,
+        count(*) AS n_events
+      FROM events WHERE event_type <> 'error'
+      GROUP BY user_id"""
   )
 }
