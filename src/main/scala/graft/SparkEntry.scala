@@ -214,7 +214,43 @@ object SparkEntry {
         .filter(col("event_type") =!= "error")
         .groupBy(col("user_id"))
         .agg(min(expr("ts DIV 1000")).as("batch_start_us"),
-          count(lit(1)).as("n_events")))
+          count(lit(1)).as("n_events"))),
+
+    // §1.2 compat mode: the reference reads schema-less CSV (everything a
+    // string) and relies on PySpark 3.x implicit string→double casts. Under
+    // Spark 4 ANSI semantics the parity path is all-strings inputs +
+    // explicit try_cast (malformed → NULL, excluded from sums/averages
+    // exactly like the implicit cast did).
+    "a1c_category_kpi_compat" -> ((s, d) => {
+      def strs(df: DataFrame) =
+        df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+      val joined = Kpi.threeWayJoin(strs(o(s, d)), strs(oi(s, d)), strs(p(s, d)))
+      val price = expr("try_cast(`oi`.`sale_price` AS DOUBLE)")
+      joined.groupBy(col("p.category").as("category")).agg(
+        sum(price.cast(money)).cast("double").as("daily_revenue"),
+        (sum(price.cast(money)).cast("double") / count(price))
+          .as("avg_order_value"),
+        (count(when(col("oi.status") === "returned", true)).cast("double") /
+          count(col("oi.id"))).as("avg_return_rate"))
+    }),
+
+    // §2.5 extension: KPI-history window query — top-3 categories per day
+    // by revenue (genuine Window.partitionBy + rank, the shape the
+    // reference's KPI store would be queried with).
+    "x1_top_category_daily" -> ((s, d) => {
+      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .groupBy(substring(col("o.created_at"), 1, 10).as("order_date"),
+          col("p.category").as("category"))
+        .agg(sum(col("oi.sale_price").cast(money)).cast("double")
+          .as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("order_date"))
+        .orderBy(col("revenue").desc, col("category").asc)
+      daily.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("order_date"), col("rnk").cast("long").as("rnk"),
+          col("category"), col("revenue"))
+    })
   )
 
   // -- DuckDB oracles -------------------------------------------------------
@@ -361,6 +397,39 @@ object SparkEntry {
       SELECT user_id, min(epoch_us(ts)) AS batch_start_us,
         count(*) AS n_events
       FROM events WHERE event_type <> 'error'
-      GROUP BY user_id"""
+      GROUP BY user_id""",
+
+    "a1c_category_kpi_compat" -> s"""$ctes,
+      os AS (SELECT CAST(order_id AS VARCHAR) AS order_id FROM o),
+      ois AS (SELECT CAST(id AS VARCHAR) AS id,
+        CAST(order_id AS VARCHAR) AS order_id,
+        CAST(product_id AS VARCHAR) AS product_id, status,
+        CAST(sale_price AS VARCHAR) AS sale_price FROM oi),
+      ps AS (SELECT CAST(id AS VARCHAR) AS id, category FROM p)
+      SELECT ps.category AS category,
+        CAST(sum(CAST(TRY_CAST(ois.sale_price AS DOUBLE) AS DECIMAL(18,2)))
+          AS DOUBLE) AS daily_revenue,
+        CAST(sum(CAST(TRY_CAST(ois.sale_price AS DOUBLE) AS DECIMAL(18,2)))
+          AS DOUBLE) / count(TRY_CAST(ois.sale_price AS DOUBLE))
+          AS avg_order_value,
+        CAST(count(*) FILTER (WHERE ois.status = 'returned') AS DOUBLE)
+          / count(ois.id) AS avg_return_rate
+      FROM os JOIN ois ON os.order_id = ois.order_id
+      JOIN ps ON ois.product_id = ps.id
+      GROUP BY 1""",
+
+    "x1_top_category_daily" -> s"""$ctes,
+      daily AS (
+        SELECT substr(o.created_at, 1, 10) AS order_date,
+          p.category AS category,
+          CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        $kpiJoin
+        GROUP BY 1, 2)
+      SELECT order_date, rnk, category, revenue FROM (
+        SELECT order_date, category, revenue,
+          rank() OVER (PARTITION BY order_date
+            ORDER BY revenue DESC, category ASC)::BIGINT AS rnk
+        FROM daily)
+      WHERE rnk <= 3"""
   )
 }
