@@ -153,6 +153,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E6b: df-capped Jaccard — the prefix-filtering scale path (stop-
+    // shingles excluded from sets and join; linear candidate volume).
+    "d7_jaccard_dfcap" -> ((s, d) =>
+      Dedup.ngramJaccardDfCapped(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -372,6 +378,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
     "d3_minhash_lsh" ->
       Dedup.minhashLshPairsSql(Dedup.withNearDupsSql("documents")),
+    "d7_jaccard_dfcap" ->
+      Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d4_simhash" ->
       Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
     "d5_simhash_pairs" ->

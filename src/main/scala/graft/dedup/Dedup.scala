@@ -126,6 +126,59 @@ object Dedup {
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold"""
 
+  val MaxShingleDf = 20
+
+  /** D2 scale path (prefix-filtering family): shingles whose DOCUMENT
+    * FREQUENCY exceeds `maxDf` are stop-shingles — they carry no
+    * discriminative signal but produce O(df²) candidate pairs each, which
+    * is where the similarity join's cost concentrates. Dropping them from
+    * BOTH the sets and the join bounds per-shingle join fan-out at df²
+    * ≤ maxDf², making the candidate volume linear in corpus size for any
+    * corpus whose shingle frequencies are heavy-tailed. Scores are Jaccard
+    * over the informative (df-capped) shingle sets — mirrored exactly in
+    * the oracle. */
+  def ngramJaccardDfCapped(docs: DataFrame, maxDf: Int = MaxShingleDf)
+      : DataFrame = {
+    val sh0 = shingleSet(docs)
+    val rare = sh0.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val sh = sh0.join(rare, Seq("h")).cache()
+    sh.count() // materialize before triple use
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  def ngramJaccardDfCappedSql(corpus: String,
+      maxDf: Int = MaxShingleDf): String = s"""
+    WITH corpus AS ($corpus),
+    sh0 AS (${shingleSetSql("corpus")}),
+    rare AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= $maxDf),
+    sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare ON sh0.h = rare.h),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold"""
+
   // ---- D3: MinHash + LSH banding ------------------------------------------
 
   val NumHashes = 16

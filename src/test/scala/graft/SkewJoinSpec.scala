@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{RefShape, Sources}
+import graft.operators.SkewJoin
+
+/** Salted join ≡ plain join on real data, including a synthetically skewed
+  * key distribution. */
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted inner join equals the plain join on lineitem ⋈ part") {
+    val items = RefShape.orderItems(spark, sf0001)
+    val products = RefShape.products(spark, sf0001)
+      .withColumnRenamed("id", "product_id")
+    val plain = items.join(products, Seq("product_id"), "inner")
+    val salted = SkewJoin.saltedInner(items, products, "product_id",
+      factor = 8, saltCols = Seq("id"))
+    assert(salted.count() === plain.count())
+    // exact multiset equality on the join output
+    val cols = plain.columns.sorted.map(col).toSeq
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty)
+  }
+
+  test("salted join handles a hot key (90% of rows on one key)") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i =>
+      (if (i <= 900) 1L else i, i)).toDF("k", "row_id")
+    val right = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = SkewJoin.saltedInner(left, right, "k", factor = 16,
+      saltCols = Seq("row_id"))
+    assert(salted.count() === plain.count())
+    assert(salted.count() === 901L)
+    // the salt actually spreads the hot key across buckets
+    val spread = left.withColumn("__salt",
+      pmod(hash(col("row_id")), lit(16)))
+      .filter(col("k") === 1L)
+      .select(countDistinct(col("__salt"))).head().getLong(0)
+    assert(spread > 8, s"hot key should spread over many salt buckets, got $spread")
+  }
+}
