@@ -92,6 +92,8 @@ object Sources {
     }
     val json = fields.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json)
   }
 }

@@ -1,0 +1,94 @@
+package graft.runner
+
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+import graft.pipeline.Pipeline
+import graft.runner.Runner._
+
+/** The reference's orchestration loop (SURVEY §3 steps 1–8) as one
+  * driver-side runner: file arrivals → debounce into batch chunks →
+  * single-flight FIFO dispatch → validate job → transform job → status
+  * lifecycle, with retry and failure alerting. Replaces five Lambdas, a
+  * DynamoDB stream, and a Step Function with ~100 lines around the pure
+  * stages — the engine work stays in `Pipeline`/`Kpi`/`Validation`.
+  */
+object BatchRunner {
+
+  /** S11: pluggable alert sink (reference SNS publisher,
+    * `lambda/s3_validation.py:160-177`). */
+  trait Alerter { def alert(subject: String, message: String): Unit }
+  object LogAlerter extends Alerter {
+    private val buf = mutable.ArrayBuffer.empty[(String, String)]
+    def alert(subject: String, message: String): Unit =
+      synchronized { buf += ((subject, message)) }
+    def alerts: Seq[(String, String)] = synchronized(buf.toSeq)
+    def clear(): Unit = synchronized(buf.clear())
+  }
+
+  final case class BatchChunk(batchId: String, createdAt: Long,
+      ordersPaths: Seq[String], itemsPaths: Seq[String],
+      productsPath: Option[String], var status: Status = Pending,
+      var error: Option[String] = None)
+
+  /** Group debounced file arrivals into batch chunks (T2: the TTL-expiry
+    * chunk creator). Files are routed by filename (F5); unroutable files
+    * are quarantined conceptually by the caller at ingest time. */
+  def toChunk(batchId: String, createdAt: Long, files: Seq[String])
+      : BatchChunk = {
+    val routed = files.flatMap(f => parseFilename(f).map(_._1 -> f))
+    BatchChunk(batchId, createdAt,
+      ordersPaths = routed.collect { case ("orders", f) => f },
+      itemsPaths = routed.collect { case ("order_items", f) => f },
+      productsPath = routed.collectFirst { case ("products", f) => f })
+  }
+
+  /** One controller tick (T4): if nothing is processing, pick the FIFO-
+    * earliest pending chunk and run it through validate → transform with
+    * the Step Function's retry policy (T7). Returns the chunk it ran. */
+  def tick(spark: SparkSession, chunks: Seq[BatchChunk], workDir: String,
+      now: String, alerter: Alerter = LogAlerter,
+      retries: Int = 3, retryIntervalMs: Long = 10L): Option[BatchChunk] = {
+    val asRunner = chunks.map(c => Chunk(c.batchId, c.createdAt, c.status))
+    Runner.nextChunk(asRunner).map { picked =>
+      val chunk = chunks.find(_.batchId == picked.batchId).get
+      chunk.status = transition(chunk.status, Processing)
+        .getOrElse(chunk.status)
+      val result = Runner.withRetry(retries, retryIntervalMs) { () =>
+        val res = Pipeline.validateJob(spark, chunk.ordersPaths,
+          chunk.itemsPaths, chunk.productsPath,
+          s"$workDir/validated/${chunk.batchId}",
+          s"$workDir/results/${chunk.batchId}.json")
+        if (res.status != "success")
+          throw new RuntimeException(
+            s"${res.errorType.getOrElse("UNKNOWN")}: " +
+              res.message.getOrElse(""))
+        // inter-stage handoff: the validation result's processing_date
+        // feeds the transform (stepfunction.json:158-173)
+        Pipeline.transformJob(spark,
+          s"$workDir/validated/${chunk.batchId}",
+          res.processingDate.get, s"$workDir/store", now)
+        res
+      }
+      result match {
+        case scala.util.Success(_) =>
+          chunk.status = transition(chunk.status, Done).getOrElse(chunk.status)
+        case scala.util.Failure(e) =>
+          chunk.status =
+            transition(chunk.status, FailedStatus).getOrElse(chunk.status)
+          chunk.error = Some(e.getMessage)
+          alerter.alert(s"batch ${chunk.batchId} failed", e.getMessage)
+      }
+      chunk
+    }
+  }
+
+  /** Drain the queue: tick until no pending chunks remain (single-flight —
+    * strictly one chunk in flight at a time, FIFO by createdAt). */
+  def drain(spark: SparkSession, chunks: Seq[BatchChunk], workDir: String,
+      now: String, alerter: Alerter = LogAlerter): Seq[BatchChunk] = {
+    while (tick(spark, chunks, workDir, now, alerter).nonEmpty) ()
+    chunks
+  }
+}

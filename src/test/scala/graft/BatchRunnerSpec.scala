@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.runner.BatchRunner
+import graft.runner.BatchRunner.{BatchChunk, LogAlerter}
+import graft.runner.Runner.{Done, FailedStatus, Pending}
+
+/** Full orchestration capstone: chunks drain FIFO single-flight through
+  * validate → transform; failures alert and mark failed; later batches
+  * merge into the same KPI store. */
+class BatchRunnerSpec extends SparkSpec {
+
+  private val ordersHeader =
+    "order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item"
+  private val itemsHeader =
+    "id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price"
+  private val productsHeader =
+    "id,sku,cost,category,name,brand,retail_price,department"
+
+  private def write(d: Path, name: String, lines: String*): String = {
+    val f = d.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("chunks drain FIFO; KPI store accumulates across batches; bad batch alerts") {
+    val d = Files.createTempDirectory("graft-runner")
+    LogAlerter.clear()
+
+    // batch 1 (day 1): two orders, two items
+    val b1 = BatchRunner.toChunk("b1", 100L, Seq(
+      write(d, "orders_part1.csv", ordersHeader,
+        "1,10,complete,2024-06-01 10:00:00,,,,1",
+        "2,11,complete,2024-06-01 11:00:00,,,,1"),
+      write(d, "order_items_part1.csv", itemsHeader,
+        "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0",
+        "102,2,11,7,returned,2024-06-01 11:00:00,,,,75.0"),
+      write(d, "products.csv", productsHeader,
+        "7,SKU7,10.0,toys,Car,BrandA,25.0,kids")))
+    assert(b1.ordersPaths.size === 1 && b1.itemsPaths.size === 1 &&
+      b1.productsPath.nonEmpty)
+
+    // batch 2 (day 2): arrives later
+    val b2 = BatchRunner.toChunk("b2", 200L, Seq(
+      write(d, "orders_part2.csv", ordersHeader,
+        "3,12,complete,2024-06-02 09:00:00,,,,1"),
+      write(d, "order_items_part2.csv", itemsHeader,
+        "103,3,12,7,complete,2024-06-02 09:00:00,,,,40.0"),
+      b1.productsPath.get))
+
+    // batch 3: null order_id → must fail validation and alert
+    val b3 = BatchRunner.toChunk("b3", 300L, Seq(
+      write(d, "orders_part3.csv", ordersHeader,
+        ",13,complete,2024-06-03 09:00:00,,,,1"),
+      write(d, "order_items_part3.csv", itemsHeader,
+        "104,4,13,7,complete,2024-06-03 09:00:00,,,,10.0"),
+      b1.productsPath.get))
+
+    val chunks = Seq(b3, b1, b2) // scrambled: FIFO must pick b1 first
+    val done = BatchRunner.drain(spark, chunks, s"$d/work", now = "t0")
+
+    assert(done.find(_.batchId == "b1").get.status === Done,
+      done.find(_.batchId == "b1").get.error)
+    assert(done.find(_.batchId == "b2").get.status === Done)
+    assert(done.find(_.batchId == "b3").get.status === FailedStatus)
+    assert(LogAlerter.alerts.exists(_._1.contains("b3")))
+    assert(done.find(_.batchId == "b3").get.error.get
+      .contains("NULL_VALIDATION_ERROR"))
+
+    // the store holds one order-KPI row per processed date
+    val ord = spark.read.parquet(s"$d/work/store/order_kpi")
+    assert(ord.count() === 2)
+    val day1 = ord.filter("order_date = '2024-06-01'").head()
+    assert(day1.getAs[Long]("total_orders") === 2L)
+    assert(day1.getAs[Double]("total_revenue") === 100.0)
+    val day2 = ord.filter("order_date = '2024-06-02'").head()
+    assert(day2.getAs[Double]("total_revenue") === 40.0)
+  }
+
+  test("single-flight: no pick while a chunk is processing") {
+    val busy = BatchChunk("x", 1L, Nil, Nil, None,
+      status = graft.runner.Runner.Processing)
+    val waiting = BatchChunk("y", 2L, Nil, Nil, None, status = Pending)
+    assert(BatchRunner.tick(spark, Seq(busy, waiting), "/tmp/nope", "t")
+      .isEmpty)
+  }
+}
