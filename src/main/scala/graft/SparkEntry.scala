@@ -186,6 +186,11 @@ object SparkEntry {
     "n2_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E12b: grouped top-k via typed Aggregator (map-side-combine shape;
+    // same results and oracle as n1).
+    "n3_ann_topk_agg" -> ((s, d) =>
+      Similarity.topKAggregated(Sources.table(s, d, "embeddings"), 5, 5)),
+
     // E13: multimodal binary plumbing — synth payloads, partition-wise
     // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
     // driver records the rows-only check.
@@ -387,6 +392,7 @@ object SparkEntry {
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
+    "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     // mm1_media_summary, e1_debounce_batches: intentionally no oracle
     // (mapPartitions / flatMapGroups are not SQL-expressible) — the driver
     // records the weaker rows-only check for these.

@@ -114,6 +114,37 @@ object Similarity {
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** N3: grouped top-k via the typed [[TopKAggregator]] — identical output
+    * to [[bruteForceTopK]] (same oracle), different physical shape: the
+    * aggregator's bounded buffer gives map-side combine, so the shuffle
+    * carries ≤ k entries per (group, partition) instead of every scored
+    * candidate row the Window formulation sorts. */
+  def topKAggregated(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withN = emb.select(c("vec_id"), c("embedding"),
+      norm2(c("embedding")).as("n2"))
+    val q = withN.filter(c("vec_id") < numQueries)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qv"),
+        c("n2").as("qn"))
+    val scored = broadcast(q)
+      .join(withN.as("cand"), c("cand.vec_id") =!= c("query_id"))
+      .select(c("query_id"), c("cand.vec_id").as("neighbor_id"),
+        (dot(c("qv"), c("cand.embedding")) /
+          (c("qn") * c("cand.n2"))).as("cosine"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues(r => TopKAggregator.Scored(r._2, r._3))
+      .agg(TopKAggregator.TopK(k).toColumn.name("topk"))
+      .flatMap { case (qid, topk) =>
+        topk.zipWithIndex.map { case (s, i) =>
+          (qid, (i + 1).toLong, s.id, s.score)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   val NumPlanes = 6
 
   /** LSH bucket id: sign bits of the vector's dot products with the
