@@ -1,0 +1,58 @@
+package graft
+
+import graft.io.Sources
+
+/** Plan-shape regression guards: the scale-critical physical properties
+  * (pushdown, pruning, broadcast, anti-join form) asserted against the
+  * optimized plans so a refactor can't silently trade them away. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("a1: both KPI joins broadcast; scans are pruned with pushed filters") {
+    val p = planOf("a1_category_kpi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    // column pruning reaches the parquet footer: the lineitem scan reads a
+    // pruned column list headed by the join key, not the full table schema
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint"), p.take(2000))
+  }
+
+  test("p1: the equality predicate reaches the parquet scan") {
+    val p = planOf("p1_filter_project")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(1500))
+    // "*(1)" prefixes mark a whole-stage-codegen stage in the simple string
+    assert(p.contains("*(1)"), p.take(1500))
+  }
+
+  test("j3: RI check plans as a left-anti join, not a driver-side filter") {
+    val p = planOf("j3_ri_items_without_order")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("w2: FIFO top-1 plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("w2_fifo_next")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("similarity joins evaluate the native fvec_dot, not an interpreted fold") {
+    val p = planOf("n1_ann_bruteforce")
+    assert(p.contains("fvec_dot"), p.take(2000))
+    assert(!p.contains("ArrayAggregate"), "interpreted HOF fold on hot path")
+  }
+
+  test("metadata-only media query prunes the payload column") {
+    // another suite may have cached the media corpus; a cached relation's
+    // stored plan contains the payload expression regardless of pruning
+    spark.catalog.clearCache()
+    val media = graft.multimodal.Multimodal
+      .mediaCorpus(Sources.table(spark, sf0001, "documents"))
+      .select("doc_id", "media_meta.format")
+    val p = media.queryExecution.executedPlan.toString
+    // payload is derived from text; a metadata-only projection must not
+    // compute it (no md5/repeat in the plan)
+    assert(!p.contains("repeat("), p.take(1500))
+  }
+}
