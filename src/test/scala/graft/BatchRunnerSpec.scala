@@ -78,6 +78,23 @@ class BatchRunnerSpec extends SparkSpec {
     assert(day2.getAs[Double]("total_revenue") === 40.0)
   }
 
+  test("chunk without products validates but fails transform (fail-loud)") {
+    val d = Files.createTempDirectory("graft-runner-np")
+    LogAlerter.clear()
+    val chunk = BatchRunner.toChunk("np1", 10L, Seq(
+      write(d, "orders_part1.csv", ordersHeader,
+        "1,10,complete,2024-06-01 10:00:00,,,,1"),
+      write(d, "order_items_part1.csv", itemsHeader,
+        "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0")))
+    assert(chunk.productsPath.isEmpty)
+    BatchRunner.drain(spark, Seq(chunk), s"$d/work", now = "t0")
+    // validation passes (products optional there, validation.py:110-116);
+    // the transform's mandatory-products contract fails the chunk
+    assert(chunk.status === FailedStatus)
+    assert(chunk.error.exists(_.contains("Products")))
+    assert(LogAlerter.alerts.exists(_._1.contains("np1")))
+  }
+
   test("single-flight: no pick while a chunk is processing") {
     val busy = BatchChunk("x", 1L, Nil, Nil, None,
       status = graft.runner.Runner.Processing)

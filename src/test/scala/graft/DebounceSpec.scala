@@ -31,6 +31,30 @@ class DebounceSpec extends SparkSpec {
     assert(out.map(_.batchStart).distinct.forall(ts.contains))
   }
 
+  test("anchored-window invariants hold for random event sequences") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(40, Gen.choose(0L, 2000L))
+    (1 to 25).foreach { seed =>
+      val ts = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .sorted
+      val w = 50L + seed
+      val out = Debounce.assign(ts, w)
+      // every event lands in exactly one batch, inside its window
+      assert(out.size === ts.size)
+      out.foreach(a => assert(a.ts >= a.batchStart && a.ts <= a.batchStart + w))
+      // each batch start is an event, and consecutive starts are > w apart
+      val starts = out.map(_.batchStart).distinct
+      assert(starts.forall(ts.contains))
+      starts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a > w, s"seed $seed: starts $a,$b w=$w")
+        case _ =>
+      }
+      // batch assignment is monotone: later events never join earlier batches
+      assert(out.map(_.batchStart) === out.map(_.batchStart).sorted)
+    }
+  }
+
   test("batchAssign groups per key and matches the pure recurrence") {
     import spark.implicits._
     val events = Seq(
