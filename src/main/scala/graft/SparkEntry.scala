@@ -191,6 +191,10 @@ object SparkEntry {
     "n3_ann_topk_agg" -> ((s, d) =>
       Similarity.topKAggregated(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E12c: IVF-style ANN — seeded coarse quantizer, nprobe-cell search.
+    "n4_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
     // E13: multimodal binary plumbing — synth payloads, partition-wise
     // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
     // driver records the rows-only check.
@@ -393,6 +397,7 @@ object SparkEntry {
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
+    "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
     // mm1_media_summary, e1_debounce_batches: intentionally no oracle
     // (mapPartitions / flatMapGroups are not SQL-expressible) — the driver
     // records the weaker rows-only check for these.

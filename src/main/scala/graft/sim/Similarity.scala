@@ -211,6 +211,115 @@ object Similarity {
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $k"""
 
+  val NumCells = 16
+  val NumProbes = 2
+
+  /** N4: IVF-style ANN — a coarse quantizer partitions vectors into cells,
+    * and a query searches only its `NumProbes` nearest cells. Centroids
+    * here are SEEDED (the first [[NumCells]] vectors verbatim) rather than
+    * k-means-trained: training-free, fully deterministic, and exactly
+    * mirrorable in the oracle — the structure (assign narrow pass → cell
+    * equi-join) is identical to a trained IVF, which would only move the
+    * centroid values. Cell assignment = argmin of squared L2 distance to
+    * each seed, ties to the lower cell id.
+    *
+    * Scale: assignment is one narrow pass (k codegen'd dot products per
+    * row); the probe join's key is the cell id, so the candidate volume is
+    * ~(nprobe/k) of brute force — same join shape as [[lshTopK]] with a
+    * data-adaptive partition instead of hyperplane signs.
+    */
+  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    // seeds collected once, shipped as literals (tiny: NumCells vectors)
+    val seeds = emb.filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    // one (d2, cell_id) struct per seed, sorted once per row — array_sort
+    // on structs orders by d2 then cell_id, giving both the assignment
+    // (element 1) and the probe list (first NumProbes) from ONE pass of
+    // NumCells codegen'd dot products, not an O(k^2) expression tree
+    def sortedCells(v: Column): Column = {
+      val ds = seeds.zipWithIndex.map { case (s, id) =>
+        val s2 = s.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        // |v|^2 is constant across cells for a row: argmin only needs
+        // -2<v,s> + |s|^2
+        struct((lit(-2.0) * dot(v, typedlit(s.toSeq)) + lit(s2)).as("d2"),
+          lit(id).as("cell_id"))
+      }
+      array_sort(array(ds: _*))
+    }
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"),
+        sortedCells(col("embedding")).as("sc"))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        element_at(col("sc"), 1).getField("cell_id").as("cell"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qn"),
+        sortedCells(col("embedding")).as("sc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(transform(slice(col("sc"), 1, NumProbes),
+          s => s.getField("cell_id"))).as("probe"))
+    val joined = q.join(assigned.as("c"),
+        col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("c.embedding")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  def ivfTopKSql(numQueries: Int, k: Int): String = {
+    val seedsCte = s"""
+      seeds AS (
+        SELECT vec_id AS cell_id, embedding AS sv,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+            (acc, x) -> acc + x) AS s2
+        FROM embeddings WHERE vec_id < $NumCells)"""
+    val d2 = s"-2.0 * ${dotSql("e.embedding", "s.sv")} + s.s2"
+    s"""
+    WITH $seedsCte,
+    dists AS (
+      SELECT e.vec_id, s.cell_id, $d2 AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    ranked_cells AS (
+      SELECT vec_id, cell_id, d2,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, cell_id ASC) AS cell_rank
+      FROM dists),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+        ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+    q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv,
+        ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id
+        AND rc.cell_rank <= $NumProbes
+      WHERE e.vec_id < $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
+      FROM q JOIN assigned c ON c.cell = probe AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $k"""
+  }
+
   val NearDupCosine = 0.9
   val VecTwinOffset = 100000L
 
