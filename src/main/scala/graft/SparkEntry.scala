@@ -195,6 +195,24 @@ object SparkEntry {
     "n4_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E25: AS-OF join — custom LogicalPlan + Strategy + merge-scan
+    // SparkPlan (org.apache.spark.sql.graft.AsOfJoinExec): for each
+    // purchase, the same user's latest click at or before it.
+    "as1_asof_purchase_click" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+      org.apache.spark.sql.graft.AsOfJoinApi.asofJoin(purchases, clicks,
+          "user_id", "c_user", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          col("click_event_id"),
+          expr("click_ts DIV 1000").as("click_ts_us"))
+    }),
+
     // E13: multimodal binary plumbing — synth payloads, partition-wise
     // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
     // driver records the rows-only check.
@@ -398,6 +416,13 @@ object SparkEntry {
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
+
+    "as1_asof_purchase_click" -> """
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        r.event_id AS click_event_id, epoch_us(r.ts) AS click_ts_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""",
     // mm1_media_summary, e1_debounce_batches: intentionally no oracle
     // (mapPartitions / flatMapGroups are not SQL-expressible) — the driver
     // records the weaker rows-only check for these.

@@ -102,6 +102,8 @@ object VectorExpressions {
   * to pure-SQL users — the standard deployment shape for an engine
   * extension library. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.fvecDotDescriptor)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
