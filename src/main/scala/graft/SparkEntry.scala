@@ -195,6 +195,17 @@ object SparkEntry {
     "n4_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E26: rollup — multi-level aggregation (day×category, day, grand
+    // total) in ONE pass via the Expand operator; the KPI-history rollup
+    // a reporting layer runs over the store.
+    "x2_rollup_revenue" -> ((s, d) =>
+      Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .rollup(substring(col("o.created_at"), 1, 10).as("order_date"),
+          col("p.category").as("category"))
+        .agg(sum(col("oi.sale_price").cast(money)).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // E25: AS-OF join — custom LogicalPlan + Strategy + merge-scan
     // SparkPlan (org.apache.spark.sql.graft.AsOfJoinExec): for each
     // purchase, the same user's latest click at or before it.
@@ -416,6 +427,14 @@ object SparkEntry {
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
+
+    "x2_rollup_revenue" -> s"""$ctes
+      SELECT substr(o.created_at, 1, 10) AS order_date,
+        p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      $kpiJoin
+      GROUP BY ROLLUP (1, 2)""",
 
     "as1_asof_purchase_click" -> """
       SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
