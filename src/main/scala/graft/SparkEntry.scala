@@ -33,22 +33,26 @@ object SparkEntry {
 
   /** Category KPI at (category, order_date) grain with a provenance tag —
     * input to the m1 merge query. `half` selects even/odd item ids so the
-    * two merge sides overlap on keys but disagree on rows. */
-  private def categoryKpiByDate(s: SparkSession, d: String, half: Int,
+    * two merge sides overlap on keys but disagree on rows.
+    *
+    * `jall` is the SINGLE shared 3-way join both merge sides derive from —
+    * the caller persists it so the join executes once (the reference runs
+    * it twice, `transformation.py:193,205`; our oracle's `jall` CTE is the
+    * same factoring). */
+  private def categoryKpiHalf(jall: DataFrame, half: Int,
       full: Boolean, source: String): DataFrame = {
-    val joined = Kpi.threeWayJoin(o(s, d), oi(s, d).filter(col("id") % 2 === half), p(s, d))
-    val base = joined.groupBy(col("p.category").as("category"),
-      substring(col("o.created_at"), 1, 10).as("order_date"))
+    val base = jall.filter(col("id") % 2 === half)
+      .groupBy(col("category"), col("order_date"))
     // Exact decimal sum internally; double at the output boundary — pyarrow
     // hands Decimal objects to the driver's compare while the DuckDB oracle
     // hands float64, and their string forms differ on trailing zeros.
-    val rev = sum(col("oi.sale_price").cast(money)).cast("double").as("daily_revenue")
+    val rev = sum(col("sale_price")).cast("double").as("daily_revenue")
     val kpis =
       if (full) base.agg(rev,
-        (sum(col("oi.sale_price").cast(money)).cast("double") /
-          count(col("oi.sale_price"))).as("avg_order_value"),
-        (count(when(col("oi.status") === "returned", true)).cast("double") /
-          count(col("oi.id"))).as("avg_return_rate"))
+        (sum(col("sale_price")).cast("double") /
+          count(col("sale_price"))).as("avg_order_value"),
+        (count(when(col("status") === "returned", true)).cast("double") /
+          count(col("id"))).as("avg_return_rate"))
       else base.agg(rev,
         lit(null).cast("double").as("avg_order_value"),
         lit(null).cast("double").as("avg_return_rate"))
@@ -118,8 +122,18 @@ object SparkEntry {
     // §2.7 M: keyed merge-upsert with per-field coalesce + provenance union
     // (helperfunction.py:53-208) as full-outer join — Delta MERGE equivalent.
     "m1_merge_category_kpi" -> ((s, d) => {
-      val target = categoryKpiByDate(s, d, 0, full = true, "order_items")
-      val updates = categoryKpiByDate(s, d, 1, full = false, "orders")
+      // the narrow projection of the 3-way join, computed ONCE and
+      // persisted — both merge sides are filters over it (id parity), so
+      // the join runs once instead of twice
+      val jall = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .select(col("p.category").as("category"),
+          substring(col("o.created_at"), 1, 10).as("order_date"),
+          col("oi.id").as("id"),
+          col("oi.sale_price").cast(money).as("sale_price"),
+          col("oi.status").as("status"))
+        .persist()
+      val target = categoryKpiHalf(jall, 0, full = true, "order_items")
+      val updates = categoryKpiHalf(jall, 1, full = false, "orders")
       KpiMerge.mergeCategoryKpi(target, updates)
         .withColumn("data_sources", array_join(col("data_sources"), ","))
     }),
@@ -225,8 +239,9 @@ object SparkEntry {
     }),
 
     // E13: multimodal binary plumbing — synth payloads, partition-wise
-    // decode stub, frame sampling. No SQL oracle (mapPartitions decode);
-    // driver records the rows-only check.
+    // decode stub, frame sampling. The stub's byte-stat features follow
+    // the repo determinism convention, so the DuckDB oracle
+    // (Multimodal.mediaSummarySql) hash-verifies the whole summary.
     "mm1_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(s, Sources.table(s, d, "documents"))),
 
@@ -246,7 +261,7 @@ object SparkEntry {
         .limit(1).agg(count(lit(1)).as("found"))),
 
     // §2.9 T1/T2: anchored debounce windows over the events stream table
-    // (flatMapGroups recurrence — not SQL-expressible; rows-only check).
+    // (flatMapGroups recurrence; oracle = recursive-CTE anchor chain).
     "e1_debounce_batches" -> ((s, d) =>
       graft.streaming.Debounce.batchAssignDf(
         Sources.table(s, d, "events"), windowSec = 3600L)),
@@ -442,9 +457,31 @@ object SparkEntry {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') l
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         ON l.user_id = r.user_id AND l.ts >= r.ts""",
-    // mm1_media_summary, e1_debounce_batches: intentionally no oracle
-    // (mapPartitions / flatMapGroups are not SQL-expressible) — the driver
-    // records the weaker rows-only check for these.
+
+    // The flatMapGroups recurrence IS SQL-expressible: anchors chain per
+    // key (first event anchors; the first event past anchor+window anchors
+    // the next), which a recursive CTE walks — each event then lands in
+    // exactly one [anchor, anchor+window] interval (intervals are disjoint
+    // by construction). Same semantics as Debounce.assign.
+    "e1_debounce_batches" -> """
+      WITH RECURSIVE ev AS (
+        SELECT user_id::BIGINT AS k, epoch_us(ts) // 1000000 AS t
+        FROM events),
+      anchors AS (
+        SELECT k, min(t) AS anchor FROM ev GROUP BY k
+        UNION
+        SELECT a.k, (SELECT min(e.t) FROM ev e
+                     WHERE e.k = a.k AND e.t > a.anchor + 3600) AS anchor
+        FROM anchors a
+        WHERE EXISTS (SELECT 1 FROM ev e
+                      WHERE e.k = a.k AND e.t > a.anchor + 3600))
+      SELECT e.k AS "key", a.anchor AS "batchStart",
+        count(*) AS "nEvents", max(e.t) AS "lastTs"
+      FROM ev e JOIN anchors a
+        ON a.k = e.k AND e.t >= a.anchor AND e.t <= a.anchor + 3600
+      GROUP BY 1, 2""",
+
+    "mm1_media_summary" -> Multimodal.mediaSummarySql,
 
     "w2_fifo_next" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

@@ -144,7 +144,13 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("h"))
-    val sh = sh0.join(rare, Seq("h")).cache()
+    // DISK_ONLY, not .cache(): the exploded shingle relation is several×
+    // the corpus — at 100 TB it cannot live in storage memory. Disk-backed
+    // persist is bounded by local disk exactly like shuffle spill, blocks
+    // are recomputed from lineage if an executor dies, and the three
+    // consumers below still share one materialization.
+    val sh = sh0.join(rare, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     sh.count() // materialize before triple use
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")

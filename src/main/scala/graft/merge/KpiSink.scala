@@ -48,7 +48,10 @@ object KpiSink {
       (row.get(f).filter(_ != null) orElse old.get(f).filter(_ != null))
         .map(f -> _)
     }.toMap
-    val prov = (old.get(provenanceCol).toSeq ++ row.get(provenanceCol).toSeq)
+    // a null provenance value (vs an absent key) must not NPE the cast —
+    // filter nulls like KpiMerge's coalesce-to-empty does
+    val prov = (old.get(provenanceCol).filter(_ != null).toSeq ++
+        row.get(provenanceCol).filter(_ != null).toSeq)
       .flatMap(_.asInstanceOf[Seq[String]]).distinct.sorted
     if (prov.isEmpty) merged else merged + (provenanceCol -> prov)
   }

@@ -26,10 +26,17 @@ import org.apache.spark.sql.types._
   *
   * At 100 TB the payloads dominate storage; the design keeps them in one
   * column that column pruning drops whenever a query touches only metadata.
+  *
+  * Determinism convention: the stub's features are byte statistics and the
+  * repo-wide rolling hash (`(h*31+b) mod 1e9+7`), and frame fingerprints are
+  * md5 over the frame's HEX form — every one exactly mirrorable in DuckDB
+  * (whose `md5` is VARCHAR-only), so [[mediaSummary]] has a full hash oracle
+  * ([[mediaSummarySql]]) instead of a rows-only check.
   */
 object Multimodal {
 
-  val FrameSize = 64 // stub "frame" = 64 payload bytes
+  val FrameSize = 16 // stub "frame" = 16 payload bytes
+  val HashMod = 1000000007L
   val MetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -62,33 +69,38 @@ object Multimodal {
     StructField("format", StringType),
     StructField("byte_len", LongType),
     StructField("mean_byte", DoubleType),
-    StructField("feature_crc", LongType)))
+    StructField("feature_hash", LongType)))
 
   /** Partition-wise "decode"/feature-extract. Per-partition init happens
     * once (where a real codec context would be created), then each payload
     * is decoded to features.
     *
     * STUB: the real decoder is not available in this environment; the
-    * deterministic fake below extracts byte statistics so the plumbing
-    * (schema, batching, partition amortization) is fully exercised. Swap
-    * `decodeOne` for a real codec call to productionize.
+    * deterministic fake below extracts byte statistics (mean byte + the
+    * repo-convention rolling hash) so the plumbing — schema, batching,
+    * partition amortization — is fully exercised AND the output is exactly
+    * hash-verifiable against the DuckDB oracle. Swap the loop body for a
+    * real codec call to productionize.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select(col("doc_id"), col("payload"), col("media_meta.format"))
       .mapPartitions { rows =>
         // per-partition init — a real impl creates the codec context here
-        val crc = new java.util.zip.CRC32()
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
           // --- deterministic fake decode (see scaladoc) ---
           var sum = 0L
-          bytes.foreach(b => sum += (b & 0xff))
-          crc.reset(); crc.update(bytes)
+          var h = 0L
+          bytes.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            h = (h * 31 + v) % HashMod
+          }
           Row(id, fmt, bytes.length.toLong,
-            sum.toDouble / math.max(bytes.length, 1), crc.getValue)
+            sum.toDouble / math.max(bytes.length, 1), h)
         }
       }(enc)
   }
@@ -96,7 +108,9 @@ object Multimodal {
   /** Frame sampling: every `stride`-th FrameSize-byte window of the payload
     * becomes a row `(doc_id, frame_no, frame_bytes)` — the explode shape a
     * video pipeline uses before per-frame featurization. Pure columnar
-    * (sequence + transform + explode), no UDF. */
+    * (sequence + transform + explode), no UDF. The fingerprint hashes the
+    * frame's HEX form (not raw bytes) so the DuckDB oracle — whose `md5`
+    * only accepts VARCHAR — computes the identical value. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val nFrames = ((length(col("payload")) + lit(FrameSize - 1))
       .cast("long") / lit(FrameSize.toLong)).cast("long")
@@ -108,24 +122,68 @@ object Multimodal {
             lit(FrameSize)).as("frame_bytes")))).as("fr"))
       .select(col("doc_id"), col("fr.frame_no").as("frame_no"),
         length(col("fr.frame_bytes")).cast("long").as("frame_len"),
-        md5(col("fr.frame_bytes")).as("frame_md5"))
+        md5(hex(col("fr.frame_bytes")).cast("binary")).as("frame_md5"))
   }
 
   /** MM1 query: metadata + decoded features + frame counts, one row per
     * media object — exercises payload synthesis, partition-wise decode, and
-    * metadata pruning in one plan. */
+    * metadata pruning in one plan. The synthesized corpus is persisted so
+    * the three consumers (decode, frames, metadata) share ONE scan instead
+    * of re-synthesizing the payload per branch — with real payloads the
+    * recompute would be three full reads of the binary column. */
   def mediaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val media = mediaCorpus(docs)
+    val media = mediaCorpus(docs).persist()
     val decoded = decodeFeatures(media)
     val frames = sampleFrames(media, stride = 2)
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("sampled_frames"),
         countDistinct(col("frame_md5")).as("distinct_frames"))
     decoded.join(frames, Seq("doc_id"))
-      .join(media.select(col("doc_id"), col("media_meta.width").as("width"),
-        col("media_meta.n_frames").as("meta_frames")), Seq("doc_id"))
+      .join(media.select(col("doc_id"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.n_frames").cast("long").as("meta_frames")),
+        Seq("doc_id"))
       .select(col("doc_id"), col("format"), col("byte_len"),
-        col("mean_byte"), col("width"), col("meta_frames"),
-        col("sampled_frames"), col("distinct_frames"))
+        col("mean_byte"), col("feature_hash"), col("width"),
+        col("meta_frames"), col("sampled_frames"), col("distinct_frames"))
   }
+
+  /** DuckDB twin of [[mediaSummary]]: payload synthesis (md5/repeat/
+    * truncate), byte statistics, rolling hash, and frame fingerprints all
+    * recomputed from the md5 HEX string — bytes are recovered by folding
+    * hex-digit pairs, frames are md5s of UPPER hex slices (≙ Spark
+    * `md5(hex(frame_bytes))`, since `hex` upper-cases in both engines). */
+  def mediaSummarySql: String = s"""
+    WITH base AS (
+      SELECT doc_id, repeat(md5(text), 8) AS h,
+        (doc_id % 97 + 32)::BIGINT AS byte_len
+      FROM documents),
+    b2 AS (
+      SELECT doc_id, byte_len, h,
+        substr(h, 1, (2 * byte_len)::INT) AS ph,
+        list_transform(range(1, (byte_len + 1)::INT),
+          i -> (strpos('0123456789abcdef', substr(h, (2*i-1)::INT, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, (2*i)::INT, 1)) - 1) AS bytes,
+        (byte_len + ${FrameSize - 1}) // $FrameSize AS nf
+      FROM base),
+    b3 AS (
+      SELECT doc_id, byte_len, bytes, nf,
+        list_transform(range(0, nf, 2),
+          f -> md5(upper(substr(ph, (f * ${2 * FrameSize} + 1)::INT,
+            ${2 * FrameSize})))) AS frames
+      FROM b2)
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 THEN 'png'
+           WHEN doc_id % 3 = 1 THEN 'jpeg'
+           ELSE 'wav' END AS format,
+      byte_len,
+      list_reduce(list_prepend(0::BIGINT, bytes),
+        (a, x) -> a + x)::DOUBLE / byte_len AS mean_byte,
+      list_reduce(list_prepend(0::BIGINT, bytes),
+        (a, x) -> (a * 31 + x) % $HashMod) AS feature_hash,
+      ((doc_id % 4) * 160 + 320)::BIGINT AS width,
+      (doc_id % 5 + 1)::BIGINT AS meta_frames,
+      len(frames)::BIGINT AS sampled_frames,
+      len(list_distinct(frames))::BIGINT AS distinct_frames
+    FROM b3"""
 }

@@ -33,7 +33,7 @@ object Pipeline {
   def validateJob(spark: SparkSession,
       ordersPaths: Seq[String], itemsPaths: Seq[String],
       productsPath: Option[String], outBase: String,
-      resultPath: String): ValidateResult = {
+      resultPath: String, anyFirstRowDate: Boolean = false): ValidateResult = {
 
     def emit(r: ValidateResult): ValidateResult = {
       Sources.writeResultJson(resultPath,
@@ -60,9 +60,18 @@ object Pipeline {
               emit(ValidateResult("failed", None, Some(err.errorType),
                 Some(err.message)))
             case None =>
-              // W1 deterministic variant: min(created_at)[:10]
-              val dt = o.agg(substring(min(col("created_at")), 1, 10))
-                .head().getString(0)
+              // W1: the processing date. Default is the DETERMINISTIC
+              // min(created_at)[:10]; `anyFirstRowDate` preserves the
+              // reference's `first()["created_at"][:10]` behavior
+              // (validation.py:191) — whichever row the scan yields first,
+              // nondeterministic under parallel reads — as a compat flag.
+              val dt =
+                if (anyFirstRowDate)
+                  o.select(substring(col("created_at"), 1, 10))
+                    .head().getString(0)
+                else
+                  o.agg(substring(min(col("created_at")), 1, 10))
+                    .head().getString(0)
               Sources.writePartitioned(o, s"$outBase/orders", dt)
               Sources.writePartitioned(i, s"$outBase/order_items", dt)
               products.foreach(p =>
@@ -81,9 +90,12 @@ object Pipeline {
   }
 
   /** S9: read the KPI store table, or an empty frame with the right schema
-    * when absent (first run) — the `create_table_if_not_exists` analogue. */
+    * when absent (first run) — the `create_table_if_not_exists` analogue.
+    * The explicit schema also pins the partition column's type (partition
+    * dirs would otherwise infer `order_date=2024-06-01` as DATE, not
+    * STRING). */
   def readOrInit(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    Sources.readTable(spark, path).getOrElse(
+    scala.util.Try(spark.read.schema(schema).parquet(path)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema))
 
@@ -133,14 +145,10 @@ object Pipeline {
         .withColumn("data_sources", typedLit(sources))
         .withColumn("last_updated", lit(now))
         .select(catSchema.fieldNames.map(col): _*)
-      val target = readOrInit(spark, s"$storeBase/category_kpi", catSchema)
-      val merged = KpiMerge.merge(target, updates,
+      upsertStore(spark, s"$storeBase/category_kpi", catSchema, updates,
         Seq("category", "order_date"),
         Seq("daily_revenue", "avg_order_value", "avg_return_rate",
-          "last_updated"),
-        Some("data_sources"))
-        .select(catSchema.fieldNames.map(col): _*)
-      writeStore(merged, s"$storeBase/category_kpi")
+          "last_updated"))
     }.getOrElse(0L)
 
     val ordRows = ordKpi.map { k =>
@@ -149,33 +157,83 @@ object Pipeline {
         .withColumn("data_sources", typedLit(sources))
         .withColumn("last_updated", lit(now))
         .select(ordSchema.fieldNames.map(col): _*)
-      val target = readOrInit(spark, s"$storeBase/order_kpi", ordSchema)
-      val merged = KpiMerge.merge(target, updates,
+      upsertStore(spark, s"$storeBase/order_kpi", ordSchema, updates,
         Seq("order_date"),
         Seq("total_orders", "total_revenue", "total_items_sold",
-          "return_rate", "unique_customers", "last_updated"),
-        Some("data_sources"))
-        .select(ordSchema.fieldNames.map(col): _*)
-      writeStore(merged, s"$storeBase/order_kpi")
+          "return_rate", "unique_customers", "last_updated"))
     }.getOrElse(0L)
 
     (catRows, ordRows)
   }
 
-  /** Overwrite the store table safely: the merge plan READS the table being
-    * replaced, so write to a sibling temp dir first, then atomically swap —
-    * works the same on HDFS/object stores via the Hadoop FileSystem API
-    * (no driver-side collect; the store may be arbitrarily large). */
-  private def writeStore(df: DataFrame, path: String): Long = {
+  /** Incremental store merge — the Delta-`MERGE INTO` analogue without
+    * Delta jars. The store is PARTITIONED by `order_date`; a batch's
+    * updates name a handful of dates (normally one), so the merge:
+    *
+    *  1. reads ONLY the touched partitions of the store (partition-pruned),
+    *  2. full-outer merges them with the updates ([[KpiMerge.merge]]),
+    *  3. writes the merged partitions to a sibling temp dir,
+    *  4. swaps just those partition directories into the store.
+    *
+    * Untouched partitions are never read, rewritten, or moved — per-batch
+    * I/O is O(touched dates), not O(store), which is what keeps a daily
+    * merge viable against 100 TB of KPI history (the previous full-store
+    * rewrite was O(store) per batch). The swap is the manual form of
+    * dynamic partition overwrite; done via rename so a crash mid-swap
+    * leaves a recoverable `.bak`, never a deleted store (the
+    * delete-then-rename form had a window where the store was gone).
+    *
+    * The touched-dates collect is bounded by dates-per-batch (not data
+    * size) — same centroid-shipping rationale as IVF's seed collect.
+    *
+    * @return total rows in the store after the merge (result-doc metadata;
+    *         a parquet count touches footers only)
+    */
+  private[pipeline] def upsertStore(spark: SparkSession, path: String,
+      schema: StructType, updates: DataFrame, keys: Seq[String],
+      fields: Seq[String], partCol: String = "order_date"): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val spark = df.sparkSession
+
+    val dates = updates.select(col(partCol)).distinct()
+      .collect().map(_.getString(0)).sorted
+    val target = readOrInit(spark, path, schema)
+      .where(col(partCol).isin(dates: _*))
+    val merged = KpiMerge.merge(target, updates, keys, fields,
+      Some("data_sources")).select(schema.fieldNames.map(col): _*)
+
     val tmp = path + ".tmp"
-    Sources.writeUnpartitioned(df, tmp)
-    val fs = FileSystem.get(new java.net.URI(
-      Sources.normalizeScheme(tmp)), spark.sparkContext.hadoopConfiguration)
-    val dst = new HPath(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new HPath(tmp), dst)
-    spark.read.parquet(path).count()
+    val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(tmp), true) // stale temp from a prior failure
+    // the merge plan reads the store partitions being replaced, so write
+    // to the temp dir first (finishes the read), then swap directories
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    dates.foreach { dt =>
+      swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
+        new HPath(s"$path/$partCol=$dt"),
+        // backups live OUTSIDE the store dir — a `order_date=X.bak` dir
+        // inside it would be picked up by partition discovery
+        new HPath(s"$path.bak/$partCol=$dt"))
+    }
+    fs.delete(new HPath(tmp), true)
+    fs.delete(new HPath(path + ".bak"), true)
+    readOrInit(spark, path, schema).count()
+  }
+
+  /** Crash-safe directory swap: keep the old dir as a backup until the new
+    * one is in place (a failure leaves either the old data or old-as-bak +
+    * new-in-temp — never nothing). Backups are dropped by the caller after
+    * ALL touched partitions have swapped. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) {
+      if (!fs.exists(bak.getParent)) fs.mkdirs(bak.getParent)
+      fs.rename(dst, bak)
+    }
+    if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
   }
 }

@@ -91,4 +91,49 @@ object BatchRunner {
     while (tick(spark, chunks, workDir, now, alerter).nonEmpty) ()
     chunks
   }
+
+  /** Handle on a running [[streamChunks]] query: live views of the chunk
+    * queue and the order batches were dispatched in. */
+  final case class ChunkStream(query: org.apache.spark.sql.streaming.StreamingQuery,
+      chunks: () => Seq[BatchChunk], processed: () => Seq[String])
+
+  /** T3 as a Structured Stream: the control table is a file-source stream
+    * of chunk rows (`{"batch_id":…, "created_at":…, "files":[…]}` JSON docs
+    * — the DynamoDB-Streams analogue, reference `lambda/lab6-ttl.py:44-112`),
+    * and each micro-batch folds newly arrived chunks into the queue, then
+    * drains it via [[tick]] — FIFO, single-flight, same retry/alerting.
+    *
+    * The per-batch `collect()` is control METADATA (a handful of chunk
+    * descriptors), not data — the same altitude as the reference's Lambda
+    * event payloads; the heavy lifting stays inside the validate/transform
+    * jobs the tick dispatches. */
+  def streamChunks(spark: SparkSession, controlDir: String, workDir: String,
+      now: String, alerter: Alerter = LogAlerter): ChunkStream = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("batch_id", StringType),
+      StructField("created_at", LongType),
+      StructField("files", ArrayType(StringType))))
+    val queue = mutable.ArrayBuffer.empty[BatchChunk]
+    val processed = mutable.ArrayBuffer.empty[String]
+    val query = spark.readStream.schema(schema).json(controlDir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val fresh = df.collect().toSeq.map { r =>
+          toChunk(r.getAs[String]("batch_id"), r.getAs[Long]("created_at"),
+            r.getSeq[String](r.fieldIndex("files")))
+        }
+        queue.synchronized { queue ++= fresh }
+        var ran = tick(spark, queue.toSeq, workDir, now, alerter)
+        while (ran.nonEmpty) {
+          processed.synchronized { processed += ran.get.batchId }
+          ran = tick(spark, queue.toSeq, workDir, now, alerter)
+        }
+      }
+      .start()
+    ChunkStream(query,
+      () => queue.synchronized(queue.toSeq),
+      () => processed.synchronized(processed.toSeq))
+  }
 }

@@ -114,15 +114,34 @@ object Similarity {
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $k"""
 
-  /** N3: grouped top-k via the typed [[TopKAggregator]] — identical output
-    * to [[bruteForceTopK]] (same oracle), different physical shape: the
+  /** Rank scored candidates `(query_id, neighbor_id, cosine)` to per-query
+    * top-k via the typed [[TopKAggregator]] — the 100-TB ranking shape: the
     * aggregator's bounded buffer gives map-side combine, so the shuffle
     * carries ≤ k entries per (group, partition) instead of every scored
-    * candidate row the Window formulation sorts. */
+    * candidate row a `Window.row_number` formulation would sort. Ordering
+    * (score DESC, id ASC on ties) matches `row_number`, so the same oracle
+    * SQL verifies both shapes. */
+  private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => TopKAggregator.Scored(r._2, r._3))
+      .agg(TopKAggregator.TopK(k).toColumn.name("topk"))
+      .flatMap { case (qid, topk) =>
+        topk.zipWithIndex.map { case (s, i) =>
+          (qid, (i + 1).toLong, s.id, s.score)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** N3: grouped top-k via the typed [[TopKAggregator]] — identical output
+    * to [[bruteForceTopK]] (same oracle), different physical shape (see
+    * [[rankTopKAgg]]). */
   def topKAggregated(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val spark = emb.sparkSession
-    import spark.implicits._
     val withN = emb.select(c("vec_id"), c("embedding"),
       norm2(c("embedding")).as("n2"))
     val q = withN.filter(c("vec_id") < numQueries)
@@ -133,16 +152,7 @@ object Similarity {
       .select(c("query_id"), c("cand.vec_id").as("neighbor_id"),
         (dot(c("qv"), c("cand.embedding")) /
           (c("qn") * c("cand.n2"))).as("cosine"))
-      .as[(Long, Long, Double)]
-    scored.groupByKey(_._1)
-      .mapValues(r => TopKAggregator.Scored(r._2, r._3))
-      .agg(TopKAggregator.TopK(k).toColumn.name("topk"))
-      .flatMap { case (qid, topk) =>
-        topk.zipWithIndex.map { case (s, i) =>
-          (qid, (i + 1).toLong, s.id, s.score)
-        }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cosine")
+    rankTopKAgg(scored, k)
   }
 
   val NumPlanes = 6
@@ -168,9 +178,11 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   /** N2: LSH-bucketed approximate top-k — queries only meet vectors in the
-    * SAME hyperplane-sign bucket; per-bucket exact cosine + rank. The
-    * candidate join key is the bucket, so at scale this is a hash join on
-    * a low-cardinality key instead of a cross product. */
+    * SAME hyperplane-sign bucket; per-bucket exact cosine, ranked by the
+    * bounded-buffer aggregator ([[rankTopKAgg]] — no Window sort over the
+    * candidate stream). The candidate join key is the bucket, so at scale
+    * this is a hash join on a low-cardinality key instead of a cross
+    * product, and the ranking shuffle carries ≤ k rows per partition. */
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
@@ -183,12 +195,7 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         (dot(col("qv"), col("c.embedding")) /
           (col("qn") * col("c.n2"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    rankTopKAgg(joined, k)
   }
 
   def lshTopKSql(numQueries: Int, k: Int): String = s"""
@@ -267,12 +274,8 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         (dot(col("qv"), col("c.embedding")) /
           (col("qn") * col("c.n2"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    // aggregator-ranked (no Window sort over candidates) — see rankTopKAgg
+    rankTopKAgg(joined, k)
   }
 
   def ivfTopKSql(numQueries: Int, k: Int): String = {

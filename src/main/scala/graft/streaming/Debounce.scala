@@ -82,7 +82,8 @@ object Debounce {
     * Use with `OutputMode.Append` and a streaming query over an events
     * source.
     */
-  def streamingBatches(events: Dataset[Event], windowMs: Long)
+  def streamingBatches(events: Dataset[Event], windowMs: Long,
+      clock: () => Long = () => System.currentTimeMillis())
       : Dataset[BatchRow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)
@@ -94,7 +95,10 @@ object Debounce {
             state.remove()
             Iterator.single(BatchRow(key, s.batchStart, s.nEvents, s.lastTs))
           } else {
-            val now = System.currentTimeMillis()
+            // clock injected for testability: with a fixed clock the state
+            // contents (batchStart) are deterministic; only the timeout
+            // FIRING remains on Spark's processing-time clock
+            val now = clock()
             val evs = it.toSeq
             val s0 = state.getOption
               .getOrElse(DebounceState(now, 0L, Long.MinValue))

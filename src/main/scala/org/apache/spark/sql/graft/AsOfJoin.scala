@@ -56,11 +56,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  /** Right rows that tie on (key, ts) would otherwise be retained in
+    * whichever order the (non-total) sort emitted them — nondeterministic
+    * across runs. Appending every remaining orderable right column makes the
+    * right-side sort total, so the retained match (the LAST among ties, i.e.
+    * the greatest under this ordering) is stable run-to-run. */
+  private def rightTieBreak: Seq[SortOrder] =
+    right.output
+      .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
+      .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(a.dataType))
+      .map(a =>
+        SortOrder(a, org.apache.spark.sql.catalyst.expressions.Ascending))
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
+      rightTieBreak)
 
   override def outputOrdering: Seq[SortOrder] = Seq(
     SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
@@ -95,28 +109,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val lKey = lKeyBound.eval(lRow)
         val lTs = lTsBound.eval(lRow)
-        // drop remembered state from a previous (smaller) key
-        if (lastKeyVal != null && !keyOrd.equiv(lastKeyVal, lKey)) {
-          lastKeyVal = null; lastRow = null
-        }
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rKeyBound.eval(rBuf.head)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { rBuf.next() } // right key behind: skip
-          else if (cmp > 0) { advancing = false } // right key ahead: stop
-          else {
-            val rTs = rTsBound.eval(rBuf.head)
-            if (tsOrd.lteq(rTs, lTs)) {
-              // copy: iterator rows reuse their buffers; re-eval the key
-              // from the copy so it doesn't alias the consumed row
-              lastRow = rBuf.next().copy()
-              lastKeyVal = rKeyBound.eval(lastRow)
-            } else advancing = false
+        // SQL join-key null semantics: a null never equals anything, so a
+        // left row with null key or ts is null-extended without touching
+        // the right stream (the interpreted orderings would NPE on null).
+        if (lKey == null || lTs == null) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          // drop remembered state from a previous (smaller) key
+          if (lastKeyVal != null && !keyOrd.equiv(lastKeyVal, lKey)) {
+            lastKeyVal = null; lastRow = null
           }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyBound.eval(rBuf.head)
+            val rTsPeek = rTsBound.eval(rBuf.head)
+            if (rKey == null || rTsPeek == null) {
+              // null-keyed right rows can match no left row: skip. The sort
+              // emits nulls first, so these drain before any comparisons.
+              rBuf.next()
+            } else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { rBuf.next() } // right key behind: skip
+              else if (cmp > 0) { advancing = false } // right key ahead: stop
+              else {
+                if (tsOrd.lteq(rTsPeek, lTs)) {
+                  // copy: iterator rows reuse their buffers; re-eval the key
+                  // from the copy so it doesn't alias the consumed row
+                  lastRow = rBuf.next().copy()
+                  lastKeyVal = rKeyBound.eval(lastRow)
+                } else advancing = false
+              }
+            }
+          }
+          val matched = lastKeyVal != null && keyOrd.equiv(lastKeyVal, lKey)
+          outProj(joined(lRow, if (matched) lastRow else nullRight))
         }
-        val matched = lastKeyVal != null && keyOrd.equiv(lastKeyVal, lKey)
-        outProj(joined(lRow, if (matched) lastRow else nullRight))
       }
     }
   }
@@ -148,7 +175,18 @@ object AsOfJoinApi {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlanRaw = right.queryExecution.analyzed
+    // Self-join dedup (what DeduplicateRelations does for Join): if both
+    // sides derive from the same base plan, their outputs share exprIds and
+    // BindReferences would resolve right-side columns to LEFT ordinals,
+    // silently returning wrong values. Re-alias every right column with a
+    // fresh exprId whenever any overlap exists.
+    val rPlan: LogicalPlan =
+      if (rPlanRaw.output.exists(a => lPlan.outputSet.contains(a))) {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlanRaw.output.map(a => Alias(a, a.name)()), rPlanRaw)
+      } else rPlanRaw
     def attr(name: String, plan: LogicalPlan): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

@@ -71,6 +71,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom.values.exists(_.nonEmpty), "expected some matches")
   }
 
+  test("self-join from one base plan resolves right columns correctly") {
+    // left and right share the SAME base plan → same exprIds; without
+    // attribute dedup BindReferences silently reads right columns from
+    // LEFT ordinals. The api re-aliases the right side when ids overlap.
+    val base = df((1L, 7L, 100L), (10L, 7L, 90L), (11L, 7L, 200L))
+    val left = base.filter(col("id") < 10L)
+    val right = base.filter(col("id") >= 10L)
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "k", "ts", "ts")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)) ===
+      ((1L, 100L, 10L, 90L)),
+      "right-side columns must carry RIGHT values, not aliased left ones")
+  }
+
+  test("null keys/timestamps null-extend left rows and drop right rows") {
+    import org.apache.spark.sql.Row
+    def dfn(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val left = dfn(Seq(Row(1L, 7L, 100L), Row(2L, null, 100L),
+      Row(3L, 7L, null)))
+    val right = dfn(Seq(Row(10L, 7L, 90L), Row(11L, null, 80L),
+      Row(12L, 7L, null)))
+    val out = AsOfJoinApi.asofJoin(left, right, "k", "k", "ts", "ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out === Map(
+      1L -> Some(10L), // normal match; null-keyed right rows skipped
+      2L -> None,      // null key never equals anything (SQL semantics)
+      3L -> None))     // null ts cannot order → null-extended
+  }
+
+  test("ties on (key, ts) break deterministically (greatest id retained)") {
+    val left = df((1L, 7L, 100L))
+    val right = df((21L, 7L, 90L), (20L, 7L, 90L), (22L, 7L, 95L),
+      (23L, 7L, 95L))
+    // latest ts ≤ 100 is 95, held by ids 22 and 23 — the total right-side
+    // sort (key, ts, remaining cols) makes 23 the retained match, always
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoinApi.asofJoin(left, right, "k", "k", "ts", "ts")
+        .collect()
+      assert(out.map(_.getLong(3)).toSeq === Seq(23L))
+    }
+  }
+
   test("physical plan is the custom merge-scan exec") {
     val left = df((1L, 7L, 100L))
     val right = df((10L, 7L, 90L))

@@ -95,6 +95,55 @@ class BatchRunnerSpec extends SparkSpec {
     assert(LogAlerter.alerts.exists(_._1.contains("np1")))
   }
 
+  test("T3 stream: control-table file stream dispatches chunks FIFO") {
+    val d = Files.createTempDirectory("graft-stream")
+    LogAlerter.clear()
+    val o1 = write(d, "orders_part1.csv", ordersHeader,
+      "1,10,complete,2024-06-01 10:00:00,,,,1")
+    val i1 = write(d, "order_items_part1.csv", itemsHeader,
+      "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0")
+    val o2 = write(d, "orders_part2.csv", ordersHeader,
+      "3,12,complete,2024-06-02 09:00:00,,,,1")
+    val i2 = write(d, "order_items_part2.csv", itemsHeader,
+      "103,3,12,7,complete,2024-06-02 09:00:00,,,,40.0")
+    val p = write(d, "products.csv", productsHeader,
+      "7,SKU7,10.0,toys,Car,BrandA,25.0,kids")
+
+    val control = d.resolve("control")
+    Files.createDirectories(control)
+    def doc(id: String, createdAt: Long, files: Seq[String]): String =
+      s"""{"batch_id": "$id", "created_at": $createdAt, "files": [${
+        files.map("\"" + _ + "\"").mkString(", ")}]}"""
+    // written out of FIFO order: the later batch's control doc lands first
+    Files.writeString(control.resolve("chunk_s2.json"),
+      doc("s2", 200L, Seq(o2, i2, p)))
+    Files.writeString(control.resolve("chunk_s1.json"),
+      doc("s1", 100L, Seq(o1, i1, p)))
+
+    val h = BatchRunner.streamChunks(spark, control.toString, s"$d/work",
+      now = "t0")
+    try {
+      h.query.processAllAvailable()
+      // FIFO by created_at regardless of arrival order, single-flight
+      assert(h.processed() === Seq("s1", "s2"))
+      assert(h.chunks().forall(_.status == Done),
+        h.chunks().map(c => (c.batchId, c.status, c.error)))
+      // both batches merged into one store
+      val ord = spark.read.parquet(s"$d/work/store/order_kpi")
+      assert(ord.count() === 2)
+      // a late-arriving control doc is picked up by a later micro-batch
+      val o3 = write(d, "orders_part3.csv", ordersHeader,
+        "4,14,complete,2024-06-03 08:00:00,,,,1")
+      val i3 = write(d, "order_items_part3.csv", itemsHeader,
+        "105,4,14,7,complete,2024-06-03 08:00:00,,,,15.0")
+      Files.writeString(control.resolve("chunk_s3.json"),
+        doc("s3", 300L, Seq(o3, i3, p)))
+      h.query.processAllAvailable()
+      assert(h.processed() === Seq("s1", "s2", "s3"))
+      assert(spark.read.parquet(s"$d/work/store/order_kpi").count() === 3)
+    } finally h.query.stop()
+  }
+
   test("single-flight: no pick while a chunk is processing") {
     val busy = BatchChunk("x", 1L, Nil, Nil, None,
       status = graft.runner.Runner.Processing)

@@ -72,7 +72,13 @@ class DebounceSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = Debounce.streamingBatches(mem.toDS(), windowMs = 800L)
+    // clock injection (T2): with a FIXED clock the state the stream builds
+    // is fully deterministic — batchStart must be exactly the injected
+    // anchor time, not "roughly wall-clock now". Only the timeout FIRING
+    // rides Spark's processing-time clock (hence the poll below).
+    val anchorMs = 5000L
+    val q = Debounce.streamingBatches(mem.toDS(), windowMs = 800L,
+        clock = () => anchorMs)
       .writeStream.format("memory").queryName("debounce_out")
       .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
     // NB: processAllAvailable cannot be used here — with processing-time
@@ -81,14 +87,16 @@ class DebounceSpec extends SparkSpec {
     try {
       mem.addData(Event(7, 1000L), Event(7, 1001L))
       val deadline = System.currentTimeMillis() + 30000L
-      var rows = Array.empty[(Long, Long)]
+      var rows = Array.empty[(Long, Long, Long, Long)]
       while (rows.isEmpty && System.currentTimeMillis() < deadline) {
         Thread.sleep(250L)
-        rows = spark.sql("SELECT key, nEvents FROM debounce_out").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        rows = spark.sql(
+          "SELECT key, batchStart, nEvents, lastTs FROM debounce_out")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       }
-      assert(rows.toSeq === Seq((7L, 2L)),
-        "window expiry must emit exactly one batch row for the key")
+      assert(rows.toSeq === Seq((7L, anchorMs, 2L, 1001L)),
+        "window expiry must emit one deterministic batch row for the key")
     } finally q.stop()
   }
 }

@@ -129,6 +129,64 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/store/category_kpi").count() === 2L)
   }
 
+  test("incremental merge leaves untouched store partitions byte-identical") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated", s"$d/result.json")
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t1")
+
+    // capture every data file of the day-1 partitions (both stores)
+    def partFiles(sub: String): Map[String, Array[Byte]] = {
+      val part = d.resolve(s"store/$sub/order_date=2024-06-01")
+      assert(Files.isDirectory(part), s"expected partition dir $part")
+      val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      Files.list(part).forEach { f =>
+        if (!Files.isDirectory(f)) out += (f.getFileName.toString ->
+          Files.readAllBytes(f))
+      }
+      out.toMap
+    }
+    val before = (partFiles("category_kpi"), partFiles("order_kpi"))
+
+    // a second batch for ANOTHER date: must not touch day-1 partitions
+    // (pruneToDate=false so the validated day-1 data feeds a day-2 stamp)
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-02",
+      s"$d/store", now = "t2", pruneToDate = false)
+
+    val after = (partFiles("category_kpi"), partFiles("order_kpi"))
+    assert(after._1.keySet === before._1.keySet)
+    assert(after._2.keySet === before._2.keySet)
+    before._1.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(after._1(name), bytes),
+        s"category day-1 file $name was rewritten by a day-2 merge")
+    }
+    before._2.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(after._2(name), bytes),
+        s"order day-1 file $name was rewritten by a day-2 merge")
+    }
+    // ...and the day-2 partition exists with merged data
+    assert(Files.isDirectory(d.resolve("store/order_kpi/order_date=2024-06-02")))
+    assert(spark.read.parquet(s"$d/store/order_kpi").count() === 2L)
+  }
+
+  test("W1 compat: anyFirstRowDate yields a data date; default stays min") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    val compat = Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated_c", s"$d/result_c.json", anyFirstRowDate = true)
+    assert(compat.status === "success")
+    // the reference's first()[:10] is whatever row the scan yields first —
+    // any date present in the data is legal; the flag preserves that
+    assert(Set("2024-06-01", "2024-06-02")
+      .contains(compat.processingDate.get))
+    val strict = Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated_s", s"$d/result_s.json")
+    assert(strict.processingDate === Some("2024-06-01"),
+      "deterministic min-date mode must remain the default")
+  }
+
   test("transform is idempotent: re-running the same batch changes nothing") {
     val d = dir()
     val (op, ip, p) = cleanFixtures(d)

@@ -43,6 +43,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ArrayAggregate"), "interpreted HOF fold on hot path")
   }
 
+  test("scale ANN paths rank via bounded aggregator, not a Window sort") {
+    // the Window form shuffles EVERY scored candidate into a per-query
+    // sort; the TopKAggregator form shuffles ≤ k rows per partition. n1
+    // keeps the Window as the documented oracle-parity baseline; the scale
+    // paths (LSH, IVF) must never regress to it.
+    Seq("n2_ann_lsh", "n4_ann_ivf", "n3_ann_topk_agg").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q ranks via Window sort:\n${p.take(1500)}")
+      assert(!p.contains("RunningWindowFunction"), q)
+    }
+    assert(planOf("n1_ann_bruteforce").contains("Window"),
+      "n1 is the documented Window-ranked baseline")
+  }
+
+  test("mediaSummary branches share one persisted corpus scan") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("mm1_media_summary")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // decode, frame, and metadata branches must all read the cached media
+    // relation — not re-synthesize payloads from three parquet scans
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("metadata-only media query prunes the payload column") {
     // another suite may have cached the media corpus; a cached relation's
     // stored plan contains the payload expression regardless of pruning

@@ -23,6 +23,40 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty)
   }
 
+  test("salting bounds sub-partition sizes on a skewed events slice") {
+    // Skewed fixture from real testdata: ~90% of events collapse onto one
+    // hot key — the shape AQE only fixes when it shows up as oversized
+    // shuffle partitions; here we assert the salt itself restores balance.
+    val factor = 16
+    val ev = Sources.table(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("k",
+        when(pmod(col("event_id"), lit(10)) < 9, lit(1L))
+          .otherwise(col("user_id") + lit(1000000L)))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("name", concat(lit("key_"), col("k")))
+    val plain = ev.join(dim, Seq("k"), "inner")
+    val salted = SkewJoin.saltedInner(ev, dim, "k", factor,
+      saltCols = Seq("event_id"))
+    assert(salted.count() === plain.count())
+
+    // sub-partition evidence: the hot key's rows spread across all salt
+    // buckets, and no bucket exceeds 2× the ideal share — i.e. the single
+    // reducer that would have received the whole hot key now receives
+    // ~1/factor of it
+    val hot = ev.filter(col("k") === 1L).count()
+    val sub = ev.filter(col("k") === 1L)
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(factor)))
+      .groupBy(col("__salt")).count()
+    assert(sub.count() === factor.toLong, "every salt bucket populated")
+    val maxSub = sub.agg(max(col("count"))).head().getLong(0)
+    assert(maxSub <= 2L * hot / factor,
+      s"hot-key sub-partitions unbalanced: max $maxSub of $hot total")
+    // and the salted plan's join key really is (k, __salt)
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(1500))
+  }
+
   test("salted join handles a hot key (90% of rows on one key)") {
     import spark.implicits._
     val left = (1L to 1000L).map(i =>
