@@ -266,6 +266,44 @@ object SparkEntry {
       graft.streaming.Debounce.batchAssignDf(
         Sources.table(s, d, "events"), windowSec = 3600L)),
 
+    // §2.9 E16 (batch form): tumbling-window event aggregation via Spark's
+    // window() operator — identical code runs under readStream + watermark
+    // (StreamingAggSpec proves batch≡streaming parity); the driver query
+    // hash-verifies the window semantics themselves. Decimal-sum the
+    // double measure so the result is order-independent (exact) and
+    // matches the oracle bit-for-bit.
+    "e2_windowed_event_agg" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .select(timestamp_micros(expr("ts DIV 1000")).as("t"),
+          col("event_type"), col("value"))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    // E28: range (interval) join with NO equi-key — purchases × incident
+    // windows ([error ts, +30 min], errors with value > 90). Binned to an
+    // equi-join (graft.operators.RangeJoin) instead of the O(n·m)
+    // nested-loop Spark would otherwise plan; output is exact.
+    "e3_range_join_incidents" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("ts DIV 1000000000").as("t"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 90.0)
+        .select(col("event_id").as("incident_id"),
+          expr("ts DIV 1000000000").as("istart"))
+        .withColumn("iend", col("istart") + lit(1800L))
+      graft.operators.RangeJoin
+        .pointInInterval(purchases, "t", incidents, "istart", "iend",
+          binWidth = 3600L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_incidents"),
+          min(col("incident_id")).as("first_incident"))
+    }),
+
     // §2.4 A9: earliest unprocessed event per group
     // (s3_validation.py:104-112 as a grouped min).
     "a9_min_batch_start" -> ((s, d) =>
@@ -498,6 +536,26 @@ object SparkEntry {
         count(*) AS n_events
       FROM events WHERE event_type <> 'error'
       GROUP BY user_id""",
+
+    // the binned equi-join must equal this plain containment join exactly
+    "e3_range_join_incidents" -> """
+      SELECT e.event_id, count(*) AS n_incidents,
+        min(i.event_id) AS first_incident
+      FROM (SELECT event_id, epoch_us(ts) // 1000000 AS t
+            FROM events WHERE event_type = 'purchase') e
+      JOIN (SELECT event_id, epoch_us(ts) // 1000000 AS istart
+            FROM events WHERE event_type = 'error' AND value > 90.0) i
+        ON e.t BETWEEN i.istart AND i.istart + 1800
+      GROUP BY 1""",
+
+    // Spark's window("1 hour") aligns tumbling windows to the epoch, so
+    // window.start ≙ floor(epoch_us / 3.6e9) * 3.6e9.
+    "e2_windowed_event_agg" -> """
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2""",
 
     "a1c_category_kpi_compat" -> s"""$ctes,
       os AS (SELECT CAST(order_id AS VARCHAR) AS order_id FROM o),

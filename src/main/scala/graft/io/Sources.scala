@@ -82,6 +82,67 @@ object Sources {
   def writeUnpartitioned(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Small-files compaction — the maintenance operator every incremental
+    * lake store eventually needs: per-batch upserts (e.g.
+    * `Pipeline.upsertStore`) accrete one file set per batch, and at 100 TB
+    * a scan's task count (and the namenode/listing load) is driven by file
+    * COUNT, not bytes. Rewrites the table to ~`targetBytes` files via one
+    * round-robin repartition, then swaps directories (crash keeps either
+    * the old table or old + finished temp — never a partial mix).
+    *
+    * Sizing uses the real on-disk byte sum from the FileSystem listing —
+    * not a row-count heuristic — so compression ratio carries over.
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new java.net.URI(normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(new HPath(path))
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new HPath(path + ".compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new HPath(path + ".compact.bak")
+    fs.delete(bak, true)
+    fs.rename(new HPath(path), bak)
+    fs.rename(tmp, new HPath(path))
+    fs.delete(bak, true)
+    (before.size, dataFiles(new HPath(path)).size)
+  }
+
+  /** Partition-aware compaction for hive-layout stores (`col=value`
+    * subdirectories, e.g. the `order_date`-partitioned KPI store): each
+    * partition directory is itself a plain parquet table, so it compacts
+    * independently — layout, partition values, and pruning are preserved,
+    * and a typical run compacts only the partitions recent batches
+    * fragmented. Returns per-partition (before, after) file counts. */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new java.net.URI(normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new HPath(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(s => s.getPath.getName ->
+        compact(spark, s.getPath.toString, targetBytes))
+      .toMap
+  }
+
   /** S6: JSON result doc (reference `scripts/validation.py:132-142`) — a
     * one-row control message, written driver-side (this is metadata, not
     * data; no reason to spin up a job for it). */

@@ -80,4 +80,19 @@ class KpiSpec extends SparkSpec {
     assert(r.getAs[Long]("total_orders") === 2L)
     assert(r.isNullAt(r.fieldIndex("total_revenue")))
   }
+
+  test("approx_count_distinct is the documented scale path for A2 counts") {
+    // Exact countDistinct (a2/a4) plans Expand + a 2-phase aggregate — at
+    // 100 TB the expanded shuffle is the dominant cost of the KPI job. The
+    // HLL++ sketch is one narrow pass, mergeable across partitions, with
+    // bounded relative error; assert it lands within 5% on real data.
+    import org.apache.spark.sql.functions._
+    val ords = graft.io.RefShape.orders(spark, sf0001)
+    val exact = ords.agg(countDistinct(col("order_id"))).head().getLong(0)
+    val approx = ords.agg(approx_count_distinct(col("order_id"), 0.02))
+      .head().getLong(0)
+    assert(exact > 0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 0.05, s"approx=$approx exact=$exact relErr=$relErr")
+  }
 }
