@@ -304,6 +304,59 @@ object SparkEntry {
           min(col("incident_id")).as("first_incident"))
     }),
 
+    // E31: TRUE session windows (gap-based, unlike the anchored debounce
+    // window) via Spark's session_window — sessions extend while the gap
+    // to the previous event is < 30 min. Oracle = gaps-and-islands (lag +
+    // running sum). The contrast with e1 is the point: T1's window anchors
+    // at the FIRST event; a session window anchors at the LAST.
+    "e4_session_windows" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .select(col("user_id"),
+          timestamp_seconds(expr("ts DIV 1000000000")).as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_seconds(col("session_window.start")).as("session_start"),
+          unix_seconds(col("session_window.end")).as("session_end"),
+          col("n_events"))),
+
+    // E32: pivot — revenue by category × item status as columns (the
+    // reporting shape over the KPI join). Pivot values are declared
+    // explicitly: at scale an undeclared pivot costs an extra distinct
+    // pass AND makes the output schema data-dependent.
+    "x4_pivot_status_revenue" -> ((s, d) =>
+      Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .groupBy(col("p.category").as("category"))
+        .pivot("oi.status", Seq("A", "N", "returned"))
+        .agg(sum(col("oi.sale_price").cast(money)).cast("double"))),
+
+    // §2.6 U4: EXCEPT (distinct set difference) — purchasers who never hit
+    // a severe error; plans as a left-anti over distinct, not a driver
+    // diff. (The >90 severity cut keeps the result non-degenerate: every
+    // purchaser has SOME error event in this data.)
+    "u2_except_users" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .except(ev
+          .filter(col("event_type") === "error" && col("value") > 90.0)
+          .select(col("user_id")))
+    }),
+
+    // E33: exact percentiles (sort-based linear interpolation — identical
+    // arithmetic in DuckDB's quantile_cont). At 100 TB the scale path is
+    // approx_percentile (KLL/GK sketch, one narrow pass, mergeable);
+    // exact percentile needs the full sorted group and exists as the
+    // verifiable baseline, same pattern as n1 vs n2.
+    "x5_quantile_qty" -> ((s, d) =>
+      Sources.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))),
+
     // §2.4 A9: earliest unprocessed event per group
     // (s3_validation.py:104-112 as a grouped min).
     "a9_min_batch_start" -> ((s, d) =>
@@ -547,6 +600,47 @@ object SparkEntry {
             FROM events WHERE event_type = 'error' AND value > 90.0) i
         ON e.t BETWEEN i.istart AND i.istart + 1800
       GROUP BY 1""",
+
+    // Session semantics: new session when gap ≥ 30 min (Spark merges an
+    // event into a session iff it lands strictly inside [start, last+gap));
+    // session_end = last event + gap.
+    "e4_session_windows" -> """
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+      f AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+             THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      s AS (SELECT user_id, t,
+        sum(ns) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f)
+      SELECT user_id, min(t) AS session_start,
+        max(t) + 1800 AS session_end, count(*) AS n_events
+      FROM s GROUP BY user_id, sid""",
+
+    "x4_pivot_status_revenue" -> s"""$ctes
+      SELECT p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2)))
+          FILTER (WHERE oi.status = 'A') AS DOUBLE) AS "A",
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2)))
+          FILTER (WHERE oi.status = 'N') AS DOUBLE) AS "N",
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2)))
+          FILTER (WHERE oi.status = 'returned') AS DOUBLE) AS returned
+      $kpiJoin
+      GROUP BY 1""",
+
+    "u2_except_users" -> """
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events
+      WHERE event_type = 'error' AND value > 90.0""",
+
+    "x5_quantile_qty" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.50) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75
+      FROM lineitem GROUP BY 1""",
 
     // Spark's window("1 hour") aligns tumbling windows to the epoch, so
     // window.start ≙ floor(epoch_us / 3.6e9) * 3.6e9.
