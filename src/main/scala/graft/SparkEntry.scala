@@ -173,6 +173,34 @@ object SparkEntry {
       Dedup.ngramJaccardDfCapped(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E35 (D8): incremental dedup — a new batch left-anti-joined against
+    // the accumulated fingerprint store (evens = history, incoming = odds
+    // + a re-crawl of the evens). The production shape: per-batch work
+    // scales with the batch, the store never rewrites.
+    "d8_incremental_dedup" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val seen = Dedup.fingerprints(docs.filter(col("doc_id") % 2 === 0))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + Dedup.TwinOffset * 2).as("doc_id"),
+            col("text")))
+      Dedup.incrementalDedup(incoming, seen)
+        .select(col("fp"), col("doc_id"))
+    }),
+
+    // E36: deterministic content-hash sampling — keep docs whose md5(id)
+    // falls under the cutoff (~25%). The scale-correct way to sample
+    // training data: stable across reruns/retries (rand() is not), no
+    // global count, trivially composable with stratification by bucketing
+    // the hash range.
+    "t5_hash_sample" -> ((s, d) =>
+      Sources.table(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            .as("bucket"))
+        .filter(col("bucket") < "40")),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -518,6 +546,12 @@ object SparkEntry {
     "t3_quality_score" -> TextAnalysis.qualityScoreSql,
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d8_incremental_dedup" -> Dedup.incrementalDedupSql,
+
+    "t5_hash_sample" -> """
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'""",
     "d2_ngram_jaccard" ->
       Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
     "d3_minhash_lsh" ->

@@ -65,6 +65,41 @@ object Dedup {
       min(doc_id) AS keeper_doc_id, count(*) AS copies
     FROM corpus GROUP BY 1"""
 
+  // ---- D8: incremental dedup against a seen-fingerprint store -------------
+
+  /** The PRODUCTION shape of exact dedup: a new batch is deduplicated
+    * against the accumulated fingerprint store of everything already
+    * ingested (a fresh crawl vs the corpus), not against itself. One
+    * left-anti join on the fingerprint — broadcast when the batch-side
+    * build is small, shuffle otherwise; the store side never rewrites.
+    * Survivors' fingerprints are what a caller appends to the store,
+    * making the whole loop incremental (same philosophy as
+    * `Pipeline.upsertStore`: per-batch work scales with the batch).
+    */
+  def incrementalDedup(incoming: DataFrame, seenFps: DataFrame): DataFrame =
+    incoming
+      .withColumn("fp", md5(norm(col("text")).cast("binary")))
+      .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+
+  /** The fingerprint store's row shape: one `fp` per doc. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(md5(norm(col("text")).cast("binary")).as("fp")).distinct()
+
+  /** d8 oracle: evens are the historical store; incoming = odds + a
+    * re-crawl of the evens under new ids — only the odds survive. */
+  val incrementalDedupSql: String = s"""
+    WITH seen AS (
+      SELECT DISTINCT md5(${normSql("text")}) AS fp
+      FROM documents WHERE doc_id % 2 = 0),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + ${TwinOffset * 2} AS doc_id, text
+      FROM documents WHERE doc_id % 2 = 0),
+    fps AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM incoming)
+    SELECT fp, doc_id FROM fps
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = fps.fp)"""
+
   // ---- D2: n-gram Jaccard near-dup ----------------------------------------
 
   val JaccardThreshold = 0.6

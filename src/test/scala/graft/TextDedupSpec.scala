@@ -119,6 +119,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out === 11.0)
   }
 
+  test("incremental dedup drops re-crawled docs, keeps genuinely new ones") {
+    val history = docs((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+    val incoming = docs(
+      (10L, "alpha   beta gamma"), // whitespace variant of seen doc 1
+      (11L, "brand new document"),
+      (12L, "delta epsilon"))      // verbatim re-crawl of seen doc 2
+    val seen = graft.dedup.Dedup.fingerprints(history)
+    val out = graft.dedup.Dedup.incrementalDedup(incoming, seen)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // normalization makes the whitespace variant a duplicate too
+    assert(out === Set(11L))
+    // survivors' fingerprints appended to the store close the loop
+    val seen2 = seen.unionByName(graft.dedup.Dedup.fingerprints(
+      incoming.filter(org.apache.spark.sql.functions.col("doc_id") === 11L)))
+    assert(graft.dedup.Dedup.incrementalDedup(incoming, seen2).count() === 0)
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
