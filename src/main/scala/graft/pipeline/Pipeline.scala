@@ -194,6 +194,11 @@ object Pipeline {
       fields: Seq[String], partCol: String = "order_date"): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
+    val fsPre = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    restoreBackups(fsPre, path)
+
     val dates = updates.select(col(partCol)).distinct()
       .collect().map(_.getString(0)).sorted
     val target = readOrInit(spark, path, schema)
@@ -218,6 +223,25 @@ object Pipeline {
     fs.delete(new HPath(tmp), true)
     fs.delete(new HPath(path + ".bak"), true)
     readOrInit(spark, path, schema).count()
+  }
+
+  /** Crash recovery: a crash inside [[swapDir]] (between the two renames)
+    * leaves a partition present only under `<path>.bak`. Silently merging
+    * against the store without it would DROP that partition's target rows,
+    * so every upsert starts by restoring any orphaned backup whose store
+    * partition is missing (and clearing stale backups whose partition
+    * survived). */
+  private def restoreBackups(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val bakRoot = new HPath(path + ".bak")
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).foreach { s =>
+        val dst = new HPath(path, s.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+      }
+      fs.delete(bakRoot, true)
+    }
   }
 
   /** Crash-safe directory swap: keep the old dir as a backup until the new

@@ -187,6 +187,38 @@ class PipelineSpec extends SparkSpec {
       "deterministic min-date mode must remain the default")
   }
 
+  test("upsertStore restores orphaned .bak partitions before merging") {
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+    Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated", s"$d/result.json")
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t1")
+
+    // simulate a crash mid-swap: the order_kpi partition exists ONLY in
+    // the .bak sibling (the window between swapDir's two renames)
+    val part = d.resolve("store/order_kpi/order_date=2024-06-01")
+    val bakDir = d.resolve("store/order_kpi.bak")
+    Files.createDirectories(bakDir)
+    Files.move(part, bakDir.resolve("order_date=2024-06-01"))
+
+    // orders-only rerun: without recovery the merge target would be empty
+    // and the complete-run revenue fields would be silently dropped
+    def deleteRec(pp: Path): Unit = {
+      if (Files.isDirectory(pp)) Files.list(pp).forEach(c => deleteRec(c))
+      Files.deleteIfExists(pp)
+    }
+    deleteRec(d.resolve("validated/order_items"))
+    Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
+      s"$d/store", now = "t2")
+
+    val row = spark.read.parquet(s"$d/store/order_kpi").head()
+    assert(row.getAs[Double]("total_revenue") === 170.0,
+      "backup partition must be restored and merged as the target")
+    assert(row.getAs[String]("last_updated") === "t2")
+    assert(!Files.exists(bakDir), "backup root cleared after recovery")
+  }
+
   test("transform is idempotent: re-running the same batch changes nothing") {
     val d = dir()
     val (op, ip, p) = cleanFixtures(d)
