@@ -177,39 +177,59 @@ object Similarity {
       s"CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** N2: LSH-bucketed approximate top-k — queries only meet vectors in the
-    * SAME hyperplane-sign bucket; per-bucket exact cosine, ranked by the
+  /** N2: multi-probe LSH approximate top-k — queries meet vectors in their
+    * OWN hyperplane-sign bucket plus every bucket ONE bit-flip away
+    * (standard multi-probe LSH: a true neighbor separated by exactly one
+    * hyperplane is recovered by probing across that boundary). Measured on
+    * the test embeddings this lifts global top-5 recall 0.06 → 0.32 while
+    * scanning (1+planes)/2^planes ≈ 11% of the corpus per query — on a
+    * corpus with no neighborhood structure, where sign-bucket agreement is
+    * rare by construction; [[ivfTopK]] (recall 0.94 here) is the stronger
+    * global-ANN scale path, and single-probe remains the shape for
+    * near-DUP retrieval (cosine ≈ 1 ⇒ same bucket with near-certainty,
+    * see [[embeddingNearDups]]). AnnRecallSpec pins all three numbers.
+    *
+    * Candidates are exact-scored per probed bucket and ranked by the
     * bounded-buffer aggregator ([[rankTopKAgg]] — no Window sort over the
-    * candidate stream). The candidate join key is the bucket, so at scale
-    * this is a hash join on a low-cardinality key instead of a cross
-    * product, and the ranking shuffle carries ≤ k rows per partition. */
+    * candidate stream; ≤ k rows shuffle per partition). Probe buckets are
+    * distinct by construction, so no (query, candidate) pair repeats and
+    * no dedup pass is needed. */
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       lshBucket(col("embedding")).as("bucket"))
+    val probes = col("qb") +: (0 until NumPlanes).map(j =>
+      col("qb").bitwiseXOR(lit(1L << j)))
     val q = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("n2").as("qn"), col("bucket").as("qb"))
+      .withColumn("probe", explode(array(probes: _*)))
     val joined = q.join(bucketed.as("c"),
-        col("c.bucket") === col("qb") && col("c.vec_id") =!= col("query_id"))
+        col("c.bucket") === col("probe") &&
+          col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         (dot(col("qv"), col("c.embedding")) /
           (col("qn") * col("c.n2"))).as("cosine"))
     rankTopKAgg(joined, k)
   }
 
-  def lshTopKSql(numQueries: Int, k: Int): String = s"""
+  def lshTopKSql(numQueries: Int, k: Int): String = {
+    val probeList = ("qb" +: (0 until NumPlanes).map(j =>
+      s"xor(qb, ${1L << j})")).mkString("[", ", ", "]")
+    s"""
     WITH bucketed AS (
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
         ${lshBucketSql("embedding")} AS bucket
       FROM embeddings),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn, bucket AS qb
-      FROM bucketed WHERE vec_id < $numQueries),
+      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn,
+        unnest($probeList) AS probe
+      FROM (SELECT vec_id, embedding, n2, bucket AS qb
+            FROM bucketed WHERE vec_id < $numQueries)),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
         ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
-      FROM q JOIN bucketed c ON c.bucket = qb AND c.vec_id <> query_id),
+      FROM q JOIN bucketed c ON c.bucket = probe AND c.vec_id <> query_id),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
         row_number() OVER (PARTITION BY query_id
@@ -217,6 +237,7 @@ object Similarity {
       FROM scored)
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $k"""
+  }
 
   val NumCells = 16
   val NumProbes = 2

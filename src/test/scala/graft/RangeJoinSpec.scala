@@ -57,6 +57,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned.count() > 0, "fixture should produce overlaps")
   }
 
+  test("property: binned ≡ naive for random points/intervals and widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val pGen = Gen.listOfN(60, Gen.choose(0L, 400L))
+    val iGen = Gen.listOfN(15, for {
+      s <- Gen.choose(0L, 380L); len <- Gen.choose(0L, 120L)
+    } yield (s, s + len))
+    (1 to 8).foreach { seed =>
+      val ps = pGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val is = iGen.pureApply(Gen.Parameters.default, Seed(seed.toLong + 100))
+        .zipWithIndex.map { case ((st, en), i) => (i.toLong, st, en) }
+      val points = ps.toDF("pid", "t")
+      val intervals = is.toDF("iid", "s", "e")
+      val width = Seq(7L, 50L, 1000L)(seed % 3) // narrow, medium, one-bin
+      val binned = RangeJoin.pointInInterval(points, "t", intervals,
+          "s", "e", width)
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = for {
+        (pid, t) <- ps; (iid, s, e) <- is; if t >= s && t <= e
+      } yield (pid, iid)
+      assert(binned === naive.sorted.toSeq, s"seed $seed width $width")
+    }
+  }
+
   test("the binned plan is a hash equi-join, not a nested loop") {
     import spark.implicits._
     val points = (0L to 200L).map(i => (i, i * 7 % 500)).toDF("pid", "t")
