@@ -206,6 +206,15 @@ object SparkEntry {
       Dedup.minhashLshPairs(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E37 (D9): duplicate clustering — connected components over the
+    // MinHash-LSH pair graph (iterative min-label propagation with
+    // per-round localCheckpoint), summarized per duplicate cluster. The
+    // step a real dedup pipeline runs after pair generation: pairs don't
+    // dedup a corpus, clusters with a canonical representative do.
+    "d9_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -556,6 +565,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
     "d3_minhash_lsh" ->
       Dedup.minhashLshPairsSql(Dedup.withNearDupsSql("documents")),
+    "d9_dup_clusters" ->
+      Dedup.dupClustersSql(Dedup.withNearDupsSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d4_simhash" ->

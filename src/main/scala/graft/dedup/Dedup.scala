@@ -220,6 +220,73 @@ object Dedup {
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold"""
 
+  // ---- D9: duplicate clustering (connected components) --------------------
+
+  /** Connected components over an undirected edge list `(doc_a, doc_b)` by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round it takes the min of its label and its neighbors',
+    * until a fixpoint. Rounds needed = graph diameter (near-dup clusters
+    * are shallow — a handful of rounds), each round one join + one
+    * aggregate on the edge key.
+    *
+    * Scale notes: `localCheckpoint` after every round is load-bearing —
+    * iterative joins otherwise stack lineage (round N's plan replays
+    * rounds 1..N-1, quadratic work and an eventual stack overflow); the
+    * checkpoint truncates the plan to the materialized labels, exactly
+    * what any iterative-graph job on Spark must do (GraphX/GraphFrames do
+    * the same internally). The convergence check rides the checkpoint's
+    * materialization, so each round is one job.
+    *
+    * @return one row per node: (doc_id, cluster_id = min doc_id reachable)
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val und = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionByName(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    var labels = und.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nmin = und.join(labels, col("y") === col("node"))
+        .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(nmin, col("l.node") === col("x"), "left")
+        .select(col("l.node").as("node"), col("l.label").as("old"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
+            .as("label"))
+        .localCheckpoint() // truncate iterative lineage (see scaladoc)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** D9 query: cluster the MinHash-LSH near-dup pair graph and summarize
+    * each duplicate cluster (its canonical = min doc_id, member count). */
+  def dupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+
+  /** D9 oracle: transitive min-reachability as a recursive CTE over the
+    * same LSH pair edges (tiny closure — near-dup clusters are shallow). */
+  def dupClustersSql(corpus: String): String = s"""
+    WITH RECURSIVE edges AS (
+      SELECT doc_a, doc_b FROM (${minhashLshPairsSql(corpus)})),
+    und AS (
+      SELECT doc_a AS x, doc_b AS y FROM edges
+      UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+    reach AS (
+      SELECT x AS node, x AS r FROM und
+      UNION
+      SELECT reach.node, u.y AS r FROM reach JOIN und u ON u.x = reach.r),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc_id
+    FROM labels GROUP BY 1"""
+
   // ---- D3: MinHash + LSH banding ------------------------------------------
 
   val NumHashes = 16

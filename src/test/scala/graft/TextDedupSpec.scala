@@ -119,6 +119,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out === 11.0)
   }
 
+  test("connected components labels chains, triangles, and islands") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
+    // 10-11-12, isolated edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.dedup.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size === 9)
+  }
+
   test("incremental dedup drops re-crawled docs, keeps genuinely new ones") {
     val history = docs((1L, "alpha beta gamma"), (2L, "delta epsilon"))
     val incoming = docs(
