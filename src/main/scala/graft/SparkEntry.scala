@@ -394,6 +394,30 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50"),
           element_at(col("q"), 3).as("p75"))),
 
+    // §2.8 extension (F13): JSON payload extraction — events carry a JSON
+    // `props` column (the universal escape hatch for semi-structured
+    // payloads); extract a typed field, filter, aggregate. At scale
+    // prefer promoting hot JSON fields to real columns at ingest — this
+    // op is the read-side fallback, and get_json_object stays inside
+    // whole-stage codegen.
+    "f13_json_extract" -> ((s, d) =>
+      Sources.table(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
+    // §2.3 extension: LEFT SEMI — orders having at least one item, as a
+    // semi join (no right columns, no duplicate left rows), the EXISTS
+    // twin of p3's NOT-EXISTS anti join.
+    "p4_semi_orders_with_items" -> ((s, d) => {
+      val ord = o(s, d)
+      val items = oi(s, d)
+      ord.join(items, ord("order_id") === items("order_id"), "left_semi")
+        .select(col("order_id"))
+    }),
+
     // §2.4 A9: earliest unprocessed event per group
     // (s3_validation.py:104-112 as a grouped min).
     "a9_min_batch_start" -> ((s, d) =>
@@ -634,6 +658,20 @@ object SparkEntry {
         count(*) AS n_events
       FROM events WHERE event_type <> 'error'
       GROUP BY user_id""",
+
+    // CAST the sum: DuckDB sum(BIGINT) yields HUGEINT, whose stringified
+    // form diverges from Spark's int64 in the driver's hash compare
+    "f13_json_extract" -> """
+      SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      WHERE k > 50
+      GROUP BY 1""",
+
+    "p4_semi_orders_with_items" -> s"""$ctes
+      SELECT o.order_id FROM o
+      WHERE EXISTS (SELECT 1 FROM oi WHERE oi.order_id = o.order_id)""",
 
     // the binned equi-join must equal this plain containment join exactly
     "e3_range_join_incidents" -> """
