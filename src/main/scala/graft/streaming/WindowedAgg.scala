@@ -29,4 +29,36 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding `intervalSec` seconds. Both sides carry a
+    * watermark and the join condition bounds the event-time range, so the
+    * state store can EVICT rows once the watermark passes — without the
+    * interval bound a stream-stream join buffers both streams forever.
+    * The same body runs in batch (watermarks are no-ops there), which is
+    * how StreamingAggSpec asserts parity.
+    *
+    * Inputs use the testdata shape: `event_id`, `user_id`, `ts`
+    * (epoch-nanos long), `event_type`. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      intervalSec: Long, watermark: String): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        expr("ts DIV 1000000000").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        expr("ts DIV 1000000000").cast("timestamp").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"),
+        unix_timestamp(col("p_ts")).as("p_epoch"),
+        unix_timestamp(col("c_ts")).as("c_epoch"))
+  }
 }

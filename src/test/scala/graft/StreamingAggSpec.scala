@@ -67,6 +67,36 @@ class StreamingAggSpec extends SparkSpec {
       s"exactly-once resume violated: ${finalRows.toSeq}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val events = Sources.table(spark, sf0001, "events")
+    val purchases = events.filter("event_type = 'purchase'")
+    val clicks = events.filter("event_type = 'click'")
+    val batchOut = WindowedAgg.purchaseClickJoin(
+        purchases, clicks, intervalSec = 3600L, watermark = "1 hour")
+      .collect().map(_.toString).sorted
+    assert(batchOut.nonEmpty, "fixture should produce joined pairs")
+
+    // stage both sides as file streams
+    val stage = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val pDir = stage.resolve("p"); val cDir = stage.resolve("c")
+    purchases.coalesce(1).write.parquet(pDir.toString)
+    clicks.coalesce(1).write.parquet(cDir.toString)
+    val schema = events.schema
+    val pStream = spark.readStream.schema(schema).parquet(pDir.toString)
+    val cStream = spark.readStream.schema(schema).parquet(cDir.toString)
+    val q = WindowedAgg.purchaseClickJoin(pStream, cStream,
+        intervalSec = 3600L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.sql("SELECT * FROM ssj_out")
+        .collect().map(_.toString).sorted
+      assert(streamOut.toSeq === batchOut.toSeq,
+        s"stream ${streamOut.length} vs batch ${batchOut.length} rows")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg over the events table matches batch") {
     val dir = s"$sf0001/events.parquet"
     val batchOut = WindowedAgg.eventTypeWindows(
