@@ -124,7 +124,11 @@ object SparkEntry {
     "m1_merge_category_kpi" -> ((s, d) => {
       // the narrow projection of the 3-way join, computed ONCE and
       // persisted — both merge sides are filters over it (id parity), so
-      // the join runs once instead of twice
+      // the join runs once instead of twice. Lifetime contract: the
+      // returned frame is lazy, so the cache cannot be released here;
+      // Verify/Bench clearCache() after every query, and a library
+      // caller owns the same responsibility (spark.catalog.clearCache
+      // or unpersist after materializing).
       val jall = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
         .select(col("p.category").as("category"),
           substring(col("o.created_at"), 1, 10).as("order_date"),

@@ -248,6 +248,9 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // loop body below; non-convergence within maxIters FAILS LOUD after
+      // the loop — silently returning half-propagated labels would report
+      // a wrong cluster count with no signal
       val nmin = und.join(labels, col("y") === col("node"))
         .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
       val next = labels.as("l")
@@ -261,6 +264,11 @@ object Dedup {
       iter += 1
     }
     und.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — the pair graph has a " +
+          "component with diameter > maxIters; raise maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

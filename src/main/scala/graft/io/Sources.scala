@@ -110,20 +110,38 @@ object Sources {
       }
       buf.toSeq
     }
-    val before = dataFiles(new HPath(path))
+    val table = new HPath(path)
+    // temp/backup live as UNDERSCORE-prefixed siblings: Spark's file
+    // listing and partition discovery skip `_`/`.`-prefixed paths, so a
+    // crash can never leave a dir that a reader parses as data or as a
+    // bogus partition value (a `<part>.compact.tmp` sibling would)
+    val tmp = new HPath(table.getParent, s"_${table.getName}.compact.tmp")
+    val bak = new HPath(table.getParent, s"_${table.getName}.compact.bak")
+    // crash recovery: a prior run that died between the two renames left
+    // the table only in the backup — restore it before anything else
+    if (!fs.exists(table) && fs.exists(bak)) renameOrFail(fs, bak, table)
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+    val before = dataFiles(table)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new HPath(path + ".compact.tmp")
-    fs.delete(tmp, true)
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new HPath(path + ".compact.bak")
+    renameOrFail(fs, table, bak)
+    renameOrFail(fs, tmp, table)
     fs.delete(bak, true)
-    fs.rename(new HPath(path), bak)
-    fs.rename(tmp, new HPath(path))
-    fs.delete(bak, true)
-    (before.size, dataFiles(new HPath(path)).size)
+    (before.size, dataFiles(table).size)
   }
+
+  /** Hadoop `FileSystem.rename` reports failure by RETURNING FALSE, not
+    * throwing — an unchecked rename can silently drop a table (or, on
+    * HDFS, nest `src` inside an existing `dst`). Every swap here must
+    * fail loud instead. */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** Partition-aware compaction for hive-layout stores (`col=value`
     * subdirectories, e.g. the `order_date`-partitioned KPI store): each
@@ -137,7 +155,13 @@ object Sources {
     val fs = FileSystem.get(new java.net.URI(normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new HPath(path)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter { s =>
+        val n = s.getPath.getName
+        // real hive partition dirs only — skip `_`/`.` work dirs (e.g. a
+        // crashed run's `_<part>.compact.tmp`, which also contains '=')
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
       .map(s => s.getPath.getName ->
         compact(spark, s.getPath.toString, targetBytes))
       .toMap

@@ -130,7 +130,10 @@ object Multimodal {
     * metadata pruning in one plan. The synthesized corpus is persisted so
     * the three consumers (decode, frames, metadata) share ONE scan instead
     * of re-synthesizing the payload per branch — with real payloads the
-    * recompute would be three full reads of the binary column. */
+    * recompute would be three full reads of the binary column. The result
+    * is lazy, so the cache outlives this call: the driver harness clears
+    * caches per query; other callers should clearCache/unpersist after
+    * materializing. */
   def mediaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     val media = mediaCorpus(docs).persist()
     val decoded = decodeFeatures(media)

@@ -199,11 +199,14 @@ object Pipeline {
       spark.sparkContext.hadoopConfiguration)
     restoreBackups(fsPre, path)
 
-    val dates = updates.select(col(partCol)).distinct()
+    // `updates` is evaluated twice (touched-dates collect + merge write);
+    // persist so the upstream KPI aggregation runs once per store
+    val updatesP = updates.persist()
+    val dates = updatesP.select(col(partCol)).distinct()
       .collect().map(_.getString(0)).sorted
     val target = readOrInit(spark, path, schema)
       .where(col(partCol).isin(dates: _*))
-    val merged = KpiMerge.merge(target, updates, keys, fields,
+    val merged = KpiMerge.merge(target, updatesP, keys, fields,
       Some("data_sources")).select(schema.fieldNames.map(col): _*)
 
     val tmp = path + ".tmp"
@@ -222,6 +225,7 @@ object Pipeline {
     }
     fs.delete(new HPath(tmp), true)
     fs.delete(new HPath(path + ".bak"), true)
+    updatesP.unpersist()
     readOrInit(spark, path, schema).count()
   }
 
@@ -238,11 +242,20 @@ object Pipeline {
     if (fs.exists(bakRoot)) {
       fs.listStatus(bakRoot).foreach { s =>
         val dst = new HPath(path, s.getPath.getName)
-        if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+        if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
       }
       fs.delete(bakRoot, true)
     }
   }
+
+  /** Hadoop rename reports failure by returning false; a silent failure
+    * here would delete the only surviving copy in the follow-up cleanup
+    * (or nest src inside an existing dst on HDFS). Fail loud. */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** Crash-safe directory swap: keep the old dir as a backup until the new
     * one is in place (a failure leaves either the old data or old-as-bak +
@@ -255,9 +268,9 @@ object Pipeline {
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) {
       if (!fs.exists(bak.getParent)) fs.mkdirs(bak.getParent)
-      fs.rename(dst, bak)
+      renameOrFail(fs, dst, bak)
     }
     if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-    fs.rename(src, dst)
+    renameOrFail(fs, src, dst)
   }
 }

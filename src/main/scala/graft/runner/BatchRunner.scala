@@ -124,7 +124,16 @@ object BatchRunner {
           toChunk(r.getAs[String]("batch_id"), r.getAs[Long]("created_at"),
             r.getSeq[String](r.fieldIndex("files")))
         }
-        queue.synchronized { queue ++= fresh }
+        // idempotent enqueue: the control source is at-least-once (stream
+        // retries, re-delivered docs), and a duplicate batch_id would
+        // otherwise sit Pending forever — tick resolves chunks by id, so
+        // the duplicate could never transition and the drain loop below
+        // would spin re-running the same batch
+        queue.synchronized {
+          val known = queue.map(_.batchId).toSet
+          queue ++= fresh.filterNot(c => known.contains(c.batchId))
+            .distinctBy(_.batchId)
+        }
         var ran = tick(spark, queue.toSeq, workDir, now, alerter)
         while (ran.nonEmpty) {
           processed.synchronized { processed += ran.get.batchId }
