@@ -347,9 +347,11 @@ object SparkEntry {
 
     // E31: TRUE session windows (gap-based, unlike the anchored debounce
     // window) via Spark's session_window — sessions extend while the gap
-    // to the previous event is < 30 min. Oracle = gaps-and-islands (lag +
-    // running sum). The contrast with e1 is the point: T1's window anchors
-    // at the FIRST event; a session window anchors at the LAST.
+    // to the previous event is ≤ 30 min (touching intervals merge; only a
+    // strictly larger gap splits — pinned against a real exactly-1800s
+    // gap at sf0.1). Oracle = gaps-and-islands (lag + running sum). The
+    // contrast with e1 is the point: T1's window anchors at the FIRST
+    // event; a session window anchors at the LAST.
     "e4_session_windows" -> ((s, d) =>
       Sources.table(s, d, "events")
         .select(col("user_id"),
@@ -688,13 +690,15 @@ object SparkEntry {
         ON e.t BETWEEN i.istart AND i.istart + 1800
       GROUP BY 1""",
 
-    // Session semantics: new session when gap ≥ 30 min (Spark merges an
-    // event into a session iff it lands strictly inside [start, last+gap));
-    // session_end = last event + gap.
+    // Session semantics (verified empirically, and sf0.1 has a gap of
+    // EXACTLY 1800 s that distinguishes them): Spark merges an event into
+    // the session when gap ≤ window — touching intervals merge — and only
+    // a STRICTLY greater gap starts a new session; session_end = last
+    // event + gap.
     "e4_session_windows" -> """
       WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
       f AS (SELECT user_id, t,
-        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
              THEN 1 ELSE 0 END AS ns
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
       s AS (SELECT user_id, t,
