@@ -189,7 +189,7 @@ object Pipeline {
     * @return total rows in the store after the merge (result-doc metadata;
     *         a parquet count touches footers only)
     */
-  private[pipeline] def upsertStore(spark: SparkSession, path: String,
+  private[graft] def upsertStore(spark: SparkSession, path: String,
       schema: StructType, updates: DataFrame, keys: Seq[String],
       fields: Seq[String], partCol: String = "order_date"): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}

@@ -219,6 +219,81 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(bakDir), "backup root cleared after recovery")
   }
 
+  test("upsertStore merges a multi-date batch, swapping every touched partition") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/multistore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "total_items_sold BIGINT, return_rate DOUBLE, " +
+        "unique_customers BIGINT, data_sources ARRAY<STRING>, " +
+        "last_updated STRING")
+    def updates(rows: (String, Long, Double)*) =
+      rows.toSeq.toDF("order_date", "total_orders", "total_revenue")
+        .withColumn("total_items_sold", lit(null).cast("bigint"))
+        .withColumn("return_rate", lit(null).cast("double"))
+        .withColumn("unique_customers", lit(null).cast("bigint"))
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit("t1"))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "total_items_sold",
+      "return_rate", "unique_customers", "last_updated")
+
+    // one batch touching THREE dates at once
+    val n1 = Pipeline.upsertStore(spark, path, schema,
+      updates(("2024-06-01", 1L, 10.0), ("2024-06-02", 2L, 20.0),
+        ("2024-06-03", 3L, 30.0)),
+      Seq("order_date"), fields)
+    assert(n1 === 3L)
+    Seq("2024-06-01", "2024-06-02", "2024-06-03").foreach(dt =>
+      assert(Files.isDirectory(d.resolve(s"multistore/order_date=$dt"))))
+
+    // a second batch touching two of them: those update, the third keeps
+    // its row (and its files — the byte-identity case is covered above)
+    val n2 = Pipeline.upsertStore(spark, path, schema,
+      updates(("2024-06-02", 5L, 50.0), ("2024-06-03", 6L, 60.0)),
+      Seq("order_date"), fields)
+    assert(n2 === 3L)
+    val byDate = spark.read.schema(schema).parquet(path).collect()
+      .map(r => r.getAs[String]("order_date") ->
+        r.getAs[Long]("total_orders")).toMap
+    assert(byDate === Map("2024-06-01" -> 1L, "2024-06-02" -> 5L,
+      "2024-06-03" -> 6L))
+  }
+
+  test("store schema evolution: new column reads as null from old partitions") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/evostore"
+    val v1 = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    val day1 = Seq(("2024-06-01", 10.0)).toDF("order_date", "total_revenue")
+      .withColumn("data_sources", typedLit(Seq("orders")))
+      .withColumn("last_updated", lit("t1"))
+    Pipeline.upsertStore(spark, path, v1, day1.select(v1.fieldNames.map(col): _*),
+      Seq("order_date"), Seq("total_revenue", "last_updated"))
+
+    // schema gains a column; a later batch writes it for a NEW date
+    val v2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_revenue DOUBLE, refund_total DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    val day2 = Seq(("2024-06-02", 20.0, 2.5))
+      .toDF("order_date", "total_revenue", "refund_total")
+      .withColumn("data_sources", typedLit(Seq("orders")))
+      .withColumn("last_updated", lit("t2"))
+    Pipeline.upsertStore(spark, path, v2, day2.select(v2.fieldNames.map(col): _*),
+      Seq("order_date"), Seq("total_revenue", "refund_total", "last_updated"))
+
+    val rows = spark.read.schema(v2).parquet(path).collect()
+      .map(r => r.getAs[String]("order_date") ->
+        Option(r.getAs[java.lang.Double]("refund_total"))).toMap
+    // old partition files lack the column → declared-schema read fills null
+    assert(rows === Map("2024-06-01" -> None, "2024-06-02" -> Some(2.5)))
+  }
+
   test("transform is idempotent: re-running the same batch changes nothing") {
     val d = dir()
     val (op, ip, p) = cleanFixtures(d)
