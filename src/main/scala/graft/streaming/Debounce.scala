@@ -74,6 +74,75 @@ object Debounce {
   /** Streaming state per key: current batch anchor + accumulated events. */
   final case class DebounceState(batchStart: Long, nEvents: Long, lastTs: Long)
 
+  /** Event with an event-time column for watermarking (seconds in `ts`,
+    * the same value as a timestamp in `event_time`). */
+  final case class EventT(key: Long, ts: Long, event_time: java.sql.Timestamp)
+
+  /** Event-time buffer state: the open (not-yet-closed) timestamps. */
+  final case class DebounceBuf(ts: Seq[Long])
+
+  /** EVENT-time streaming form — the principled T1/T5 variant: batches
+    * close when the WATERMARK passes `batch_start + window`, not when a
+    * wall clock fires, so the emitted rows are exactly [[assign]] over the
+    * per-key event times — bit-identical to [[batchAssign]] on the same
+    * data (DebounceSpec asserts the parity end-to-end).
+    *
+    * Mechanics: events buffer per key; whenever the watermark timeout
+    * fires, the pure recurrence runs over the sorted buffer, batches whose
+    * window closed strictly below the watermark emit, and the open tail is
+    * retained with the next timeout at its earliest possible close. Late
+    * events (within the watermark delay) simply join the buffer and are
+    * assigned by EVENT time; events later than the watermark allows are
+    * dropped upstream by the watermark itself — the standard contract.
+    * State per key is bounded by the events inside the open window plus
+    * the allowed lateness.
+    */
+  def streamingBatchesEventTime(events: Dataset[EventT], windowSec: Long,
+      watermarkDelay: String): Dataset[BatchRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceBuf, BatchRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[DebounceBuf]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val buf = (state.getOption.map(_.ts).getOrElse(Seq.empty) ++
+            it.map(_.ts)).sorted
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val assigned = assign(buf, windowSec)
+            val (closed, open) = assigned
+              .partition(a => a.batchStart + windowSec < wmSec)
+            val out = closed.groupBy(_.batchStart).toSeq.sortBy(_._1)
+              .map { case (start, as) =>
+                BatchRow(key, start, as.size.toLong, as.map(_.ts).max)
+              }
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(DebounceBuf(open.map(_.ts)))
+              // next possible close of the earliest open batch; clamp
+              // above the current watermark (required by the API)
+              val close = (open.head.batchStart + windowSec) * 1000L + 1
+              state.setTimeoutTimestamp(
+                math.max(close, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** DataFrame adapter for [[streamingBatchesEventTime]] over the events
+    * table shape (`user_id`, `ts` epoch-nanos). */
+  def toEventT(events: DataFrame): Dataset[EventT] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("key"),
+        expr("ts DIV 1000000000").as("ts"),
+        expr("ts DIV 1000000000").cast("timestamp").as("event_time"))
+      .as[EventT]
+  }
+
   /** Streaming form (T1+T2): events accumulate into the keyed state; when
     * the anchored window expires (processing-time timeout set to the
     * REMAINING time, not a fixed gap), the batch row is emitted — the

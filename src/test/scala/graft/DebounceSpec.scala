@@ -66,6 +66,45 @@ class DebounceSpec extends SparkSpec {
       (1L, 0L, 2L), (1L, 200L, 1L), (2L, 10L, 1L), (2L, 500L, 1L)))
   }
 
+  test("event-time streaming debounce equals the batch recurrence exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.io.Sources.table(spark, sf0001, "events")
+    val expected = Debounce.batchAssignDf(events, windowSec = 3600L)
+      .collect().map(_.toString).sorted
+
+    // stage the real table, then a far-future sentinel event that drives
+    // the watermark past every real batch's close
+    val stage = java.nio.file.Files.createTempDirectory("graft-evt-debounce")
+    val slim = events.select(col("user_id"), col("ts"))
+    slim.coalesce(1).write.parquet(s"$stage/f1")
+    val maxNanos = events.agg(max(col("ts"))).head().getLong(0)
+    val spark2 = spark; import spark2.implicits._
+    Seq((999999999L, maxNanos + 10L * 3600 * 1000000000L))
+      .toDF("user_id", "ts").write.parquet(s"$stage/f2")
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts BIGINT"))
+      .option("maxFilesPerTrigger", 1) // f1 then f2: watermark advances between
+      .parquet(s"$stage/*")
+    val q = Debounce.streamingBatchesEventTime(
+        Debounce.toEventT(stream), windowSec = 3600L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("evt_debounce_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM evt_debounce_out WHERE key <> 999999999")
+        .collect().map(_.toString).sorted
+      assert(got.nonEmpty)
+      assert(got.toSeq === expected.toSeq,
+        s"event-time streaming (${got.length}) must equal batch " +
+          s"(${expected.length}) bit for bit")
+    } finally q.stop()
+  }
+
   test("streaming flatMapGroupsWithState emits batches on window expiry") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
