@@ -20,7 +20,17 @@ object Bench {
       Seq("lineitem", "orders", "part", "documents", "embeddings", "events")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (and
+    // SPARK_GRAFT_REPEAT=n repeats it) for variance measurement of a
+    // single query; unset in driver runs, where the full suite runs once.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = (1 to repeat).flatMap(r => selected.map { case (n, f) =>
+      (if (repeat > 1) s"$n#$r" else n) -> f
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -32,7 +42,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
