@@ -93,8 +93,56 @@ object Pipeline {
     * when absent (first run) — the `create_table_if_not_exists` analogue.
     * The explicit schema also pins the partition column's type (partition
     * dirs would otherwise infer `order_date=2024-06-01` as DATE, not
-    * STRING). */
-  def readOrInit(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    * STRING).
+    *
+    * Manifest-aware snapshot read: when the store carries a commit
+    * manifest ([[upsertStore]] writes one per batch), only
+    * manifest-listed partitions are visible, and while a swap of the
+    * manifest's epoch is in flight (`.bak/_epoch` == manifest epoch) the
+    * pre-swap `.bak` copy of each swapped partition is read instead of
+    * the half-replaced store dir. A reader that resolves the store at any
+    * instant — including concurrently with a crashed multi-date swap —
+    * therefore sees exactly the last COMMITTED batch: partially-swapped
+    * dates come from `.bak`, not-yet-committed new dates are invisible.
+    * Stores without a manifest (validated tables, pre-manifest stores)
+    * read raw, as before. */
+  def readOrInit(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = rawReadOrInit(spark, path, schema)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, path) match {
+      case None => raw
+      case Some(m) =>
+        val partCol = m.partCol
+        val committed =
+          if (m.partitions.isEmpty) raw.limit(0)
+          else raw.where(col(partCol).isin(m.partitions: _*))
+        // .bak copies are authoritative ONLY for an in-flight swap over
+        // THIS manifest's snapshot; a stale .bak (epoch older than the
+        // manifest — the post-commit, pre-cleanup window) is ignored.
+        val bakParts =
+          if (bakEpoch(fs, path).contains(m.epoch))
+            listPartitionDirs(fs, path + ".bak", partCol)
+              .filter(m.partitions.toSet)
+          else Nil
+        if (bakParts.isEmpty) committed
+        else {
+          val dataSchema = StructType(schema.filterNot(_.name == partCol))
+          val live = committed.where(!col(partCol).isin(bakParts: _*))
+          val fromBak = bakParts.map { pv =>
+            spark.read.schema(dataSchema)
+              .parquet(s"$path.bak/$partCol=$pv")
+              .withColumn(partCol, lit(pv))
+              .select(schema.fieldNames.map(col): _*)
+          }
+          fromBak.foldLeft(live)(_ unionByName _)
+        }
+    }
+  }
+
+  private def rawReadOrInit(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
     scala.util.Try(spark.read.schema(schema).parquet(path)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema))
@@ -183,6 +231,13 @@ object Pipeline {
     * leaves a recoverable `.bak`, never a deleted store (the
     * delete-then-rename form had a window where the store was gone).
     *
+    * Each batch COMMITS by publishing a `_manifest.<epoch>` file after all
+    * swaps (see the commit-protocol comment below) — the transaction-log
+    * analogue that gives manifest-aware readers ([[readOrInit]]) snapshot
+    * isolation across the multi-date swap window; a reader resolving the
+    * store mid-swap or after a crash sees the previous committed batch in
+    * full, never date A new + date B old.
+    *
     * The touched-dates collect is bounded by dates-per-batch (not data
     * size) — same centroid-shipping rationale as IVF's seed collect.
     *
@@ -216,6 +271,26 @@ object Pipeline {
     // the merge plan reads the store partitions being replaced, so write
     // to the temp dir first (finishes the read), then swap directories
     merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+
+    // Commit protocol (reader isolation — see readOrInit's scaladoc):
+    //  1. stamp `.bak/_epoch` with the CURRENT manifest epoch, so readers
+    //     know the backups about to appear belong to an in-flight swap
+    //     over that snapshot (and not to an already-committed one),
+    //  2. swap the touched partition dirs (old copies land in `.bak`),
+    //  3. COMMIT: atomically publish `_manifest.<epoch+1>` listing every
+    //     committed partition — the single instant the batch becomes
+    //     visible; readers before it resolve `.bak`, readers after it see
+    //     the new dirs and ignore the now-stale `.bak`,
+    //  4. clean up old manifests and `.bak`.
+    // A crash at any point leaves either epoch N fully readable (steps
+    // 1–2: bak-preferred; uncommitted new dates unlisted) or epoch N+1
+    // fully readable (steps 3–4), never a torn mix.
+    val curManifest = latestManifest(fs, path)
+    val curEpoch = curManifest.map(_.epoch).getOrElse(0L)
+    // bootstrap a pre-manifest store's partition list from its dirs
+    val baseParts = curManifest.map(_.partitions)
+      .getOrElse(listPartitionDirs(fs, path, partCol))
+    writeBakEpoch(fs, path, curEpoch)
     dates.foreach { dt =>
       swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
         new HPath(s"$path/$partCol=$dt"),
@@ -224,26 +299,131 @@ object Pipeline {
         new HPath(s"$path.bak/$partCol=$dt"))
     }
     fs.delete(new HPath(tmp), true)
+    writeManifest(fs, path, curEpoch + 1, partCol,
+      (baseParts ++ dates).distinct.sorted)
+    dropOldManifests(fs, path, keep = curEpoch + 1)
     fs.delete(new HPath(path + ".bak"), true)
     updatesP.unpersist()
     readOrInit(spark, path, schema).count()
   }
 
-  /** Crash recovery: a crash inside [[swapDir]] (between the two renames)
-    * leaves a partition present only under `<path>.bak`. Silently merging
-    * against the store without it would DROP that partition's target rows,
-    * so every upsert starts by restoring any orphaned backup whose store
-    * partition is missing (and clearing stale backups whose partition
-    * survived). */
+  // ---- commit manifest --------------------------------------------------
+  //
+  // `_manifest.<epoch>` inside the store dir (underscore-prefixed files are
+  // invisible to Spark's partition discovery, like `_SUCCESS`). Content:
+  // line 1 = the partition column name, remaining lines = committed
+  // partition values, one per line. The epoch lives in the filename so
+  // readers pick the max without parsing, and publication is a
+  // write-to-`.inprogress` + rename — atomic on a correct FileSystem.
+
+  private[graft] final case class StoreManifest(epoch: Long, partCol: String,
+      partitions: Seq[String])
+
+  private val ManifestName = """_manifest\.(\d+)""".r
+
+  private[graft] def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[StoreManifest] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    if (!fs.exists(root)) return None
+    val candidates = fs.listStatus(root).flatMap(s => s.getPath.getName match {
+      case ManifestName(e) => Some(e.toLong -> s.getPath)
+      case _ => None
+    })
+    candidates.sortBy(-_._1).headOption.map { case (epoch, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      StoreManifest(epoch, lines.head, lines.tail.filter(_.nonEmpty))
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      epoch: Long, partCol: String, partitions: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val tmp = new HPath(path, s"_manifest.$epoch.inprogress")
+    fs.delete(tmp, false) // leftover from a crash mid-publish
+    val out = fs.create(tmp, true)
+    try out.write((partCol +: partitions).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    renameOrFail(fs, tmp, new HPath(path, s"_manifest.$epoch"))
+  }
+
+  private def dropOldManifests(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, keep: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    fs.listStatus(new HPath(path)).foreach(s => s.getPath.getName match {
+      case ManifestName(e) if e.toLong != keep => fs.delete(s.getPath, false)
+      case _ => ()
+    })
+  }
+
+  /** The manifest epoch the in-flight swap's backups were taken AGAINST —
+    * readers prefer `.bak` only while this matches the latest manifest. */
+  private[graft] def bakEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path + ".bak", "_epoch")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private[graft] def writeBakEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, epoch: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path + ".bak")
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val out = fs.create(new HPath(root, "_epoch"), true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, partCol: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.stripPrefix(partCol + "="))
+  }
+
+  /** Crash recovery. Two regimes, told apart by the `.bak/_epoch` stamp:
+    *
+    *  - **In-flight rollback** (`_epoch` == latest manifest epoch): the
+    *    previous batch crashed mid-swap before committing its manifest.
+    *    Every backed-up partition is rolled BACK over its (half-replaced)
+    *    store dir, returning the store to exactly the committed snapshot
+    *    readers were already being served ([[readOrInit]] preferred these
+    *    same `.bak` copies). The retried merge then applies its updates
+    *    to pristine committed data.
+    *  - **Orphan restore** (no `_epoch`, or epoch ≠ manifest): backups are
+    *    either stale leftovers from a committed batch (post-commit,
+    *    pre-cleanup crash) or pre-manifest-era. Only a backup whose store
+    *    partition is MISSING (the window between [[swapDir]]'s two
+    *    renames) is restored — a backup is never deleted while it is the
+    *    only copy.
+    */
   private def restoreBackups(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val bakRoot = new HPath(path + ".bak")
     if (fs.exists(bakRoot)) {
-      fs.listStatus(bakRoot).foreach { s =>
-        val dst = new HPath(path, s.getPath.getName)
-        if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
+      val inFlight = (bakEpoch(fs, path), latestManifest(fs, path)) match {
+        case (Some(be), Some(m)) => be == m.epoch
+        case _ => false
       }
+      fs.listStatus(bakRoot)
+        .filterNot(_.getPath.getName.startsWith("_")).foreach { s =>
+          val dst = new HPath(path, s.getPath.getName)
+          if (inFlight) {
+            if (fs.exists(dst)) fs.delete(dst, true)
+            renameOrFail(fs, s.getPath, dst)
+          } else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
+        }
       fs.delete(bakRoot, true)
     }
   }

@@ -262,6 +262,100 @@ class PipelineSpec extends SparkSpec {
       "2024-06-03" -> 6L))
   }
 
+  test("reader concurrent with a crashed multi-date swap sees the committed snapshot") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/isostore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(stamp: String, rows: (String, Long, Double)*) =
+      rows.toSeq.toDF("order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(stamp))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+
+    // batch 1 commits two dates
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t1", ("2024-06-01", 1L, 10.0), ("2024-06-02", 2L, 20.0)),
+      Seq("order_date"), fields)
+
+    // hand-craft batch 2 crashed MID-SWAP, exactly as upsertStore would
+    // leave it: bak stamped with the current epoch, date 01 already
+    // swapped (new data in store, old copy in .bak), date 03 (a NEW date)
+    // swapped in with no backup, date 02 not yet swapped, NO new manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val epoch1 = Pipeline.latestManifest(fs, path).get.epoch
+    Pipeline.writeBakEpoch(fs, path, epoch1)
+    val p01 = d.resolve("isostore/order_date=2024-06-01")
+    Files.move(p01, d.resolve("isostore.bak/order_date=2024-06-01"))
+    updates("t2-crashed", ("2024-06-01", 9L, 90.0))
+      .drop("order_date").write.parquet(p01.toString)
+    updates("t2-crashed", ("2024-06-03", 7L, 70.0))
+      .drop("order_date").write
+      .parquet(d.resolve("isostore/order_date=2024-06-03").toString)
+
+    // a reader resolving the store NOW must see batch 1 in full: date 01
+    // from the .bak copy, date 02 from the store, date 03 invisible
+    val seen = Pipeline.readOrInit(spark, path, schema).collect()
+      .map(r => r.getAs[String]("order_date") ->
+        (r.getAs[Long]("total_orders"), r.getAs[String]("last_updated")))
+      .toMap
+    assert(seen === Map("2024-06-01" -> (1L, "t1"),
+      "2024-06-02" -> (2L, "t1")),
+      "mid-swap reader must see the committed batch, not a torn mix")
+
+    // retrying the batch rolls back the half-swap, re-merges, and commits
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t2", ("2024-06-01", 9L, 90.0), ("2024-06-03", 7L, 70.0)),
+      Seq("order_date"), fields)
+    val after = Pipeline.readOrInit(spark, path, schema).collect()
+      .map(r => r.getAs[String]("order_date") ->
+        (r.getAs[Long]("total_orders"), r.getAs[String]("last_updated")))
+      .toMap
+    assert(after === Map("2024-06-01" -> (9L, "t2"),
+      "2024-06-02" -> (2L, "t1"), "2024-06-03" -> (7L, "t2")))
+    assert(!Files.exists(d.resolve("isostore.bak")),
+      "backup root cleared after the commit")
+  }
+
+  test("stale .bak from an already-committed batch is ignored by readers") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/stalestore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(stamp: String, n: Long) =
+      Seq(("2024-06-01", n)).toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(stamp))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "last_updated")
+    Pipeline.upsertStore(spark, path, schema, updates("t1", 1L),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, path, schema, updates("t2", 2L),
+      Seq("order_date"), fields)
+
+    // recreate the post-commit, pre-cleanup crash window: manifest is at
+    // epoch 2, but a .bak stamped with epoch 1 (the snapshot the swap ran
+    // against) still lingers with the OLD partition copy
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    Pipeline.writeBakEpoch(fs, path, 1L)
+    updates("t1", 1L).drop("order_date").write
+      .parquet(d.resolve("stalestore.bak/order_date=2024-06-01").toString)
+
+    val seen = Pipeline.readOrInit(spark, path, schema).collect()
+      .map(r => r.getAs[String]("last_updated")).toSeq
+    assert(seen === Seq("t2"),
+      "a stale backup must not shadow committed data")
+  }
+
   test("store schema evolution: new column reads as null from old partitions") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
