@@ -250,6 +250,13 @@ object SparkEntry {
     "n4_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E12d: IVF with a TRAINED (deterministic k-means) quantizer — the
+    // production ANN build shape; same probe/join structure as n4 with
+    // data-adaptive cells. Oracle mirrors the fixed Lloyd iterations as
+    // unrolled CTE stages with order-pinned sequential-fold means.
+    "n5_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
     // a reporting layer runs over the store.
@@ -608,6 +615,7 @@ object SparkEntry {
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
+    "n5_ann_ivf_trained" -> Similarity.ivfTrainedTopKSql(5, 5),
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,

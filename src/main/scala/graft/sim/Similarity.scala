@@ -256,7 +256,8 @@ object Similarity {
     * ~(nprobe/k) of brute force — same join shape as [[lshTopK]] with a
     * data-adaptive partition instead of hyperplane signs.
     */
-  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
     val spark = emb.sparkSession
     // seeds collected once, shipped as literals (tiny: NumCells vectors)
     val seeds = emb.filter(col("vec_id") < NumCells)
@@ -288,7 +289,7 @@ object Similarity {
         norm2(col("embedding")).as("qn"),
         sortedCells(col("embedding")).as("sc"))
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(transform(slice(col("sc"), 1, NumProbes),
+        explode(transform(slice(col("sc"), 1, nprobe),
           s => s.getField("cell_id"))).as("probe"))
     val joined = q.join(assigned.as("c"),
         col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
@@ -314,6 +315,188 @@ object Similarity {
     dists AS (
       SELECT e.vec_id, s.cell_id, $d2 AS d2
       FROM embeddings e CROSS JOIN seeds s),
+    ranked_cells AS (
+      SELECT vec_id, cell_id, d2,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, cell_id ASC) AS cell_rank
+      FROM dists),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+        ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+    q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv,
+        ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id
+        AND rc.cell_rank <= $NumProbes
+      WHERE e.vec_id < $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
+      FROM q JOIN assigned c ON c.cell = probe AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $k"""
+  }
+
+  // ---- N5: TRAINED IVF (deterministic k-means quantizer) ------------------
+
+  val TrainSample = 256
+  val TrainIters = 3
+
+  /** Deterministic Lloyd's k-means over the bounded training sample
+    * (`vec_id < TrainSample`, vec_id order): seeds = the first [[NumCells]]
+    * sample vectors, then [[TrainIters]] FIXED assignment/mean iterations.
+    * Every float op is a sequential left fold in double (assignment dot,
+    * per-dim mean) and every tie breaks to the lower cell id, so the
+    * centroids are bitwise-reproducible and mirrored verbatim by the
+    * unrolled-iteration SQL in [[ivfTrainedTopKSql]]. An empty cell keeps
+    * its previous centroid (mirrored by the oracle's left-join coalesce).
+    *
+    * Scale: training state is NumCells × dim doubles from a CONSTANT-size
+    * sample — the driver-side collect is bounded metadata, same rationale
+    * as the seeded variant's seed collect. A production build would sample
+    * by hash cutoff ([[graft.SparkEntry]] t5 shape) instead of id prefix;
+    * id prefix is used here because the oracle must name the same rows. */
+  def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
+    val sample = emb.filter(col("vec_id") < TrainSample)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= NumCells,
+      s"k-means needs >= $NumCells training vectors, got ${sample.length}")
+    var cents = sample.take(NumCells).map(_.map(_.toDouble))
+    for (_ <- 1 to TrainIters) {
+      val s2 = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      // argmin_c of -2<v,c> + |c|^2 (|v|^2 constant per row), ties low
+      val assign = sample.map { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i).toDouble * cents(j)(i); i += 1 }
+          val d2 = -2.0 * d + s2(j)
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        best
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        val members = sample.indices.filter(assign(_) == c)
+        if (members.isEmpty) cents(c)
+        else Array.tabulate(cents(c).length) { i =>
+          members.foldLeft(0.0)((a, m) => a + sample(m)(i).toDouble) /
+            members.length
+        }
+      }
+    }
+    cents
+  }
+
+  /** N5: IVF top-k with a TRAINED coarse quantizer — identical probe/join
+    * structure to [[ivfTopK]] (assign narrow pass → cell equi-join →
+    * aggregator rank), with k-means centroids from [[trainCentroids]] in
+    * place of the raw seed vectors. Trained cells track the data's density
+    * (balanced cells, tighter cell radii), which is what lifts recall at a
+    * fixed probe count — the production ANN build shape. */
+  def ivfTrainedTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.fdvecDot
+    val cents = trainCentroids(emb)
+    val s2 = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    def sortedCells(v: Column): Column =
+      array_sort(array(cents.indices.map { id =>
+        struct((lit(-2.0) * fdvecDot(v, typedlit(cents(id).toSeq)) +
+          lit(s2(id))).as("d2"), lit(id).as("cell_id"))
+      }: _*))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"),
+        sortedCells(col("embedding")).as("sc"))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        element_at(col("sc"), 1).getField("cell_id").as("cell"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qn"),
+        sortedCells(col("embedding")).as("sc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(transform(slice(col("sc"), 1, nprobe),
+          s => s.getField("cell_id"))).as("probe"))
+    val joined = q.join(assigned.as("c"),
+        col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("c.embedding")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    rankTopKAgg(joined, k)
+  }
+
+  /** Oracle for [[ivfTrainedTopK]]: the SAME deterministic Lloyd run,
+    * unrolled as [[TrainIters]] CTE stages. Per-dim means are explicit
+    * sequential folds over `list(... ORDER BY vec_id)` (NOT `avg`, whose
+    * summation order is engine-internal) so every centroid double is
+    * bitwise-equal to the Scala fold. */
+  def ivfTrainedTopKSql(numQueries: Int, k: Int): String = {
+    def foldDot(v: String, c: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(range(1, len($v) + 1),
+         |    i -> $v[i]::DOUBLE * $c[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val iters = (0 until TrainIters).map { t =>
+      s"""
+      s2_$t AS (
+        SELECT cell_id, list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])),
+          (acc, x) -> acc + x) AS s2
+        FROM cent_$t),
+      dist_$t AS (
+        SELECT s.vec_id, c.cell_id,
+          -2.0 * ${foldDot("s.embedding", "c.cv")} + z.s2 AS d2
+        FROM sample s CROSS JOIN cent_$t c
+        JOIN s2_$t z ON z.cell_id = c.cell_id),
+      assign_$t AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+          FROM dist_$t) WHERE rn = 1),
+      mean_$t AS (
+        SELECT a.cell_id,
+          list(s.embedding ORDER BY s.vec_id) AS vecs, count(*) AS n
+        FROM assign_$t a JOIN sample s ON s.vec_id = a.vec_id
+        GROUP BY a.cell_id),
+      cent_${t + 1} AS (
+        SELECT c.cell_id,
+          coalesce(list_transform(range(1, len(m.vecs[1]) + 1),
+            i -> list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(m.vecs, v -> v[i]::DOUBLE)),
+              (acc, x) -> acc + x) / m.n), c.cv) AS cv
+        FROM cent_$t c LEFT JOIN mean_$t m ON m.cell_id = c.cell_id)"""
+    }.mkString(",")
+    val cT = s"cent_$TrainIters"
+    s"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < $TrainSample),
+    cent_0 AS (
+      SELECT vec_id AS cell_id,
+        list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE) AS cv
+      FROM sample WHERE vec_id < $NumCells),$iters,
+    s2_T AS (
+      SELECT cell_id, list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])),
+        (acc, x) -> acc + x) AS s2
+      FROM $cT),
+    dists AS (
+      SELECT e.vec_id, c.cell_id,
+        -2.0 * ${foldDot("e.embedding", "c.cv")} + z.s2 AS d2
+      FROM embeddings e CROSS JOIN $cT c
+      JOIN s2_T z ON z.cell_id = c.cell_id),
     ranked_cells AS (
       SELECT vec_id, cell_id, d2,
         row_number() OVER (PARTITION BY vec_id

@@ -70,11 +70,65 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Float-vector × double-vector dot product — same strict sequential
+  * left-to-right double accumulation as [[FloatVectorDot]], for the case
+  * where one side is a DOUBLE array (e.g. trained k-means centroids,
+  * which must stay double on both engines for bitwise oracle parity —
+  * rounding them to float only on the Spark side would diverge from the
+  * DuckDB mirror's double centroids). */
+case class FloatDoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "fdvec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd float-vector dot product column. */
   def fvecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd float-vector × double-vector dot product column. */
+  def fdvecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatDoubleDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -33,8 +33,66 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.85, s"IVF recall collapsed: $ivfRecall")
     assert(ivfRecall > lshRecall,
       "IVF is the stronger global-ANN path on unstructured data")
+    // Trained (k-means) quantizer on THIS corpus: the embeddings are
+    // clusterless uniform noise, so Lloyd means collapse toward the
+    // global mean and lose a little discrimination vs raw data-point
+    // seeds (measured 0.88 vs 0.94; MORE iterations make it worse) — a
+    // property of the data, not the build. The floor pins the trained
+    // path hasn't regressed; the density-skewed fixture test below shows
+    // the setting where training actually wins.
+    val trained = pairs(Similarity.ivfTrainedTopK(emb, 10, 5))
+    val trainedRecall = (exact & trained).size.toDouble / exact.size
+    info(s"recall: lsh=$lshRecall ivf=$ivfRecall trained=$trainedRecall")
+    assert(trainedRecall >= 0.8,
+      s"trained IVF recall collapsed: $trainedRecall")
     // the aggregator form is NOT approximate — identical to exact
     assert(pairs(Similarity.topKAggregated(emb, 10, 5)) === exact)
+  }
+
+  test("trained IVF beats seeded cells on a density-skewed corpus") {
+    // The fixture that motivates TRAINING the quantizer: a dense blob
+    // holding the first 16 vectors (the raw seeds) plus 8 loose sparse
+    // clusters elsewhere. Seeded cells all sit inside the blob, so the
+    // sparse regions are partitioned by far-away centroids and a sparse
+    // query's single probe misses straddling neighbors; Lloyd iterations
+    // pull centroids out to the sparse mass and give those regions their
+    // own cells. Deterministic: built by a fixed affine mix of the real
+    // embeddings, queries are the sparse ids 16..29, nprobe = 1.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val anchors = rows.take(9).map(_._2) // 0 = blob, 1..8 = sparse
+    def mix(a: Array[Float], w: Double, v: Array[Float]): Array[Float] =
+      Array.tabulate(v.length)(i =>
+        (w * a(i) + (1.0 - w) * v(i)).toFloat)
+    val skewed = rows.map { case (id, v) =>
+      val m =
+        if (id < 16 || id >= 100) mix(anchors(0), 0.9, v) // dense blob
+        else mix(anchors(1 + (id % 8).toInt), 0.5, v) // loose sparse
+      Row(id, m.toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(skewed.toSeq, 4), schema)
+
+    def sparseRecall(df: DataFrame): Double = {
+      val got = pairs(df).filter(_._1 >= 16)
+      val truth = pairs(Similarity.bruteForceTopK(corpus, 30, 5))
+        .filter(_._1 >= 16)
+      (got & truth).size.toDouble / truth.size
+    }
+    val seeded = sparseRecall(Similarity.ivfTopK(corpus, 30, 5, nprobe = 1))
+    val trained =
+      sparseRecall(Similarity.ivfTrainedTopK(corpus, 30, 5, nprobe = 1))
+    info(s"density-skewed recall: seeded=$seeded trained=$trained")
+    assert(trained >= seeded,
+      s"training must not lose to raw seeds on skewed density " +
+        s"($trained < $seeded)")
+    assert(trained >= 0.9, s"trained recall on its home turf: $trained")
   }
 
   test("twin top-1 recall is 1.0 for both scale paths") {
