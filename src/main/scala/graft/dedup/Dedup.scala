@@ -283,17 +283,32 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** D9 query: cluster the MinHash-LSH near-dup pair graph and summarize
-    * each duplicate cluster (its canonical = min doc_id, member count). */
-  def dupClusters(docs: DataFrame): DataFrame =
-    connectedComponents(minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+  /** D9 query: cluster the MinHash-LSH near-dup pair graph, summarize
+    * each duplicate cluster, and join back the CANONICAL (keeper) doc's
+    * text — the output a dedup pipeline consumes directly: keep
+    * `cluster_id` (= keeper doc id) with `keeper_text`, drop the other
+    * `n_dupes` members. The keeper join's key is the cluster label (a
+    * doc_id), a plain equi-join against the corpus — no extra clustering
+    * pass. */
+  def dupClusters(docs: DataFrame): DataFrame = {
+    val summary = connectedComponents(
+        minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+    summary.join(
+        docs.select(col("doc_id").as("keeper_doc_id"),
+          col("text").as("keeper_text")),
+        col("cluster_id") === col("keeper_doc_id"))
+      .select(col("cluster_id"), col("n_docs"), col("max_doc_id"),
+        (col("n_docs") - 1).cast("long").as("n_dupes"), col("keeper_text"))
+  }
 
   /** D9 oracle: transitive min-reachability as a recursive CTE over the
-    * same LSH pair edges (tiny closure — near-dup clusters are shallow). */
+    * same LSH pair edges (tiny closure — near-dup clusters are shallow),
+    * plus the keeper-text join on the cluster label. */
   def dupClustersSql(corpus: String): String = s"""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE korpus AS ($corpus),
+    edges AS (
       SELECT doc_a, doc_b FROM (${minhashLshPairsSql(corpus)})),
     und AS (
       SELECT doc_a AS x, doc_b AS y FROM edges
@@ -302,9 +317,13 @@ object Dedup {
       SELECT x AS node, x AS r FROM und
       UNION
       SELECT reach.node, u.y AS r FROM reach JOIN und u ON u.x = reach.r),
-    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-    SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc_id
-    FROM labels GROUP BY 1"""
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    summary AS (
+      SELECT cluster_id, count(*) AS n_docs, max(node) AS max_doc_id
+      FROM labels GROUP BY 1)
+    SELECT s.cluster_id, s.n_docs, s.max_doc_id,
+      s.n_docs - 1 AS n_dupes, k.text AS keeper_text
+    FROM summary s JOIN korpus k ON k.doc_id = s.cluster_id"""
 
   // ---- D3: MinHash + LSH banding ------------------------------------------
 

@@ -44,6 +44,50 @@ object BatchRunner {
       productsPath = routed.collectFirst { case ("products", f) => f })
   }
 
+  /** A registered file arrival: path + arrival time + arrival date (the
+    * reference's DynamoDB file-metadata row, s3_validation.py:82-94). */
+  final case class Arrival(path: String, arrivalTs: Long, arrivalDate: String)
+
+  /** T5 `latest_products` routing (reference `lambda/s3_validation.py:74-79`):
+    * the debounce group key for an arrival. Products files route to the
+    * FIXED `latest_products` group — they never debounce with (or anchor)
+    * a date batch; everything else groups by arrival date. */
+  def groupKey(path: String, arrivalDate: String): String =
+    parseFilename(path) match {
+      case Some(("products", _)) => "latest_products"
+      case _ => arrivalDate
+    }
+
+  /** Assemble batch chunks from keyed arrivals, reference-faithfully:
+    * orders/items arrivals debounce per DATE group under the anchored
+    * window ([[graft.streaming.Debounce.assign]] — first arrival anchors,
+    * window from the anchor); products arrivals sit in the fixed
+    * `latest_products` group, and every assembled chunk picks up the
+    * LATEST products file registered so far — a products file joins the
+    * current batch regardless of which date (or debounce window) it
+    * arrived in, and a chunk with no products arrival at all still gets
+    * the standing latest one. */
+  def assembleChunks(arrivals: Seq[Arrival], windowSec: Long)
+      : Seq[BatchChunk] = {
+    val (products, dated) = arrivals.partition(a =>
+      groupKey(a.path, a.arrivalDate) == "latest_products")
+    val latestProducts = products
+      .sortBy(a => (a.arrivalTs, a.path)).lastOption.map(_.path)
+    dated.groupBy(_.arrivalDate).toSeq.sortBy(_._1).flatMap {
+      case (date, as) =>
+        val sorted = as.sortBy(a => (a.arrivalTs, a.path))
+        val assigned =
+          graft.streaming.Debounce.assign(sorted.map(_.arrivalTs), windowSec)
+        sorted.zip(assigned).groupBy(_._2.batchStart).toSeq.sortBy(_._1)
+          .map { case (start, group) =>
+            val chunk = toChunk(s"$date-$start", start, group.map(_._1.path))
+            if (chunk.productsPath.isEmpty)
+              chunk.copy(productsPath = latestProducts)
+            else chunk
+          }
+    }
+  }
+
   /** One controller tick (T4): if nothing is processing, pick the FIFO-
     * earliest pending chunk and run it through validate → transform with
     * the Step Function's retry policy (T7). Returns the chunk it ran. */

@@ -144,6 +144,55 @@ class BatchRunnerSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("latest_products fixed group: a products file joins the current batch regardless of arrival date") {
+    import graft.runner.BatchRunner.Arrival
+    val win = 300L
+
+    // products arrived THREE DAYS before the order files, far outside any
+    // debounce window — the reference routes it to the fixed
+    // `latest_products` group, so it must still ride along
+    assert(BatchRunner.groupKey("s3://in/products.csv", "2024-06-04")
+      === "latest_products")
+    assert(BatchRunner.groupKey("s3://in/orders_part1.csv", "2024-06-04")
+      === "2024-06-04")
+
+    val arrivals = Seq(
+      Arrival("in/products.csv", 1000L, "2024-06-01"),
+      Arrival("in/orders_part1.csv", 260000L, "2024-06-04"),
+      Arrival("in/order_items_part1.csv", 260100L, "2024-06-04"))
+    val chunks = BatchRunner.assembleChunks(arrivals, win)
+    assert(chunks.size === 1)
+    assert(chunks.head.ordersPaths === Seq("in/orders_part1.csv"))
+    assert(chunks.head.productsPath === Some("in/products.csv"),
+      "products must attach from the fixed group, not its own date batch")
+
+    // products must NOT anchor or split a date batch: the same arrivals
+    // with products arriving BETWEEN the two date files still yield one
+    // chunk anchored at the first ORDER file's timestamp
+    val interleaved = Seq(
+      Arrival("in/orders_part1.csv", 260000L, "2024-06-04"),
+      Arrival("in/products.csv", 260050L, "2024-06-04"),
+      Arrival("in/order_items_part1.csv", 260100L, "2024-06-04"))
+    val c2 = BatchRunner.assembleChunks(interleaved, win)
+    assert(c2.size === 1 && c2.head.createdAt === 260000L)
+
+    // two products files: the LATEST wins (the group key is a single
+    // fixed slot, last writer visible — reference `latest_products`)
+    val twoProducts = arrivals :+ Arrival("in2/products.csv", 2000L, "2024-06-02")
+    val c3 = BatchRunner.assembleChunks(twoProducts, win)
+    assert(c3.head.productsPath === Some("in2/products.csv"))
+
+    // date files outside the window split into separate chunks, each
+    // getting the standing products file
+    val twoBatches = Seq(
+      Arrival("in/products.csv", 1000L, "2024-06-01"),
+      Arrival("in/orders_part1.csv", 260000L, "2024-06-04"),
+      Arrival("in/orders_part2.csv", 260000L + win + 1, "2024-06-04"))
+    val c4 = BatchRunner.assembleChunks(twoBatches, win)
+    assert(c4.size === 2)
+    assert(c4.forall(_.productsPath === Some("in/products.csv")))
+  }
+
   test("single-flight: no pick while a chunk is processing") {
     val busy = BatchChunk("x", 1L, Nil, Nil, None,
       status = graft.runner.Runner.Processing)
