@@ -33,7 +33,16 @@ object Pipeline {
   def validateJob(spark: SparkSession,
       ordersPaths: Seq[String], itemsPaths: Seq[String],
       productsPath: Option[String], outBase: String,
-      resultPath: String, anyFirstRowDate: Boolean = false): ValidateResult = {
+      resultPath: String, anyFirstRowDate: Boolean = false,
+      allStringsCompat: Boolean = false): ValidateResult = {
+
+    // §1.2 compat: the reference reads headered, schema-less CSV — every
+    // column a string. The validation gates (try_cast null/NaN parity, RI
+    // anti-joins on string keys, substring date extraction) are written to
+    // behave identically on the stringly-typed frames, so the same error
+    // taxonomy comes out of either mode (PipelineSpec pins this verbatim).
+    def schemaFor(s: StructType): StructType =
+      if (allStringsCompat) Schemas.allStrings(s) else s
 
     def emit(r: ValidateResult): ValidateResult = {
       Sources.writeResultJson(resultPath,
@@ -46,12 +55,13 @@ object Pipeline {
 
     try {
       val orders = Sources.readAndUnion(spark,
-        ordersPaths.map(Sources.normalizeScheme), Some(Schemas.orders))
+        ordersPaths.map(Sources.normalizeScheme), Some(schemaFor(Schemas.orders)))
       val items = Sources.readAndUnion(spark,
-        itemsPaths.map(Sources.normalizeScheme), Some(Schemas.orderItems))
+        itemsPaths.map(Sources.normalizeScheme),
+        Some(schemaFor(Schemas.orderItems)))
       val products = productsPath.map(p =>
         Sources.readParquetOrCsv(spark, Sources.normalizeScheme(p),
-          Some(Schemas.products)))
+          Some(schemaFor(Schemas.products))))
 
       (orders, items) match {
         case (Some(o), Some(i)) =>

@@ -187,6 +187,69 @@ class PipelineSpec extends SparkSpec {
       "deterministic min-date mode must remain the default")
   }
 
+  test("compat mode: all-strings CSV end-to-end yields the same taxonomy and dates") {
+    // The reference reads headered, schema-less CSV (everything a string).
+    // Run the SAME multi-part CSV fixtures through the allStringsCompat
+    // arm and assert: identical error taxonomy verbatim, identical
+    // processing date, and validated output that is genuinely all-string.
+    val d = dir()
+    val (op, ip, p) = cleanFixtures(d)
+
+    // clean run: success, same processing date as typed mode
+    val ok = Pipeline.validateJob(spark, op, ip, Some(p),
+      s"$d/validated_c", s"$d/result_c.json", allStringsCompat = true)
+    assert(ok.status === "success")
+    assert(ok.processingDate === Some("2024-06-01"))
+    val written = spark.read.parquet(s"$d/validated_c/orders")
+    assert(written.schema.fields.filterNot(_.name == "dt")
+      .forall(_.dataType == org.apache.spark.sql.types.StringType),
+      "compat-validated orders must be stringly typed")
+    assert(written.count() === 3)
+
+    // null gate: a missing id must fail with the verbatim taxonomy even
+    // when the column is a string (try_cast parity, not isnan-on-double)
+    val bad = write(d, "order_items_badc.csv", itemsHeader,
+      "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0",
+      ",1,10,7,complete,2024-06-01 10:00:00,,,,30.0")
+    val nullRes = Pipeline.validateJob(spark, op, Seq(bad), Some(p),
+      s"$d/validated_c2", s"$d/result_c2.json", allStringsCompat = true)
+    assert(nullRes.status === "failed")
+    assert(nullRes.errorType === Some("NULL_VALIDATION_ERROR"))
+
+    // RI gate on STRING keys
+    val dangling = write(d, "order_items_dangc.csv", itemsHeader,
+      "101,999,10,7,complete,2024-06-01 10:00:00,,,,25.0")
+    val riRes = Pipeline.validateJob(spark, op, Seq(dangling), Some(p),
+      s"$d/validated_c3", s"$d/result_c3.json", allStringsCompat = true)
+    assert(riRes.status === "failed")
+    assert(riRes.errorType === Some("REFERENTIAL_ERROR"))
+
+    // Parity quirk, pinned BOTH ways (reference validation.py:89 on an
+    // all-string frame): `isnull(c) | isnan(c)` inserts an implicit
+    // string->double cast; a malformed numeric like 'not_a_number' casts
+    // to NULL, isnan(NULL) is NULL, and `false || NULL` filters the row
+    // OUT — the reference does NOT flag it, and neither do we (try_cast
+    // reproduces the lenient cast exactly). A literal 'NaN' string DOES
+    // cast to NaN and must gate.
+    val malformed = write(d, "products_badc.csv", productsHeader,
+      "7,SKU7,not_a_number,toys,Car,BrandA,25.0,kids",
+      "8,SKU8,30.0,books,Atlas,BrandB,75.0,media")
+    val malRes = Pipeline.validateJob(spark, op, ip, Some(malformed),
+      s"$d/validated_c4", s"$d/result_c4.json", allStringsCompat = true)
+    assert(malRes.status === "success",
+      "reference semantics: malformed numerics slip the null gate " +
+        s"(false || NULL drops the row) — got $malRes")
+
+    val nanProd = write(d, "products_nanc.csv", productsHeader,
+      "7,SKU7,NaN,toys,Car,BrandA,25.0,kids",
+      "8,SKU8,30.0,books,Atlas,BrandB,75.0,media")
+    val nanRes = Pipeline.validateJob(spark, op, ip, Some(nanProd),
+      s"$d/validated_c5", s"$d/result_c5.json", allStringsCompat = true)
+    assert(nanRes.status === "failed")
+    assert(nanRes.errorType === Some("NULL_VALIDATION_ERROR"),
+      s"a literal NaN string must null-gate in compat mode, got $nanRes")
+  }
+
   test("upsertStore restores orphaned .bak partitions before merging") {
     val d = dir()
     val (op, ip, p) = cleanFixtures(d)
