@@ -57,6 +57,39 @@ class PlanSpec extends SparkSpec {
       "n1 is the documented Window-ranked baseline")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100-TB join-pruning technique Catalyst applies on its own when
+    // allowed: a selective filter on the dim side is converted into a
+    // bloom-filter runtime filter on the fact side's join key, so the
+    // fact scan drops non-joining rows BEFORE the shuffle. Thresholds are
+    // production-sized (10 GB application side), so the test lowers them
+    // to fire at test scale; the assertion pins that the mechanism stays
+    // available to our join shapes (broadcast disabled to force the
+    // shuffle join that benefits).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val items = Sources.table(spark, sf0001, "lineitem")
+      val parts = Sources.table(spark, sf0001, "part")
+        .filter(col("p_brand") === "Brand#1") // selective dim filter
+      val joined = items.join(parts,
+        items("l_partkey") === parts("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("might_contain"),
+        s"runtime bloom filter missing from plan:\n${optimized.take(1500)}")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("mediaSummary branches share one persisted corpus scan") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("mm1_media_summary")(spark, sf0001)
