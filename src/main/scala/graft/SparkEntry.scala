@@ -205,6 +205,20 @@ object SparkEntry {
             .as("bucket"))
         .filter(col("bucket") < "40")),
 
+    // E45 (T6): corpus vocabulary top-k by document frequency — the
+    // vocab/stopword-building pass: narrow explode, token-keyed partial
+    // aggregate, bounded TakeOrderedAndProject ranking.
+    "t6_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(Sources.table(s, d, "documents"))),
+
+    // E46 (C1): benchmark decontamination — per-source contamination
+    // rate vs an eval-set fingerprint list (broadcast semi join on the
+    // content fingerprint; one corpus scan).
+    "c1_decontamination" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents")
+      TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
+    }),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -591,6 +605,8 @@ object SparkEntry {
     "t2_lang_id" -> TextAnalysis.langIdSql,
     "t3_quality_score" -> TextAnalysis.qualityScoreSql,
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "t6_top_tokens" -> TextAnalysis.topTokensSql(),
+    "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d8_incremental_dedup" -> Dedup.incrementalDedupSql,
 

@@ -84,6 +84,74 @@ object TextAnalysis {
       md5(norm(col("text")).cast("binary")).as("fp_md5"),
       charHash(norm(col("text"))).as("fp_roll"))
 
+  /** T6 (E45): corpus vocabulary top-k — token document frequency and
+    * total occurrences, top `k` by DF with a deterministic token
+    * tie-break. The vocab/stopword-building pass of a data pipeline:
+    * explode is narrow, the aggregate partial-combines map-side on the
+    * token key (one shuffle whose width is the VOCABULARY, not the
+    * corpus), and the final ranking is a bounded TakeOrderedAndProject —
+    * no full sort at any scale. */
+  def topTokens(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(array_distinct(toksCol)).as("token"),
+        col("doc_id"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("token").asc)
+      .limit(k)
+
+  def topTokensSql(k: Int = 50): String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(${tokensSql(normSql("text"))}))
+        AS token
+      FROM documents)
+    SELECT token, count(*) AS n_docs
+    FROM tok GROUP BY 1
+    ORDER BY n_docs DESC, token ASC LIMIT $k"""
+
+  /** C1 (E46): benchmark decontamination — per-source contamination rate
+    * against an eval-set fingerprint list. The join is a broadcast LEFT
+    * SEMI on the content fingerprint (the eval set is small by nature),
+    * then one per-source aggregate; at 100 TB the corpus is scanned once
+    * and never shuffled on anything wider than the source key. The eval
+    * set here is derived deterministically (doc_id % 97 == 0) so the
+    * oracle can name the same rows; production passes its own
+    * fingerprint table. */
+  def contaminationBySource(docs: DataFrame,
+      evalFps: DataFrame): DataFrame = {
+    val fp = md5(norm(col("text")).cast("binary")).as("fp")
+    val flagged = docs.select(col("doc_id"), col("source"), fp)
+      .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_docs")).as("contamination_rate"))
+  }
+
+  /** The deterministic eval-set fingerprints used by the c1 driver query. */
+  def evalSetFps(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(md5(norm(col("text")).cast("binary")).as("fp"))
+
+  def contaminationBySourceSql: String = s"""
+    WITH fps AS (
+      SELECT doc_id, source, md5(${normSql("text")}) AS fp FROM documents),
+    eval AS (
+      SELECT DISTINCT md5(${normSql("text")}) AS fp FROM documents
+      WHERE doc_id % 97 = 0),
+    flagged AS (
+      SELECT source, count(*) AS n_contaminated
+      FROM fps WHERE EXISTS (SELECT 1 FROM eval WHERE eval.fp = fps.fp)
+      GROUP BY 1),
+    totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT t.source, t.n_docs,
+      coalesce(f.n_contaminated, 0) AS n_contaminated,
+      coalesce(f.n_contaminated, 0)::DOUBLE / t.n_docs
+        AS contamination_rate
+    FROM totals t LEFT JOIN flagged f ON f.source = t.source"""
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")
