@@ -219,6 +219,18 @@ object SparkEntry {
       TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
     }),
 
+    // E47 (MIX1): source-weighted deterministic sampling audit — the
+    // data-mixing op: per-source hash-cutoff rates, rerun-stable, no
+    // rand(), reported as the kept-vs-target audit a mixing run emits.
+    "mix1_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSampleAudit(Sources.table(s, d, "documents"))),
+
+    // E48 (PK1): sequence packing — fixed-token-budget training-sequence
+    // assignment, sharded by content hash so shards pack independently
+    // (the global greedy pack would serialize through one task).
+    "pk1_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -607,6 +619,8 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
+    "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
+    "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d8_incremental_dedup" -> Dedup.incrementalDedupSql,
 

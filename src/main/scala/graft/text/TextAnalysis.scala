@@ -152,6 +152,96 @@ object TextAnalysis {
         AS contamination_rate
     FROM totals t LEFT JOIN flagged f ON f.source = t.source"""
 
+  /** MIX1 (E47): source-weighted deterministic sampling — the data-MIXING
+    * op of a training pipeline: each source gets a target rate and docs
+    * are kept when their content-stable hash bucket falls under the
+    * source's cutoff. Same hash-cutoff machinery as t5 (rerun/retry
+    * stable, no global count, no rand()), extended with a per-source
+    * rate. Rates here derive from the source suffix (n%4 → 25/50/75/100%)
+    * so the oracle can reproduce them; production passes a weights table.
+    * Output is the per-source audit row (kept vs total vs target) — what
+    * a mixing run reports. */
+  def weightedSampleAudit(docs: DataFrame): DataFrame = {
+    val srcN = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    // cutoffs on the first 2 hex chars of md5(doc_id): 0x40/0x80/0xc0 ≈
+    // 25/50/75%; "zz" compares above every hex pair = keep all
+    val cut = element_at(
+      array(lit("40"), lit("80"), lit("c0"), lit("zz")),
+      pmod(srcN, lit(4)) + 1)
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val kept = docs
+      .select(col("source"), bucket.as("bucket"), cut.as("cut"))
+      .filter(col("bucket") < col("cut"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_rate",
+        (pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"),
+          lit(4)) + 1).cast("double") / 4.0)
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("target_rate"))
+  }
+
+  def weightedSampleAuditSql: String = s"""
+    WITH base AS (
+      SELECT source,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1 AS q
+      FROM documents),
+    kept AS (
+      SELECT source, count(*) AS n_kept FROM base
+      WHERE bucket < (CASE q WHEN 1 THEN '40' WHEN 2 THEN '80'
+                             WHEN 3 THEN 'c0' ELSE 'zz' END)
+      GROUP BY 1),
+    totals AS (
+      SELECT source, count(*) AS n_docs, q::DOUBLE / 4.0 AS target_rate
+      FROM base GROUP BY 1, q)
+    SELECT t.source, t.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+      t.target_rate
+    FROM totals t LEFT JOIN kept k ON k.source = t.source"""
+
+  val PackBudget = 1024L
+  val PackShards = 16
+
+  /** PK1 (E48): sequence packing — assign docs to fixed-token-budget
+    * training sequences. Fully distributed form: docs are sharded by a
+    * content-stable hash (so each shard packs independently — the global
+    * greedy packing is inherently sequential and would serialize 100 TB
+    * through one task), then within a shard a running token total in
+    * doc_id order buckets docs into sequences of ≈ `PackBudget` tokens.
+    * The window is per-shard: parallelism = shard count, each shard's
+    * state is one running sum. Boundary docs spill into the next
+    * sequence (no doc is split); oversized docs occupy their own. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+    val withTok = docs.select(col("doc_id"),
+      shard.as("shard"), size(toksCol).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTok
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w),
+        lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / lit(PackBudget)).as("seq_no"))
+  }
+
+  def packSequencesSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+        strpos('0123456789abcdef',
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard_raw,
+        len(${tokensSql(normSql("text"))})::BIGINT AS n_tokens
+      FROM documents)
+    SELECT doc_id, shard_raw::BIGINT AS shard, n_tokens,
+      CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard_raw
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) / $PackBudget) AS BIGINT) AS seq_no
+    FROM toks"""
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")
