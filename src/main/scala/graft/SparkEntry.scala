@@ -231,6 +231,12 @@ object SparkEntry {
     "pk1_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(Sources.table(s, d, "documents"))),
 
+    // E49 (R1): repetition removal — collapse consecutive duplicate
+    // tokens (token-array indexed-lambda form; regex backrefs don't
+    // exist in RE2 so only this form is oracle-mirrorable).
+    "r1_collapse_repeats" -> ((s, d) =>
+      TextAnalysis.collapseRepeats(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -621,6 +627,7 @@ object SparkEntry {
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
+    "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d8_incremental_dedup" -> Dedup.incrementalDedupSql,
 

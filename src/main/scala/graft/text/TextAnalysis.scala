@@ -242,6 +242,37 @@ object TextAnalysis {
         0) / $PackBudget) AS BIGINT) AS seq_no
     FROM toks"""
 
+  /** R1 (E49): repetition removal — collapse consecutive duplicate
+    * tokens (the cheap tier of C4/RefinedWeb-style repetition cleaning).
+    * Token-array formulation, NOT a regex: backreference patterns
+    * (`(\w+)( \1)+`) don't exist in RE2, so a regex form could never be
+    * oracle-mirrored; the indexed-lambda filter is expressed identically
+    * in both engines. One narrow per-row pass (interpreted HOF — fine
+    * off the join hot path; a native Expression is the upgrade if a
+    * profile ever shows it hot). */
+  def collapseRepeats(docs: DataFrame): DataFrame = {
+    val toks = toksCol
+    val kept = filter(toks, (t, i) =>
+      (i === lit(0)) || element_at(toks, i) =!= t)
+    docs.select(col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      (size(toks) - size(kept)).cast("long").as("removed_tokens"))
+  }
+
+  def collapseRepeatsSql: String = {
+    val toks = tokensSql(normSql("text"))
+    s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+    SELECT doc_id,
+      array_to_string(
+        list_filter(toks, (x, i) -> i = 1 OR toks[i - 1] <> x), ' ')
+        AS clean_text,
+      (len(toks) - len(
+        list_filter(toks, (x, i) -> i = 1 OR toks[i - 1] <> x)))::BIGINT
+        AS removed_tokens
+    FROM t"""
+  }
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")
