@@ -82,6 +82,14 @@ object SparkEntry {
     "a6_null_check" -> ((s, d) => Validation.nullCheck(oi(s, d),
       Seq("id", "order_id", "product_id", "created_at", "sale_price"))),
 
+    // E50 (V1): fused table profile — per-column nulls / exact NDV /
+    // min / max in ONE scan (the A6 fused philosophy applied to
+    // profiling), unpivoted to one row per column.
+    "v1_table_profile" -> ((s, d) =>
+      Validation.tableProfile(
+        Sources.table(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // §2.3 J3: RI anti-join — items with no parent order (validation.py:100-108).
     "j3_ri_items_without_order" -> ((s, d) =>
       Validation.riViolations(oi(s, d), "order_id", o(s, d), "order_id")),
@@ -628,6 +636,8 @@ object SparkEntry {
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
+    "v1_table_profile" -> Validation.tableProfileSql("orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d8_incremental_dedup" -> Dedup.incrementalDedupSql,
 

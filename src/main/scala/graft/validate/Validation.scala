@@ -128,4 +128,35 @@ object Validation {
     * data). Returns missing columns, empty when valid. */
   def missingHeaders(required: Set[String], present: Seq[String]): Set[String] =
     required -- present.toSet
+
+  /** V1 (E50): fused table profile — per-column null count, exact NDV,
+    * min/max — in ONE pass over the table (the A6 fused philosophy
+    * applied to profiling: the naive per-column loop scans N times).
+    * The wide one-row aggregate is unpivoted with `stack` into one row
+    * per column; multiple exact distincts plan through Expand. Values
+    * stringify at the boundary so the row shape is column-uniform.
+    * The data-quality report a pipeline runs before trusting a new
+    * drop. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"n_$c"),
+      countDistinct(col(c)).as(s"d_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `n_$c`, `d_$c`, `mn_$c`, `mx_$c`").mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stacked) AS " +
+      "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  def tableProfileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+        count(*) FILTER ($c IS NULL) AS n_nulls,
+        count(DISTINCT $c) AS n_distinct,
+        CAST(min($c) AS VARCHAR) AS min_val,
+        CAST(max($c) AS VARCHAR) AS max_val
+      FROM $table"""
+    }.mkString("\nUNION ALL\n")
 }
