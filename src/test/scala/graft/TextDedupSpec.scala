@@ -134,6 +134,24 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.size === 9)
   }
 
+  test("connected components fails loud when a component outlives maxIters") {
+    // A 30-node path has diameter 29: min-label propagation cannot
+    // converge in 3 rounds, and the every-2nd-round convergence count
+    // must still detect that and throw rather than return half-propagated
+    // labels (which would silently report a wrong cluster count).
+    import spark.implicits._
+    val edges = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.Dedup.connectedComponents(edges, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same graph converges to one cluster
+    val labels = graft.dedup.Dedup.connectedComponents(edges, maxIters = 40)
+      .collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq === Seq(1L))
+  }
+
   test("incremental dedup drops re-crawled docs, keeps genuinely new ones") {
     val history = docs((1L, "alpha beta gamma"), (2L, "delta epsilon"))
     val incoming = docs(
