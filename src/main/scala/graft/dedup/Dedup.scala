@@ -222,65 +222,112 @@ object Dedup {
 
   // ---- D9: duplicate clustering (connected components) --------------------
 
+  /** Rows per partition inside the CC loop's shuffles — sized so a
+    * partition of (long, long) label rows is a few tens of MB. */
+  val CcRowsPerPartition = 4L * 1000 * 1000
+
   /** Connected components over an undirected edge list `(doc_a, doc_b)` by
     * iterative min-label propagation: every node starts labeled with its
     * own id; each round it takes the min of its label and its neighbors',
-    * until a fixpoint. Rounds needed = graph diameter (near-dup clusters
-    * are shallow — a handful of rounds), each round one join + one
-    * aggregate on the edge key.
+    * until a fixpoint. A "hop" is one fused `union + min-aggregate`:
+    * neighbor labels flow through the edge join and are folded together
+    * with each node's own label in a single grouped min — ONE shuffle per
+    * hop (the previous join + aggregate + left-join shape cost three).
+    * Each round runs TWO hops, so labels travel two graph edges per
+    * checkpoint and a diameter-d component converges in ⌈d/2⌉ rounds.
     *
-    * Scale notes: `localCheckpoint` after every round is load-bearing —
-    * iterative joins otherwise stack lineage (round N's plan replays
-    * rounds 1..N-1, quadratic work and an eventual stack overflow); the
-    * checkpoint truncates the plan to the materialized labels, exactly
-    * what any iterative-graph job on Spark must do (GraphX/GraphFrames do
-    * the same internally). Checkpoints are LAZY (`eager = false`) and the
-    * convergence count is the job that materializes them, so a round costs
-    * at most one blocking job — and the count only runs every 2nd round
-    * (the skipped round's checkpoint materializes inside the next count),
-    * i.e. ~0.5 blocking jobs per round. Driver round-trips, not per-row
-    * work, dominate iterative graph jobs at any scale; halving the job
-    * count halves the scheduling exposure (the round-3 bench saw 2
-    * jobs/round × 5 rounds balloon 8× under co-tenant load).
+    * Scale notes, in the order they matter on a real cluster:
+    *  - **Shuffle width is adaptive**: the loop's relations (|V| labels,
+    *    2|E| directed edges) are usually orders of magnitude smaller than
+    *    the corpus that produced the pairs. Width = rows / a few million,
+    *    clamped to the session's `spark.sql.shuffle.partitions` — at 100 TB
+    *    the clamp saturates at the configured parallelism and nothing
+    *    changes, while at bench scale (thousands of edges) every stage in
+    *    the loop is a single task instead of 32 (the round-4 driver bench
+    *    measured ~46 s of pure task-scheduling latency on those tiny
+    *    stages). AQE cannot do this for us: each round's width is fixed by
+    *    the config when the query is planned, and checkpoints cut the plan
+    *    into separate queries.
+    *  - The edge relation is repartitioned ON the join key (`y`) once and
+    *    persisted DISK_ONLY, and every hop's aggregate leaves labels
+    *    hash-partitioned on `node` with the same width — so the per-hop
+    *    join is co-partitioned and the only exchange per hop is the
+    *    grouped min.
+    *  - `localCheckpoint` after every round is load-bearing — iterative
+    *    joins otherwise stack lineage (round N's plan replays rounds
+    *    1..N-1). Checkpoints are LAZY (`eager = false`); the convergence
+    *    probe below is the single blocking job per round that materializes
+    *    them.
+    *  - **Convergence = unchanged exact label sum.** Min-propagation only
+    *    ever decreases labels, so the Σlabel (DECIMAL(38,0), overflow-free)
+    *    is strictly decreasing until the fixpoint and constant after it —
+    *    a one-scalar aggregate replaces the old `label != old` diff count
+    *    and needs no `old` column carried through the loop.
+    * Non-convergence within maxIters FAILS LOUD — silently returning
+    * half-propagated labels would report a wrong cluster count.
     *
     * @return one row per node: (doc_id, cluster_id = min doc_id reachable)
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val und = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val widthKey = "spark.sql.shuffle.partitions"
+    val sessionWidth = spark.conf.get(widthKey)
+    val und0 = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .unionByName(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    var labels = und.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // loop body below; non-convergence within maxIters FAILS LOUD after
-      // the loop — silently returning half-propagated labels would report
-      // a wrong cluster count with no signal
-      val nmin = und.join(labels, col("y") === col("node"))
-        .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
-      val next = labels.as("l")
-        .join(nmin, col("l.node") === col("x"), "left")
-        .select(col("l.node").as("node"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
-            .as("label"))
-        .localCheckpoint(eager = false) // materialized by the count below
-      iter += 1
-      // Convergence check every 2nd round (and at the cap): one count job
-      // that both materializes the pending lazy checkpoint(s) and counts
-      // still-moving labels. Worst case this runs one extra (no-op) round
-      // past the fixpoint — harmless; the fixpoint is stable.
-      if (iter % 2 == 0 || iter >= maxIters)
-        changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("node"), col("label"))
+      .persist(StorageLevel.DISK_ONLY)
+    val undRows = und0.count() // also sizes the loop width
+    if (undRows == 0) {
+      und0.unpersist()
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id")).limit(0)
     }
-    und.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — the pair graph has a " +
-          "component with diameter > maxIters; raise maxIters")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val width = math.max(1L, math.min(sessionWidth.toLong,
+      undRows / CcRowsPerPartition + 1L)).toInt
+    spark.conf.set(widthKey, width.toString)
+    try {
+      val und = und0.repartition(width, col("y"))
+        .persist(StorageLevel.DISK_ONLY)
+      und.count()
+      und0.unpersist()
+      // one fused hop: neighbor labels + own label, grouped min on node
+      def hop(l: DataFrame): DataFrame =
+        l.unionByName(
+            und.join(l, col("y") === col("node"))
+              .select(col("x").as("node"), col("label")))
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+      var labels = und.select(col("x").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val t0 = System.nanoTime()
+        val next = hop(hop(labels)).localCheckpoint(eager = false)
+        val s = next
+          .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+          .head.getDecimal(0)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        iter += 1
+        // instrumentation for driver-environment runs: a round is one
+        // blocking job; wall time per round is the whole story of this
+        // operator's cost (stderr — never pollutes the bench's stdout JSON)
+        System.err.println(
+          f"[graft.cc] round=$iter hops=2 width=$width undRows=$undRows " +
+            f"wallMs=${(System.nanoTime() - t0) / 1e6}%.0f converged=$converged")
+      }
+      und.unpersist()
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(label sum still decreasing) — the pair graph has a component " +
+            s"with diameter > ${2 * maxIters}; raise maxIters")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      spark.conf.set(widthKey, sessionWidth)
+    }
   }
 
   /** D9 query: cluster the MinHash-LSH near-dup pair graph, summarize
