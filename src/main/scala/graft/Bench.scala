@@ -1,5 +1,26 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
+/** Cumulative job/stage/task counters — snapshotted around each timed
+  * query so the bench JSON carries the scheduling cost next to the wall
+  * time (a query that is "slow" with 4 jobs and one that is slow with 40
+  * are different problems; wall time alone cannot tell them apart). */
+private final class BenchCounters extends SparkListener {
+  val jobs = new AtomicLong
+  val stages = new AtomicLong
+  val tasks = new AtomicLong
+  override def onJobStart(j: SparkListenerJobStart): Unit = {
+    jobs.incrementAndGet(); ()
+  }
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+    stages.incrementAndGet()
+    tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +41,12 @@ object Bench {
       Seq("lineitem", "orders", "part", "documents", "embeddings", "events")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
     } catch { case _: Throwable => () }
+    val counters = new BenchCounters
+    spark.sparkContext.addSparkListener(counters)
+    def snapshot(): (Long, Long, Long) = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      (counters.jobs.get(), counters.stages.get(), counters.tasks.get())
+    }
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (and
     // SPARK_GRAFT_REPEAT=n repeats it) for variance measurement of a
     // single query; unset in driver runs, where the full suite runs once.
@@ -31,19 +58,24 @@ object Bench {
     val results = (1 to repeat).flatMap(r => selected.map { case (n, f) =>
       (if (repeat > 1) s"$n#$r" else n) -> f
     }).map { case (name, fn) =>
+      val (j0, s0, t0c) = snapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (j1, s1, t1c) = snapshot()
       // drop caches OUTSIDE the timed window: operators that cache an
       // intermediate (shingle sets, signatures) must not squat on storage
       // memory while later queries run
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, (j1 - j0, s1 - s0, t1c - t0c))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val counts = results.map { case (k, _, (j, s, t)) =>
+      s"""\"$k\":{"jobs":$j,"stages":$s,"tasks":$t}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counts":$counts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
