@@ -498,6 +498,19 @@ object SparkEntry {
           count(col("oi.id"))).as("avg_return_rate"))
     }),
 
+    // E44 (K1): mergeable HLL distinct sketches — the incremental form of
+    // A2's unique_customers. DataSketches HLL at lgK=12 is EXACT below
+    // ~2^lgK distincts (coupon mode), so at verify scale (≤ 90 distinct
+    // users/day at sf0.1) the per-day estimate EQUALS the oracle's exact
+    // count(DISTINCT) — a hash-green gate on the sketch path, while the
+    // sketch column itself stays mergeable across days (hll_union_agg,
+    // SketchKpiSpec) without ever rescanning history.
+    "k1_distinct_sketch" -> ((s, d) =>
+      graft.kpi.SketchKpi.dailyUserSketch(o(s, d))
+        .select(col("order_date"),
+          hll_sketch_estimate(col("user_sketch")).as("unique_customers_est"),
+          col("unique_customers"))),
+
     // §2.5 extension: KPI-history window query — top-3 categories per day
     // by revenue (genuine Window.partitionBy + rank, the shape the
     // reference's KPI store would be queried with).
@@ -719,6 +732,16 @@ object SparkEntry {
         count(*) AS n_events
       FROM events WHERE event_type <> 'error'
       GROUP BY user_id""",
+
+    // k1's sketch estimate is EXACT below ~2^lgK distincts per group
+    // (DataSketches HLL coupon mode), so the oracle's exact
+    // count(DISTINCT) serves for BOTH output columns — any sketch drift
+    // at this scale is a real bug, not noise.
+    "k1_distinct_sketch" -> s"""$ctes
+      SELECT substring(created_at, 1, 10) AS order_date,
+        count(DISTINCT user_id) AS unique_customers_est,
+        count(DISTINCT user_id) AS unique_customers
+      FROM o GROUP BY 1""",
 
     // CAST the sum: DuckDB sum(BIGINT) yields HUGEINT, whose stringified
     // form diverges from Spark's int64 in the driver's hash compare

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * ≤ 4 KB per sketch; below ~k distincts the sparse representation is
   * EXACT, which the spec exploits for equality assertions at test scale.
   *
-  * No driver oracle query: DuckDB's HLL internals differ byte-for-byte,
-  * so cross-engine hash compare is structurally impossible — covered by
-  * SketchKpiSpec (estimate-vs-exact, merge-vs-rescan, idempotence)
-  * instead, like the other non-query operators.
+  * The sketch BYTES cannot be hash-compared cross-engine (DuckDB's HLL
+  * internals differ), but the ESTIMATE can: below ~2^lgK distincts the
+  * coupon representation is exact, so the `k1_distinct_sketch` driver
+  * query pins per-day estimates against the oracle's exact
+  * `count(DISTINCT)`; merge/idempotence/rolling-window behavior is covered
+  * by SketchKpiSpec.
   */
 object SketchKpi {
 
