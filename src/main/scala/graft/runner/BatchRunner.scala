@@ -63,16 +63,18 @@ object BatchRunner {
     * window ([[graft.streaming.Debounce.assign]] — first arrival anchors,
     * window from the anchor); products arrivals sit in the fixed
     * `latest_products` group, and every assembled chunk picks up the
-    * LATEST products file registered so far — a products file joins the
-    * current batch regardless of which date (or debounce window) it
-    * arrived in, and a chunk with no products arrival at all still gets
-    * the standing latest one. */
+    * latest products file STANDING WHEN ITS DEBOUNCE WINDOW CLOSED
+    * (`arrivalTs <= batchStart + windowSec`) — a products file joins the
+    * current batch regardless of which date it arrived in, but never
+    * leaks BACKWARD into a batch whose window had already closed before
+    * it arrived, so replaying historical arrivals reproduces what the
+    * live run processed (each batch saw the products file of its own
+    * processing instant, reference `lambda/s3_validation.py:74-79`). */
   def assembleChunks(arrivals: Seq[Arrival], windowSec: Long)
       : Seq[BatchChunk] = {
     val (products, dated) = arrivals.partition(a =>
       groupKey(a.path, a.arrivalDate) == "latest_products")
-    val latestProducts = products
-      .sortBy(a => (a.arrivalTs, a.path)).lastOption.map(_.path)
+    val productsSorted = products.sortBy(a => (a.arrivalTs, a.path))
     dated.groupBy(_.arrivalDate).toSeq.sortBy(_._1).flatMap {
       case (date, as) =>
         val sorted = as.sortBy(a => (a.arrivalTs, a.path))
@@ -82,7 +84,9 @@ object BatchRunner {
           .map { case (start, group) =>
             val chunk = toChunk(s"$date-$start", start, group.map(_._1.path))
             if (chunk.productsPath.isEmpty)
-              chunk.copy(productsPath = latestProducts)
+              chunk.copy(productsPath = productsSorted
+                .filter(_.arrivalTs <= start + windowSec)
+                .lastOption.map(_.path))
             else chunk
           }
     }

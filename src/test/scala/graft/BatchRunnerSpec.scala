@@ -191,6 +191,20 @@ class BatchRunnerSpec extends SparkSpec {
     val c4 = BatchRunner.assembleChunks(twoBatches, win)
     assert(c4.size === 2)
     assert(c4.forall(_.productsPath === Some("in/products.csv")))
+
+    // replay parity: a products file that arrived AFTER a chunk's window
+    // closed must not leak backward into it — the live run processed that
+    // chunk with no products file standing, and a later chunk picks the
+    // new arrival up
+    val lateProducts = Seq(
+      Arrival("in/orders_part1.csv", 100L, "2024-06-04"),
+      Arrival("in/products.csv", 100L + win + 50, "2024-06-01"),
+      Arrival("in/orders_part2.csv", 100L + win + 200, "2024-06-04"))
+    val c5 = BatchRunner.assembleChunks(lateProducts, win)
+    assert(c5.size === 2)
+    assert(c5.head.productsPath === None,
+      "a products arrival after the window closed must not join the chunk")
+    assert(c5.last.productsPath === Some("in/products.csv"))
   }
 
   test("single-flight: no pick while a chunk is processing") {
