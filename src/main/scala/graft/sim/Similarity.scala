@@ -300,7 +300,8 @@ object Similarity {
     rankTopKAgg(joined, k)
   }
 
-  def ivfTopKSql(numQueries: Int, k: Int): String = {
+  def ivfTopKSql(numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): String = {
     val seedsCte = s"""
       seeds AS (
         SELECT vec_id AS cell_id, embedding AS sv,
@@ -330,7 +331,7 @@ object Similarity {
         ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
       FROM embeddings e
       JOIN ranked_cells rc ON rc.vec_id = e.vec_id
-        AND rc.cell_rank <= $NumProbes
+        AND rc.cell_rank <= $nprobe
       WHERE e.vec_id < $numQueries),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
@@ -365,11 +366,21 @@ object Similarity {
     * by hash cutoff ([[graft.SparkEntry]] t5 shape) instead of id prefix;
     * id prefix is used here because the oracle must name the same rows. */
   def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
-    val sample = emb.filter(col("vec_id") < TrainSample)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.length >= NumCells,
-      s"k-means needs >= $NumCells training vectors, got ${sample.length}")
+    val rows = emb.filter(col("vec_id") < TrainSample)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .collect()
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    // The oracle keys its seed cells by `vec_id < NumCells` with
+    // `cell_id = vec_id`, while this side's cell ids are positional
+    // 0..NumCells-1 — those coincide (including the d2-tie break on
+    // cell_id) ONLY when the sample ids are the dense prefix 0..N-1, so
+    // require exactly that instead of just a sample count.
+    val ids = rows.map(_.getLong(0))
+    require(ids.sameElements(0L until TrainSample.toLong),
+      s"k-means training sample must be the dense vec_id prefix " +
+        s"0..${TrainSample - 1} (got ${ids.length} ids" +
+        ids.headOption.map(h => s", first=$h, last=${ids.last}").getOrElse("") +
+        ") — positional cell ids must equal the oracle's vec_id-keyed cells")
     var cents = sample.take(NumCells).map(_.map(_.toDouble))
     for (_ <- 1 to TrainIters) {
       val s2 = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
@@ -442,7 +453,8 @@ object Similarity {
     * sequential folds over `list(... ORDER BY vec_id)` (NOT `avg`, whose
     * summation order is engine-internal) so every centroid double is
     * bitwise-equal to the Scala fold. */
-  def ivfTrainedTopKSql(numQueries: Int, k: Int): String = {
+  def ivfTrainedTopKSql(numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): String = {
     def foldDot(v: String, c: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE,
          |  list_transform(range(1, len($v) + 1),
@@ -512,7 +524,7 @@ object Similarity {
         ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
       FROM embeddings e
       JOIN ranked_cells rc ON rc.vec_id = e.vec_id
-        AND rc.cell_rank <= $NumProbes
+        AND rc.cell_rank <= $nprobe
       WHERE e.vec_id < $numQueries),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
