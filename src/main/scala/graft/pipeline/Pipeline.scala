@@ -110,18 +110,56 @@ object Pipeline {
     * manifest-listed partitions are visible, and while a swap of the
     * manifest's epoch is in flight (`.bak/_epoch` == manifest epoch) the
     * pre-swap `.bak` copy of each swapped partition is read instead of
-    * the half-replaced store dir. A reader that resolves the store at any
+    * the half-replaced store dir. A reader that RESOLVES the store at any
     * instant — including concurrently with a crashed multi-date swap —
     * therefore sees exactly the last COMMITTED batch: partially-swapped
     * dates come from `.bak`, not-yet-committed new dates are invisible.
     * Stores without a manifest (validated tables, pre-manifest stores)
-    * read raw, as before. */
+    * read raw, as before.
+    *
+    * Concurrency contract vs a LIVE writer (writers themselves are
+    * serialized by the single-flight runner, T4): resolution re-reads the
+    * manifest after planning and retries if the epoch moved, so the
+    * returned plan is always pinned to ONE committed snapshot; and because
+    * a committing writer defers `.bak` deletion to the START of the next
+    * batch ([[upsertStore]] step 4), the snapshot's `.bak` copies outlive
+    * the commit that supersedes them — a reader mid-scan never has its
+    * files deleted by the commit itself. The residual race is a scan still
+    * MATERIALIZING when the *next* batch starts swapping the same
+    * partitions; renamed-away files then fail the scan loudly
+    * (FileNotFoundException — never a torn row mix), and the caller
+    * re-resolves. */
   def readOrInit(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    var attempts = 0
+    while (true) {
+      val before = latestManifest(fs, path)
+      val resolved = resolveSnapshot(spark, path, schema, before)
+      // re-validate: a live writer may have committed between the manifest
+      // read and the listing/`.bak` probes inside resolveSnapshot; equal
+      // epochs on both sides pin the whole plan to one snapshot
+      if (latestManifest(fs, path).map(_.epoch) == before.map(_.epoch))
+        return resolved
+      attempts += 1
+      if (attempts >= 5)
+        throw new IllegalStateException(
+          s"store $path: manifest epoch kept moving across $attempts " +
+            "resolution attempts — writer is committing faster than a " +
+            "reader can plan")
+    }
+    sys.error("unreachable")
+  }
+
+  private def resolveSnapshot(spark: SparkSession, path: String,
+      schema: StructType,
+      manifest: Option[StoreManifest]): DataFrame = {
     val raw = rawReadOrInit(spark, path, schema)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
-    latestManifest(fs, path) match {
+    manifest match {
       case None => raw
       case Some(m) =>
         val partCol = m.partCol
@@ -291,7 +329,12 @@ object Pipeline {
     //     committed partition — the single instant the batch becomes
     //     visible; readers before it resolve `.bak`, readers after it see
     //     the new dirs and ignore the now-stale `.bak`,
-    //  4. clean up old manifests and `.bak`.
+    //  4. clean up old manifests. `.bak` deletion is DEFERRED to the
+    //     start of the NEXT batch (restoreBackups sweeps a stale one):
+    //     deleting it here would yank files out from under a live reader
+    //     that resolved the pre-commit snapshot and is still scanning its
+    //     bak-preferred plan. The stale `.bak` (epoch < new manifest) is
+    //     ignored by every later reader.
     // A crash at any point leaves either epoch N fully readable (steps
     // 1–2: bak-preferred; uncommitted new dates unlisted) or epoch N+1
     // fully readable (steps 3–4), never a torn mix.
@@ -312,7 +355,7 @@ object Pipeline {
     writeManifest(fs, path, curEpoch + 1, partCol,
       (baseParts ++ dates).distinct.sorted)
     dropOldManifests(fs, path, keep = curEpoch + 1)
-    fs.delete(new HPath(path + ".bak"), true)
+    // no `.bak` delete here — see step 4 of the commit protocol above
     updatesP.unpersist()
     readOrInit(spark, path, schema).count()
   }
@@ -408,8 +451,13 @@ object Pipeline {
     *    Every backed-up partition is rolled BACK over its (half-replaced)
     *    store dir, returning the store to exactly the committed snapshot
     *    readers were already being served ([[readOrInit]] preferred these
-    *    same `.bak` copies). The retried merge then applies its updates
-    *    to pristine committed data.
+    *    same `.bak` copies). Partition dirs NOT listed in the committed
+    *    manifest — a crashed batch's brand-new dates, swapped in with no
+    *    `.bak` copy and never committed — are deleted too: they were
+    *    invisible to manifest readers but would otherwise accumulate as
+    *    permanent garbage and surface as torn data if the store were ever
+    *    re-bootstrapped from its dirs. The retried merge then applies its
+    *    updates to pristine committed data.
     *  - **Orphan restore** (no `_epoch`, or epoch ≠ manifest): backups are
     *    either stale leftovers from a committed batch (post-commit,
     *    pre-cleanup crash) or pre-manifest-era. Only a backup whose store
@@ -422,7 +470,8 @@ object Pipeline {
     import org.apache.hadoop.fs.{Path => HPath}
     val bakRoot = new HPath(path + ".bak")
     if (fs.exists(bakRoot)) {
-      val inFlight = (bakEpoch(fs, path), latestManifest(fs, path)) match {
+      val manifest = latestManifest(fs, path)
+      val inFlight = (bakEpoch(fs, path), manifest) match {
         case (Some(be), Some(m)) => be == m.epoch
         case _ => false
       }
@@ -434,6 +483,16 @@ object Pipeline {
             renameOrFail(fs, s.getPath, dst)
           } else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
         }
+      // in-flight rollback also sweeps the crashed batch's UNCOMMITTED
+      // new-date dirs (swapped in with no .bak copy, listed in no
+      // manifest) — see the scaladoc's first regime
+      if (inFlight) manifest.foreach { m =>
+        val committed = m.partitions.toSet
+        listPartitionDirs(fs, path, m.partCol)
+          .filterNot(committed)
+          .foreach(pv =>
+            fs.delete(new HPath(path, s"${m.partCol}=$pv"), true))
+      }
       fs.delete(bakRoot, true)
     }
   }

@@ -279,7 +279,16 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Double]("total_revenue") === 170.0,
       "backup partition must be restored and merged as the target")
     assert(row.getAs[String]("last_updated") === "t2")
-    assert(!Files.exists(bakDir), "backup root cleared after recovery")
+    // deferred cleanup: the successful commit leaves its OWN .bak behind
+    // (stale — epoch below the new manifest's), to be swept when the next
+    // batch starts; a reader of the pre-commit snapshot may still be
+    // scanning those files
+    val storePath = s"$d/store/order_kpi"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+    assert(Pipeline.bakEpoch(fs, storePath).exists(
+      _ < Pipeline.latestManifest(fs, storePath).get.epoch),
+      "post-commit .bak must linger as a STALE backup (deferred cleanup)")
   }
 
   test("upsertStore merges a multi-date batch, swapping every touched partition") {
@@ -381,8 +390,56 @@ class PipelineSpec extends SparkSpec {
       .toMap
     assert(after === Map("2024-06-01" -> (9L, "t2"),
       "2024-06-02" -> (2L, "t1"), "2024-06-03" -> (7L, "t2")))
-    assert(!Files.exists(d.resolve("isostore.bak")),
-      "backup root cleared after the commit")
+    // deferred cleanup: batch 2's commit leaves a stale .bak (ignored by
+    // readers — `after` above came out t2, not the t1 bak copies); the
+    // NEXT batch sweeps it and leaves only its own
+    assert(Files.exists(d.resolve("isostore.bak")),
+      "stale .bak must outlive the commit that superseded it")
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t3", ("2024-06-02", 3L, 30.0)), Seq("order_date"), fields)
+    val bakLeft = Files.list(d.resolve("isostore.bak")).toArray
+      .map(_.asInstanceOf[Path].getFileName.toString)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    assert(bakLeft === Set("order_date=2024-06-02"),
+      "batch 2's stale backups swept at batch 3 start; only batch 3's own remain")
+  }
+
+  test("in-flight rollback sweeps a crashed batch's uncommitted new-date dirs") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/gcstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(stamp: String, rows: (String, Long)*) =
+      rows.toSeq.toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(stamp))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "last_updated")
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t1", ("2024-06-01", 1L)), Seq("order_date"), fields)
+
+    // crash mid-swap: bak stamped with the live epoch, a brand-NEW date
+    // dir swapped in with no backup, no new manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    Pipeline.writeBakEpoch(fs, path,
+      Pipeline.latestManifest(fs, path).get.epoch)
+    updates("t2-crashed", ("2024-06-09", 9L)).drop("order_date").write
+      .parquet(d.resolve("gcstore/order_date=2024-06-09").toString)
+    assert(Files.exists(d.resolve("gcstore/order_date=2024-06-09")))
+
+    // the next batch does NOT touch the crashed date: rollback must still
+    // delete the uncommitted dir (previously permanent garbage)
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t2", ("2024-06-01", 2L)), Seq("order_date"), fields)
+    assert(!Files.exists(d.resolve("gcstore/order_date=2024-06-09")),
+      "uncommitted new-date dir must be deleted by in-flight rollback")
+    val seen = Pipeline.readOrInit(spark, path, schema).collect()
+      .map(r => r.getAs[String]("order_date")).toSeq
+    assert(seen === Seq("2024-06-01"))
   }
 
   test("stale .bak from an already-committed batch is ignored by readers") {
@@ -404,14 +461,15 @@ class PipelineSpec extends SparkSpec {
     Pipeline.upsertStore(spark, path, schema, updates("t2", 2L),
       Seq("order_date"), fields)
 
-    // recreate the post-commit, pre-cleanup crash window: manifest is at
-    // epoch 2, but a .bak stamped with epoch 1 (the snapshot the swap ran
-    // against) still lingers with the OLD partition copy
+    // deferred cleanup makes this window the NORMAL post-commit state:
+    // batch 2's commit leaves a .bak stamped with epoch 1 (the snapshot
+    // its swap ran against) holding the OLD ("t1") partition copy
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    Pipeline.writeBakEpoch(fs, path, 1L)
-    updates("t1", 1L).drop("order_date").write
-      .parquet(d.resolve("stalestore.bak/order_date=2024-06-01").toString)
+    assert(Pipeline.bakEpoch(fs, path) === Some(1L),
+      "batch 2's .bak must linger, stamped with the pre-commit epoch")
+    assert(Files.exists(d.resolve("stalestore.bak/order_date=2024-06-01")),
+      "the stale .bak must still hold the old partition copy")
 
     val seen = Pipeline.readOrInit(spark, path, schema).collect()
       .map(r => r.getAs[String]("last_updated")).toSeq
