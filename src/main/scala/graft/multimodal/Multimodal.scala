@@ -71,36 +71,62 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("feature_hash", LongType)))
 
-  /** Partition-wise "decode"/feature-extract. Per-partition init happens
-    * once (where a real codec context would be created), then each payload
-    * is decoded to features.
-    *
-    * STUB: the real decoder is not available in this environment; the
-    * deterministic fake below extracts byte statistics (mean byte + the
-    * repo-convention rolling hash) so the plumbing — schema, batching,
-    * partition amortization — is fully exercised AND the output is exactly
-    * hash-verifiable against the DuckDB oracle. Swap the loop body for a
-    * real codec call to productionize.
-    */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  /** Per-payload decoded features — the codec's output contract. */
+  final case class MediaFeatures(byteLen: Long, meanByte: Double,
+      featureHash: Long)
+
+  /** The pluggable decoder boundary. A real implementation (image lib,
+    * ffmpeg binding) allocates its native context inside
+    * [[MediaCodec.openPartition]] — called once per partition on the
+    * executor, because codec contexts are neither serializable nor cheap —
+    * and decodes each payload in the returned function. Swapping codecs
+    * touches nothing else: the query surface ([[decodeFeatures]],
+    * [[mediaSummary]], the mm1 oracle) is codec-agnostic. */
+  trait MediaCodec extends Serializable {
+    /** Executor-side, once per partition: build the decode context and
+      * return the per-payload feature extractor (format, payload) ⇒
+      * features. Heavy state belongs in the returned closure, NOT in the
+      * codec object (which is serialized to executors). */
+    def openPartition(): (String, Array[Byte]) => MediaFeatures
+  }
+
+  /** STUB codec: no image/audio libraries exist in this environment, so
+    * the deterministic stand-in extracts byte statistics (mean byte + the
+    * repo-convention rolling hash). It exercises the full plumbing —
+    * schema, per-partition init, batch shape — AND stays exactly
+    * hash-verifiable against the DuckDB oracle, which is why it remains
+    * the test/oracle implementation even after a real codec plugs in. */
+  object ByteStatsCodec extends MediaCodec {
+    def openPartition(): (String, Array[Byte]) => MediaFeatures =
+      (_, bytes) => {
+        var sum = 0L
+        var h = 0L
+        bytes.foreach { b =>
+          val v = b & 0xff
+          sum += v
+          h = (h * 31 + v) % HashMod
+        }
+        MediaFeatures(bytes.length.toLong,
+          sum.toDouble / math.max(bytes.length, 1), h)
+      }
+  }
+
+  /** Partition-wise decode/feature-extract through the pluggable
+    * [[MediaCodec]]: one `openPartition()` per partition (codec-context
+    * amortization), then a narrow per-row map — media decode never
+    * shuffles. Defaults to the deterministic [[ByteStatsCodec]] stub. */
+  def decodeFeatures(media: DataFrame,
+      codec: MediaCodec = ByteStatsCodec): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select(col("doc_id"), col("payload"), col("media_meta.format"))
       .mapPartitions { rows =>
-        // per-partition init — a real impl creates the codec context here
+        val decode = codec.openPartition() // once per partition
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
-          // --- deterministic fake decode (see scaladoc) ---
-          var sum = 0L
-          var h = 0L
-          bytes.foreach { b =>
-            val v = b & 0xff
-            sum += v
-            h = (h * 31 + v) % HashMod
-          }
-          Row(id, fmt, bytes.length.toLong,
-            sum.toDouble / math.max(bytes.length, 1), h)
+          val f = decode(fmt, bytes)
+          Row(id, fmt, f.byteLen, f.meanByte, f.featureHash)
         }
       }(enc)
   }

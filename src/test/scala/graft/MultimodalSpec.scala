@@ -29,6 +29,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length === docs.count())
   }
 
+  test("a custom codec plugs in without touching the query surface") {
+    // a stand-in "real" decoder: constant-dimension features derived only
+    // from the format string — if decodeFeatures picks these up verbatim,
+    // any real codec wired the same way will too
+    object FormatCodec extends Multimodal.MediaCodec {
+      def openPartition(): (String, Array[Byte]) => Multimodal.MediaFeatures =
+        (fmt, bytes) => Multimodal.MediaFeatures(
+          bytes.length.toLong, fmt.length.toDouble, 42L)
+    }
+    val rows = Multimodal.decodeFeatures(media, FormatCodec).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) === 42L))
+    assert(rows.forall(r => r.getDouble(3) === r.getString(1).length.toDouble))
+    // and the default path (the oracle-verified stub) is unchanged
+    val stub = Multimodal.decodeFeatures(media).head()
+    assert(stub.getLong(4) !== 42L)
+  }
+
   test("frame sampling strides deterministically over the payload") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val perDoc = frames.groupBy("doc_id").count().collect()
