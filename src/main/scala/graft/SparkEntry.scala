@@ -70,6 +70,23 @@ object SparkEntry {
     "a2_order_kpi_complete" -> ((s, d) =>
       Kpi.orderKpiComplete(Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d)))),
 
+    // A2's documented 100-TB swap (exact countDistinct → HLL++), made
+    // EXECUTABLE under the hash gate: per-day exact vs approx distinct
+    // users, reduced to (groups, groups-within-bound). The oracle cannot
+    // know Spark's HLL++ estimates, but it doesn't need to — the contract
+    // is that EVERY group estimate sits within 4σ of exact (rsd 0.05 ⇒
+    // 20 %, floor 5 for tiny groups), so both engines emit
+    // n_within == n_groups; an out-of-bound estimate turns the row red.
+    "a2x_approx_distinct" -> ((s, d) =>
+      o(s, d)
+        .groupBy(substring(col("created_at"), 1, 10).as("order_date"))
+        .agg(countDistinct(col("user_id")).as("exact"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(abs(col("approx") - col("exact")) <=
+            greatest(col("exact") * lit(0.2), lit(5.0)), 1L).otherwise(0L))
+            .as("n_within"))),
+
     // §2.4 A3: order_items_only mode over the items⋈products inner join
     // (transformation.py:211-233).
     "a3_order_kpi_items_only" -> ((s, d) =>
@@ -447,6 +464,21 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50"),
           element_at(col("q"), 3).as("p75"))),
 
+    // x5's documented 100-TB swap (exact percentile → KLL sketch), made
+    // EXECUTABLE the same way as a2x: approx_percentile at accuracy 10⁴
+    // guarantees ≤ 10⁻⁴ rank error, so each group's estimate must land
+    // between the exact 49th and 51st percentiles — a generous but honest
+    // bound both engines can agree on without sharing sketch internals.
+    "x5x_approx_quantile" -> ((s, d) =>
+      Sources.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5D, 10000)").as("a"),
+          expr("percentile(l_quantity, 0.49D)").as("lo"),
+          expr("percentile(l_quantity, 0.51D)").as("hi"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("a").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_within"))),
+
     // §2.8 extension (F13): JSON payload extraction — events carry a JSON
     // `props` column (the universal escape hatch for semi-structured
     // payloads); extract a typed field, filter, aggregate. At scale
@@ -732,6 +764,20 @@ object SparkEntry {
         count(*) AS n_events
       FROM events WHERE event_type <> 'error'
       GROUP BY user_id""",
+
+    // both approx-swap twins reduce to (n_groups, n_within) where the
+    // within-bound count must equal the group count — the oracle never
+    // sees the sketch estimates, only the invariant they must satisfy
+    "a2x_approx_distinct" -> s"""$ctes
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(count(*) AS BIGINT) AS n_within
+      FROM (SELECT substring(created_at, 1, 10) AS order_date
+            FROM o GROUP BY 1)""",
+
+    "x5x_approx_quantile" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(count(*) AS BIGINT) AS n_within
+      FROM (SELECT l_returnflag FROM lineitem GROUP BY 1)""",
 
     // k1's sketch estimate is EXACT below ~2^lgK distincts per group
     // (DataSketches HLL coupon mode), so the oracle's exact
