@@ -284,7 +284,16 @@ object Dedup {
     }
     val width = math.max(1L, math.min(sessionWidth.toLong,
       undRows / CcRowsPerPartition + 1L)).toInt
+    // AQE's only lever here is post-shuffle coalescing, which the adaptive
+    // width already decides better (AQE cannot see across checkpoint
+    // boundaries) — while its stage-by-stage execution turns every tiny
+    // loop stage into a separate scheduled job. Iterative driver-bound
+    // loops are the one place that job multiplication dominates, so turn
+    // it off for the loop's queries and restore after.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val sessionAqe = spark.conf.get(aqeKey)
     spark.conf.set(widthKey, width.toString)
+    spark.conf.set(aqeKey, "false")
     try {
       val und = und0.repartition(width, col("y"))
         .persist(StorageLevel.DISK_ONLY)
@@ -327,6 +336,7 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     } finally {
       spark.conf.set(widthKey, sessionWidth)
+      spark.conf.set(aqeKey, sessionAqe)
     }
   }
 
