@@ -262,6 +262,21 @@ object SparkEntry {
     "r1_collapse_repeats" -> ((s, d) =>
       TextAnalysis.collapseRepeats(Sources.table(s, d, "documents"))),
 
+    // E51 (PII1): PII detection + redaction over a deterministically
+    // planted corpus — three codegen'd regexp_replace stages + match
+    // counts, shuffle-free; patterns confined to the Java-regex/RE2
+    // shared subset so the oracle redacts byte-identically.
+    "pii1_redact" -> ((s, d) =>
+      TextAnalysis.piiRedact(
+        TextAnalysis.withPii(Sources.table(s, d, "documents")))),
+
+    // E52 (CH1): overlapping token-window chunking — the doc→sequence
+    // fan-out between cleaning and packing (size 32, stride 24). Pure
+    // codegen'd columnar explode+slice; chunk md5 composes with d1 for
+    // chunk-level dedup.
+    "ch1_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkOverlap(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -681,6 +696,8 @@ object SparkEntry {
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
+    "pii1_redact" -> TextAnalysis.piiRedactSql,
+    "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "d1_exact_dedup" -> Dedup.exactDedupSql,

@@ -273,6 +273,119 @@ object TextAnalysis {
     FROM t"""
   }
 
+  // PII patterns: shared Java-regex/RE2 subset only (char classes,
+  // bounded quantifiers, \b word boundaries) — no backreferences or
+  // lookaround, so Spark and DuckDB compile the identical automaton.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic PII-planted corpus: the synthetic word soup contains no
+    * PII, so the operator plants an email / phone / IP derived from doc_id
+    * (on 1/2, 1/3, 1/5 of docs respectively — counts vary, including 0) —
+    * the same role `withNearDups` plays for the dedup family. The oracle
+    * builds the identical corpus. */
+  def withPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@mail-"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" call 555-0"),
+          lpad(pmod(col("doc_id"), lit(900)).cast("string"), 3, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)),
+          lit("."), pmod(col("doc_id"), lit(250)))).otherwise(lit("")))
+      .as("text"))
+
+  def withPiiSql: String = """
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id
+           || '@mail-' || (doc_id % 7) || '.example.com' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' call 555-0'
+           || lpad((doc_id % 900)::VARCHAR, 3, '0') ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || (doc_id % 256)
+           || '.' || (doc_id % 250) ELSE '' END AS text
+    FROM documents"""
+
+  /** PII1 (E51): PII detection + redaction — the compliance pass every
+    * training corpus runs before anything else. One narrow per-row
+    * projection: three codegen'd regexp_replace stages (email → phone →
+    * IP, non-overlapping pattern classes so order is cosmetic) plus
+    * per-category match counts from the pre-redaction text. Shuffle-free
+    * at any scale; patterns live in the shared RE2-compatible subset so
+    * the oracle redacts byte-identically. */
+  def piiRedact(piiDocs: DataFrame): DataFrame = {
+    val t = col("text")
+    val clean = regexp_replace(regexp_replace(regexp_replace(
+      t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+    piiDocs.select(col("doc_id"), clean.as("clean_text"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long")
+        .as("n_ips"))
+  }
+
+  def piiRedactSql: String = s"""
+    WITH pii AS ($withPiiSql)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g'),
+        '$IpRe', '<IP>', 'g') AS clean_text,
+      len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+      len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+      len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips
+    FROM pii"""
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** CH1 (E52): overlapping token-window chunking — split each document
+    * into fixed-size training windows (size [[ChunkSize]], stride
+    * [[ChunkStride]] ⇒ 8-token overlap), the doc→sequence fan-out step
+    * between cleaning and packing. Pure columnar: sequence + explode +
+    * slice with a column start — every expression codegen'd, no
+    * interpreted lambda, narrow end to end (the chunk explosion never
+    * shuffles; only whatever consumes it might). Chunk identity is the
+    * md5 of the joined window, so downstream chunk-level dedup composes
+    * directly with d1. */
+  def chunkOverlap(docs: DataFrame, w: Int = ChunkSize,
+      s: Int = ChunkStride): DataFrame = {
+    val n = size(toksCol)
+    val nChunks = (lit(1) +
+      ceil(greatest(n - lit(w), lit(0)).cast("double") / lit(s))).cast("int")
+    docs.select(col("doc_id"), toksCol.as("t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        slice(col("t"), (col("chunk_no") * s + 1).cast("int"), lit(w))
+          .as("ct"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5"))
+  }
+
+  def chunkOverlapSql(w: Int = ChunkSize, s: Int = ChunkStride): String = s"""
+    WITH t AS (
+      SELECT doc_id, ${tokensSql(normSql("text"))} AS toks FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+        1 + CAST(ceil(greatest(len(toks) - $w, 0) / $s.0) AS INT) AS nc
+      FROM t),
+    c AS (
+      SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n)
+    SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+      len(list_slice(toks, chunk_no * $s + 1, chunk_no * $s + $w))::BIGINT
+        AS n_tokens,
+      md5(array_to_string(
+        list_slice(toks, chunk_no * $s + 1, chunk_no * $s + $w), ' '))
+        AS chunk_md5
+    FROM c"""
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")

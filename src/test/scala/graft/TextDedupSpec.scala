@@ -42,6 +42,44 @@ class TextDedupSpec extends SparkSpec {
     assert(toks(2L) === Seq.empty)
   }
 
+  test("PII redaction replaces planted email/phone/IP and counts matches") {
+    // doc 30 plants all three (30 % 2 = % 3 = % 5 = 0); doc 7 plants none
+    val pii = TextAnalysis.withPii(docs((30L, "alpha beta"), (7L, "gamma")))
+    val out = TextAnalysis.piiRedact(pii).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val full = out(30L)
+    assert(full.getAs[String]("clean_text") ===
+      "alpha beta contact <EMAIL> call <PHONE> host <IP>")
+    assert(full.getAs[Long]("n_emails") === 1L)
+    assert(full.getAs[Long]("n_phones") === 1L)
+    assert(full.getAs[Long]("n_ips") === 1L)
+    val none = out(7L)
+    assert(none.getAs[String]("clean_text") === "gamma",
+      "a doc with no PII must pass through untouched")
+    assert(none.getAs[Long]("n_emails") === 0L)
+  }
+
+  test("chunking: 32-token windows at stride 24 with 8-token overlap") {
+    val text80 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val chunks = TextAnalysis.chunkOverlap(docs((1L, text80), (2L, "a b c")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 80 tokens: chunks start at 1, 25, 49 — 1 + ceil(48/24) = 3, all full
+    assert(chunks.keys.count(_._1 == 1L) === 3)
+    assert(Seq(0L, 1L, 2L).forall(c => chunks((1L, c)) === 32L))
+    // 3 tokens: one short chunk
+    assert(chunks((2L, 0L)) === 3L)
+    assert(chunks.keys.count(_._1 == 2L) === 1)
+    // the overlap property: consecutive chunks share exactly 8 tokens —
+    // chunk 1 of doc 1 starts at token 25 = w25
+    val texts = TextAnalysis.chunkOverlap(docs((1L, text80)))
+      .select(col("chunk_no"), col("chunk_md5")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = docs((9L, (25 to 56).map(i => s"w$i").mkString(" ")))
+      .select(md5(col("text").cast("binary"))).head().getString(0)
+    assert(texts(1L) === m, "chunk 1 must be exactly tokens 25..56")
+  }
+
   test("exact dedup keeps the min doc_id and counts copies") {
     val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
     val out = Dedup.exactDedup(d).collect()
