@@ -42,12 +42,15 @@ object TextFunctions {
 
   /** Rolling char hash: fold h = (h*31 + codepoint) mod 1e9+7 over the
     * string's characters, left to right. Deterministic, associo-free
-    * (sequential fold), and exactly mirrored in DuckDB via list_reduce. */
+    * (sequential fold), and exactly mirrored in DuckDB via list_reduce.
+    *
+    * Native codegen'd expression ([[org.apache.spark.sql.graft.StringRollHash]]);
+    * the composed HOF form (`aggregate(filter(split(c, "")), …)`) computes
+    * the identical fold but interpreted per character — this hash sits
+    * under every token/shingle in the dedup family, so it earns the
+    * native-Expression tier of SURVEY §7's preference order. */
   def charHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= ""),
-      lit(0L),
-      (h, ch) => pmod(h * lit(31L) + ascii(ch), lit(HashP)))
+    org.apache.spark.sql.graft.TextExpressions.rollHash(c)
 
   def charHashSql(c: String): String =
     // list_reduce has no init arg in DuckDB — prepend the 0 seed.

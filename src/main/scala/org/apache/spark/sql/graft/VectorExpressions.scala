@@ -158,6 +158,7 @@ object VectorExpressions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.fvecDotDescriptor)
+    ext.injectFunction(TextExpressions.rollHashDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
