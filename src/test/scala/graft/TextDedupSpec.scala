@@ -33,6 +33,23 @@ class TextDedupSpec extends SparkSpec {
     assert(empty === 0L)
   }
 
+  test("native roll_hash equals the composed HOF fold on varied inputs") {
+    // the interpreted formulation StringRollHash replaced — kept here as
+    // the executable spec of its semantics
+    def hofHash(c: org.apache.spark.sql.Column) =
+      aggregate(
+        filter(split(c, ""), ch => ch =!= ""),
+        lit(0L),
+        (h, ch) => pmod(h * lit(31L) + ascii(ch), lit(TextFunctions.HashP)))
+    val samples = Seq("", "a", "ab", "hello world", "  spaced  out  ",
+      "punct!@# 123", "Ünïcödé bmp ×÷", "a" * 500)
+    val df = docs(samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+      .select(TextFunctions.charHash(col("text")).as("native"),
+        hofHash(col("text")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0L,
+      "native expression must be bitwise-equal to the HOF fold")
+  }
+
   test("tokens: empty and multi-space input normalize cleanly") {
     val toks = docs((1L, "  a   b  c "), (2L, ""))
       .select(col("doc_id"),
