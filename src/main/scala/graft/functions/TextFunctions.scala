@@ -86,8 +86,11 @@ object TextFunctions {
        |END""".stripMargin
   }
 
-  /** Per-token rolling hashes of a token array. */
-  def tokenHashes(toks: Column): Column = transform(toks, t => charHash(t))
+  /** Per-token rolling hashes of a token array — native array expression
+    * ([[org.apache.spark.sql.graft.TokenRollHashes]]), one evaluation per
+    * array instead of an interpreted per-element transform. */
+  def tokenHashes(toks: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.rollHashes(toks)
 
   def tokenHashesSql(toks: String): String =
     s"list_transform($toks, t -> ${charHashSql("t")})"

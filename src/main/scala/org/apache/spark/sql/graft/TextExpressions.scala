@@ -5,9 +5,26 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** The rolling fold itself, shared by the scalar and array expressions;
+  * a standalone object so generated code can call the static forwarder. */
+object RollHash {
+  def hash(input: UTF8String): Long = {
+    val s = input.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * 31L + cp) % 1000000007L
+    }
+    h
+  }
+}
 
 /** Native Catalyst expression for the repo-convention rolling text hash
   * `h = (h*31 + codepoint) mod 1e9+7`, folded left-to-right over the
@@ -37,17 +54,8 @@ case class StringRollHash(child: Expression)
 
   override def prettyName: String = "roll_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      i += Character.charCount(cp)
-      h = (h * 31L + cp) % 1000000007L
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    RollHash.hash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -71,10 +79,68 @@ case class StringRollHash(child: Expression)
       newChild: Expression): StringRollHash = copy(child = newChild)
 }
 
+/** Array form of [[StringRollHash]]: per-token rolling hashes of a token
+  * array in ONE expression evaluation. The composed form —
+  * `transform(toks, t => roll_hash(t))` — pays the interpreted
+  * ArrayTransform machinery per element (lambda-variable binding, boxed
+  * hand-off) even with a native child; this loops the array natively. It
+  * feeds the shingle pipeline under the whole MinHash/Jaccard family.
+  * Null elements hash to null, matching the transform formulation's
+  * propagation. */
+case class TokenRollHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def prettyName: String = "roll_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null
+      else RollHash.hash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.isNullAt($i) ? null
+         |    : (Object) org.apache.spark.sql.graft.RollHash.hash(
+         |        $a.getUTF8String($i));
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenRollHashes = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash column — drop-in for the HOF fold. */
   def rollHash(c: Column): Column =
     ExpressionUtils.column(StringRollHash(ExpressionUtils.expression(c)))
+
+  /** Codegen'd per-token rolling hashes — drop-in for
+    * `transform(toks, t => rollHash(t))`. */
+  def rollHashes(c: Column): Column =
+    ExpressionUtils.column(TokenRollHashes(ExpressionUtils.expression(c)))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

@@ -48,6 +48,21 @@ class TextDedupSpec extends SparkSpec {
         hofHash(col("text")).as("hof"))
     assert(df.filter(col("native") =!= col("hof")).count() === 0L,
       "native expression must be bitwise-equal to the HOF fold")
+
+    // array form: equal to the per-element transform, null elements
+    // propagate as null hashes
+    val arrDf = docs(samples.zipWithIndex.map {
+        case (s, i) => (i.toLong, s) }: _*)
+      .select(TextFunctions.tokens(TextFunctions.norm(col("text"))).as("t"))
+      .select(TextFunctions.tokenHashes(col("t")).as("native"),
+        transform(col("t"), t => TextFunctions.charHash(t)).as("composed"))
+    assert(arrDf.filter(to_json(col("native")) =!= to_json(col("composed")))
+      .count() === 0L)
+    val withNull = docs((1L, "x")).select(
+      TextFunctions.tokenHashes(
+        array(lit("ab"), lit(null).cast("string"))).as("h"))
+      .head().getSeq[Any](0)
+    assert(withNull === Seq(3105L, null))
   }
 
   test("tokens: empty and multi-space input normalize cleanly") {
