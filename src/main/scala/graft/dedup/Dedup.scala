@@ -266,6 +266,14 @@ object Dedup {
     * Non-convergence within maxIters FAILS LOUD — silently returning
     * half-propagated labels would report a wrong cluster count.
     *
+    * Session contract: the loop narrows `spark.sql.shuffle.partitions`
+    * and disables AQE for its own duration (restored in a finally).
+    * Session confs are global, so queries PLANNED CONCURRENTLY on the
+    * same SparkSession would inherit the narrowed settings — callers run
+    * this from a single-threaded driver (as Bench/Verify and the runner
+    * do); a multi-tenant session should wrap it in its own session clone
+    * (`spark.newSession()` shares the cache but isolates confs).
+    *
     * @return one row per node: (doc_id, cluster_id = min doc_id reachable)
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
@@ -273,12 +281,15 @@ object Dedup {
     val spark = edges.sparkSession
     val widthKey = "spark.sql.shuffle.partitions"
     val sessionWidth = spark.conf.get(widthKey)
-    val und0 = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
-      .unionByName(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    // persist the HALF-size edge relation (one materialization of the
+    // possibly-expensive pair pipeline); the doubled+repartitioned form
+    // below derives from this cache rather than re-running the pairs or
+    // double-writing the doubled relation
+    val edgesP = edges.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.DISK_ONLY)
-    val undRows = und0.count() // also sizes the loop width
+    val undRows = edgesP.count() * 2 // also sizes the loop width
     if (undRows == 0) {
-      und0.unpersist()
+      edgesP.unpersist()
       return edges.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id")).limit(0)
     }
@@ -295,10 +306,12 @@ object Dedup {
     spark.conf.set(widthKey, width.toString)
     spark.conf.set(aqeKey, "false")
     try {
-      val und = und0.repartition(width, col("y"))
+      val und = edgesP.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .unionByName(edgesP.select(col("doc_b").as("x"), col("doc_a").as("y")))
+        .repartition(width, col("y"))
         .persist(StorageLevel.DISK_ONLY)
       und.count()
-      und0.unpersist()
+      edgesP.unpersist()
       // one fused hop: neighbor labels + own label, grouped min on node
       def hop(l: DataFrame): DataFrame =
         l.unionByName(

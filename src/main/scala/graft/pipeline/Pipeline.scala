@@ -127,8 +127,10 @@ object Pipeline {
     * files deleted by the commit itself. The residual race is a scan still
     * MATERIALIZING when the *next* batch starts swapping the same
     * partitions; renamed-away files then fail the scan loudly
-    * (FileNotFoundException — never a torn row mix), and the caller
-    * re-resolves. */
+    * (FileNotFoundException — never a torn row mix). There is no
+    * automatic retry at that level: the error propagates to whoever ran
+    * the action, and calling readOrInit again resolves the new committed
+    * snapshot cleanly. */
   def readOrInit(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(Sources.normalizeScheme(path)),
@@ -136,7 +138,7 @@ object Pipeline {
     var attempts = 0
     while (true) {
       val before = latestManifest(fs, path)
-      val resolved = resolveSnapshot(spark, path, schema, before)
+      val resolved = resolveSnapshot(spark, fs, path, schema, before)
       // re-validate: a live writer may have committed between the manifest
       // read and the listing/`.bak` probes inside resolveSnapshot; equal
       // epochs on both sides pin the whole plan to one snapshot
@@ -152,13 +154,11 @@ object Pipeline {
     sys.error("unreachable")
   }
 
-  private def resolveSnapshot(spark: SparkSession, path: String,
+  private def resolveSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
       schema: StructType,
       manifest: Option[StoreManifest]): DataFrame = {
     val raw = rawReadOrInit(spark, path, schema)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(Sources.normalizeScheme(path)),
-      spark.sparkContext.hadoopConfiguration)
     manifest match {
       case None => raw
       case Some(m) =>

@@ -312,35 +312,44 @@ object TextAnalysis {
 
   /** PII1 (E51): PII detection + redaction — the compliance pass every
     * training corpus runs before anything else. One narrow per-row
-    * projection: three codegen'd regexp_replace stages (email → phone →
-    * IP, non-overlapping pattern classes so order is cosmetic) plus
-    * per-category match counts from the pre-redaction text. Shuffle-free
-    * at any scale; patterns live in the shared RE2-compatible subset so
-    * the oracle redacts byte-identically. */
+    * projection: three codegen'd regexp_replace stages applied in a FIXED
+    * order (email → phone → IP), with each category COUNTED on the text
+    * as it stands when that category's replace runs. The staging matters:
+    * the classes can overlap on adversarial input (an IP-shaped email
+    * local part like `1.2.3.4@x.example.com` matches both EmailRe and
+    * IpRe), and counting every pattern against the raw text would
+    * double-count the span AND report an `n_ips` with no `<IP>` in the
+    * output — staged counts equal exactly what each replace redacted.
+    * Shuffle-free at any scale; patterns live in the shared
+    * RE2-compatible subset so the oracle redacts byte-identically. */
   def piiRedact(piiDocs: DataFrame): DataFrame = {
     val t = col("text")
-    val clean = regexp_replace(regexp_replace(regexp_replace(
-      t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val clean = regexp_replace(afterPhone, IpRe, "<IP>")
     piiDocs.select(col("doc_id"), clean.as("clean_text"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
         .as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long")
         .as("n_phones"),
-      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long")
+      size(regexp_extract_all(afterPhone, lit(IpRe), lit(0))).cast("long")
         .as("n_ips"))
   }
 
   def piiRedactSql: String = s"""
-    WITH pii AS ($withPiiSql)
+    WITH pii AS ($withPiiSql),
+    staged AS (
+      SELECT doc_id, text,
+        regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email,
+        regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g') AS after_phone
+      FROM pii)
     SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(text,
-        '$EmailRe', '<EMAIL>', 'g'),
-        '$PhoneRe', '<PHONE>', 'g'),
-        '$IpRe', '<IP>', 'g') AS clean_text,
+      regexp_replace(after_phone, '$IpRe', '<IP>', 'g') AS clean_text,
       len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
-      len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
-      len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips
-    FROM pii"""
+      len(regexp_extract_all(after_email, '$PhoneRe'))::BIGINT AS n_phones,
+      len(regexp_extract_all(after_phone, '$IpRe'))::BIGINT AS n_ips
+    FROM staged"""
 
   val ChunkSize = 32
   val ChunkStride = 24
@@ -359,8 +368,14 @@ object TextAnalysis {
     val n = size(toksCol)
     val nChunks = (lit(1) +
       ceil(greatest(n - lit(w), lit(0)).cast("double") / lit(s))).cast("int")
+    // a zero-token doc yields ZERO chunks, not one empty chunk — phantom
+    // empty windows would all collide on md5("") and feed a degenerate
+    // mega-cluster into chunk-level dedup (and sequence(0, -1) would
+    // descend, not empty out)
+    val chunkNos = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
     docs.select(col("doc_id"), toksCol.as("t"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+        explode(chunkNos).as("chunk_no"))
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
         slice(col("t"), (col("chunk_no") * s + 1).cast("int"), lit(w))
           .as("ct"))
@@ -374,7 +389,9 @@ object TextAnalysis {
       SELECT doc_id, ${tokensSql(normSql("text"))} AS toks FROM documents),
     n AS (
       SELECT doc_id, toks,
-        1 + CAST(ceil(greatest(len(toks) - $w, 0) / $s.0) AS INT) AS nc
+        CASE WHEN len(toks) = 0 THEN 0
+          ELSE 1 + CAST(ceil(greatest(len(toks) - $w, 0) / $s.0) AS INT)
+        END AS nc
       FROM t),
     c AS (
       SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM n)

@@ -89,6 +89,17 @@ class TextDedupSpec extends SparkSpec {
     assert(none.getAs[String]("clean_text") === "gamma",
       "a doc with no PII must pass through untouched")
     assert(none.getAs[Long]("n_emails") === 0L)
+
+    // overlapping classes: an IP-shaped email local part is ONE email,
+    // not an email plus an IP — counts are staged with the redaction
+    // order, so every count has a matching placeholder in the output
+    val overlap = TextAnalysis.piiRedact(
+      docs((11L, "ping 1.2.3.4@x.example.com")).select(
+        col("doc_id"), col("text"))).head()
+    assert(overlap.getAs[String]("clean_text") === "ping <EMAIL>")
+    assert(overlap.getAs[Long]("n_emails") === 1L)
+    assert(overlap.getAs[Long]("n_ips") === 0L,
+      "a span consumed by the email stage must not also count as an IP")
   }
 
   test("chunking: 32-token windows at stride 24 with 8-token overlap") {
@@ -102,6 +113,9 @@ class TextDedupSpec extends SparkSpec {
     // 3 tokens: one short chunk
     assert(chunks((2L, 0L)) === 3L)
     assert(chunks.keys.count(_._1 == 2L) === 1)
+    // zero tokens: ZERO chunks — a phantom empty window would collide
+    // every empty doc on md5("") in chunk-level dedup
+    assert(TextAnalysis.chunkOverlap(docs((3L, "  "))).count() === 0L)
     // the overlap property: consecutive chunks share exactly 8 tokens —
     // chunk 1 of doc 1 starts at token 25 = w25
     val texts = TextAnalysis.chunkOverlap(docs((1L, text80)))
