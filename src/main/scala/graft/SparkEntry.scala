@@ -262,6 +262,12 @@ object SparkEntry {
     "r1_collapse_repeats" -> ((s, d) =>
       TextAnalysis.collapseRepeats(Sources.table(s, d, "documents"))),
 
+    // E54 (T7): corpus-statistics join-back — per-doc token rarity from
+    // corpus-level document frequencies (the LM-proxy quality signal);
+    // vocabulary-keyed agg + token join-back, re-agg per doc.
+    "t7_token_rarity" -> ((s, d) =>
+      TextAnalysis.tokenRarity(Sources.table(s, d, "documents"))),
+
     // E51 (PII1): PII detection + redaction over a deterministically
     // planted corpus — three codegen'd regexp_replace stages + match
     // counts, shuffle-free; patterns confined to the Java-regex/RE2
@@ -696,6 +702,7 @@ object SparkEntry {
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
+    "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",

@@ -273,6 +273,45 @@ object TextAnalysis {
     FROM t"""
   }
 
+  /** T7 (E54): corpus-statistics join-back — token rarity scoring, the
+    * cheap LM-proxy quality signal (documents made of globally common
+    * tokens are boilerplate-ish; a very low rarest-token DF marks docs
+    * carrying unique content). Two-phase shape that recurs all over a
+    * data pipeline: (1) build a corpus-level statistic keyed by token
+    * (document frequency — partial-aggregated map-side, one shuffle whose
+    * width is the VOCABULARY), (2) join it back onto the token stream and
+    * re-aggregate per doc. The join is token-keyed and hot tokens are
+    * REAL skew (stopword DF ≈ corpus size) — at 100 TB that join runs
+    * under AQE skew splitting, or broadcasts the DF table outright when
+    * the vocabulary fits (it usually does: vocab grows sub-linearly in
+    * corpus size). Scoring avoids log() deliberately: libm vs JVM log
+    * may differ in the last ulp, while integer-ratio arithmetic is
+    * bitwise-identical cross-engine. */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
+    val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("df")).cast("double") / count(lit(1)))
+          .as("mean_token_df"),
+        min(col("df")).as("rarest_df"))
+  }
+
+  def tokenRaritySql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${tokensSql(normSql("text"))}) AS token
+      FROM documents),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
+    SELECT doc_id, count(*) AS n_tokens,
+      CAST(sum(df) AS DOUBLE) / count(*) AS mean_token_df,
+      min(df) AS rarest_df
+    FROM tok JOIN dfreq USING (token)
+    GROUP BY 1"""
+
   // PII patterns: shared Java-regex/RE2 subset only (char classes,
   // bounded quantifiers, \b word boundaries) — no backreferences or
   // lookaround, so Spark and DuckDB compile the identical automaton.
