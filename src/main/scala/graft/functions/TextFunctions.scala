@@ -102,20 +102,16 @@ object TextFunctions {
   /** Hashed word-3-gram shingles combined ARITHMETICALLY from an already-
     * materialized per-token-hash array column `th` — h(i)·C1 + h(i+1)·C2 +
     * h(i+2) mod P — instead of materializing shingle strings and re-folding
-    * their characters. Far fewer interpreted ops per doc than the string
-    * form at equivalent set semantics (order-sensitive, collision-sparse);
-    * the scale-critical path for MinHash over billions of documents.
-    * `th` must be a real column (not an inline expression) so neither
-    * engine re-evaluates the token hashing per element access. */
+    * their characters; order-sensitive and collision-sparse like the
+    * string form, the scale-critical path for MinHash over billions of
+    * documents. Native codegen'd array expression
+    * ([[org.apache.spark.sql.graft.HashedShingles]], constants mirrored
+    * there) — one compiled loop per doc instead of an interpreted
+    * per-shingle transform. `th` must be a real column (not an inline
+    * expression) so neither engine re-evaluates token hashing per
+    * element access. */
   def hashedShinglesFromTh(th: Column): Column =
-    when(size(th) < 3, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(1), size(th) - lit(2)),
-        i => pmod(
-          element_at(th, i) * lit(ShingleC1) +
-            element_at(th, i + lit(1)) * lit(ShingleC2) +
-            element_at(th, i + lit(2)),
-          lit(HashP))))
+    org.apache.spark.sql.graft.TextExpressions.hashedShingles(th)
 
   def hashedShinglesFromThSql(th: String): String =
     s"""CASE WHEN len($th) < 3 THEN []::BIGINT[]

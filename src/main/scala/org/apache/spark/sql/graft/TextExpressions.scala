@@ -132,10 +132,80 @@ case class TokenRollHashes(child: Expression)
       newChild: Expression): TokenRollHashes = copy(child = newChild)
 }
 
+/** Hashed 3-gram shingles combined arithmetically from a per-token-hash
+  * array: out(j) = (th(j)*C1 + th(j+1)*C2 + th(j+2)) mod P, empty below 3
+  * tokens — the native form of the `when(size<3, …).otherwise(transform(
+  * sequence…))` chain in [[graft.functions.TextFunctions]], which paid
+  * interpreted lambda machinery per shingle. Completes the native tier of
+  * the shingle pipeline (tokens → [[TokenRollHashes]] → this) that feeds
+  * the whole MinHash/Jaccard family. A window containing a null token
+  * hash yields a null shingle hash, matching the composed form. */
+case class HashedShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val C1 = 1000003L
+  private val C2 = 8191L
+  private val P = 1000000007L
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def prettyName: String = "hashed_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 2)
+      var j = 0
+      while (j < n - 2) {
+        out(j) =
+          if (arr.isNullAt(j) || arr.isNullAt(j + 1) || arr.isNullAt(j + 2))
+            null
+          else (arr.getLong(j) * C1 + arr.getLong(j + 1) * C2 +
+            arr.getLong(j + 2)) % P
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n < 3 ? 0 : $n - 2];
+         |for (int $j = 0; $j < $n - 2; $j++) {
+         |  $out[$j] =
+         |    ($a.isNullAt($j) || $a.isNullAt($j + 1) || $a.isNullAt($j + 2))
+         |      ? null
+         |      : (Object) (($a.getLong($j) * ${C1}L +
+         |          $a.getLong($j + 1) * ${C2}L +
+         |          $a.getLong($j + 2)) % ${P}L);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedShingles = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash column — drop-in for the HOF fold. */
   def rollHash(c: Column): Column =
     ExpressionUtils.column(StringRollHash(ExpressionUtils.expression(c)))
+
+  /** Codegen'd hashed 3-gram shingles from a token-hash array. */
+  def hashedShingles(c: Column): Column =
+    ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(c)))
 
   /** Codegen'd per-token rolling hashes — drop-in for
     * `transform(toks, t => rollHash(t))`. */

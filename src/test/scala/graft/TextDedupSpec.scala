@@ -63,6 +63,33 @@ class TextDedupSpec extends SparkSpec {
         array(lit("ab"), lit(null).cast("string"))).as("h"))
       .head().getSeq[Any](0)
     assert(withNull === Seq(3105L, null))
+
+    // shingle combine: native equals the composed arithmetic transform,
+    // sub-3-token arrays are empty, null windows propagate
+    def composedShingles(th: org.apache.spark.sql.Column) =
+      when(size(th) < 3, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(1), size(th) - lit(2)),
+          i => pmod(
+            element_at(th, i) * lit(TextFunctions.ShingleC1) +
+              element_at(th, i + lit(1)) * lit(TextFunctions.ShingleC2) +
+              element_at(th, i + lit(2)),
+            lit(TextFunctions.HashP))))
+    val shDf = docs(samples.zipWithIndex.map {
+        case (s, i) => (i.toLong, s) }: _*)
+      .select(TextFunctions.tokenHashes(
+        TextFunctions.tokens(TextFunctions.norm(col("text")))).as("th"))
+      .select(TextFunctions.hashedShinglesFromTh(col("th")).as("native"),
+        composedShingles(col("th")).as("composed"))
+    assert(shDf.filter(to_json(col("native")) =!= to_json(col("composed")))
+      .count() === 0L)
+    val shNull = docs((1L, "x")).select(
+      TextFunctions.hashedShinglesFromTh(array(
+        lit(null).cast("bigint"), lit(1L), lit(2L), lit(3L))).as("s"))
+      .head().getSeq[Any](0)
+    assert(shNull === Seq(null,
+      (1L * TextFunctions.ShingleC1 + 2L * TextFunctions.ShingleC2 + 3L)
+        % TextFunctions.HashP))
   }
 
   test("tokens: empty and multi-space input normalize cleanly") {
