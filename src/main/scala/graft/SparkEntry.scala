@@ -262,6 +262,24 @@ object SparkEntry {
     "r1_collapse_repeats" -> ((s, d) =>
       TextAnalysis.collapseRepeats(Sources.table(s, d, "documents"))),
 
+    // E55 (S1q): stratified exact-N sampling — exactly N docs per source
+    // by deterministic content-stable hash order (no rand(): rerun- and
+    // retry-stable, same convention as t5/mix1), the held-out/eval-split
+    // primitive. Exact-N inherently ranks within each stratum (a
+    // stratum-keyed shuffle + per-group sort); when strata are huge and
+    // approximate rates suffice, mix1's hash-cutoff is the sort-free
+    // scale path — the two bound the accuracy/cost trade.
+    "s1_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+          col("doc_id").asc)
+      Sources.table(s, d, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }),
+
     // E54 (T7): corpus-statistics join-back — per-doc token rarity from
     // corpus-level document frequencies (the LM-proxy quality signal);
     // vocabulary-keyed agg + token join-back, re-agg per doc.
@@ -702,6 +720,15 @@ object SparkEntry {
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
+    "s1_stratified_sample" -> """
+      SELECT source, doc_id, rn FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)::BIGINT
+            AS rn
+        FROM documents)
+      WHERE rn <= 5""",
+
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
