@@ -360,6 +360,53 @@ object Pipeline {
     readOrInit(spark, path, schema).count()
   }
 
+  /** E57: manifest-aware retention sweep — expire store partitions whose
+    * value sorts below `keepFrom` (dates: "keep the last N days"). The
+    * VACUUM every incremental store eventually needs: without it a daily
+    * merge accumulates partitions forever and per-store listing cost
+    * grows without bound.
+    *
+    * Ordering is the whole operator: (1) recover any crashed swap
+    * (restoreBackups — retention must never roll back OVER a half-swap),
+    * (2) COMMIT the shrunken partition list as a new manifest epoch —
+    * from this instant the expired dates are invisible to every
+    * manifest-aware reader, (3) delete every dir the committed manifest
+    * no longer lists: the just-expired partitions AND any stale orphans
+    * a previous crash window left behind (unlisted dirs are invisible by
+    * definition, so the sweep doubles as the store's garbage collector).
+    * A crash between (2) and (3) just recreates such an orphan — the
+    * next sweep removes it; deleting before committing would instead
+    * give readers a manifest naming vanished partitions, the failure
+    * mode this ordering exists to prevent. Data deletion is deferred
+    * relative to the commit exactly like the batch swap's `.bak`
+    * cleanup, and for the same live-reader reason.
+    *
+    * @return the partition values expired from the manifest
+    */
+  def retentionSweep(spark: SparkSession, path: String,
+      keepFrom: String, partCol: String = "order_date"): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    restoreBackups(fs, path)
+    latestManifest(fs, path) match {
+      case None => Nil // pre-manifest store: nothing committed to expire
+      case Some(m) =>
+        val (keep, drop) = m.partitions.partition(_ >= keepFrom)
+        if (drop.nonEmpty) {
+          writeManifest(fs, path, m.epoch + 1, m.partCol, keep.sorted)
+          dropOldManifests(fs, path, keep = m.epoch + 1)
+        }
+        val listed = keep.toSet
+        listPartitionDirs(fs, path, m.partCol)
+          .filterNot(listed)
+          .foreach(pv =>
+            fs.delete(new HPath(path, s"${m.partCol}=$pv"), true))
+        drop
+    }
+  }
+
   // ---- commit manifest --------------------------------------------------
   //
   // `_manifest.<epoch>` inside the store dir (underscore-prefixed files are

@@ -404,6 +404,52 @@ class PipelineSpec extends SparkSpec {
       "batch 2's stale backups swept at batch 3 start; only batch 3's own remain")
   }
 
+  test("retention sweep expires old partitions commit-first (crash-safe order)") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/retstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(rows: (String, Long)*) =
+      rows.toSeq.toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit("t1"))
+        .select(schema.fieldNames.map(col): _*)
+    Pipeline.upsertStore(spark, path, schema,
+      updates(("2024-06-01", 1L), ("2024-06-02", 2L), ("2024-06-03", 3L)),
+      Seq("order_date"), Seq("total_orders", "last_updated"))
+
+    val expired = Pipeline.retentionSweep(spark, path, "2024-06-02")
+    assert(expired === Seq("2024-06-01"))
+    assert(!Files.exists(d.resolve("retstore/order_date=2024-06-01")))
+    def seen() = Pipeline.readOrInit(spark, path, schema).collect()
+      .map(_.getAs[String]("order_date")).sorted.toSeq
+    assert(seen() === Seq("2024-06-02", "2024-06-03"))
+
+    // idempotent: nothing left below the cutoff
+    assert(Pipeline.retentionSweep(spark, path, "2024-06-02") === Nil)
+
+    // crash window between commit and delete: an expired dir still on
+    // disk is INVISIBLE (the manifest no longer lists it) — commit-first
+    // ordering means readers never see a manifest naming vanished dirs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    updates(("2024-06-02", 9L)).filter(col("order_date") === "none")
+      .write.mode("overwrite")
+      .parquet(d.resolve("retstore/order_date=2024-05-30").toString)
+    assert(seen() === Seq("2024-06-02", "2024-06-03"),
+      "an unlisted orphan dir must stay invisible to manifest readers")
+    // and the next sweep garbage-collects the orphan without touching
+    // the committed list
+    assert(Pipeline.retentionSweep(spark, path, "2024-06-02") === Nil)
+    assert(!Files.exists(d.resolve("retstore/order_date=2024-05-30")),
+      "the sweep doubles as the store's orphan-dir garbage collector")
+    assert(Pipeline.latestManifest(fs, path).get.partitions ===
+      Seq("2024-06-02", "2024-06-03"))
+  }
+
   test("in-flight rollback sweeps a crashed batch's uncommitted new-date dirs") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
