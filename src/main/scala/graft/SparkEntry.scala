@@ -226,7 +226,7 @@ object SparkEntry {
     "t5_hash_sample" -> ((s, d) =>
       Sources.table(s, d, "documents")
         .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          substring(graft.functions.TextFunctions.docIdHash(col("doc_id")), 1, 2)
             .as("bucket"))
         .filter(col("bucket") < "40")),
 
@@ -272,7 +272,7 @@ object SparkEntry {
     "s1_stratified_sample" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+        .orderBy(graft.functions.TextFunctions.docIdHash(col("doc_id")).asc,
           col("doc_id").asc)
       Sources.table(s, d, "documents")
         .select(col("source"), col("doc_id"))

@@ -58,6 +58,17 @@ object TextFunctions {
        |  list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)),
        |  (h, cp) -> (h * 31 + cp) % ${HashP})""".stripMargin
 
+
+  /** Content-stable doc-id hash (hex md5 of the id's decimal string) —
+    * THE sampling/sharding convention shared by t5/mix1/pk1/s1: rerun-
+    * and retry-stable, no rand(), exactly [[docIdHashSql]] on the DuckDB
+    * side. Every hash-cutoff/shard/sample-order decision derives from
+    * this one expression so the cross-engine convention lives in one
+    * place. */
+  def docIdHash(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  def docIdHashSql(id: String): String = s"md5(CAST($id AS VARCHAR))"
+
   /** BPE-ish subword token pattern: letter runs, single digits, single
     * non-alnum marks — the shape of a byte-pair pre-tokenizer's splits. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"

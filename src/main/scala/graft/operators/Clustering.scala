@@ -54,22 +54,40 @@ object Clustering {
         .cast("long"))
   }
 
-  /** Write `df` z-ordered on two numeric columns: range-partition by the
-    * Morton key into `numFiles` partitions, sort within each, drop the
-    * key, write parquet. One shuffle; the emitted files carry bounded
-    * min/max spans on BOTH columns. */
+  /** Write `df` z-ordered on two numeric columns with caller-supplied
+    * column ranges (the production entry point: at 100 TB the ranges come
+    * from the catalog / footer statistics, not a data pass): range-
+    * partition by the Morton key into `numFiles` partitions, sort within
+    * each, drop the key, write parquet. One shuffle; the emitted files
+    * carry bounded min/max spans on BOTH columns. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
-      path: String, numFiles: Int): Unit = {
-    val stats = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      path: String, numFiles: Int,
+      rangeA: (Double, Double), rangeB: (Double, Double)): Unit = {
     val key = mortonKey(
-      scaled16(col(colA), stats.getDouble(0), stats.getDouble(1)),
-      scaled16(col(colB), stats.getDouble(2), stats.getDouble(3)))
+      scaled16(col(colA), rangeA._1, rangeA._2),
+      scaled16(col(colB), rangeB._1, rangeB._2))
     df.withColumn("__zkey", key)
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Convenience overload that measures the ranges itself. The input is
+    * persisted around the two actions (stats + write) so an expensive
+    * upstream plan evaluates once, not twice — callers who already know
+    * the ranges should use the explicit overload and skip the stats pass
+    * entirely. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, numFiles: Int): Unit = {
+    val dfP = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val stats = dfP.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      writeZOrdered(dfP, colA, colB, path, numFiles,
+        (stats.getDouble(0), stats.getDouble(1)),
+        (stats.getDouble(2), stats.getDouble(3)))
+    } finally dfP.unpersist()
   }
 }

@@ -370,16 +370,18 @@ object Pipeline {
     * (restoreBackups — retention must never roll back OVER a half-swap),
     * (2) COMMIT the shrunken partition list as a new manifest epoch —
     * from this instant the expired dates are invisible to every
-    * manifest-aware reader, (3) delete every dir the committed manifest
-    * no longer lists: the just-expired partitions AND any stale orphans
-    * a previous crash window left behind (unlisted dirs are invisible by
-    * definition, so the sweep doubles as the store's garbage collector).
-    * A crash between (2) and (3) just recreates such an orphan — the
-    * next sweep removes it; deleting before committing would instead
-    * give readers a manifest naming vanished partitions, the failure
-    * mode this ordering exists to prevent. Data deletion is deferred
-    * relative to the commit exactly like the batch swap's `.bak`
-    * cleanup, and for the same live-reader reason.
+    * manifest-aware reader, (3) garbage-collect dirs that were ALREADY
+    * unlisted before this commit (earlier sweeps' expirations, crash
+    * orphans). The just-expired dirs deliberately survive THIS sweep:
+    * deleting them in the same invocation that commits would yank files
+    * out from under a reader still materializing a plan pinned to the
+    * previous epoch — the same live-reader window the batch swap closes
+    * by deferring `.bak` deletion, closed here the same way. The next
+    * sweep (or any later one) finds them unlisted and removes them.
+    *
+    * The manifest is authoritative for the partition column; a caller-
+    * supplied `partCol` that disagrees fails loud rather than silently
+    * comparing cutoffs against the wrong column's values.
     *
     * @return the partition values expired from the manifest
     */
@@ -393,14 +395,20 @@ object Pipeline {
     latestManifest(fs, path) match {
       case None => Nil // pre-manifest store: nothing committed to expire
       case Some(m) =>
+        require(m.partCol == partCol,
+          s"store $path is partitioned by ${m.partCol}, not $partCol — " +
+            "retention cutoffs would compare against the wrong column")
         val (keep, drop) = m.partitions.partition(_ >= keepFrom)
         if (drop.nonEmpty) {
           writeManifest(fs, path, m.epoch + 1, m.partCol, keep.sorted)
           dropOldManifests(fs, path, keep = m.epoch + 1)
         }
-        val listed = keep.toSet
+        // GC only what the PRE-sweep manifest already didn't list — the
+        // dirs this sweep just expired stay until the next one (deferred
+        // deletion, see scaladoc)
+        val preListed = m.partitions.toSet
         listPartitionDirs(fs, path, m.partCol)
-          .filterNot(listed)
+          .filterNot(preListed)
           .foreach(pv =>
             fs.delete(new HPath(path, s"${m.partCol}=$pv"), true))
         drop

@@ -168,8 +168,7 @@ object TextAnalysis {
     val cut = element_at(
       array(lit("40"), lit("80"), lit("c0"), lit("zz")),
       pmod(srcN, lit(4)) + 1)
-    val bucket = substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val bucket = substring(docIdHash(col("doc_id")), 1, 2)
     val kept = docs
       .select(col("source"), bucket.as("bucket"), cut.as("cut"))
       .filter(col("bucket") < col("cut"))
@@ -186,7 +185,7 @@ object TextAnalysis {
   def weightedSampleAuditSql: String = s"""
     WITH base AS (
       SELECT source,
-        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        substr(${docIdHashSql("doc_id")}, 1, 2) AS bucket,
         (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1 AS q
       FROM documents),
     kept AS (
@@ -215,8 +214,7 @@ object TextAnalysis {
     * sequence (no doc is split); oversized docs occupy their own. */
   def packSequences(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
+    val shard = conv(substring(docIdHash(col("doc_id")), 1, 1), 16, 10)
       .cast("long")
     val withTok = docs.select(col("doc_id"),
       shard.as("shard"), size(toksCol).cast("long").as("n_tokens"))
@@ -233,7 +231,7 @@ object TextAnalysis {
     WITH toks AS (
       SELECT doc_id,
         strpos('0123456789abcdef',
-          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard_raw,
+          substr(${docIdHashSql("doc_id")}, 1, 1)) - 1 AS shard_raw,
         len(${tokensSql(normSql("text"))})::BIGINT AS n_tokens
       FROM documents)
     SELECT doc_id, shard_raw::BIGINT AS shard, n_tokens,

@@ -143,12 +143,22 @@ object VectorExpressions {
       FloatVectorDot(children.head, children(1))
     })
 
-  /** Register `fvec_dot` into an existing session's function registry —
+  val fdvecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fdvec_dot"),
+    new ExpressionInfo(classOf[FloatDoubleDot].getName, "fdvec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "fdvec_dot takes exactly 2 arguments")
+      FloatDoubleDot(children.head, children(1))
+    })
+
+  /** Register the vector functions into an existing session's registry —
     * the imperative twin of [[GraftExtensions]] for sessions already
     * built. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      fvecDotDescriptor._1, fvecDotDescriptor._2, fvecDotDescriptor._3)
+    Seq(fvecDotDescriptor, fdvecDotDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions =
@@ -158,6 +168,7 @@ object VectorExpressions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.fvecDotDescriptor)
+    ext.injectFunction(VectorExpressions.fdvecDotDescriptor)
     ext.injectFunction(TextExpressions.rollHashDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

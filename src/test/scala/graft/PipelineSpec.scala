@@ -423,31 +423,37 @@ class PipelineSpec extends SparkSpec {
 
     val expired = Pipeline.retentionSweep(spark, path, "2024-06-02")
     assert(expired === Seq("2024-06-01"))
-    assert(!Files.exists(d.resolve("retstore/order_date=2024-06-01")))
     def seen() = Pipeline.readOrInit(spark, path, schema).collect()
       .map(_.getAs[String]("order_date")).sorted.toSeq
     assert(seen() === Seq("2024-06-02", "2024-06-03"))
+    // deferred deletion: the just-expired dir OUTLIVES the sweep that
+    // expired it (a reader pinned to the previous epoch may still be
+    // scanning it) — invisible immediately, deleted by the NEXT sweep
+    assert(Files.exists(d.resolve("retstore/order_date=2024-06-01")),
+      "expired data must not be deleted in the same sweep that commits")
 
-    // idempotent: nothing left below the cutoff
-    assert(Pipeline.retentionSweep(spark, path, "2024-06-02") === Nil)
-
-    // crash window between commit and delete: an expired dir still on
-    // disk is INVISIBLE (the manifest no longer lists it) — commit-first
-    // ordering means readers never see a manifest naming vanished dirs
+    // an orphan dir from a hypothetical crash window is also invisible
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    updates(("2024-06-02", 9L)).filter(col("order_date") === "none")
-      .write.mode("overwrite")
+    updates(("2024-05-30", 9L)).drop("order_date").write
       .parquet(d.resolve("retstore/order_date=2024-05-30").toString)
     assert(seen() === Seq("2024-06-02", "2024-06-03"),
-      "an unlisted orphan dir must stay invisible to manifest readers")
-    // and the next sweep garbage-collects the orphan without touching
-    // the committed list
+      "unlisted dirs must stay invisible to manifest readers")
+
+    // the next sweep expires nothing new but GCs everything the previous
+    // manifest already didn't list: the deferred 06-01 and the orphan
     assert(Pipeline.retentionSweep(spark, path, "2024-06-02") === Nil)
+    assert(!Files.exists(d.resolve("retstore/order_date=2024-06-01")))
     assert(!Files.exists(d.resolve("retstore/order_date=2024-05-30")),
       "the sweep doubles as the store's orphan-dir garbage collector")
     assert(Pipeline.latestManifest(fs, path).get.partitions ===
       Seq("2024-06-02", "2024-06-03"))
+
+    // manifest is authoritative for the partition column — fail loud
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.retentionSweep(spark, path, "x", partCol = "shard")
+    }
+    assert(e.getMessage.contains("partitioned by order_date"))
   }
 
   test("in-flight rollback sweeps a crashed batch's uncommitted new-date dirs") {
