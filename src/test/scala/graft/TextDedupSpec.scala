@@ -228,6 +228,19 @@ class TextDedupSpec extends SparkSpec {
         |                CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d"""
         .stripMargin).head().getDouble(0)
     assert(out === 11.0)
+    // the full extension-advertised SQL surface, as GraftExtensions
+    // injects it (register() mirrors the same descriptors)
+    val fd = spark.sql(
+      """SELECT fdvec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d"""
+        .stripMargin).head().getDouble(0)
+    assert(fd === 11.0)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.graft.TextExpressions.rollHashDescriptor._1,
+      org.apache.spark.sql.graft.TextExpressions.rollHashDescriptor._2,
+      org.apache.spark.sql.graft.TextExpressions.rollHashDescriptor._3)
+    assert(spark.sql("SELECT roll_hash('ab') AS h").head().getLong(0)
+      === 3105L)
   }
 
   test("connected components labels chains, triangles, and islands") {
