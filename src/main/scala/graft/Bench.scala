@@ -69,13 +69,33 @@ object Bench {
       spark.catalog.clearCache()
       (name, dt, (j1 - j0, s1 - s0, t1c - t0c))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver parses the FINAL metric line out of a bounded stdout tail
+    // (~5 KB). Round 5 learned this the hard way: wall-times + per-query
+    // scheduler counts on one line outgrew the window at 62 queries and the
+    // driver recorded `parsed: null`. So: per-query counts go on their OWN
+    // line, printed BEFORE the metric line (informational; may scroll out of
+    // the tail), the full detail is also written to target/bench_detail.json
+    // for post-hoc analysis, and the final line stays compact — seconds
+    // rounded to 4 decimals (0.1 ms; bench noise is >100× that).
+    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val counts = results.map { case (k, _, (j, s, t)) =>
       s"""\"$k\":{"jobs":$j,"stages":$s,"tasks":$t}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counts":$counts,"sf":"$sfDir"}""")
+    val metricLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, v, (j, s, t)) =>
+      s"""\"$k\":{"sec":$v,"jobs":$j,"stages":$s,"tasks":$t}"""
+    }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"bench_counts":$counts}""")
+    println(metricLine)
     spark.stop()
   }
 }

@@ -572,14 +572,20 @@ object SparkEntry {
     // E44 (K1): mergeable HLL distinct sketches — the incremental form of
     // A2's unique_customers. DataSketches HLL at lgK=12 is EXACT below
     // ~2^lgK distincts (coupon mode), so at verify scale (≤ 90 distinct
-    // users/day at sf0.1) the per-day estimate EQUALS the oracle's exact
-    // count(DISTINCT) — a hash-green gate on the sketch path, while the
-    // sketch column itself stays mergeable across days (hll_union_agg,
-    // SketchKpiSpec) without ever rescanning history.
+    // users/day at sf0.1) the per-day estimate equals the oracle's exact
+    // count(DISTINCT) — except for coupon hash collisions (~n²/2^26, tiny
+    // but nonzero), which would turn an exact-equality gate red on a data
+    // change with nothing actually wrong. The gate therefore checks a
+    // per-day within-±1 indicator (granular like the exact gate, immune
+    // to a single collision), while the sketch column itself stays
+    // mergeable across days (hll_union_agg, SketchKpiSpec) without ever
+    // rescanning history.
     "k1_distinct_sketch" -> ((s, d) =>
       graft.kpi.SketchKpi.dailyUserSketch(o(s, d))
         .select(col("order_date"),
-          hll_sketch_estimate(col("user_sketch")).as("unique_customers_est"),
+          (abs(hll_sketch_estimate(col("user_sketch")) -
+            col("unique_customers")) <= lit(1L)).cast("long")
+            .as("est_within_1"),
           col("unique_customers"))),
 
     // §2.5 extension: KPI-history window query — top-3 categories per day
@@ -831,12 +837,13 @@ object SparkEntry {
       FROM (SELECT l_returnflag FROM lineitem GROUP BY 1)""",
 
     // k1's sketch estimate is EXACT below ~2^lgK distincts per group
-    // (DataSketches HLL coupon mode), so the oracle's exact
-    // count(DISTINCT) serves for BOTH output columns — any sketch drift
-    // at this scale is a real bug, not noise.
+    // (DataSketches HLL coupon mode) up to rare coupon collisions, so the
+    // oracle asserts the per-day within-±1 indicator is 1 everywhere and
+    // carries the exact count — sketch drift beyond ±1 at this scale is a
+    // real bug, not noise.
     "k1_distinct_sketch" -> s"""$ctes
       SELECT substring(created_at, 1, 10) AS order_date,
-        count(DISTINCT user_id) AS unique_customers_est,
+        CAST(1 AS BIGINT) AS est_within_1,
         count(DISTINCT user_id) AS unique_customers
       FROM o GROUP BY 1""",
 

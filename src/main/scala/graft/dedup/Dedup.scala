@@ -266,48 +266,49 @@ object Dedup {
     * Non-convergence within maxIters FAILS LOUD — silently returning
     * half-propagated labels would report a wrong cluster count.
     *
-    * Session contract: the loop narrows `spark.sql.shuffle.partitions`
-    * and disables AQE for its own duration (restored in a finally).
-    * Session confs are global, so queries PLANNED CONCURRENTLY on the
-    * same SparkSession would inherit the narrowed settings — callers run
-    * this from a single-threaded driver (as Bench/Verify and the runner
-    * do); a multi-tenant session should wrap it in its own session clone
-    * (`spark.newSession()` shares the cache but isolates confs).
+    * The loop's confs (narrowed `spark.sql.shuffle.partitions`, AQE off)
+    * live on a conf-isolated session CLONE (`newSession()`: same
+    * SparkContext, shared cache blocks and CacheManager, separate conf
+    * state) — the caller's session is never mutated, so queries planned
+    * concurrently on it keep their width and AQE. Plans cross the session
+    * boundary via [[org.apache.spark.sql.graft.SessionBridge]] (re-root
+    * the logical plan; zero data movement, and the shared CacheManager
+    * still substitutes the persisted relations).
     *
     * @return one row per node: (doc_id, cluster_id = min doc_id reachable)
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val spark = edges.sparkSession
-    val widthKey = "spark.sql.shuffle.partitions"
-    val sessionWidth = spark.conf.get(widthKey)
+    import org.apache.spark.sql.graft.SessionBridge
+    val caller = edges.sparkSession
     // persist the HALF-size edge relation (one materialization of the
     // possibly-expensive pair pipeline); the doubled+repartitioned form
     // below derives from this cache rather than re-running the pairs or
     // double-writing the doubled relation
     val edgesP = edges.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.DISK_ONLY)
-    val undRows = edgesP.count() * 2 // also sizes the loop width
-    if (undRows == 0) {
-      edgesP.unpersist()
-      return edges.sparkSession.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id")).limit(0)
-    }
-    val width = math.max(1L, math.min(sessionWidth.toLong,
-      undRows / CcRowsPerPartition + 1L)).toInt
-    // AQE's only lever here is post-shuffle coalescing, which the adaptive
-    // width already decides better (AQE cannot see across checkpoint
-    // boundaries) — while its stage-by-stage execution turns every tiny
-    // loop stage into a separate scheduled job. Iterative driver-bound
-    // loops are the one place that job multiplication dominates, so turn
-    // it off for the loop's queries and restore after.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val sessionAqe = spark.conf.get(aqeKey)
-    spark.conf.set(widthKey, width.toString)
-    spark.conf.set(aqeKey, "false")
+    var und: DataFrame = null
     try {
-      val und = edgesP.select(col("doc_a").as("x"), col("doc_b").as("y"))
-        .unionByName(edgesP.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      val undRows = edgesP.count() * 2 // also sizes the loop width
+      if (undRows == 0) {
+        return caller.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id")).limit(0)
+      }
+      val width = math.max(1L,
+        math.min(caller.conf.get("spark.sql.shuffle.partitions").toLong,
+          undRows / CcRowsPerPartition + 1L)).toInt
+      // AQE's only lever here is post-shuffle coalescing, which the adaptive
+      // width already decides better (AQE cannot see across checkpoint
+      // boundaries) — while its stage-by-stage execution turns every tiny
+      // loop stage into a separate scheduled job. Iterative driver-bound
+      // loops are the one place that job multiplication dominates, so turn
+      // it off — on the clone only.
+      val loopSession = caller.newSession()
+      loopSession.conf.set("spark.sql.shuffle.partitions", width.toString)
+      loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+      val edgesL = SessionBridge.rebase(edgesP, loopSession)
+      und = edgesL.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .unionByName(edgesL.select(col("doc_b").as("x"), col("doc_a").as("y")))
         .repartition(width, col("y"))
         .persist(StorageLevel.DISK_ONLY)
       und.count()
@@ -340,16 +341,23 @@ object Dedup {
           f"[graft.cc] round=$iter hops=2 width=$width undRows=$undRows " +
             f"wallMs=${(System.nanoTime() - t0) / 1e6}%.0f converged=$converged")
       }
-      und.unpersist()
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds " +
             "(label sum still decreasing) — the pair graph has a component " +
             s"with diameter > ${2 * maxIters}; raise maxIters")
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // `labels` is localCheckpoint-materialized by the last convergence
+      // probe, so its plan is a LogicalRDD — rebasing back re-plans from
+      // the checkpointed blocks, NOT the loop lineage, and unpersisting
+      // `und` below cannot trigger a recompute of the pair pipeline.
+      SessionBridge.rebase(
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_id")),
+        caller)
     } finally {
-      spark.conf.set(widthKey, sessionWidth)
-      spark.conf.set(aqeKey, sessionAqe)
+      // no conf restore needed — the caller session was never touched;
+      // just make sure a mid-loop failure doesn't leak cached relations
+      edgesP.unpersist()
+      if (und != null) und.unpersist()
     }
   }
 

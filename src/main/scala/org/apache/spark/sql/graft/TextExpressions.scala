@@ -97,35 +97,68 @@ case class TokenRollHashes(child: Expression)
 
   override def prettyName: String = "roll_hashes"
 
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      out(i) = if (arr.isNullAt(i)) null
-      else RollHash.hash(arr.getUTF8String(i))
-      i += 1
+    if (!elemsNullable) {
+      // null-free elements ⇒ primitive long[] (no per-element boxing)
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = RollHash.hash(arr.getUTF8String(i)); i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null
+        else RollHash.hash(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
+  // When the input array is null-free the generated loop fills a primitive
+  // long[] (GenericArrayData has a long[] constructor) — no per-element
+  // boxing; the nullable path boxes EXPLICITLY via Long.valueOf rather
+  // than a bare (Object) cast, so the generated source never relies on
+  // Janino accepting a primitive-to-Object boxing conversion (a silent
+  // fallback-to-interpreted risk, which would cost exactly the speedup
+  // this expression exists for).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $a.numElements();
-         |Object[] $out = new Object[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $a.isNullAt($i) ? null
-         |    : (Object) org.apache.spark.sql.graft.RollHash.hash(
-         |        $a.getUTF8String($i));
-         |}
-         |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (!elemsNullable)
+        s"""
+           |int $n = $a.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = org.apache.spark.sql.graft.RollHash.hash(
+           |    $a.getUTF8String($i));
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $a.isNullAt($i) ? null
+           |    : (Object) java.lang.Long.valueOf(
+           |        org.apache.spark.sql.graft.RollHash.hash(
+           |          $a.getUTF8String($i)));
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(
@@ -154,11 +187,24 @@ case class HashedShingles(child: Expression)
 
   override def prettyName: String = "hashed_shingles"
 
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n < 3) new GenericArrayData(Array.empty[Any])
-    else {
+    if (n < 3) new GenericArrayData(Array.empty[Long])
+    else if (!elemsNullable) {
+      // null-free token hashes ⇒ primitive long[] (no per-element boxing)
+      val out = new Array[Long](n - 2)
+      var j = 0
+      while (j < n - 2) {
+        out(j) = (arr.getLong(j) * C1 + arr.getLong(j + 1) * C2 +
+          arr.getLong(j + 2)) % P
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
       val out = new Array[Any](n - 2)
       var j = 0
       while (j < n - 2) {
@@ -173,25 +219,42 @@ case class HashedShingles(child: Expression)
     }
   }
 
+  // same boxing discipline as TokenRollHashes: primitive long[] on the
+  // null-free path, explicit Long.valueOf on the nullable one — never a
+  // bare primitive-to-Object cast for Janino to interpret
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $a.numElements();
-         |Object[] $out = new Object[$n < 3 ? 0 : $n - 2];
-         |for (int $j = 0; $j < $n - 2; $j++) {
-         |  $out[$j] =
-         |    ($a.isNullAt($j) || $a.isNullAt($j + 1) || $a.isNullAt($j + 2))
-         |      ? null
-         |      : (Object) (($a.getLong($j) * ${C1}L +
-         |          $a.getLong($j + 1) * ${C2}L +
-         |          $a.getLong($j + 2)) % ${P}L);
-         |}
-         |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (!elemsNullable)
+        s"""
+           |int $n = $a.numElements();
+           |long[] $out = new long[$n < 3 ? 0 : $n - 2];
+           |for (int $j = 0; $j < $n - 2; $j++) {
+           |  $out[$j] = ($a.getLong($j) * ${C1}L +
+           |    $a.getLong($j + 1) * ${C2}L +
+           |    $a.getLong($j + 2)) % ${P}L;
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n < 3 ? 0 : $n - 2];
+           |for (int $j = 0; $j < $n - 2; $j++) {
+           |  $out[$j] =
+           |    ($a.isNullAt($j) || $a.isNullAt($j + 1) || $a.isNullAt($j + 2))
+           |      ? null
+           |      : (Object) java.lang.Long.valueOf(
+           |          ($a.getLong($j) * ${C1}L +
+           |            $a.getLong($j + 1) * ${C2}L +
+           |            $a.getLong($j + 2)) % ${P}L);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(

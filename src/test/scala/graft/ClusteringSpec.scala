@@ -70,4 +70,70 @@ class ClusteringSpec extends SparkSpec {
     assert(s.map(_._1).max <= 0.2,
       "x-sorted files are tightly clustered on x (the one-dim baseline)")
   }
+
+  test("mortonKeyN interleaves N dims at stride N; scaledBits clamps both ends") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (65535L, 65535L, 65535L))
+      .toDF("a", "b", "c")
+      .select(Clustering.mortonKeyN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows(0) === 1L) // bit 0 of dim 0 → position 0
+    assert(rows(1) === 2L) // bit 0 of dim 1 → position 1
+    assert(rows(2) === 4L) // bit 0 of dim 2 → position 2
+    assert(rows(3) === (1L << 48) - 1) // all 48 bits set
+    // out-of-range values saturate at the boundary cell instead of
+    // wrapping under the spread mask (stale-catalog-stats safety)
+    val clamped = Seq(-50.0, 0.0, 100.0, 250.0).toDF("v")
+      .select(Clustering.scaledBits(col("v"), 0.0, 100.0, 16).as("s"))
+      .collect().map(_.getLong(0))
+    assert(clamped(0) === 0L, "below-min must clamp to 0, not wrap negative")
+    assert(clamped(1) === 0L)
+    assert(clamped(2) === 65535L)
+    assert(clamped(3) === 65535L, "above-max must saturate at the top cell")
+  }
+
+  test("3-column z-order bounds per-file spans on ALL THREE dims") {
+    import spark.implicits._
+    // three mutually independent uniform dimensions
+    val n = 30000
+    val df = (0 until n).map { i =>
+      ((i * 2654435761L) % 100000L,
+        (i * 40503L + 7) % 100000L,
+        (i * 69621L + 13) % 100000L)
+    }.toDF("x", "y", "z")
+    val files = 16
+
+    val zDir = Files.createTempDirectory("graft-zorder3").toString
+    val sDir = Files.createTempDirectory("graft-xsort3").toString
+    Clustering.writeZOrdered(df, Seq("x", "y", "z"), zDir, files)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(sDir)
+
+    def spans(dir: String): Seq[(Double, Double, Double)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+              min(col("z")), max(col("z")))
+            .head()
+          ((r.getLong(1) - r.getLong(0)) / 100000.0,
+            (r.getLong(3) - r.getLong(2)) / 100000.0,
+            (r.getLong(5) - r.getLong(4)) / 100000.0)
+        }
+
+    val z = spans(zDir)
+    val s = spans(sDir)
+    assert(z.size === files && s.size === files)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    // 16 files over a 3-d curve ⇒ ideal per-dim span (1/16)^(1/3) ≈ 40 %,
+    // with range-boundary files wider (splits straddle curve jumps); the
+    // MEAN worst-dim span is the honest aggregate-pruning metric.
+    val zMean = mean(z.map { case (a, b, c) => math.max(a, math.max(b, c)) })
+    assert(zMean <= 0.7,
+      s"3-dim z-order must bound ALL dims on average, mean worst-dim span $zMean")
+    assert(mean(s.map(_._2)) >= 0.9 && mean(s.map(_._3)) >= 0.9,
+      "x-sorted files must be unclustered on y and z, or this proves nothing")
+  }
 }

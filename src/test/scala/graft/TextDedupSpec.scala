@@ -258,6 +258,35 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.size === 9)
   }
 
+  test("connected components never mutates the caller session's confs") {
+    // The loop runs on a newSession() clone, so a query planned CONCURRENTLY
+    // on the caller session must observe the caller's shuffle width and AQE
+    // for the loop's whole duration — the old implementation mutated the
+    // shared conf and restored it in a finally, which this test would catch
+    // almost surely (the loop holds the narrowed conf for seconds).
+    import spark.implicits._
+    val widthKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val width0 = spark.conf.get(widthKey)
+    val aqe0 = spark.conf.get(aqeKey)
+    val edges = (1L to 400L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cc = Future(
+      graft.dedup.Dedup.connectedComponents(edges, maxIters = 300).count())
+    var observed = List.empty[(String, String)]
+    while (!cc.isCompleted) {
+      observed = (spark.conf.get(widthKey), spark.conf.get(aqeKey)) :: observed
+      Thread.sleep(20)
+    }
+    assert(Await.result(cc, 1.minute) === 400L)
+    assert(observed.nonEmpty)
+    assert(observed.forall(_ == (width0, aqe0)),
+      s"caller session conf changed mid-loop: ${observed.distinct}")
+  }
+
   test("connected components fails loud when a component outlives maxIters") {
     // A 30-node path has diameter 29: min-label propagation cannot
     // converge in 3 rounds, and the every-2nd-round convergence count
