@@ -107,6 +107,15 @@ object SparkEntry {
         Sources.table(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
+    // V1's documented 100-TB swap (exact NDV → HLL++ sketch, no Expand),
+    // made executable under the hash gate a2x-style: the NDV column
+    // reduces to a per-column within-bound indicator; nulls and min/max
+    // compare exactly. Production path: Validation.tableProfileApprox.
+    "v1x_table_profile_approx" -> ((s, d) =>
+      Validation.tableProfileApproxGate(
+        Sources.table(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // §2.3 J3: RI anti-join — items with no parent order (validation.py:100-108).
     "j3_ri_items_without_order" -> ((s, d) =>
       Validation.riViolations(oi(s, d), "order_id", o(s, d), "order_id")),
@@ -739,6 +748,9 @@ object SparkEntry {
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    "v1x_table_profile_approx" -> Validation.tableProfileApproxGateSql(
+      "orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d8_incremental_dedup" -> Dedup.incrementalDedupSql,

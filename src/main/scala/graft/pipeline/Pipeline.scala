@@ -195,6 +195,78 @@ object Pipeline {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema))
 
+  /** E58: store TIME TRAVEL — read the store exactly as it was at
+    * committed `epoch` (the Delta `VERSION AS OF` analogue over the epoch
+    * manifests). Historical manifests persist for [[ManifestsToKeep]]
+    * epochs behind the current one; the partition content each commit
+    * replaced is archived under `<store>.hist/<epoch>/` (see
+    * [[restoreBackups]]) instead of deleted.
+    *
+    * Resolution, per partition of the target manifest: pick the SMALLEST
+    * archived version with stamp h ≥ epoch — `.hist/<h>` (or a pending
+    * `.bak` at its stamp, the not-yet-archived newest case) holds that
+    * partition's content AS OF epoch h, and no h' with epoch ≤ h' < h
+    * existing means the partition was untouched between the two, so the
+    * content at h IS the content at `epoch`. No archived version ⇒ the
+    * partition was never rewritten after `epoch` and the live dir is
+    * exact. A partition that can't be resolved anywhere (expired by
+    * [[retentionSweep]] and GC'd) FAILS LOUD — time travel never silently
+    * returns a partial snapshot.
+    *
+    * Listing cost is manifest partitions × archived epochs (driver-side
+    * metadata, same altitude as the touched-dates collect); the data read
+    * is one scan of exactly the snapshot's dirs. */
+  def readAt(spark: SparkSession, path: String, epoch: Long,
+      schema: StructType): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    val m = manifestAt(fs, path, epoch).getOrElse(
+      throw new IllegalStateException(
+        s"store $path: no manifest for epoch $epoch — it is outside the " +
+          s"$manifestsToKeep-epoch time-travel window or was never " +
+          "committed"))
+    val partCol = m.partCol
+    if (m.partitions.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dataSchema = StructType(schema.filterNot(_.name == partCol))
+    val histRoot = new HPath(path + ".hist")
+    val histEpochs =
+      if (!fs.exists(histRoot)) Nil
+      else fs.listStatus(histRoot).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    // version roots with stamp ≥ target, smallest stamp first
+    val candidates = (histEpochs.map(h => h -> s"$path.hist/$h") ++
+      bakEpoch(fs, path).map(e => e -> s"$path.bak"))
+      .filter(_._1 >= epoch).sortBy(_._1)
+    val resolved = m.partitions.map { pv =>
+      pv -> candidates.collectFirst {
+        case (_, root) if fs.exists(new HPath(root, s"$partCol=$pv")) =>
+          s"$root/$partCol=$pv"
+      }
+    }
+    val missing = resolved.collect {
+      case (pv, None) if !fs.exists(new HPath(path, s"$partCol=$pv")) => pv
+    }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"store $path: epoch $epoch is no longer reconstructable — " +
+          s"partition(s) ${missing.mkString(", ")} expired by retention")
+    val livePv = resolved.collect { case (pv, None) => pv }
+    val live =
+      if (livePv.isEmpty) Nil
+      else Seq(spark.read.schema(schema).parquet(path)
+        .where(col(partCol).isin(livePv: _*)))
+    val versioned = resolved.collect { case (pv, Some(dir)) =>
+      spark.read.schema(dataSchema).parquet(dir)
+        .withColumn(partCol, lit(pv))
+        .select(schema.fieldNames.map(col): _*)
+    }
+    (live ++ versioned).reduce(_ unionByName _)
+  }
+
   private def catSchema = StructType.fromDDL(
     "category STRING, order_date STRING, daily_revenue DOUBLE, " +
       "avg_order_value DOUBLE, avg_return_rate DOUBLE, " +
@@ -354,7 +426,7 @@ object Pipeline {
     fs.delete(new HPath(tmp), true)
     writeManifest(fs, path, curEpoch + 1, partCol,
       (baseParts ++ dates).distinct.sorted)
-    dropOldManifests(fs, path, keep = curEpoch + 1)
+    dropOldManifests(fs, path, current = curEpoch + 1)
     // no `.bak` delete here — see step 4 of the commit protocol above
     updatesP.unpersist()
     readOrInit(spark, path, schema).count()
@@ -401,7 +473,7 @@ object Pipeline {
         val (keep, drop) = m.partitions.partition(_ >= keepFrom)
         if (drop.nonEmpty) {
           writeManifest(fs, path, m.epoch + 1, m.partCol, keep.sorted)
-          dropOldManifests(fs, path, keep = m.epoch + 1)
+          dropOldManifests(fs, path, current = m.epoch + 1)
         }
         // GC only what the PRE-sweep manifest already didn't list — the
         // dirs this sweep just expired stay until the next one (deferred
@@ -429,6 +501,24 @@ object Pipeline {
 
   private val ManifestName = """_manifest\.(\d+)""".r
 
+  /** How many committed epochs stay readable through [[readAt]]: manifests
+    * (and the `.hist` partition versions that back them) older than this
+    * window behind the current epoch are pruned at each commit. The Delta
+    * analogue is `delta.logRetentionDuration` — a small constant, because
+    * every retained epoch holds a full copy of each partition it
+    * replaced. Overridable for tests (and ops) via the
+    * `graft.store.manifestsToKeep` system property. */
+  private[graft] def manifestsToKeep: Long =
+    sys.props.get("graft.store.manifestsToKeep").map(_.toLong).getOrElse(16L)
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      epoch: Long, p: org.apache.hadoop.fs.Path): StoreManifest = {
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    StoreManifest(epoch, lines.head, lines.tail.filter(_.nonEmpty))
+  }
+
   private[graft] def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[StoreManifest] = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -439,11 +529,15 @@ object Pipeline {
       case _ => None
     })
     candidates.sortBy(-_._1).headOption.map { case (epoch, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      StoreManifest(epoch, lines.head, lines.tail.filter(_.nonEmpty))
+      readManifestFile(fs, epoch, p)
     }
+  }
+
+  private[graft] def manifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, epoch: Long): Option[StoreManifest] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, s"_manifest.$epoch")
+    if (!fs.exists(p)) None else Some(readManifestFile(fs, epoch, p))
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -457,13 +551,27 @@ object Pipeline {
     renameOrFail(fs, tmp, new HPath(path, s"_manifest.$epoch"))
   }
 
+  /** Prune manifests (and the `.hist` versions that back them) outside the
+    * [[ManifestsToKeep]] window behind `current`. A `.hist/<h>` dir is
+    * reachable only through [[readAt]] of some kept epoch T ≤ h, so once
+    * the oldest kept manifest passes h the version is garbage. */
   private def dropOldManifests(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, keep: Long): Unit = {
+      path: String, current: Long): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    val oldestKept = current - manifestsToKeep + 1
     fs.listStatus(new HPath(path)).foreach(s => s.getPath.getName match {
-      case ManifestName(e) if e.toLong != keep => fs.delete(s.getPath, false)
+      case ManifestName(e)
+          if e.toLong > current || e.toLong < oldestKept =>
+        fs.delete(s.getPath, false)
       case _ => ()
     })
+    val histRoot = new HPath(path + ".hist")
+    if (fs.exists(histRoot))
+      fs.listStatus(histRoot).foreach { s =>
+        scala.util.Try(s.getPath.getName.toLong).toOption
+          .filter(_ < oldestKept)
+          .foreach(_ => fs.delete(s.getPath, true))
+      }
   }
 
   /** The manifest epoch the in-flight swap's backups were taken AGAINST —
@@ -518,7 +626,12 @@ object Pipeline {
     *    pre-cleanup crash) or pre-manifest-era. Only a backup whose store
     *    partition is MISSING (the window between [[swapDir]]'s two
     *    renames) is restored — a backup is never deleted while it is the
-    *    only copy.
+    *    only copy. A stale backup whose live partition EXISTS is the
+    *    pre-swap content a committed batch replaced: it is ARCHIVED to
+    *    `<store>.hist/<bakEpoch>/` — the version store behind [[readAt]]
+    *    time travel — rather than deleted (pre-manifest backups, which
+    *    carry no epoch stamp, are still swept: there is no epoch to file
+    *    them under and no manifest to travel to).
     */
   private def restoreBackups(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
@@ -526,8 +639,9 @@ object Pipeline {
     val bakRoot = new HPath(path + ".bak")
     if (fs.exists(bakRoot)) {
       val manifest = latestManifest(fs, path)
-      val inFlight = (bakEpoch(fs, path), manifest) match {
-        case (Some(be), Some(m)) => be == m.epoch
+      val be = bakEpoch(fs, path)
+      val inFlight = (be, manifest) match {
+        case (Some(b), Some(m)) => b == m.epoch
         case _ => false
       }
       fs.listStatus(bakRoot)
@@ -537,6 +651,11 @@ object Pipeline {
             if (fs.exists(dst)) fs.delete(dst, true)
             renameOrFail(fs, s.getPath, dst)
           } else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
+          else be.foreach { e =>
+            val histDir = new HPath(s"$path.hist/$e")
+            if (!fs.exists(histDir)) fs.mkdirs(histDir)
+            renameOrFail(fs, s.getPath, new HPath(histDir, s.getPath.getName))
+          }
         }
       // in-flight rollback also sweeps the crashed batch's UNCOMMITTED
       // new-date dirs (swapped in with no .bak copy, listed in no

@@ -159,4 +159,60 @@ object Validation {
         CAST(max($c) AS VARCHAR) AS max_val
       FROM $table"""
     }.mkString("\nUNION ALL\n")
+
+  /** V1X production path: [[tableProfile]] with the documented 100-TB swap
+    * applied — `approx_count_distinct` (HLL++) replaces the exact NDVs, so
+    * the whole profile is ONE pass with NO Expand (N exact distincts
+    * multiply the scanned rows N-fold through Expand; N sketches don't).
+    * ~2 % relative error on NDV is noise for a data-quality report; nulls
+    * and min/max stay exact. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"n_$c"),
+      approx_count_distinct(col(c)).as(s"d_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `n_$c`, `d_$c`, `mn_$c`, `mx_$c`").mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stacked) AS " +
+      "(column_name, n_nulls, n_distinct_est, min_val, max_val)"))
+  }
+
+  /** V1X gate: the approx profile made EXECUTABLE under the hash oracle,
+    * a2x/x5x style. HLL++ estimates never cross engines, so the NDV
+    * reduces to a per-column within-bound indicator (rsd 0.05 ⇒ 4σ =
+    * 20 %, floor 5) computed against the exact NDV in the SAME single
+    * scan; nulls and min/max compare exactly. The gate query pays the
+    * exact-NDV Expand to check the bound — the production path
+    * ([[tableProfileApprox]]) doesn't. */
+  def tableProfileApproxGate(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"n_$c"),
+      approx_count_distinct(col(c)).as(s"a_$c"),
+      countDistinct(col(c)).as(s"d_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `n_$c`, `a_$c`, `d_$c`, `mn_$c`, `mx_$c`")
+      .mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_nulls, ndv_est, ndv_exact, min_val, max_val)"))
+      .select(col("column_name"), col("n_nulls"),
+        when(abs(col("ndv_est") - col("ndv_exact")) <=
+          greatest(col("ndv_exact") * lit(0.2), lit(5.0)), 1L).otherwise(0L)
+          .as("ndv_within"),
+        col("min_val"), col("max_val"))
+  }
+
+  def tableProfileApproxGateSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+        count(*) FILTER ($c IS NULL) AS n_nulls,
+        CAST(1 AS BIGINT) AS ndv_within,
+        CAST(min($c) AS VARCHAR) AS min_val,
+        CAST(max($c) AS VARCHAR) AS max_val
+      FROM $table"""
+    }.mkString("\nUNION ALL\n")
 }

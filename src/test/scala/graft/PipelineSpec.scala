@@ -574,4 +574,118 @@ class PipelineSpec extends SparkSpec {
     val after = spark.read.parquet(s"$d/store/order_kpi").collect().toSeq
     assert(before.map(_.toString).sorted === after.map(_.toString).sorted)
   }
+
+  test("readAt time-travels to any retained epoch, exactly") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/ttstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    val fields = Seq("total_orders", "last_updated")
+    def updates(now: String, rows: (String, Long)*) =
+      rows.toSeq.toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(now))
+        .select(schema.fieldNames.map(col): _*)
+    def snapshot(epoch: Long): Map[String, (Long, String)] =
+      Pipeline.readAt(spark, path, epoch, schema).collect()
+        .map(r => r.getAs[String]("order_date") ->
+          (r.getAs[Long]("total_orders"), r.getAs[String]("last_updated")))
+        .toMap
+
+    // epoch 1: dates 01 + 02; epoch 2 REWRITES 01 and adds 03 (01's
+    // epoch-1 content survives only through the .bak → .hist archival);
+    // epoch 3 rewrites 02
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t1", ("2024-06-01", 1L), ("2024-06-02", 2L)),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t2", ("2024-06-01", 9L), ("2024-06-03", 3L)),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, path, schema,
+      updates("t3", ("2024-06-02", 5L)), Seq("order_date"), fields)
+
+    assert(snapshot(1L) === Map(
+      "2024-06-01" -> (1L, "t1"), "2024-06-02" -> (2L, "t1")),
+      "epoch 1 must read batch-1 contents exactly, including the " +
+        "since-rewritten date 01")
+    assert(snapshot(2L) === Map(
+      "2024-06-01" -> (9L, "t2"), "2024-06-02" -> (2L, "t1"),
+      "2024-06-03" -> (3L, "t2")))
+    assert(snapshot(3L) === Map(
+      "2024-06-01" -> (9L, "t2"), "2024-06-02" -> (5L, "t3"),
+      "2024-06-03" -> (3L, "t2")))
+    // never-committed epoch: fail loud, not an empty frame
+    val eMissing = intercept[IllegalStateException] {
+      Pipeline.readAt(spark, path, 7L, schema)
+    }
+    assert(eMissing.getMessage.contains("no manifest for epoch 7"))
+
+    // current snapshot and time travel to the current epoch agree
+    assert(snapshot(3L) ===
+      Pipeline.readOrInit(spark, path, schema).collect()
+        .map(r => r.getAs[String]("order_date") ->
+          (r.getAs[Long]("total_orders"), r.getAs[String]("last_updated")))
+        .toMap)
+  }
+
+  test("readAt fails loud on epochs destroyed by manifest or data retention") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    val fields = Seq("total_orders", "last_updated")
+    def updates(now: String, rows: (String, Long)*) =
+      rows.toSeq.toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(now))
+        .select(schema.fieldNames.map(col): _*)
+
+    // manifest-window pruning: with a 2-epoch window, epoch 1's manifest
+    // (and its .hist backing) are gone after the 3rd commit
+    val winPath = s"$d/ttwin"
+    System.setProperty("graft.store.manifestsToKeep", "2")
+    try {
+      Pipeline.upsertStore(spark, winPath, schema,
+        updates("t1", ("2024-06-01", 1L)), Seq("order_date"), fields)
+      Pipeline.upsertStore(spark, winPath, schema,
+        updates("t2", ("2024-06-01", 2L)), Seq("order_date"), fields)
+      Pipeline.upsertStore(spark, winPath, schema,
+        updates("t3", ("2024-06-01", 3L)), Seq("order_date"), fields)
+      val e1 = intercept[IllegalStateException] {
+        Pipeline.readAt(spark, winPath, 1L, schema)
+      }
+      assert(e1.getMessage.contains("no manifest for epoch 1"))
+      assert(e1.getMessage.contains("time-travel window"))
+      // epoch 2 is inside the window and still exact (01@2 came back
+      // through the .bak → .hist archival at batch-3 start)
+      assert(Pipeline.readAt(spark, winPath, 2L, schema).collect()
+        .map(_.getAs[Long]("total_orders")).toSeq === Seq(2L))
+    } finally System.clearProperty("graft.store.manifestsToKeep")
+
+    // data retention: a partition expired by the sweep and GC'd by the
+    // next one makes epochs that listed it unreconstructable — loud
+    val retPath = s"$d/ttret"
+    Pipeline.upsertStore(spark, retPath, schema,
+      updates("t1", ("2024-06-01", 1L), ("2024-06-02", 2L)),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, retPath, schema,
+      updates("t2", ("2024-06-03", 3L)), Seq("order_date"), fields)
+    assert(Pipeline.retentionSweep(spark, retPath, "2024-06-02")
+      === Seq("2024-06-01"))
+    Pipeline.retentionSweep(spark, retPath, "2024-06-02") // GC pass
+    val e2 = intercept[IllegalStateException] {
+      Pipeline.readAt(spark, retPath, 1L, schema)
+    }
+    assert(e2.getMessage.contains("no longer reconstructable"))
+    assert(e2.getMessage.contains("2024-06-01"))
+    // epochs whose partitions all survive retention still read exactly
+    assert(Pipeline.readAt(spark, retPath, 3L, schema).collect()
+      .map(_.getAs[String]("order_date")).sorted.toSeq
+      === Seq("2024-06-02", "2024-06-03"))
+  }
 }
