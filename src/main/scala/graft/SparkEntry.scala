@@ -310,6 +310,17 @@ object SparkEntry {
     "ch1_chunk_overlap" -> ((s, d) =>
       TextAnalysis.chunkOverlap(Sources.table(s, d, "documents"))),
 
+    // E58 (T8): BPE-merge vocabulary TRAINING — the first 8 learned
+    // byte-pair merges of the corpus. One corpus scan builds the
+    // word-frequency table; the merge loop then runs over the VOCABULARY
+    // (sub-linear in corpus size): per round, a vocab-width pair agg
+    // ending in TakeOrderedAndProject(1) (its single argmax row is the
+    // only collect — bounded metadata, the n5-Lloyd rationale) and a
+    // narrow per-word fold merge. Oracle = identical iterations unrolled
+    // as CTE stages with windowed run-parity greedy merges.
+    "t8_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -747,6 +758,7 @@ object SparkEntry {
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
+    "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "v1x_table_profile_approx" -> Validation.tableProfileApproxGateSql(

@@ -440,6 +440,151 @@ object TextAnalysis {
         AS chunk_md5
     FROM c"""
 
+  /** Fixed merge-iteration count for [[bpeMerges]] — bounded like the CC
+    * loop's round cap and n5's Lloyd iterations, and the unroll depth of
+    * the oracle SQL. */
+  val BpeMergeIters = 8
+
+  /** Greedy left-to-right single-pair merge over a symbol array, as a
+    * codegen'd sequential fold: append each symbol, but when the
+    * previously-emitted symbol equals `l` and the current one equals `r`,
+    * replace that last emission with the merged symbol `l||r`.
+    *
+    * This fold IS the classic greedy scan (`i += 2` on a match): after a
+    * replacement the last emission becomes `l||r`, which can never equal
+    * `l` again (`r` is non-empty), so a just-merged token is never merged
+    * twice in one pass — and within a run of equal symbols (`l == r`) the
+    * alternation falls out for free (BpeSpec checks the fold against an
+    * imperative greedy reference on randomized runs). `get` (0-based,
+    * null-on-out-of-bounds) keeps the first step ANSI-safe: on an empty
+    * accumulator the probe is NULL, never an index error. */
+  private[graft] def mergePair(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** T8 (E58): BPE-merge vocabulary TRAINING — learn the first `iters`
+    * byte-pair merges of the corpus: repeatedly count adjacent symbol
+    * pairs (weighted by word frequency), take the most frequent pair
+    * (ties: count desc, then left/right symbol ascending — binary ASCII
+    * order in both engines), and merge it everywhere. Output is the merge
+    * table `(merge_rank, left_sym, right_sym, pair_count)` — the artifact
+    * a tokenizer trainer ships.
+    *
+    * Scale shape (the reason real BPE trainers are feasible at all): the
+    * corpus is scanned ONCE to build the word-frequency table; the merge
+    * loop runs entirely over the VOCABULARY, which grows sub-linearly in
+    * corpus size. Per iteration: one vocabulary-width pair aggregation
+    * ending in a bounded TakeOrderedAndProject(1), whose single argmax row
+    * is the only driver-side collect (bounded metadata, the n5-Lloyd
+    * rationale), then one narrow per-word fold projection. Each round is
+    * persisted and the previous unpersisted — same iterative-loop
+    * discipline as [[graft.dedup.Dedup.connectedComponents]]. The oracle
+    * unrolls the identical iterations as CTE stages, reconstructing the
+    * greedy merge with windowed run-parity (a match is taken iff it holds
+    * an odd position within its run of consecutive matches). */
+  def bpeMerges(docs: DataFrame, iters: Int = BpeMergeIters): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs.select(explode(toksCol).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+      .persist()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    try {
+      var it = 1
+      var exhausted = false
+      while (it <= iters && !exhausted) {
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect() // bounded: exactly the 1-row argmax of this round
+        if (top.isEmpty) exhausted = true // every word fully merged
+        else {
+          val (l, r, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((it.toLong, l, r, cnt))
+          val next = words
+            .withColumn("syms", mergePair(col("syms"), l, r)).persist()
+          next.count()
+          words.unpersist()
+          words = next
+          it += 1
+        }
+      }
+    } finally words.unpersist()
+    spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Oracle for [[bpeMerges]]: the SAME deterministic merge loop unrolled
+    * as CTE stages (the n5-Lloyd pattern). Each stage re-derives pair
+    * counts with a windowed lead over per-word symbol positions, picks the
+    * argmax with the identical tie-break, and rebuilds the merged words
+    * via greedy run-parity: consecutive-match runs (only possible when
+    * left = right) take every odd-positioned match, the position after a
+    * taken match is consumed, everything else passes through. */
+  def bpeMergesSql(iters: Int = BpeMergeIters): String = {
+    def stage(k: Int): String = s"""
+    ex$k AS (
+      SELECT word, freq, unnest(syms) AS s,
+             unnest(range(1, len(syms) + 1)) AS i
+      FROM words$k),
+    agg$k AS (
+      SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
+        SELECT word, freq, s AS l,
+          lead(s) OVER (PARTITION BY word ORDER BY i) AS r
+        FROM ex$k)
+      WHERE r IS NOT NULL GROUP BY 1, 2),
+    best$k AS (
+      SELECT ${k + 1}::BIGINT AS merge_rank, l, r, cnt
+      FROM agg$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    mt$k AS (
+      SELECT e.word, e.freq, e.i, e.s, b.l AS bl, b.r AS br,
+        coalesce(e.s = b.l AND
+          lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) = b.r, FALSE)
+          AS m
+      FROM ex$k e CROSS JOIN best$k b),
+    isl$k AS (
+      SELECT *, sum(CASE WHEN m THEN 0 ELSE 1 END)
+        OVER (PARTITION BY word ORDER BY i) AS island
+      FROM mt$k),
+    tk$k AS (
+      SELECT *, m AND (row_number()
+        OVER (PARTITION BY word, island, m ORDER BY i) % 2 = 1) AS taken
+      FROM isl$k),
+    em$k AS (
+      SELECT word, freq, i,
+        CASE WHEN taken THEN bl || br
+             WHEN lag(taken, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+               THEN NULL
+             ELSE s END AS s2
+      FROM tk$k),
+    words${k + 1} AS (
+      SELECT word, freq, list(s2 ORDER BY i) FILTER (s2 IS NOT NULL) AS syms
+      FROM em$k GROUP BY 1, 2)"""
+    s"""
+    WITH words0 AS (
+      SELECT word, count(*)::BIGINT AS freq,
+        regexp_extract_all(word, '.') AS syms
+      FROM (SELECT unnest(${tokensSql(normSql("text"))}) AS word
+            FROM documents)
+      GROUP BY 1),
+    ${(0 until iters).map(stage).mkString(",")}
+    SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count
+    FROM (${(0 until iters).map(k => s"SELECT * FROM best$k")
+        .mkString(" UNION ALL ")})
+    ORDER BY merge_rank"""
+  }
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")
