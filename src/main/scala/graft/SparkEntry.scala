@@ -321,6 +321,13 @@ object SparkEntry {
     "t8_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMerges(Sources.table(s, d, "documents"))),
 
+    // E58b (T9): BPE tokenization APPLY — per-doc subword counts under
+    // the trained merges. Merge folds run once per VOCABULARY word; the
+    // corpus-width work is one broadcast join-back + per-doc sum (the
+    // t7 shape with the small side guaranteed vocabulary-sized).
+    "t9_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.bpeTokenize(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -344,6 +351,16 @@ object SparkEntry {
     "d5_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E9b: the 32-bit signature's measured scale knob — same banded
+    // algorithm at 60 bits (4×15-bit bands, band-pair keys 30-bit). The
+    // ×10 scaling sweep showed 32-bit candidate volume quadratic in
+    // corpus size (signature space saturates on a concentrated corpus);
+    // widening the signature is THE production fix, and this twin makes
+    // it an executable, hash-gated variant rather than a doc note.
+    "d5x_simhash60_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.withNearDups(Sources.table(s, d, "documents")), bits = 60)),
 
     // E10: embedding-cosine near-dup pairs (LSH-bucketed).
     "d6_embedding_neardup" -> ((s, d) =>
@@ -759,6 +776,7 @@ object SparkEntry {
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
+    "t9_bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "v1x_table_profile_approx" -> Validation.tableProfileApproxGateSql(
@@ -783,6 +801,8 @@ object SparkEntry {
       Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
     "d5_simhash_pairs" ->
       Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents")),
+    "d5x_simhash60_pairs" ->
+      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents"), bits = 60),
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),

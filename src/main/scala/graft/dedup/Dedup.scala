@@ -175,8 +175,43 @@ object Dedup {
   def ngramJaccardDfCapped(docs: DataFrame, maxDf: Int = MaxShingleDf)
       : DataFrame = {
     val sh0 = shingleSet(docs)
-    val rare = sh0.groupBy(col("h"))
+    // The cap's linear-candidate guarantee (≤ n·maxDf pairs) assumes a
+    // heavy-tailed shingle DF distribution — real corpora keep growing
+    // hapax/rare-shingle tails (Heaps' law), so discriminative shingles
+    // survive any corpus size. A corpus whose shingle SPACE is bounded
+    // (the ×10 scaling sweep's fixed-vocabulary fan-out is one) can push
+    // EVERY shingle over the cap; the method is then vacuous — zero
+    // retained mass means "signal destroyed", not "no duplicates" — and
+    // silently returning an empty pair set would read as the latter. So
+    // measure the drop on the (vocabulary-width) DF relation and fail
+    // loud on total collapse, the CC-non-convergence contract.
+    // vocabulary-width; persisted like `sh` below, released by the
+    // caller's cache clear (the existing d7 persist convention) so the
+    // execution-time `rare` branch reuses it instead of re-exploding sh0
+    val dfs = sh0.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = dfs.agg(
+      coalesce(sum(col("df")), lit(0L)).as("total"),
+      coalesce(sum(when(col("df") <= maxDf, col("df"))), lit(0L))
+        .as("kept")).head
+    val (total, kept) = (m.getLong(0), m.getLong(1))
+    System.err.println(
+      s"[graft.d7] shingle mass total=$total kept=$kept " +
+        f"dropFrac=${if (total == 0) 0.0 else 1.0 - kept.toDouble / total}%.3f")
+    if (total > 0 && kept == 0)
+      throw new IllegalStateException(
+        s"df-capped Jaccard: every shingle exceeds maxDf=$maxDf " +
+          "(bounded shingle space?) — the prefix filter dropped 100% of " +
+          "shingle mass, so the method carries no signal here; raise " +
+          "maxDf or use the MinHash path (d3), which has no DF " +
+          "precondition")
+    ngramJaccardDfCappedFrom(sh0, dfs, maxDf)
+  }
+
+  private def ngramJaccardDfCappedFrom(sh0: DataFrame, dfs: DataFrame,
+      maxDf: Int): DataFrame = {
+    val rare = dfs
       .filter(col("df") <= maxDf)
       .select(col("h"))
     // DISK_ONLY, not .cache(): the exploded shingle relation is several×
@@ -498,18 +533,40 @@ object Dedup {
 
   val SimhashBits = 32
 
-  /** 32-bit SimHash per doc over token hashes: bit b is set when the sum of
-    * ±1 contributions from each token's bit b is positive. One explode +
-    * one grouped aggregation with 32 conditional sums — no UDF. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  /** The rolling char hash is mod 1e9+7 — only its low 30 bits carry
+    * signal. Signature bits ≥ 30 therefore vote on a SECOND hash derived
+    * by an affine mod-P mix (a bijection on [0, P): distinct tokens stay
+    * distinct; h·31 < 2^35 so the arithmetic is overflow-safe in both
+    * engines). */
+  val SimhashLowBits = 30
+  val SimhashMixA = 31L
+  val SimhashMixB = 7L
+
+  /** SimHash per doc over token hashes (width `bits`, default 32): bit b is
+    * set when the sum of ±1 contributions from each token's bit b is
+    * positive. One explode + one grouped aggregation with `bits`
+    * conditional sums — no UDF. Bits ≥ [[SimhashLowBits]] vote on the
+    * affine-mixed second hash (see above) — without it a wider signature
+    * would only add dead always-zero bits. At bits = 64 the b = 63 term is
+    * Long.MinValue; the partial sums never overflow (the positives total
+    * at most 2^63−1 and the single negative term lands the total exactly
+    * on the signed-64 bit pattern), and DuckDB's `>>`/`&`/`xor` agree with
+    * Java's on negative BIGINTs, so the twin stays bit-exact. */
+  def simhashSignatures(docs: DataFrame, bits: Int = SimhashBits)
+      : DataFrame = {
+    require(bits <= 2 * SimhashLowBits,
+      s"simhash width $bits exceeds the live bits two 30-bit hashes carry")
     val tok = docs.select(col("doc_id"),
       explode(tokens(norm(col("text")))).as("t"))
       .select(col("doc_id"), charHash(col("t")).as("h"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s_$b")
+      .withColumn("h2",
+        pmod(col("h") * SimhashMixA + SimhashMixB, lit(HashP)))
+    val bitSums = (0 until bits).map { b =>
+      val src = if (b < SimhashLowBits) shiftright(col("h"), b)
+        else shiftright(col("h2"), b - SimhashLowBits)
+      sum(when(src.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$b")
     }
-    val sig = (0 until SimhashBits)
+    val sig = (0 until bits)
       .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -518,25 +575,29 @@ object Dedup {
 
   /** SimHash signature computation as a subquery over a CTE named `corpus`
     * — composable into larger oracle queries. */
-  private def simhashSigSubquerySql: String = {
+  private def simhashSigSubquerySql(bits: Int = SimhashBits): String = {
     val toks = tokensSql(normSql("text"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    val bitSums = (0 until bits).map { b =>
+      val src = if (b < SimhashLowBits) s"(h >> $b)"
+        else s"(h2 >> ${b - SimhashLowBits})"
+      s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
     }.mkString(",\n          ")
-    val sig = (0 until SimhashBits)
+    val sig = (0 until bits)
       .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""SELECT doc_id, ($sig)::BIGINT AS simhash FROM (
         SELECT doc_id,
           $bitSums
-        FROM (SELECT doc_id, ${charHashSql("t")} AS h
-              FROM (SELECT doc_id, unnest($toks) AS t FROM corpus))
+        FROM (SELECT doc_id, h,
+                (h * $SimhashMixA + $SimhashMixB) % $HashP AS h2
+              FROM (SELECT doc_id, ${charHashSql("t")} AS h
+                    FROM (SELECT doc_id, unnest($toks) AS t FROM corpus)))
         GROUP BY doc_id)"""
   }
 
   def simhashSignaturesSql(corpus: String): String = s"""
     WITH corpus AS ($corpus)
-    $simhashSigSubquerySql"""
+    ${simhashSigSubquerySql()}"""
 
   // Hamming ≤ 1: the synthetic corpus is a shared-vocabulary word soup, so
   // docs are globally similar — at distance 3 the pair set grows
@@ -552,12 +613,12 @@ object Dedup {
     * word soup) that is the difference between a candidate set near the
     * cross product and one near the true pair set. The hamming filter runs
     * BEFORE distinct so dedup happens on the surviving pairs only. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame, bits: Int = SimhashBits): DataFrame = {
     // no cache: the band self-join's two sides share one plan, so the
     // exchange is reused rather than recomputed
-    val sig = simhashSignatures(docs)
+    val sig = simhashSignatures(docs, bits)
     val bands = 4
-    val width = SimhashBits / bands
+    val width = bits / bands
     val bandPairs = for { i <- 0 until bands; j <- i + 1 until bands }
       yield (i, j)
     def bandKey(b: Int) = shiftright(col("simhash"), b * width)
@@ -578,15 +639,15 @@ object Dedup {
       .distinct()
   }
 
-  def simhashPairsSql(corpus: String): String = {
+  def simhashPairsSql(corpus: String, bits: Int = SimhashBits): String = {
     val bands = 4
-    val width = SimhashBits / bands
+    val width = bits / bands
     val bandRows = (0 until bands).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * width}) & ${(1L << width) - 1} AS key FROM sig"
     }.mkString("\n      UNION ALL ")
     s"""
     WITH corpus AS ($corpus),
-    sig AS ($simhashSigSubquerySql),
+    sig AS (${simhashSigSubquerySql(bits)}),
     banded AS (
       $bandRows)
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -491,6 +491,12 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
       .persist()
+    // one-round unpersist lag: each round's single job (the argmax) both
+    // reads the PARENT's cache and fills the current round's — so the
+    // parent cache may only be dropped one round later. An eager count()
+    // per round would also work but doubles the loop's job count, and job
+    // scheduling is this loop's entire cost (the data is vocabulary-width).
+    var lagged: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     try {
       var it = 1
@@ -512,15 +518,17 @@ object TextAnalysis {
           val (l, r, cnt) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((it.toLong, l, r, cnt))
-          val next = words
+          if (lagged != null) lagged.unpersist()
+          lagged = words
+          words = words
             .withColumn("syms", mergePair(col("syms"), l, r)).persist()
-          next.count()
-          words.unpersist()
-          words = next
           it += 1
         }
       }
-    } finally words.unpersist()
+    } finally {
+      words.unpersist()
+      if (lagged != null) lagged.unpersist()
+    }
     spark.createDataFrame(merges.result())
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
@@ -532,7 +540,17 @@ object TextAnalysis {
     * via greedy run-parity: consecutive-match runs (only possible when
     * left = right) take every odd-positioned match, the position after a
     * taken match is consumed, everything else passes through. */
-  def bpeMergesSql(iters: Int = BpeMergeIters): String = {
+  def bpeMergesSql(iters: Int = BpeMergeIters): String = s"""
+    WITH ${bpeStagesSql(iters)}
+    SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count
+    FROM (${(0 until iters).map(k => s"SELECT * FROM best$k")
+      .mkString(" UNION ALL ")})
+    ORDER BY merge_rank"""
+
+  /** The shared CTE pipeline of the BPE oracles: `words0` (char-split
+    * word-frequency table) through `words{iters}` (fully merged), with
+    * each round's argmax in `best{k}`. */
+  private def bpeStagesSql(iters: Int): String = {
     def stage(k: Int): String = s"""
     ex$k AS (
       SELECT word, freq, unnest(syms) AS s,
@@ -571,19 +589,52 @@ object TextAnalysis {
     words${k + 1} AS (
       SELECT word, freq, list(s2 ORDER BY i) FILTER (s2 IS NOT NULL) AS syms
       FROM em$k GROUP BY 1, 2)"""
-    s"""
-    WITH words0 AS (
+    s"""words0 AS (
       SELECT word, count(*)::BIGINT AS freq,
         regexp_extract_all(word, '.') AS syms
       FROM (SELECT unnest(${tokensSql(normSql("text"))}) AS word
             FROM documents)
       GROUP BY 1),
-    ${(0 until iters).map(stage).mkString(",")}
-    SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count
-    FROM (${(0 until iters).map(k => s"SELECT * FROM best$k")
-        .mkString(" UNION ALL ")})
-    ORDER BY merge_rank"""
+    ${(0 until iters).map(stage).mkString(",")}"""
   }
+
+  /** T9 (E58b): BPE tokenization APPLY — re-tokenize the corpus with the
+    * merges [[bpeMerges]] learned: per doc, the whitespace token count and
+    * the subword count after the trained merges (the number a packing/
+    * budgeting pass actually needs). Scale shape: the merge folds run once
+    * per VOCABULARY WORD (the trained merge loop's own word table, tiny),
+    * never per occurrence — the corpus-width work is one broadcast
+    * join-back of `word → n_subtokens` onto the token stream plus a
+    * per-doc sum (the t7 join-back shape; broadcast because a vocabulary
+    * that fit in the training loop fits in an executor). The oracle joins
+    * the unrolled pipeline's final `words{iters}` table the same way. */
+  def bpeTokenize(docs: DataFrame, iters: Int = BpeMergeIters): DataFrame = {
+    // re-derive the merge table (16 vocabulary-width jobs — t9 stands
+    // alone as a query; a production pipeline passes bpeMerges' output in)
+    val merges = bpeMerges(docs, iters).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val vocabSyms = merges.foldLeft(
+      docs.select(explode(toksCol).as("word")).distinct()
+        .withColumn("syms",
+          regexp_extract_all(col("word"), lit("."), lit(0)))) {
+      case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
+    }.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(toksCol).as("word"))
+      .join(broadcast(vocabSyms), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
+  def bpeTokenizeSql(iters: Int = BpeMergeIters): String = s"""
+    WITH ${bpeStagesSql(iters)},
+    tok AS (
+      SELECT doc_id, unnest(${tokensSql(normSql("text"))}) AS word
+      FROM documents)
+    SELECT doc_id, count(*) AS n_tokens,
+      sum(len(w.syms))::BIGINT AS n_bpe_tokens
+    FROM tok JOIN words$iters w USING (word)
+    GROUP BY 1"""
 
   // ---- DuckDB oracle twins -------------------------------------------------
 

@@ -21,10 +21,15 @@ import graft.functions.TextFunctions
   * adds new documents at a constant dup RATE; the planted-twin convention
   * is applied by the queries themselves via `withNearDups`, exactly as at
   * sf0.1). So each copy k>0:
-  *  - documents: permutes the doc's tokens by sorting on
-  *    md5(token # doc_id # k) — same vocabulary, same length profile, same
-  *    lang/source mix, but order-sensitive shingles share only
-  *    coincidental 3-grams with the original (Jaccard ≈ background);
+  *  - documents: substitutes every token through the shift bijection
+  *    vocab[i] → vocab[(i + k) mod V] over the corpus's (small, fixed)
+  *    sorted vocabulary. A bijection preserves within-copy relationships
+  *    EXACTLY (copy k of A duplicates copy k of B iff A duplicated B), so
+  *    the dup rate per copy equals the source corpus's, while across
+  *    copies both order-sensitive shingles AND bag-of-words signatures
+  *    (SimHash is permutation-invariant — mere token shuffling left clone
+  *    signatures hamming-0, the ×4-at-×2 artifact the first smoke run
+  *    measured) see entirely different tokens;
   *  - embeddings: adds a deterministic per-component offset in
   *    [-0.05, 0.05) so clones spread through cosine space instead of
   *    piling 10-deep into every LSH/IVF bucket.
@@ -40,8 +45,8 @@ object ScaleSweep {
 
   val SweepQueries: Seq[String] = Seq(
     "d1_exact_dedup", "d3_minhash_lsh", "d5_simhash_pairs",
-    "d7_jaccard_dfcap", "d8_incremental_dedup", "d9_dup_clusters",
-    "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained")
+    "d5x_simhash60_pairs", "d7_jaccard_dfcap", "d8_incremental_dedup",
+    "d9_dup_clusters", "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained")
 
   private final class Counters extends SparkListener {
     val jobs = new AtomicLong
@@ -56,24 +61,30 @@ object ScaleSweep {
     }
   }
 
-  /** Deterministically permute a doc's tokens for copy `k`: sort by the
-    * md5 of (token, doc_id, k). Same multiset, pseudo-random order. */
-  private def permutedText(k: Int) = {
+  /** Substitute every token through the copy-`k` vocabulary shift
+    * bijection; `subst` is the collected token→token map (bounded: the
+    * synthetic corpus vocabulary is a few dozen words). */
+  private def shiftedText(subst: Map[String, String]) = {
+    val m = typedlit(subst)
     val toks = TextFunctions.tokens(TextFunctions.norm(col("text")))
     array_join(
-      transform(
-        array_sort(transform(toks, t => struct(
-          md5(concat(t, lit("#"), col("doc_id").cast("string"),
-            lit("#"), lit(k.toString)).cast("binary")).as("h"),
-          t.as("t")))),
-        s => s.getField("t")),
-      " ")
+      transform(toks, t => coalesce(element_at(m, t), t)), " ")
   }
 
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
     val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.norm(col("text")))).as("t"))
+      .distinct().orderBy(col("t")).collect().map(_.getString(0))
+    require(vocab.length > 0 && vocab.length <= 10000,
+      s"vocabulary size ${vocab.length} outside the bounded-collect range")
+    val v = vocab.length
     (0 until factor).map { k =>
-      val text = if (k == 0) col("text") else permutedText(k)
+      val text =
+        if (k == 0) col("text")
+        else shiftedText(
+          vocab.indices.map(i => vocab(i) -> vocab((i + k) % v)).toMap)
       docs.select(
         (col("doc_id") + lit(k * stride)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
@@ -128,17 +139,28 @@ object ScaleSweep {
       (counters.jobs.get(), counters.stages.get(), counters.tasks.get())
     }
 
-    // one untimed warmup of the whole set at the smallest scale
-    SweepQueries.foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, dirs.head._2).count()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-
-    val rows = for ((f, dir) <- dirs; q <- SweepQueries) yield {
+    // untimed warmup of the whole set at EACH scale immediately before
+    // that scale is measured — the ANN queries embed fresh centroid
+    // literals per invocation (new codegen each run), so a single global
+    // warmup leaves the first measured scale paying Janino/JIT cost
+    val rows = for ((f, dir) <- dirs; q <- {
+      SweepQueries.foreach { q =>
+        try graft.SparkEntry.queries(q)(spark, dir).count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      SweepQueries
+    }) yield {
       val (j0, s0, t0) = snap()
       val start = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      // fail-loud operators (d7's 100%-stop-shingle collapse, CC
+      // non-convergence) are expected outcomes at adversarial scales:
+      // record them as rows = -1 instead of killing the sweep
+      val n = try graft.SparkEntry.queries(q)(spark, dir).count()
+        catch { case e: IllegalStateException =>
+          System.err.println(s"[sweep] $q x$f failed loud: ${e.getMessage}")
+          -1L
+        }
       val sec = (System.nanoTime() - start) / 1e9
       val (j1, s1, t1) = snap()
       spark.catalog.clearCache()

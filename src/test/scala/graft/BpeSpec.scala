@@ -103,4 +103,37 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     // test corpus isn't actually covering the interesting regime
     assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
   }
+
+  test("bpeTokenize subword counts match the reference apply on sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // reference: learn merges, apply them to each vocab word, then sum
+    // per-word subword counts over each doc's token stream
+    def toks(text: String): Seq[String] = {
+      val n = text.replaceAll("\\s+", " ").trim.toLowerCase
+      if (n.isEmpty) Seq.empty else n.split(" ", -1).toSeq
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val words0 = texts.flatMap(t => toks(t._2)).groupBy(identity)
+      .map { case (w, o) => w -> o.length.toLong }
+    val merges = refMerges(words0, TextAnalysis.BpeMergeIters)
+      .map { case (_, l, r, _) => (l, r) }
+    val subCount: Map[String, Long] = words0.keys.map { w =>
+      w -> merges.foldLeft(w.map(_.toString): Seq[String]) {
+        case (syms, (l, r)) => greedy(syms, l, r)
+      }.length.toLong
+    }.toMap
+    val want = texts.collect { case (id, text) if toks(text).nonEmpty =>
+      val ts = toks(text)
+      (id, ts.length.toLong, ts.map(subCount).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeTokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // the merges must actually compress: strictly fewer subwords than
+    // chars for at least one doc
+    assert(got.exists { case (id, _, nb) =>
+      nb < texts.toMap.apply(id).replaceAll("\\s+", "").length })
+  }
 }

@@ -183,6 +183,41 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("simhash 60-bit: identical docs pair up and high bits are live") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally other completely distinct text body"))
+    val sigs = Dedup.simhashSignatures(d, bits = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    // signature bits >= 30 vote on the affine-mixed second hash — if the
+    // wiring regressed to the raw (mod 1e9+7, < 2^30) hash they would all
+    // be dead zeros and the wide variant would be no better than 32-bit
+    assert(sigs.values.exists(s => (s >>> 30) != 0L),
+      "no live signature bits above bit 29 — second-hash wiring broken")
+    val pairs = Dedup.simhashPairs(d, bits = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("df-capped jaccard fails loud when every shingle is a stop-shingle") {
+    // three verbatim copies: every shingle has df 3 > maxDf 2 ⇒ the prefix
+    // filter drops 100% of shingle mass ⇒ vacuous method must throw, not
+    // report "no duplicates"
+    val text = "one two three four five six seven"
+    val d = docs((1L, text), (2L, text), (3L, text))
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardDfCapped(d, maxDf = 2).count()
+    }
+    assert(e.getMessage.contains("100%"))
+    // a corpus with surviving shingles still works at the same cap
+    val ok = Dedup.ngramJaccardDfCapped(
+      docs((1L, text), (2L, text),
+        (3L, "unrelated totally other completely distinct text body")),
+      maxDf = 2)
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L)))
+  }
+
   test("langId picks the marker-richest language deterministically") {
     val d = docs(
       (1L, "the cat is of the house and it is a thing"),
