@@ -10,6 +10,15 @@ import graft.merge.KpiMerge
 import graft.schema.Schemas
 import graft.validate.Validation
 
+/** E60: optimistic-concurrency conflict on the epoch-manifest store — a
+  * concurrent writer committed between this writer's snapshot read and its
+  * commit (or published the same manifest epoch first). The batch that
+  * sees it has NOT modified the store (clean abort) unless the message
+  * says otherwise; re-running merges against the new snapshot. The Delta
+  * `ConcurrentModificationException` analogue. */
+final class StoreConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** The reference's two job entry points as library functions
   * (SURVEY.md §3): `Ingest → Validate → Conform` ≙
   * `scripts/validation.py main()` and `Kpi → Merge` ≙
@@ -195,7 +204,7 @@ object Pipeline {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema))
 
-  /** E58: store TIME TRAVEL — read the store exactly as it was at
+  /** E59: store TIME TRAVEL — read the store exactly as it was at
     * committed `epoch` (the Delta `VERSION AS OF` analogue over the epoch
     * manifests). Historical manifests persist for [[ManifestsToKeep]]
     * epochs behind the current one; the partition content each commit
@@ -366,13 +375,40 @@ object Pipeline {
     */
   private[graft] def upsertStore(spark: SparkSession, path: String,
       schema: StructType, updates: DataFrame, keys: Seq[String],
-      fields: Seq[String], partCol: String = "order_date"): Long = {
+      fields: Seq[String], partCol: String = "order_date",
+      expectedEpoch: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
     val fsPre = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
     restoreBackups(fsPre, path)
+
+    // Optimistic concurrency (the Delta conflict-detection analogue over
+    // the epoch manifest): the merge below is read-modify-write against
+    // ONE manifest epoch, so a commit by anyone else between our plan and
+    // our commit would silently lose their update. Pin the base epoch here
+    // (or take the caller's — the CAS form an orchestrator uses: "commit
+    // only if the store is still at the epoch I read"), and re-check it at
+    // every mutation boundary; a moved epoch aborts CLEAN (temp dir only,
+    // store untouched) with [[StoreConflictException]], and the retry
+    // re-merges against the new snapshot. Writers inside the commit
+    // section itself are still arbitrated by the exclusive manifest-rename
+    // publish; racing swaps past the entry check additionally need the
+    // single-flight runner (T4) or a storage-side lease — same residual a
+    // Delta LogStore delegates to its put-if-absent primitive.
+    val planEpoch = latestManifest(fsPre, path).map(_.epoch).getOrElse(0L)
+    val baseEpoch = expectedEpoch.getOrElse(planEpoch)
+    def conflictCheck(stage: String): Unit = {
+      val now = latestManifest(fsPre, path).map(_.epoch).getOrElse(0L)
+      if (now != baseEpoch)
+        throw new StoreConflictException(
+          s"store $path: manifest epoch moved $baseEpoch -> $now ($stage)" +
+            " — a concurrent writer committed; this batch merged against a" +
+            " stale snapshot and was aborted cleanly. Re-run to merge" +
+            " against the new snapshot.")
+    }
+    conflictCheck("before planning")
 
     // `updates` is evaluated twice (touched-dates collect + merge write);
     // persist so the upstream KPI aggregation runs once per store
@@ -390,7 +426,16 @@ object Pipeline {
     fs.delete(new HPath(tmp), true) // stale temp from a prior failure
     // the merge plan reads the store partitions being replaced, so write
     // to the temp dir first (finishes the read), then swap directories
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    catch { case e: Throwable => updatesP.unpersist(); throw e }
+    // commit-section entry: last clean-abort point (nothing in the store
+    // has been touched yet — only the temp dir exists)
+    try conflictCheck("at commit")
+    catch { case e: StoreConflictException =>
+      fs.delete(new HPath(tmp), true)
+      updatesP.unpersist()
+      throw e
+    }
 
     // Commit protocol (reader isolation — see readOrInit's scaladoc):
     //  1. stamp `.bak/_epoch` with the CURRENT manifest epoch, so readers
@@ -411,7 +456,8 @@ object Pipeline {
     // 1–2: bak-preferred; uncommitted new dates unlisted) or epoch N+1
     // fully readable (steps 3–4), never a torn mix.
     val curManifest = latestManifest(fs, path)
-    val curEpoch = curManifest.map(_.epoch).getOrElse(0L)
+    // pinned by conflictCheck("at commit") just above
+    val curEpoch = baseEpoch
     // bootstrap a pre-manifest store's partition list from its dirs
     val baseParts = curManifest.map(_.partitions)
       .getOrElse(listPartitionDirs(fs, path, partCol))
@@ -548,7 +594,22 @@ object Pipeline {
     val out = fs.create(tmp, true)
     try out.write((partCol +: partitions).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    renameOrFail(fs, tmp, new HPath(path, s"_manifest.$epoch"))
+    // a manifest epoch is write-once: an existing file means a concurrent
+    // writer already published this epoch — the final arbiter of the
+    // commit race (on stores whose rename is atomic-no-overwrite, HDFS
+    // style, the rename itself backstops the pre-check)
+    val dst = new HPath(path, s"_manifest.$epoch")
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new StoreConflictException(
+        s"store $path: manifest epoch $epoch was already published by a " +
+          "concurrent writer during this commit section — swapped " +
+          "partition dirs may disagree with the winning manifest; the " +
+          "next writer's backup restore reconciles, but run writers " +
+          "single-flight (T4) or under a storage lease to avoid this " +
+          "window entirely.")
+    }
+    renameOrFail(fs, tmp, dst)
   }
 
   /** Prune manifests (and the `.hist` versions that back them) outside the

@@ -485,12 +485,33 @@ object TextAnalysis {
     * unrolls the identical iterations as CTE stages, reconstructing the
     * greedy merge with windowed run-parity (a match is taken iff it holds
     * an odd position within its run of consecutive matches). */
+  /** Pair-agg rows per shuffle partition inside the merge loop — the
+    * loop's width clamp (the CC loop's CcRowsPerPartition rationale). */
+  val BpeRowsPerPartition = 2L * 1000 * 1000
+
   def bpeMerges(docs: DataFrame, iters: Int = BpeMergeIters): DataFrame = {
     val spark = docs.sparkSession
-    var words = docs.select(explode(toksCol).as("word"))
+    // The loop's per-round data is VOCABULARY-width, but under the caller's
+    // session every round costs full-width shuffles plus AQE's job-per-
+    // stage scheduling — 28 jobs for 8 rounds at bench scale, pure
+    // scheduling. Same cure as the CC loop: run the loop on a conf-
+    // isolated newSession() clone (SessionBridge — shared cache, separate
+    // confs) with a width adapted to the measured vocabulary and AQE off;
+    // the caller session is never touched.
+    val words0 = docs.select(explode(toksCol).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
       .persist()
+    // the one corpus-width job; also materializes the word table's cache
+    val vocabRows = words0.count()
+    val width = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      vocabRows * 8 / BpeRowsPerPartition + 1L)).toInt
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", width.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    var words =
+      org.apache.spark.sql.graft.SessionBridge.rebase(words0, loop)
     // one-round unpersist lag: each round's single job (the argmax) both
     // reads the PARENT's cache and fills the current round's — so the
     // parent cache may only be dropped one round later. An eager count()

@@ -575,6 +575,57 @@ class PipelineSpec extends SparkSpec {
     assert(before.map(_.toString).sorted === after.map(_.toString).sorted)
   }
 
+  test("upsertStore detects a concurrent commit and aborts clean (E60)") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/occstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "total_items_sold BIGINT, return_rate DOUBLE, " +
+        "unique_customers BIGINT, data_sources ARRAY<STRING>, " +
+        "last_updated STRING")
+    def updates(tag: String, rows: (String, Long, Double)*) =
+      rows.toSeq.toDF("order_date", "total_orders", "total_revenue")
+        .withColumn("total_items_sold", lit(null).cast("bigint"))
+        .withColumn("return_rate", lit(null).cast("double"))
+        .withColumn("unique_customers", lit(null).cast("bigint"))
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(tag))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "total_items_sold",
+      "return_rate", "unique_customers", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+    // writer A reads the store at epoch 1...
+    Pipeline.upsertStore(spark, path, schema,
+      updates("base", ("2024-06-01", 1L, 10.0)), Seq("order_date"), fields)
+    val epochA = Pipeline.latestManifest(fs, path).get.epoch
+    // ...writer B commits first (epoch 2)...
+    Pipeline.upsertStore(spark, path, schema,
+      updates("b", ("2024-06-01", 5L, 50.0)), Seq("order_date"), fields)
+    // ...and A's CAS commit against its stale snapshot must fail loud
+    val e = intercept[graft.pipeline.StoreConflictException] {
+      Pipeline.upsertStore(spark, path, schema,
+        updates("a", ("2024-06-01", 9L, 90.0)), Seq("order_date"), fields,
+        expectedEpoch = Some(epochA))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // clean abort: B's commit intact, no temp residue, epoch unmoved
+    val row = spark.read.schema(schema).parquet(path).collect()
+    assert(row.map(r => r.getAs[Long]("total_orders")).toSeq === Seq(5L))
+    assert(row.head.getAs[String]("last_updated") === "b")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp")))
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epochA + 1)
+    // A's RETRY (fresh snapshot, no CAS pin) merges against B's data
+    Pipeline.upsertStore(spark, path, schema,
+      updates("a", ("2024-06-01", 9L, 90.0)), Seq("order_date"), fields)
+    val after = spark.read.schema(schema).parquet(path).collect()
+    assert(after.map(r => r.getAs[Long]("total_orders")).toSeq === Seq(9L))
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epochA + 2)
+  }
+
   test("readAt time-travels to any retained epoch, exactly") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
