@@ -46,7 +46,12 @@ object ScaleSweep {
   val SweepQueries: Seq[String] = Seq(
     "d1_exact_dedup", "d3_minhash_lsh", "d5_simhash_pairs",
     "d5x_simhash60_pairs", "d7_jaccard_dfcap", "d8_incremental_dedup",
-    "d9_dup_clusters", "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained")
+    "d9_dup_clusters", "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained",
+    // the BPE tier: the fan-out keeps the VOCABULARY constant (token
+    // substitution is a bijection over it), so the merge loop's cost
+    // should stay flat while only the one corpus-scan job grows — the
+    // "loop runs over the vocabulary, not the corpus" claim, measured
+    "t8_bpe_merges", "t9_bpe_tokenize")
 
   private final class Counters extends SparkListener {
     val jobs = new AtomicLong
@@ -109,6 +114,10 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, workDir, factorsCsv) = args
     val factors = factorsCsv.split(",").map(_.trim.toInt).toSeq
+    // dev aid, like Bench's SPARK_GRAFT_ONLY: restrict the sweep set
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SweepQueries.filter(q => only.forall(_.contains(q)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,12 +153,12 @@ object ScaleSweep {
     // literals per invocation (new codegen each run), so a single global
     // warmup leaves the first measured scale paying Janino/JIT cost
     val rows = for ((f, dir) <- dirs; q <- {
-      SweepQueries.foreach { q =>
+      queries.foreach { q =>
         try graft.SparkEntry.queries(q)(spark, dir).count()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-      SweepQueries
+      queries
     }) yield {
       val (j0, s0, t0) = snap()
       val start = System.nanoTime()
