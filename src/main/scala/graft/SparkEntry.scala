@@ -321,6 +321,14 @@ object SparkEntry {
     "t8_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMerges(Sources.table(s, d, "documents"))),
 
+    // E61 (PIPE1): the cleaning tier composed END-TO-END — PII redact →
+    // repetition collapse → quality filter → exact dedup → chunking,
+    // summarized per source. Every stage is an already-verified operator;
+    // the composition proves the tier pipelines (narrow end to end, the
+    // d1-form dedup and the final audit are the only shuffles).
+    "pipe1_corpus_prep" -> ((s, d) =>
+      TextAnalysis.corpusPrep(Sources.table(s, d, "documents"))),
+
     // E58b (T9): BPE tokenization APPLY — per-doc subword counts under
     // the trained merges. Merge folds run once per VOCABULARY word; the
     // corpus-width work is one broadcast join-back + per-doc sum (the
@@ -777,6 +785,7 @@ object SparkEntry {
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "t9_bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
+    "pipe1_corpus_prep" -> TextAnalysis.corpusPrepSql(),
     "v1_table_profile" -> Validation.tableProfileSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "v1x_table_profile_approx" -> Validation.tableProfileApproxGateSql(

@@ -657,6 +657,110 @@ object TextAnalysis {
     FROM tok JOIN words$iters w USING (word)
     GROUP BY 1"""
 
+  /** PIPE1 (E61): the cleaning tier composed END-TO-END as one DataFrame
+    * chain — PII redaction → repetition collapse → quality filter
+    * (keep medium+) → exact dedup (min doc_id per content fingerprint) →
+    * overlapping chunking — summarized per source (docs in, docs kept,
+    * chunks, chunk tokens). This is the shape a real corpus-prep run has;
+    * every stage is the already-verified operator, so the composition
+    * proves the tier actually pipelines: narrow projections end to end,
+    * with exactly three shuffles (the dedup groupBy+semi-join — the d1
+    * form, no window sort — and the final per-source aggregates).
+    * The oracle composes the same stages as CTEs from the same SQL
+    * fragments. */
+  def corpusPrep(docs: DataFrame): DataFrame = {
+    val red = piiRedact(withPii(docs))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val collapsed = collapseRepeats(red)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val q = qualityScore(collapsed)
+      .filter(col("quality_bucket") =!= "low").select(col("doc_id"))
+    val kept = collapsed.join(q, Seq("doc_id"), "left_semi")
+    val fp = kept.select(col("doc_id"), col("text"),
+      md5(norm(col("text")).cast("binary")).as("fp"))
+    val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = fp.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val chunks = chunkOverlap(deduped)
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_chunk_tokens"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_docs_kept"),
+        col("n_chunks"), col("n_chunk_tokens"))
+  }
+
+  def corpusPrepSql(w: Int = ChunkSize, s: Int = ChunkStride): String = {
+    val toksOf = (c: String) => tokensSql(normSql(c))
+    s"""
+    WITH pii AS ($withPiiSql),
+    red AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g'),
+          '$IpRe', '<IP>', 'g') AS text
+      FROM pii),
+    colt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM red),
+    colr AS (
+      SELECT doc_id,
+        array_to_string(
+          list_filter(toks, (x, i) -> i = 1 OR toks[i - 1] <> x), ' ')
+          AS text
+      FROM colt),
+    qbase AS (
+      SELECT doc_id, text,
+        len(${toksOf("text")})::BIGINT AS word_count,
+        length(text)::BIGINT AS n_chars_actual,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS punct,
+        len(list_filter(${toksOf("text")}, t -> t IN (${LangMarkers.toMap
+        .apply("en").map(x => s"'$x'").mkString(", ")})))::BIGINT
+          AS stop_hits,
+        length(replace(${normSql("text")}, ' ', ''))::BIGINT AS alpha_chars
+      FROM colr),
+    q AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          least(n_chars_actual::DOUBLE / 500.0, 1.0) * 0.4
+            + (stop_hits::DOUBLE / greatest(word_count, 1)) * 0.3
+            + (1.0 - punct::DOUBLE / greatest(n_chars_actual, 1)) * 0.2
+            + least((alpha_chars::DOUBLE / greatest(word_count, 1)) / 8.0,
+                1.0) * 0.1 AS score
+        FROM qbase)
+      WHERE score >= 0.4),
+    fps AS (
+      SELECT doc_id, text, md5(${normSql("text")}) AS fp FROM q),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY 1),
+    ded AS (
+      SELECT f.doc_id, f.text FROM fps f
+      JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+    dt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM ded),
+    dn AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) = 0 THEN 0
+          ELSE 1 + CAST(ceil(greatest(len(toks) - $w, 0) / $s.0) AS INT)
+        END AS nc
+      FROM dt),
+    ch AS (
+      SELECT doc_id,
+        len(list_slice(toks, chunk_no * $s + 1, chunk_no * $s + $w))::BIGINT
+          AS n_tokens
+      FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM dn)),
+    tot AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents
+            GROUP BY 1)
+    SELECT d.source, t.n_docs,
+      count(DISTINCT c.doc_id) AS n_docs_kept,
+      count(*) AS n_chunks,
+      sum(c.n_tokens)::BIGINT AS n_chunk_tokens
+    FROM ch c
+    JOIN documents d ON d.doc_id = c.doc_id
+    JOIN tot t ON t.source = d.source
+    GROUP BY 1, 2"""
+  }
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   private val normT = normSql("text")

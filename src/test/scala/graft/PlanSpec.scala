@@ -37,6 +37,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("t9: the vocabulary join-back is a broadcast join, never a shuffle") {
+    // the small side is vocabulary-sized by construction (it fed the merge
+    // loop) — if a refactor drops the broadcast hint, the corpus-width
+    // token stream shuffles on the word key instead
+    val p = planOf("t9_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("similarity joins evaluate the native fvec_dot, not an interpreted fold") {
     val p = planOf("n1_ann_bruteforce")
     assert(p.contains("fvec_dot"), p.take(2000))
