@@ -51,7 +51,10 @@ object TextAnalysis {
   /** T3: quality scoring — length, punctuation ratio, stopword ratio, mean
     * word length folded into one [0,1]-ish score plus a bucket label.
     * The shape every corpus-filtering pipeline needs before training. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The T3 quality score as a reusable Column over a `text` column —
+    * shared by [[qualityScore]] and the [[corpusPrep]] inline filter so
+    * the arithmetic (and its float evaluation order) exists once. */
+  private def qualityScoreExpr: Column = {
     val toks = toksCol
     val nChars = length(col("text")).cast("long")
     val wordCount = size(toks).cast("long")
@@ -64,9 +67,24 @@ object TextAnalysis {
     val meanLen = (length(regexp_replace(norm(col("text")), " ", ""))
       .cast("double") / greatest(wordCount, lit(1L)))
     val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
-    val score = lenScore * lit(0.4) + stopRatio * lit(0.3) +
+    lenScore * lit(0.4) + stopRatio * lit(0.3) +
       (lit(1.0) - punctRatio) * lit(0.2) +
       least(meanLen / lit(8.0), lit(1.0)) * lit(0.1)
+  }
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = toksCol
+    val nChars = length(col("text")).cast("long")
+    val wordCount = size(toks).cast("long")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val stopHits = size(filter(toks,
+      t => t.isin(LangMarkers.toMap.apply("en"): _*))).cast("long")
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
+    val stopRatio = stopHits.cast("double") / greatest(wordCount, lit(1L))
+    val meanLen = (length(regexp_replace(norm(col("text")), " ", ""))
+      .cast("double") / greatest(wordCount, lit(1L)))
+    val score = qualityScoreExpr
     docs.select(
       col("doc_id"), wordCount.as("word_count"), nChars.as("n_chars_actual"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
@@ -248,6 +266,14 @@ object TextAnalysis {
     * in both engines. One narrow per-row pass (interpreted HOF — fine
     * off the join hot path; a native Expression is the upgrade if a
     * profile ever shows it hot). */
+  /** Consecutive-duplicate collapse as a reusable text→text Column
+    * (shared by [[collapseRepeats]] and [[corpusPrep]]). */
+  private def collapsedTextExpr: Column = {
+    val toks = toksCol
+    array_join(filter(toks, (t, i) =>
+      (i === lit(0)) || element_at(toks, i) =!= t), " ")
+  }
+
   def collapseRepeats(docs: DataFrame): DataFrame = {
     val toks = toksCol
     val kept = filter(toks, (t, i) =>
@@ -322,29 +348,35 @@ object TextAnalysis {
     * (on 1/2, 1/3, 1/5 of docs respectively — counts vary, including 0) —
     * the same role `withNearDups` plays for the dedup family. The oracle
     * builds the identical corpus. */
-  def withPii(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), concat(col("text"),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        concat(lit(" contact user"), col("doc_id"),
-          lit("@mail-"), pmod(col("doc_id"), lit(7)),
-          lit(".example.com"))).otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit(" call 555-0"),
-          lpad(pmod(col("doc_id"), lit(900)).cast("string"), 3, "0")))
-        .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)),
-          lit("."), pmod(col("doc_id"), lit(250)))).otherwise(lit("")))
-      .as("text"))
+  /** The deterministic doc_id-keyed PII planting as a text→text Column
+    * (shared by [[withPii]] and [[corpusPrep]]). */
+  private def piiPlantedTextExpr: Column = concat(col("text"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit(" contact user"), col("doc_id"),
+        lit("@mail-"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" call 555-0"),
+        lpad(pmod(col("doc_id"), lit(900)).cast("string"), 3, "0")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)),
+        lit("."), pmod(col("doc_id"), lit(250)))).otherwise(lit("")))
 
-  def withPiiSql: String = """
-    SELECT doc_id, text
+  def withPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), piiPlantedTextExpr.as("text"))
+
+  /** SQL twin of [[piiPlantedTextExpr]]. */
+  val piiPlantedTextSqlExpr: String = """text
       || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id
            || '@mail-' || (doc_id % 7) || '.example.com' ELSE '' END
       || CASE WHEN doc_id % 3 = 0 THEN ' call 555-0'
            || lpad((doc_id % 900)::VARCHAR, 3, '0') ELSE '' END
       || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || (doc_id % 256)
-           || '.' || (doc_id % 250) ELSE '' END AS text
+           || '.' || (doc_id % 250) ELSE '' END"""
+
+  def withPiiSql: String = s"""
+    SELECT doc_id, $piiPlantedTextSqlExpr AS text
     FROM documents"""
 
   /** PII1 (E51): PII detection + redaction — the compliance pass every
@@ -359,6 +391,12 @@ object TextAnalysis {
     * output — staged counts equal exactly what each replace redacted.
     * Shuffle-free at any scale; patterns live in the shared
     * RE2-compatible subset so the oracle redacts byte-identically. */
+  /** The three staged redactions fused into one text→text Column (shared
+    * by [[piiRedact]] and [[corpusPrep]]; same fixed order). */
+  private def redactedTextExpr: Column =
+    regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
   def piiRedact(piiDocs: DataFrame): DataFrame = {
     val t = col("text")
     val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
@@ -401,7 +439,14 @@ object TextAnalysis {
     * md5 of the joined window, so downstream chunk-level dedup composes
     * directly with d1. */
   def chunkOverlap(docs: DataFrame, w: Int = ChunkSize,
-      s: Int = ChunkStride): DataFrame = {
+      s: Int = ChunkStride): DataFrame =
+    chunkCore(docs, w, s, Seq("doc_id"))
+
+  /** Chunk expansion carrying arbitrary passthrough columns — the
+    * [[corpusPrep]] chain threads `source` through so the final audit
+    * needs no corpus-width join back to `documents`. */
+  private def chunkCore(docs: DataFrame, w: Int, s: Int,
+      carry: Seq[String]): DataFrame = {
     val n = size(toksCol)
     val nChunks = (lit(1) +
       ceil(greatest(n - lit(w), lit(0)).cast("double") / lit(s))).cast("int")
@@ -411,14 +456,15 @@ object TextAnalysis {
     // descend, not empty out)
     val chunkNos = when(n === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), nChunks - 1))
-    docs.select(col("doc_id"), toksCol.as("t"),
-        explode(chunkNos).as("chunk_no"))
-      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+    val c = carry.map(col)
+    docs.select(c ++ Seq(toksCol.as("t"),
+        explode(chunkNos).as("chunk_no")): _*)
+      .select(c ++ Seq(col("chunk_no").cast("long").as("chunk_no"),
         slice(col("t"), (col("chunk_no") * s + 1).cast("int"), lit(w))
-          .as("ct"))
-      .select(col("doc_id"), col("chunk_no"),
+          .as("ct")): _*)
+      .select(c ++ Seq(col("chunk_no"),
         size(col("ct")).cast("long").as("n_tokens"),
-        md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5"))
+        md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5")): _*)
   }
 
   def chunkOverlapSql(w: Int = ChunkSize, s: Int = ChunkStride): String = s"""
@@ -669,21 +715,26 @@ object TextAnalysis {
     * The oracle composes the same stages as CTEs from the same SQL
     * fragments. */
   def corpusPrep(docs: DataFrame): DataFrame = {
-    val red = piiRedact(withPii(docs))
-      .select(col("doc_id"), col("clean_text").as("text"))
-    val collapsed = collapseRepeats(red)
-      .select(col("doc_id"), col("clean_text").as("text"))
-    val q = qualityScore(collapsed)
-      .filter(col("quality_bucket") =!= "low").select(col("doc_id"))
-    val kept = collapsed.join(q, Seq("doc_id"), "left_semi")
-    val fp = kept.select(col("doc_id"), col("text"),
+    // one narrow chain, `source` threaded through every projection: the
+    // plant→redact→collapse→score-filter stages are per-row expressions
+    // (NOT operator-output joins — a join against qualityScore's output
+    // would be an avoidable corpus-width shuffle at scale)
+    val kept = docs
+      .select(col("doc_id"), col("source"), piiPlantedTextExpr.as("text"))
+      .select(col("doc_id"), col("source"), redactedTextExpr.as("text"))
+      .select(col("doc_id"), col("source"), collapsedTextExpr.as("text"))
+      .filter(qualityScoreExpr >= 0.4)
+    // exact dedup, d1 form: grouped min + semi-join on the content hash —
+    // the chain's only corpus-width shuffles besides the final audit
+    val fp = kept.select(col("doc_id"), col("source"), col("text"),
       md5(norm(col("text")).cast("binary")).as("fp"))
     val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = fp.join(keepers, Seq("fp", "doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
-    val chunks = chunkOverlap(deduped)
+      .select(col("doc_id"), col("source"), col("text"))
+    val chunks = chunkCore(deduped, ChunkSize, ChunkStride,
+      Seq("doc_id", "source"))
     val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    chunks.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    chunks
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
         count(lit(1)).as("n_chunks"),
@@ -696,23 +747,25 @@ object TextAnalysis {
   def corpusPrepSql(w: Int = ChunkSize, s: Int = ChunkStride): String = {
     val toksOf = (c: String) => tokensSql(normSql(c))
     s"""
-    WITH pii AS ($withPiiSql),
+    WITH pii AS (
+      SELECT doc_id, source, $piiPlantedTextSqlExpr AS text
+      FROM documents),
     red AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         regexp_replace(regexp_replace(regexp_replace(text,
           '$EmailRe', '<EMAIL>', 'g'),
           '$PhoneRe', '<PHONE>', 'g'),
           '$IpRe', '<IP>', 'g') AS text
       FROM pii),
-    colt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM red),
+    colt AS (SELECT doc_id, source, ${toksOf("text")} AS toks FROM red),
     colr AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         array_to_string(
           list_filter(toks, (x, i) -> i = 1 OR toks[i - 1] <> x), ' ')
           AS text
       FROM colt),
     qbase AS (
-      SELECT doc_id, text,
+      SELECT doc_id, source, text,
         len(${toksOf("text")})::BIGINT AS word_count,
         length(text)::BIGINT AS n_chars_actual,
         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS punct,
@@ -722,8 +775,8 @@ object TextAnalysis {
         length(replace(${normSql("text")}, ' ', ''))::BIGINT AS alpha_chars
       FROM colr),
     q AS (
-      SELECT doc_id, text FROM (
-        SELECT doc_id, text,
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
           least(n_chars_actual::DOUBLE / 500.0, 1.0) * 0.4
             + (stop_hits::DOUBLE / greatest(word_count, 1)) * 0.3
             + (1.0 - punct::DOUBLE / greatest(n_chars_actual, 1)) * 0.2
@@ -732,32 +785,32 @@ object TextAnalysis {
         FROM qbase)
       WHERE score >= 0.4),
     fps AS (
-      SELECT doc_id, text, md5(${normSql("text")}) AS fp FROM q),
+      SELECT doc_id, source, text, md5(${normSql("text")}) AS fp FROM q),
     keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY 1),
     ded AS (
-      SELECT f.doc_id, f.text FROM fps f
+      SELECT f.doc_id, f.source, f.text FROM fps f
       JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
-    dt AS (SELECT doc_id, ${toksOf("text")} AS toks FROM ded),
+    dt AS (SELECT doc_id, source, ${toksOf("text")} AS toks FROM ded),
     dn AS (
-      SELECT doc_id, toks,
+      SELECT doc_id, source, toks,
         CASE WHEN len(toks) = 0 THEN 0
           ELSE 1 + CAST(ceil(greatest(len(toks) - $w, 0) / $s.0) AS INT)
         END AS nc
       FROM dt),
     ch AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         len(list_slice(toks, chunk_no * $s + 1, chunk_no * $s + $w))::BIGINT
           AS n_tokens
-      FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_no FROM dn)),
+      FROM (SELECT doc_id, source, toks, unnest(range(0, nc)) AS chunk_no
+            FROM dn)),
     tot AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents
             GROUP BY 1)
-    SELECT d.source, t.n_docs,
+    SELECT c.source, t.n_docs,
       count(DISTINCT c.doc_id) AS n_docs_kept,
       count(*) AS n_chunks,
       sum(c.n_tokens)::BIGINT AS n_chunk_tokens
     FROM ch c
-    JOIN documents d ON d.doc_id = c.doc_id
-    JOIN tot t ON t.source = d.source
+    JOIN tot t ON t.source = c.source
     GROUP BY 1, 2"""
   }
 
