@@ -266,14 +266,6 @@ object TextAnalysis {
     * in both engines. One narrow per-row pass (interpreted HOF — fine
     * off the join hot path; a native Expression is the upgrade if a
     * profile ever shows it hot). */
-  /** Consecutive-duplicate collapse as a reusable text→text Column
-    * (shared by [[collapseRepeats]] and [[corpusPrep]]). */
-  private def collapsedTextExpr: Column = {
-    val toks = toksCol
-    array_join(filter(toks, (t, i) =>
-      (i === lit(0)) || element_at(toks, i) =!= t), " ")
-  }
-
   def collapseRepeats(docs: DataFrame): DataFrame = {
     val toks = toksCol
     val kept = filter(toks, (t, i) =>
@@ -719,11 +711,32 @@ object TextAnalysis {
     // plant→redact→collapse→score-filter stages are per-row expressions
     // (NOT operator-output joins — a join against qualityScore's output
     // would be an avoidable corpus-width shuffle at scale)
-    val kept = docs
+    // Staged projections with multi-referenced intermediates as NAMED
+    // columns: CollapseProject inlines single-referenced aliases (plant →
+    // redact fuse, evaluated once) but keeps a projection whose alias is
+    // referenced more than once (normed×2 in tokens, toks×2 in the
+    // collapse lambda) — so each stage evaluates exactly once per row
+    // instead of re-expanding its upstream tree at every reference.
+    val cleaned = docs
       .select(col("doc_id"), col("source"), piiPlantedTextExpr.as("text"))
       .select(col("doc_id"), col("source"), redactedTextExpr.as("text"))
-      .select(col("doc_id"), col("source"), collapsedTextExpr.as("text"))
-      .filter(qualityScoreExpr >= 0.4)
+      .select(col("doc_id"), col("source"), norm(col("text")).as("normed"))
+      .select(col("doc_id"), col("source"), tokens(col("normed")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        array_join(filter(col("tk"), (t, i) =>
+          (i === lit(0)) || element_at(col("tk"), i) =!= t), " ")
+          .as("text"))
+      // Materialize the cleaned corpus ONCE (disk-backed, the d7 persist
+      // policy; released by the caller's cache clear). Two reasons, both
+      // measured — without this barrier the composed query ran 90× slower:
+      // (1) predicate pushdown substitutes the quality filter's ~8 `text`
+      // references EACH with the whole plant→redact→collapse expression
+      // tree (interpreted HOF folds included), exploding per-row cost;
+      // (2) the dedup's grouped-min and semi-join branches would re-run
+      // the cleaning chain twice. A production corpus-prep run persists
+      // the cleaned text between stages anyway — this is that checkpoint.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val kept = cleaned.filter(qualityScoreExpr >= 0.4)
     // exact dedup, d1 form: grouped min + semi-join on the content hash —
     // the chain's only corpus-width shuffles besides the final audit
     val fp = kept.select(col("doc_id"), col("source"), col("text"),
