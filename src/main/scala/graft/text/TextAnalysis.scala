@@ -307,7 +307,12 @@ object TextAnalysis {
     val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
     val dfreq = tok.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tok.join(dfreq, Seq("token"))
+    // the DF table is VOCABULARY-width (sub-linear in corpus size) —
+    // broadcast it like t9's vocabulary join-back, so the corpus-width
+    // token stream never shuffles on the (genuinely skewed) token key.
+    // If a vocabulary ever outgrows executor memory, drop the hint and
+    // let AQE skew-split the shuffled join — the documented fallback.
+    tok.join(broadcast(dfreq), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("df")).cast("double") / count(lit(1)))
