@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
 /** Cumulative job/stage/task counters — snapshotted around each timed
   * query so the bench JSON carries the scheduling cost next to the wall
   * time (a query that is "slow" with 4 jobs and one that is slow with 40
-  * are different problems; wall time alone cannot tell them apart). */
-private final class BenchCounters extends SparkListener {
+  * are different problems; wall time alone cannot tell them apart).
+  * Shared by [[Bench]] and [[graft.tools.ScaleSweep]] — ONE counting
+  * discipline, so the scaling curves in BASELINE.md are comparable with
+  * the bench's per-query counts. */
+private[graft] final class SchedulerCounters extends SparkListener {
   val jobs = new AtomicLong
   val stages = new AtomicLong
   val tasks = new AtomicLong
@@ -18,6 +21,12 @@ private final class BenchCounters extends SparkListener {
   override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
     stages.incrementAndGet()
     tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+  }
+
+  /** Drain the listener bus, then read the three counters. */
+  def snapshot(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
+    org.apache.spark.graft.ListenerDrain.drain(sc)
+    (jobs.get(), stages.get(), tasks.get())
   }
 }
 
@@ -41,12 +50,9 @@ object Bench {
       Seq("lineitem", "orders", "part", "documents", "embeddings", "events")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
     } catch { case _: Throwable => () }
-    val counters = new BenchCounters
+    val counters = new SchedulerCounters
     spark.sparkContext.addSparkListener(counters)
-    def snapshot(): (Long, Long, Long) = {
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      (counters.jobs.get(), counters.stages.get(), counters.tasks.get())
-    }
+    def snapshot(): (Long, Long, Long) = counters.snapshot(spark.sparkContext)
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (and
     // SPARK_GRAFT_REPEAT=n repeats it) for variance measurement of a
     // single query; unset in driver runs, where the full suite runs once.

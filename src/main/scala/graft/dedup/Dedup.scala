@@ -199,13 +199,18 @@ object Dedup {
     System.err.println(
       s"[graft.d7] shingle mass total=$total kept=$kept " +
         f"dropFrac=${if (total == 0) 0.0 else 1.0 - kept.toDouble / total}%.3f")
-    if (total > 0 && kept == 0)
+    if (total > 0 && kept == 0) {
+      // release the cached DF relation on the fail-loud path — the
+      // documented recovery (catch, raise maxDf, retry) must not strand a
+      // persisted relation per attempt
+      dfs.unpersist()
       throw new IllegalStateException(
         s"df-capped Jaccard: every shingle exceeds maxDf=$maxDf " +
           "(bounded shingle space?) — the prefix filter dropped 100% of " +
           "shingle mass, so the method carries no signal here; raise " +
           "maxDf or use the MinHash path (d3), which has no DF " +
           "precondition")
+    }
     ngramJaccardDfCappedFrom(sh0, dfs, maxDf)
   }
 

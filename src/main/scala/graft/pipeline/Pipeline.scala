@@ -455,26 +455,31 @@ object Pipeline {
     // A crash at any point leaves either epoch N fully readable (steps
     // 1–2: bak-preferred; uncommitted new dates unlisted) or epoch N+1
     // fully readable (steps 3–4), never a torn mix.
-    val curManifest = latestManifest(fs, path)
-    // pinned by conflictCheck("at commit") just above
-    val curEpoch = baseEpoch
-    // bootstrap a pre-manifest store's partition list from its dirs
-    val baseParts = curManifest.map(_.partitions)
-      .getOrElse(listPartitionDirs(fs, path, partCol))
-    writeBakEpoch(fs, path, curEpoch)
-    dates.foreach { dt =>
-      swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
-        new HPath(s"$path/$partCol=$dt"),
-        // backups live OUTSIDE the store dir — a `order_date=X.bak` dir
-        // inside it would be picked up by partition discovery
-        new HPath(s"$path.bak/$partCol=$dt"))
-    }
-    fs.delete(new HPath(tmp), true)
-    writeManifest(fs, path, curEpoch + 1, partCol,
-      (baseParts ++ dates).distinct.sorted)
-    dropOldManifests(fs, path, current = curEpoch + 1)
-    // no `.bak` delete here — see step 4 of the commit protocol above
-    updatesP.unpersist()
+    // the cached updates must not outlive ANY exit from the commit
+    // section — in particular the write-once publish throwing
+    // StoreConflictException (the documented catch-and-retry path would
+    // otherwise strand one cached relation per conflict)
+    try {
+      val curManifest = latestManifest(fs, path)
+      // pinned by conflictCheck("at commit") just above
+      val curEpoch = baseEpoch
+      // bootstrap a pre-manifest store's partition list from its dirs
+      val baseParts = curManifest.map(_.partitions)
+        .getOrElse(listPartitionDirs(fs, path, partCol))
+      writeBakEpoch(fs, path, curEpoch)
+      dates.foreach { dt =>
+        swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
+          new HPath(s"$path/$partCol=$dt"),
+          // backups live OUTSIDE the store dir — a `order_date=X.bak` dir
+          // inside it would be picked up by partition discovery
+          new HPath(s"$path.bak/$partCol=$dt"))
+      }
+      fs.delete(new HPath(tmp), true)
+      writeManifest(fs, path, curEpoch + 1, partCol,
+        (baseParts ++ dates).distinct.sorted)
+      dropOldManifests(fs, path, current = curEpoch + 1)
+      // no `.bak` delete here — see step 4 of the commit protocol above
+    } finally updatesP.unpersist()
     readOrInit(spark, path, schema).count()
   }
 
@@ -620,9 +625,13 @@ object Pipeline {
       path: String, current: Long): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val oldestKept = current - manifestsToKeep + 1
+    // prune ONLY below the retention window. An epoch ABOVE `current` can
+    // only be a concurrent writer's newer committed manifest — deleting it
+    // would erase their commit record while their swapped dirs stay live,
+    // exactly the lost-update the write-once publish (E60) arbitrates
+    // against; never touch it.
     fs.listStatus(new HPath(path)).foreach(s => s.getPath.getName match {
-      case ManifestName(e)
-          if e.toLong > current || e.toLong < oldestKept =>
+      case ManifestName(e) if e.toLong < oldestKept =>
         fs.delete(s.getPath, false)
       case _ => ()
     })

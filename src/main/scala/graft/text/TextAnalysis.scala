@@ -51,45 +51,42 @@ object TextAnalysis {
   /** T3: quality scoring — length, punctuation ratio, stopword ratio, mean
     * word length folded into one [0,1]-ish score plus a bucket label.
     * The shape every corpus-filtering pipeline needs before training. */
-  /** The T3 quality score as a reusable Column over a `text` column —
-    * shared by [[qualityScore]] and the [[corpusPrep]] inline filter so
-    * the arithmetic (and its float evaluation order) exists once. */
-  private def qualityScoreExpr: Column = {
-    val toks = toksCol
-    val nChars = length(col("text")).cast("long")
-    val wordCount = size(toks).cast("long")
-    val punct = size(regexp_extract_all(col("text"),
+  /** The T3 quality components over a `text` column, defined ONCE —
+    * [[qualityScore]] reports them, the [[corpusPrep]] filter uses the
+    * score; a single definition keeps the reported ratios and the score
+    * they feed from ever diverging (and the float evaluation order
+    * identical everywhere). */
+  private final class QualityParts {
+    private val toks = toksCol
+    val nChars: Column = length(col("text")).cast("long")
+    val wordCount: Column = size(toks).cast("long")
+    private val punct = size(regexp_extract_all(col("text"),
       lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-    val stopHits = size(filter(toks,
+    private val stopHits = size(filter(toks,
       t => t.isin(LangMarkers.toMap.apply("en"): _*))).cast("long")
-    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
-    val stopRatio = stopHits.cast("double") / greatest(wordCount, lit(1L))
-    val meanLen = (length(regexp_replace(norm(col("text")), " ", ""))
+    val punctRatio: Column = punct.cast("double") / greatest(nChars, lit(1L))
+    val stopRatio: Column = stopHits.cast("double") /
+      greatest(wordCount, lit(1L))
+    val meanLen: Column = (length(regexp_replace(norm(col("text")), " ", ""))
       .cast("double") / greatest(wordCount, lit(1L)))
-    val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
-    lenScore * lit(0.4) + stopRatio * lit(0.3) +
+    private val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val score: Column = lenScore * lit(0.4) + stopRatio * lit(0.3) +
       (lit(1.0) - punctRatio) * lit(0.2) +
       least(meanLen / lit(8.0), lit(1.0)) * lit(0.1)
   }
 
+  /** The T3 quality score as a reusable Column (the [[corpusPrep]]
+    * filter's form of [[QualityParts]]). */
+  private def qualityScoreExpr: Column = new QualityParts().score
+
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = toksCol
-    val nChars = length(col("text")).cast("long")
-    val wordCount = size(toks).cast("long")
-    val punct = size(regexp_extract_all(col("text"),
-      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-    val stopHits = size(filter(toks,
-      t => t.isin(LangMarkers.toMap.apply("en"): _*))).cast("long")
-    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
-    val stopRatio = stopHits.cast("double") / greatest(wordCount, lit(1L))
-    val meanLen = (length(regexp_replace(norm(col("text")), " ", ""))
-      .cast("double") / greatest(wordCount, lit(1L)))
-    val score = qualityScoreExpr
+    val q = new QualityParts
     docs.select(
-      col("doc_id"), wordCount.as("word_count"), nChars.as("n_chars_actual"),
-      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
-      meanLen.as("mean_word_len"), score.as("quality_score"),
-      when(score >= 0.6, "high").when(score >= 0.4, "medium")
+      col("doc_id"), q.wordCount.as("word_count"),
+      q.nChars.as("n_chars_actual"),
+      q.punctRatio.as("punct_ratio"), q.stopRatio.as("stopword_ratio"),
+      q.meanLen.as("mean_word_len"), q.score.as("quality_score"),
+      when(q.score >= 0.6, "high").when(q.score >= 0.4, "medium")
         .otherwise("low").as("quality_bucket"))
   }
 
@@ -634,7 +631,11 @@ object TextAnalysis {
         coalesce(e.s = b.l AND
           lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) = b.r, FALSE)
           AS m
-      FROM ex$k e CROSS JOIN best$k b),
+      -- LEFT JOIN, not CROSS: when merges exhaust before the unroll depth
+      -- (best$k empty), a cross join would wipe words${k + 1} to zero rows,
+      -- while the Spark loop leaves words unchanged — the left join keeps
+      -- every row with m = FALSE, a pure pass-through stage
+      FROM ex$k e LEFT JOIN best$k b ON TRUE),
     isl$k AS (
       SELECT *, sum(CASE WHEN m THEN 0 ELSE 1 END)
         OVER (PARTITION BY word ORDER BY i) AS island
@@ -751,15 +752,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("text"))
     val chunks = chunkCore(deduped, ChunkSize, ChunkStride,
       Seq("doc_id", "source"))
+    // LEFT join from totals (the mix1/c1 audit convention): a source whose
+    // docs are ALL dropped must still report n_docs with zero kept — total
+    // loss is the one case an audit exists to surface, and an inner join
+    // would silently erase it
     val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    chunks
-      .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).as("n_chunk_tokens"))
-      .join(totals, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_docs_kept"),
-        col("n_chunks"), col("n_chunk_tokens"))
+    totals
+      .join(chunks
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_chunk_tokens")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_chunk_tokens"), lit(0L)).as("n_chunk_tokens"))
   }
 
   def corpusPrepSql(w: Int = ChunkSize, s: Int = ChunkStride): String = {
@@ -822,14 +830,18 @@ object TextAnalysis {
       FROM (SELECT doc_id, source, toks, unnest(range(0, nc)) AS chunk_no
             FROM dn)),
     tot AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents
-            GROUP BY 1)
-    SELECT c.source, t.n_docs,
-      count(DISTINCT c.doc_id) AS n_docs_kept,
-      count(*) AS n_chunks,
-      sum(c.n_tokens)::BIGINT AS n_chunk_tokens
-    FROM ch c
-    JOIN tot t ON t.source = c.source
-    GROUP BY 1, 2"""
+            GROUP BY 1),
+    audit AS (
+      SELECT source,
+        count(DISTINCT doc_id) AS n_docs_kept,
+        count(*) AS n_chunks,
+        sum(n_tokens)::BIGINT AS n_chunk_tokens
+      FROM ch GROUP BY 1)
+    SELECT t.source, t.n_docs,
+      coalesce(a.n_docs_kept, 0) AS n_docs_kept,
+      coalesce(a.n_chunks, 0) AS n_chunks,
+      coalesce(a.n_chunk_tokens, 0) AS n_chunk_tokens
+    FROM tot t LEFT JOIN audit a ON a.source = t.source"""
   }
 
   // ---- DuckDB oracle twins -------------------------------------------------

@@ -1,8 +1,8 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,19 +52,6 @@ object ScaleSweep {
     // should stay flat while only the one corpus-scan job grows — the
     // "loop runs over the vocabulary, not the corpus" claim, measured
     "t8_bpe_merges", "t9_bpe_tokenize")
-
-  private final class Counters extends SparkListener {
-    val jobs = new AtomicLong
-    val stages = new AtomicLong
-    val tasks = new AtomicLong
-    override def onJobStart(j: SparkListenerJobStart): Unit = {
-      jobs.incrementAndGet(); ()
-    }
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      stages.incrementAndGet()
-      tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
-    }
-  }
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the
@@ -141,12 +128,11 @@ object ScaleSweep {
       }
     }
 
-    val counters = new Counters
+    // the bench's counting discipline, shared — BASELINE's scaling curves
+    // must be comparable with Bench's per-query counts
+    val counters = new graft.SchedulerCounters
     spark.sparkContext.addSparkListener(counters)
-    def snap(): (Long, Long, Long) = {
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      (counters.jobs.get(), counters.stages.get(), counters.tasks.get())
-    }
+    def snap(): (Long, Long, Long) = counters.snapshot(spark.sparkContext)
 
     // untimed warmup of the whole set at EACH scale immediately before
     // that scale is measured — the ANN queries embed fresh centroid
