@@ -295,6 +295,42 @@ object SparkEntry {
     "t7_token_rarity" -> ((s, d) =>
       TextAnalysis.tokenRarity(Sources.table(s, d, "documents"))),
 
+    // E62 (C2): n-gram-level decontamination — contamination by shared
+    // word-5-grams with the eval set (the published LM-eval hygiene
+    // check), one tier stronger than c1's whole-doc fingerprints; eval
+    // shingle set broadcasts, corpus explodes distinct shingles once.
+    // Runs over the twin-planted corpus (the d2–d9 convention: the
+    // synthetic generator plants no duplicates, so twins of eval docs
+    // are the deterministic positives).
+    "c2_ngram_decontamination" -> ((s, d) =>
+      TextAnalysis.ngramContamination(
+        TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
+
+    // E63 (T10): per-doc tf-idf top terms — keyword extraction; tf/df
+    // from one token aggregate + its vocabulary-width re-aggregate,
+    // rational idf (no log, bitwise parity), doc-keyed bounded top-k.
+    "t10_tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Sources.table(s, d, "documents"))),
+
+    // E64 (MIX2): temperature-tempered source mixing (shares ∝ √n) — the
+    // upweight-small-sources mixing audit; the global normalizer folds
+    // sequentially over a source-sorted list (deterministic global
+    // reduce), everything else is one count aggregate. Runs over mix1's
+    // sampled subset (genuinely skewed 25/50/75/100% source rates — the
+    // raw synthetic corpus is uniform, so boosts there would all be 1.0);
+    // mix1 → mix2 is the fixed-weights → rebalance composition a real
+    // mixing run performs.
+    "mix2_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMixAudit(
+        TextAnalysis.weightedKeep(Sources.table(s, d, "documents")))),
+
+    // E65 (SH1): content-stable output sharding audit — per-shard doc and
+    // token totals under the 16-way writer hash (Sources.writeSharded
+    // does the actual partitioned write; CorpusOpsSpec checks layout,
+    // round-trip, and balance).
+    "sh1_shard_audit" -> ((s, d) =>
+      TextAnalysis.shardAudit(Sources.table(s, d, "documents"))),
+
     // E51 (PII1): PII detection + redaction over a deterministically
     // planted corpus — three codegen'd regexp_replace stages + match
     // counts, shuffle-free; patterns confined to the Java-regex/RE2
@@ -397,6 +433,13 @@ object SparkEntry {
     // unrolled CTE stages with order-pinned sequential-fold means.
     "n5_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E66: scalar-quantized (int8) ANN — the memory knob of the ANN tier
+    // (4x fewer bytes per candidate; composes under the n2/n4/n5
+    // candidate-set knobs). Ranks by the integer codes' cosine — the
+    // per-vector scale cancels, so no dequantization at query time.
+    "n6_ann_sq8" -> ((s, d) =>
+      Similarity.sqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
@@ -781,6 +824,12 @@ object SparkEntry {
       WHERE rn <= 5""",
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
+    "c2_ngram_decontamination" -> TextAnalysis.ngramContaminationSql(
+      TextAnalysis.withSourcedTwinsSql("documents")),
+    "t10_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
+    "mix2_temperature_mix" -> TextAnalysis.temperatureMixAuditSql(
+      TextAnalysis.weightedKeepSql),
+    "sh1_shard_audit" -> TextAnalysis.shardAuditSql,
     "pii1_redact" -> TextAnalysis.piiRedactSql,
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
@@ -818,6 +867,7 @@ object SparkEntry {
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
     "n5_ann_ivf_trained" -> Similarity.ivfTrainedTopKSql(5, 5),
+    "n6_ann_sq8" -> Similarity.sqTopKSql(5, 5),
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,

@@ -239,6 +239,88 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
   }
 
+  /** N6 (E66): scalar-quantized (int8) ANN — each vector is compressed to
+    * per-vector-symmetric int8 codes (`floor(x / max|x| * 127)`), and
+    * search ranks by the CODES' cosine. The per-vector scale cancels out
+    * of cosine, so no dequantization happens at query time — the score is
+    * a pure integer-code dot over norms, every intermediate an exact
+    * integer or correctly-rounded sqrt/division (bitwise cross-engine).
+    *
+    * This is the ANN tier's MEMORY knob, orthogonal to the bucketing ones
+    * (n2/n4/n5 shrink the candidate SET; SQ shrinks the BYTES per
+    * candidate 4×): at 100 TB the quantized corpus is what fits in
+    * executor/page cache, and SQ composes under any of the bucketed
+    * variants. Codes here materialize as `array<float>` (int8 values are
+    * exact in float) so the codegen'd [[dot]] and the DuckDB oracle
+    * evaluate the identical integer arithmetic; the storage form on a
+    * real cluster is a packed 1-byte-per-dim binary column — the layout
+    * changes, the code values and ranking don't. Quantization is one
+    * narrow pass; the search is N1's broadcast-query join shape on the
+    * quantized corpus. Zero vectors (max|x| = 0) quantize to all-zero
+    * codes and are excluded on both sides (cosine undefined), mirrored in
+    * the oracle. AnnRecallSpec measures recall vs exact brute force. */
+  def sqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxabs = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val codes = emb
+      .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
+      .select(col("vec_id"),
+        when(col("ma") === 0.0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(transform(col("embedding"),
+            v => floor(v.cast("double") / col("ma") * lit(127.0))
+              .cast("float"))).as("codes"))
+    val withN = codes
+      .select(col("vec_id"), col("codes"), norm2(col("codes")).as("n2"))
+      .filter(col("n2") > 0.0)
+    val q = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("n2").as("qn"))
+    val joined = broadcast(q).join(withN.as("c"),
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qc"), col("c.codes")) /
+          (col("qn") * col("c.n2"))).as("approx_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_cosine"))
+  }
+
+  def sqTopKSql(numQueries: Int, k: Int): String = s"""
+    WITH quant AS (
+      SELECT vec_id,
+        CASE WHEN ma = 0
+          THEN list_transform(embedding, x -> 0.0::DOUBLE)
+          ELSE list_transform(embedding,
+            x -> floor(x::DOUBLE / ma * 127.0)) END AS codes
+      FROM (
+        SELECT vec_id, embedding,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(embedding, x -> abs(x::DOUBLE))),
+            (acc, x) -> greatest(acc, x)) AS ma
+        FROM embeddings)),
+    withn AS (
+      SELECT vec_id, codes, ${norm2Sql("codes")} AS n2 FROM quant),
+    live AS (SELECT * FROM withn WHERE n2 > 0),
+    q AS (
+      SELECT vec_id AS query_id, codes AS qc, n2 AS qn FROM live
+      WHERE vec_id < $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${dotSql("qc", "c.codes")} / (qn * c.n2) AS approx_cosine
+      FROM q JOIN live c ON c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_cosine
+    FROM ranked WHERE rank <= $k"""
+
   val NumCells = 16
   val NumProbes = 2
 

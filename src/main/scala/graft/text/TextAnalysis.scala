@@ -176,13 +176,31 @@ object TextAnalysis {
     * so the oracle can reproduce them; production passes a weights table.
     * Output is the per-source audit row (kept vs total vs target) — what
     * a mixing run reports. */
-  def weightedSampleAudit(docs: DataFrame): DataFrame = {
+  /** The mix1 per-source hash cutoff: 0x40/0x80/0xc0 on the first 2 hex
+    * chars of md5(doc_id) ≈ 25/50/75%; "zz" compares above every hex
+    * pair = keep all. Source's rate index = (source number % 4) + 1. */
+  private def mixCut: Column = {
     val srcN = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
-    // cutoffs on the first 2 hex chars of md5(doc_id): 0x40/0x80/0xc0 ≈
-    // 25/50/75%; "zz" compares above every hex pair = keep all
-    val cut = element_at(
+    element_at(
       array(lit("40"), lit("80"), lit("c0"), lit("zz")),
       pmod(srcN, lit(4)) + 1)
+  }
+
+  /** MIX1's keep predicate as a corpus filter — the sampled corpus itself
+    * (the audit row form is [[weightedSampleAudit]]); feeds [[
+    * temperatureMixAudit]] so mix2 re-balances a genuinely skewed mix. */
+  def weightedKeep(docs: DataFrame): DataFrame =
+    docs.filter(substring(docIdHash(col("doc_id")), 1, 2) < mixCut)
+
+  def weightedKeepSql: String = s"""
+    SELECT * FROM documents
+    WHERE substr(${docIdHashSql("doc_id")}, 1, 2) <
+      (CASE ((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1)
+        WHEN 1 THEN '40' WHEN 2 THEN '80' WHEN 3 THEN 'c0'
+        ELSE 'zz' END)"""
+
+  def weightedSampleAudit(docs: DataFrame): DataFrame = {
+    val cut = mixCut
     val bucket = substring(docIdHash(col("doc_id")), 1, 2)
     val kept = docs
       .select(col("source"), bucket.as("bucket"), cut.as("cut"))
@@ -329,6 +347,220 @@ object TextAnalysis {
       min(df) AS rarest_df
     FROM tok JOIN dfreq USING (token)
     GROUP BY 1"""
+
+  /** C2 (E62): n-gram-level decontamination — the stronger form of C1's
+    * fingerprint check: a training doc is contaminated when it SHARES
+    * WORD N-GRAMS with the eval set, not only when it is byte-identical
+    * to an eval doc (the published LM-eval hygiene standard is 8–13-gram
+    * overlap; 5 here because the synthetic docs are short). Same scale
+    * shape as C1 one tier down: the eval side collapses to a DISTINCT
+    * shingle set (eval sets are small by nature → broadcast), the corpus
+    * explodes its distinct shingles ONCE (narrow), hits aggregate
+    * doc-keyed then source-keyed — the corpus never shuffles on the
+    * shingle key. Eval membership is the same deterministic doc_id % 97
+    * convention as C1 so the oracle names the same rows. */
+  /** The dedup family's twin-planting convention ([[graft.dedup.Dedup
+    * .withNearDups]]) with `source` carried through — the synthetic
+    * word-soup corpus contains no real eval overlap (the generator plants
+    * no duplicates), so C2 plants perturbed twins the same way d2–d9 do:
+    * a twin of an eval doc shares all interior 5-grams with it and MUST
+    * be flagged. Same role as the PII planting for pii1. */
+  def withSourcedTwins(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + graft.dedup.Dedup.TwinOffset).as("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" spark")).as("text")))
+
+  def withSourcedTwinsSql(docs: String): String = s"""
+    SELECT doc_id, source, text FROM $docs
+    UNION ALL
+    SELECT doc_id + ${graft.dedup.Dedup.TwinOffset} AS doc_id, source,
+      text || ' spark' AS text FROM $docs"""
+
+  def ngramContamination(docs: DataFrame, n: Int = 5): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val sh = docs.select(col("doc_id"), col("source"), isEval.as("is_eval"),
+      explode(array_distinct(shingles(toksCol, n))).as("sh"))
+    val evalSh = sh.filter(col("is_eval")).select(col("sh")).distinct()
+    val perDoc = sh.filter(!col("is_eval"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val flagged = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_overlap")).as("max_overlap"))
+    docs.filter(!isEval).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_docs")).as("contamination_rate"))
+  }
+
+  def ngramContaminationSql(corpus: String, n: Int = 5): String = s"""
+    WITH corpus2 AS ($corpus),
+    sh AS (
+      SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+        unnest(list_distinct(${shinglesSql(tokensSql(normSql("text")), n)}))
+          AS sh
+      FROM corpus2),
+    evalsh AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+    perdoc AS (
+      SELECT doc_id, source, count(*)::BIGINT AS n_overlap
+      FROM sh WHERE NOT is_eval AND sh IN (SELECT sh FROM evalsh)
+      GROUP BY 1, 2),
+    flagged AS (
+      SELECT source, count(*)::BIGINT AS n_contaminated,
+        max(n_overlap) AS max_overlap
+      FROM perdoc GROUP BY 1),
+    totals AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM corpus2
+      WHERE doc_id % 97 <> 0 GROUP BY 1)
+    SELECT t.source, t.n_docs,
+      coalesce(f.n_contaminated, 0)::BIGINT AS n_contaminated,
+      coalesce(f.max_overlap, 0)::BIGINT AS max_overlap,
+      coalesce(f.n_contaminated, 0)::DOUBLE / t.n_docs
+        AS contamination_rate
+    FROM totals t LEFT JOIN flagged f ON f.source = t.source"""
+
+  /** T10 (E63): per-doc tf-idf top terms — keyword extraction, the
+    * per-document twin of T7's corpus join-back: tf from one (doc, token)
+    * aggregate, df from a vocabulary-width re-aggregate of THAT result
+    * (no second corpus pass), idf as the rational N/df (log() avoided for
+    * cross-engine bitwise parity, same rationale as T7 — rank order is
+    * identical since log is monotone), then a per-doc top-k. The ranking
+    * shuffle is doc-keyed with doc-vocabulary-sized groups — at 100 TB
+    * each group is a few hundred rows, so the per-group sort is trivial
+    * and there is no global sort anywhere. Tie-break: token ASC, so ties
+    * at equal (tf, df) rank identically in both engines. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (col("n_corpus").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("tfidf"))
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${tokensSql(normSql("text"))}) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n_corpus FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+        tf::DOUBLE * (n_corpus::DOUBLE / df::DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (token), n),
+    ranked AS (
+      SELECT doc_id, token, tf, df, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, token ASC) AS rank
+      FROM scored)
+    SELECT doc_id, rank::BIGINT AS rank, token, tf, df, tfidf
+    FROM ranked WHERE rank <= $k"""
+
+  /** MIX2 (E64): temperature-based mixture reweighting — the OTHER data-
+    * mixing primitive beside MIX1's fixed weights: target source shares
+    * ∝ n^τ (τ = 0.5 — sqrt is exactly rounded in IEEE, so the shares are
+    * bitwise cross-engine; published multilingual/multi-source training
+    * mixes use exactly this family to upweight small sources). The only
+    * subtle part is the global normalizer Σ√n_s: a plain double SUM
+    * aggregates in partition order and is NOT deterministic, so the
+    * sources fold SEQUENTIALLY in source order over a sorted collected
+    * list — the deterministic-global-reduce pattern (source count is
+    * mixture-width, a few dozen rows; the corpus itself contributes one
+    * count aggregate). Output is the per-source audit: raw share, tempered
+    * share, and the up/down-sampling boost a mixing run would apply. */
+  def temperatureMixAudit(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(
+      sum(col("n_docs")).as("total_docs"),
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("n_docs")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_docs").cast("double")))
+        .as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("raw_share"),
+        (sqrt(col("n_docs").cast("double")) / col("z")).as("temp_share"),
+        ((sqrt(col("n_docs").cast("double")) / col("z")) /
+          (col("n_docs").cast("double") / col("total_docs").cast("double")))
+          .as("boost"))
+  }
+
+  def temperatureMixAuditSql(
+      corpus: String = "SELECT * FROM documents"): String = s"""
+    WITH corpus2 AS ($corpus),
+    counts AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM corpus2 GROUP BY 1),
+    z AS (
+      SELECT sum(n_docs)::BIGINT AS total_docs,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list(n_docs ORDER BY source),
+            x -> sqrt(x::DOUBLE))),
+          (acc, x) -> acc + x) AS z
+      FROM counts)
+    SELECT source, n_docs,
+      n_docs::DOUBLE / total_docs::DOUBLE AS raw_share,
+      sqrt(n_docs::DOUBLE) / z AS temp_share,
+      (sqrt(n_docs::DOUBLE) / z)
+        / (n_docs::DOUBLE / total_docs::DOUBLE) AS boost
+    FROM counts, z"""
+
+  /** SH1 (E65): deterministic output sharding audit — the writer tier's
+    * balance check: every doc lands in a content-stable shard (first hex
+    * digit of the t5/mix1/pk1 hash convention → 16 shards; rerun- and
+    * retry-stable, so a re-executed write task produces the identical
+    * shard file). The audit reports per-shard doc and token totals — what
+    * a sharded-output job emits to prove its shards are balanced before
+    * 16 downstream trainers each read one. The actual write is
+    * [[graft.io.Sources.writeSharded]] (partitionBy on this key);
+    * CorpusOpsSpec verifies layout, round-trip, and balance. */
+  def shardAudit(docs: DataFrame): DataFrame =
+    docs.select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  /** The 16-way content-stable shard key (shared by [[shardAudit]] and
+    * [[graft.io.Sources.writeSharded]]). */
+  def shardOf(id: Column): Column =
+    conv(substring(docIdHash(id), 1, 1), 16, 10).cast("long")
+
+  def shardAuditSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        (strpos('0123456789abcdef',
+          substr(${docIdHashSql("doc_id")}, 1, 1)) - 1)::BIGINT AS shard,
+        len(${tokensSql(normSql("text"))})::BIGINT AS n_tokens
+      FROM documents)
+    SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT
+        AS n_tokens,
+      min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM t GROUP BY 1"""
 
   // PII patterns: shared Java-regex/RE2 subset only (char classes,
   // bounded quantifiers, \b word boundaries) — no backreferences or

@@ -47,6 +47,13 @@ class AnnRecallSpec extends SparkSpec {
       s"trained IVF recall collapsed: $trainedRecall")
     // the aggregator form is NOT approximate — identical to exact
     assert(pairs(Similarity.topKAggregated(emb, 10, 5)) === exact)
+    // SQ8 compresses BYTES, not the candidate set — int8 codes preserve
+    // cosine order almost perfectly (measured 1.0 top-5 recall on the
+    // driver corpus; floor leaves room for quantization-boundary flips)
+    val sq = pairs(Similarity.sqTopK(emb, 10, 5))
+    val sqRecall = (exact & sq).size.toDouble / exact.size
+    info(s"recall: sq8=$sqRecall")
+    assert(sqRecall >= 0.9, s"SQ8 recall collapsed: $sqRecall")
   }
 
   test("trained IVF beats seeded cells on a density-skewed corpus") {

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.text.TextAnalysis
+
+/** Behavior specs for the round-7 corpus operators (the driver oracle
+  * verifies their values; these pin the PROPERTIES each op exists for):
+  * c2 flags planted eval twins, mix2 rebalances toward small sources,
+  * sh1/writeSharded produce a balanced deterministic hive layout, t10
+  * ranks deterministically under ties. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docs = Sources.table(spark, sf0001, "documents")
+
+  test("c2: planted twins of eval docs are flagged; raw corpus is clean") {
+    val planted = TextAnalysis.ngramContamination(
+      TextAnalysis.withSourcedTwins(docs)).cache()
+    try {
+      val contaminated = planted.agg(sum("n_contaminated")).head.getLong(0)
+      // every eval doc (doc_id % 97 == 0) has a planted twin sharing all
+      // interior 5-grams — each MUST be flagged (twins whose own id is
+      // eval flag their originals instead; either way ≥ the eval count)
+      val nEval = docs.filter(pmod(col("doc_id"), lit(97)) === 0).count()
+      assert(nEval > 0, "fixture: eval set must be non-empty")
+      assert(contaminated >= nEval,
+        s"planted twins not flagged: $contaminated < $nEval")
+      // the UNplanted corpus has no duplicates by construction, but the
+      // narrow-vocabulary word soup does yield a few ACCIDENTAL 5-gram
+      // collisions (measured: 2 of 500 docs) — the planting must strictly
+      // dominate that background rate, or the op isn't detecting twins
+      val raw = TextAnalysis.ngramContamination(docs)
+        .agg(sum("n_contaminated")).head.getLong(0)
+      assert(raw < nEval && raw < contaminated,
+        s"background collisions ($raw) should stay below planted signal")
+    } finally planted.unpersist()
+  }
+
+  test("mix2: tempered shares normalize and upweight small sources") {
+    val skewed = TextAnalysis.temperatureMixAudit(
+      TextAnalysis.weightedKeep(docs)).collect()
+    val tempSum = skewed.map(_.getAs[Double]("temp_share")).sum
+    val rawSum = skewed.map(_.getAs[Double]("raw_share")).sum
+    assert(math.abs(tempSum - 1.0) < 1e-9, s"temp shares sum $tempSum")
+    assert(math.abs(rawSum - 1.0) < 1e-9, s"raw shares sum $rawSum")
+    // boost is monotone decreasing in source size: boost = T/(z·√n)
+    val bySize = skewed.sortBy(_.getAs[Long]("n_docs"))
+    val boosts = bySize.map(_.getAs[Double]("boost"))
+    assert(bySize.map(_.getAs[Long]("n_docs")).distinct.length > 1,
+      "fixture: mix1 subset must be skewed")
+    boosts.zip(boosts.tail).zip(bySize.zip(bySize.tail)).foreach {
+      case ((b1, b2), (r1, r2)) =>
+        if (r1.getAs[Long]("n_docs") < r2.getAs[Long]("n_docs"))
+          assert(b1 > b2, s"boost not decreasing: $b1 <= $b2")
+    }
+    // a uniform corpus needs no rebalance: every boost is exactly 1
+    val uniform = TextAnalysis.temperatureMixAudit(docs).collect()
+    assert(uniform.forall(r => math.abs(r.getAs[Double]("boost") - 1.0)
+      < 1e-12), "uniform corpus must yield unit boosts")
+  }
+
+  test("sh1 + writeSharded: hive layout, round-trip, audit-consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard")
+      .toString
+    val out = s"$dir/corpus"
+    Sources.writeSharded(docs, "doc_id", out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length === 16, s"expected 16 shard dirs, got ${dirs.length}")
+    // each shard dir holds exactly one data file (repartition-on-shard)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count(), "round-trip row count")
+    // the on-disk partition counts equal the sh1 audit exactly
+    val audit = TextAnalysis.shardAudit(docs)
+      .select("shard", "n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val disk = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").longValue ->
+        r.getAs[Long]("count")).toMap
+    assert(disk === audit, "audit vs on-disk shard counts")
+    // deterministic: a re-run (retry) produces the identical assignment
+    val again = TextAnalysis.shardAudit(docs)
+      .select("shard", "n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === audit)
+  }
+
+  test("t10: bounded per-doc top-k with deterministic tie-break") {
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 3).cache()
+    try {
+      val perDoc = top.groupBy("doc_id").count().collect()
+      assert(perDoc.forall(_.getAs[Long]("count") <= 3))
+      assert(perDoc.length === docs.count(),
+        "every doc gets a keyword row set")
+      // ties (equal tf, df) must resolve by token ASC — two runs agree
+      val a = top.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet
+      val b = TextAnalysis.tfidfTopTerms(docs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(a === b, "rank assignment must be rerun-stable")
+    } finally top.unpersist()
+  }
+}
