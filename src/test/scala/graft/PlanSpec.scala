@@ -46,6 +46,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("c2: the eval shingle set joins broadcast, corpus never shuffles on shingles") {
+    val p = planOf("c2_ngram_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the corpus-width shingle stream must not sort-merge on the shingle key
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("t10: df and corpus-count sides broadcast; the quantizer pass is narrow") {
+    val p = planOf("t10_tfidf_top_terms")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("mix2: one corpus aggregate — the normalizers ride a window, not a second agg branch") {
+    val p = planOf("mix2_temperature_mix")
+    // exactly one scan of documents: a second one would mean the
+    // normalizer re-aggregated the corpus
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("n6: the quantized search scores via the native fvec_dot") {
+    val p = planOf("n6_ann_sq8")
+    assert(p.contains("fvec_dot"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("similarity joins evaluate the native fvec_dot, not an interpreted fold") {
     val p = planOf("n1_ann_bruteforce")
     assert(p.contains("fvec_dot"), p.take(2000))
