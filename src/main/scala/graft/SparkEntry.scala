@@ -441,6 +441,12 @@ object SparkEntry {
     "n6_ann_sq8" -> ((s, d) =>
       Similarity.sqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E67: IVF cells over int8 codes — the candidate-set and bytes-per-
+    // candidate knobs composed (the FAISS IVF-SQ index shape); the
+    // stored search tier holds only (cell, codes), never raw floats.
+    "n7_ann_ivf_sq8" -> ((s, d) =>
+      Similarity.ivfSqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
     // a reporting layer runs over the store.
@@ -868,6 +874,7 @@ object SparkEntry {
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
     "n5_ann_ivf_trained" -> Similarity.ivfTrainedTopKSql(5, 5),
     "n6_ann_sq8" -> Similarity.sqTopKSql(5, 5),
+    "n7_ann_ivf_sq8" -> Similarity.ivfSqTopKSql(5, 5),
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,

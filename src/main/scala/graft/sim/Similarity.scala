@@ -259,19 +259,41 @@ object Similarity {
     * quantized corpus. Zero vectors (max|x| = 0) quantize to all-zero
     * codes and are excluded on both sides (cosine undefined), mirrored in
     * the oracle. AnnRecallSpec measures recall vs exact brute force. */
-  def sqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-vector-symmetric int8 quantization pass: `(vec_id, embedding,
+    * codes)` — the raw vector rides along for callers that also derive
+    * index structure from it (cell assignment in [[ivfSqTopK]]); the
+    * stored search index keeps only the codes. */
+  private def withCodes(emb: DataFrame): DataFrame = {
     val maxabs = aggregate(col("embedding"), lit(0.0),
       (acc, v) => greatest(acc, abs(v.cast("double"))))
-    val codes = emb
-      .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
-      .select(col("vec_id"),
+    emb.select(col("vec_id"), col("embedding"), maxabs.as("ma"))
+      .select(col("vec_id"), col("embedding"),
         when(col("ma") === 0.0,
           transform(col("embedding"), _ => lit(0.0f)))
           .otherwise(transform(col("embedding"),
             v => floor(v.cast("double") / col("ma") * lit(127.0))
               .cast("float"))).as("codes"))
-    val withN = codes
+  }
+
+  /** The quant CTE shared by the n6/n7 oracles — must mirror
+    * [[withCodes]] exactly. */
+  private def quantCteSql: String = s"""
+    quant AS (
+      SELECT vec_id, embedding,
+        CASE WHEN ma = 0
+          THEN list_transform(embedding, x -> 0.0::DOUBLE)
+          ELSE list_transform(embedding,
+            x -> floor(x::DOUBLE / ma * 127.0)) END AS codes
+      FROM (
+        SELECT vec_id, embedding,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(embedding, x -> abs(x::DOUBLE))),
+            (acc, x) -> greatest(acc, x)) AS ma
+        FROM embeddings))"""
+
+  def sqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = withCodes(emb)
       .select(col("vec_id"), col("codes"), norm2(col("codes")).as("n2"))
       .filter(col("n2") > 0.0)
     val q = withN.filter(col("vec_id") < numQueries)
@@ -291,18 +313,7 @@ object Similarity {
   }
 
   def sqTopKSql(numQueries: Int, k: Int): String = s"""
-    WITH quant AS (
-      SELECT vec_id,
-        CASE WHEN ma = 0
-          THEN list_transform(embedding, x -> 0.0::DOUBLE)
-          ELSE list_transform(embedding,
-            x -> floor(x::DOUBLE / ma * 127.0)) END AS codes
-      FROM (
-        SELECT vec_id, embedding,
-          list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(embedding, x -> abs(x::DOUBLE))),
-            (acc, x) -> greatest(acc, x)) AS ma
-        FROM embeddings)),
+    WITH $quantCteSql,
     withn AS (
       SELECT vec_id, codes, ${norm2Sql("codes")} AS n2 FROM quant),
     live AS (SELECT * FROM withn WHERE n2 > 0),
@@ -338,19 +349,19 @@ object Similarity {
     * ~(nprobe/k) of brute force — same join shape as [[lshTopK]] with a
     * data-adaptive partition instead of hyperplane signs.
     */
-  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
-      nprobe: Int = NumProbes): DataFrame = {
-    val spark = emb.sparkSession
-    // seeds collected once, shipped as literals (tiny: NumCells vectors)
+  /** The seeded coarse quantizer's per-row sorted (d2, cell_id) array —
+    * seeds collected once (tiny: NumCells vectors) and shipped as
+    * literals; one (d2, cell_id) struct per seed, sorted once per row.
+    * array_sort on structs orders by d2 then cell_id, giving both the
+    * assignment (element 1) and the probe list (first nprobe) from ONE
+    * pass of NumCells codegen'd dot products, not an O(k^2) expression
+    * tree. Shared by [[ivfTopK]] and [[ivfSqTopK]]. */
+  private def sortedCellsFor(emb: DataFrame): Column => Column = {
     val seeds = emb.filter(col("vec_id") < NumCells)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // one (d2, cell_id) struct per seed, sorted once per row — array_sort
-    // on structs orders by d2 then cell_id, giving both the assignment
-    // (element 1) and the probe list (first NumProbes) from ONE pass of
-    // NumCells codegen'd dot products, not an O(k^2) expression tree
-    def sortedCells(v: Column): Column = {
+    (v: Column) => {
       val ds = seeds.zipWithIndex.map { case (s, id) =>
         val s2 = s.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
         // |v|^2 is constant across cells for a row: argmin only needs
@@ -360,6 +371,11 @@ object Similarity {
       }
       array_sort(array(ds: _*))
     }
+  }
+
+  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
+    val sortedCells = sortedCellsFor(emb)
     val assigned = emb
       .select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("n2"),
@@ -425,6 +441,93 @@ object Similarity {
           ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored)
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $k"""
+  }
+
+  /** N7 (E67): IVF cells over int8 codes — the two orthogonal ANN knobs
+    * COMPOSED (the FAISS IVF-SQ index shape, from its public design): the
+    * coarse quantizer restricts the candidate SET (n4's cell equi-join)
+    * while scalar quantization shrinks the BYTES per stored candidate 4×
+    * (n6's code cosine). Cell assignment happens at index-build time on
+    * the raw vector (the one moment it exists); the stored index row is
+    * only (cell, codes) — at 100 TB the raw float corpus is never kept in
+    * the search tier at all. One narrow build pass computes codes AND
+    * cell together; the probe join and bounded-aggregator ranking are
+    * exactly n4's. AnnRecallSpec measures the composition's recall
+    * tracking n4's (SQ preserves cosine order near-perfectly, so the
+    * composition costs ~nothing in recall on top of the cell
+    * restriction). */
+  def ivfSqTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
+    val sortedCells = sortedCellsFor(emb)
+    val indexed = withCodes(emb)
+      .select(col("vec_id"), col("codes"), norm2(col("codes")).as("n2"),
+        element_at(sortedCells(col("embedding")), 1).getField("cell_id")
+          .as("cell"))
+      .filter(col("n2") > 0.0)
+    val q = withCodes(emb.filter(col("vec_id") < numQueries))
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        norm2(col("codes")).as("qn"),
+        sortedCells(col("embedding")).as("sc"))
+      .filter(col("qn") > 0.0)
+      .select(col("query_id"), col("qc"), col("qn"),
+        explode(transform(slice(col("sc"), 1, nprobe),
+          s => s.getField("cell_id"))).as("probe"))
+    val joined = q.join(indexed.as("c"),
+        col("c.cell") === col("probe") &&
+          col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qc"), col("c.codes")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    rankTopKAgg(joined, k)
+      .withColumnRenamed("cosine", "approx_cosine")
+  }
+
+  def ivfSqTopKSql(numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): String = {
+    val seedsCte = s"""
+      seeds AS (
+        SELECT vec_id AS cell_id, embedding AS sv,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+            (acc, x) -> acc + x) AS s2
+        FROM embeddings WHERE vec_id < $NumCells)"""
+    val d2 = s"-2.0 * ${dotSql("e.embedding", "s.sv")} + s.s2"
+    s"""
+    WITH $quantCteSql,
+    $seedsCte,
+    dists AS (
+      SELECT e.vec_id, s.cell_id, $d2 AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    ranked_cells AS (
+      SELECT vec_id, cell_id, d2,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, cell_id ASC) AS cell_rank
+      FROM dists),
+    indexed AS (
+      SELECT qt.vec_id, qt.codes, ${norm2Sql("qt.codes")} AS n2,
+        rc.cell_id AS cell
+      FROM quant qt
+      JOIN ranked_cells rc ON rc.vec_id = qt.vec_id AND rc.cell_rank = 1
+      WHERE ${norm2Sql("qt.codes")} > 0),
+    q AS (
+      SELECT qt.vec_id AS query_id, qt.codes AS qc,
+        ${norm2Sql("qt.codes")} AS qn, rc.cell_id AS probe
+      FROM quant qt
+      JOIN ranked_cells rc ON rc.vec_id = qt.vec_id
+        AND rc.cell_rank <= $nprobe
+      WHERE qt.vec_id < $numQueries AND ${norm2Sql("qt.codes")} > 0),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ${dotSql("qc", "c.codes")} / (qn * c.n2) AS approx_cosine
+      FROM q JOIN indexed c ON c.cell = probe AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_cosine
     FROM ranked WHERE rank <= $k"""
   }
 

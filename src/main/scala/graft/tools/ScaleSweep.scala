@@ -51,7 +51,12 @@ object ScaleSweep {
     // substitution is a bijection over it), so the merge loop's cost
     // should stay flat while only the one corpus-scan job grows — the
     // "loop runs over the vocabulary, not the corpus" claim, measured
-    "t8_bpe_merges", "t9_bpe_tokenize")
+    "t8_bpe_merges", "t9_bpe_tokenize",
+    // round-7 corpus-width ops: c2's candidate volume is bounded by the
+    // eval shingle set (constant here), t10's by vocabulary × docs, n6's
+    // by the fixed query set — all should scale ≤ linearly with flat
+    // job structure
+    "c2_ngram_decontamination", "t10_tfidf_top_terms", "n6_ann_sq8")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the

@@ -52,8 +52,16 @@ class AnnRecallSpec extends SparkSpec {
     // driver corpus; floor leaves room for quantization-boundary flips)
     val sq = pairs(Similarity.sqTopK(emb, 10, 5))
     val sqRecall = (exact & sq).size.toDouble / exact.size
-    info(s"recall: sq8=$sqRecall")
+    // the IVF∘SQ composition restricts candidates like n4 AND scores on
+    // codes like n6 — its recall must track the seeded-IVF recall (the
+    // binding constraint; SQ costs ~nothing on top)
+    val ivfSq = pairs(Similarity.ivfSqTopK(emb, 10, 5))
+    val ivfSqRecall = (exact & ivfSq).size.toDouble / exact.size
+    info(s"recall: sq8=$sqRecall ivfSq=$ivfSqRecall")
     assert(sqRecall >= 0.9, s"SQ8 recall collapsed: $sqRecall")
+    assert(ivfSqRecall >= ivfRecall - 0.1,
+      s"IVF-SQ composition lost more than SQ should cost: " +
+        s"$ivfSqRecall vs ivf $ivfRecall")
   }
 
   test("trained IVF beats seeded cells on a density-skewed corpus") {
