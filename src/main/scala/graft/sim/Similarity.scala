@@ -263,16 +263,21 @@ object Similarity {
     * codes)` — the raw vector rides along for callers that also derive
     * index structure from it (cell assignment in [[ivfSqTopK]]); the
     * stored search index keeps only the codes. */
-  private def withCodes(emb: DataFrame): DataFrame = {
-    val maxabs = aggregate(col("embedding"), lit(0.0),
-      (acc, v) => greatest(acc, abs(v.cast("double"))))
-    emb.select(col("vec_id"), col("embedding"), maxabs.as("ma"))
-      .select(col("vec_id"), col("embedding"),
-        when(col("ma") === 0.0,
-          transform(col("embedding"), _ => lit(0.0f)))
-          .otherwise(transform(col("embedding"),
-            v => floor(v.cast("double") / col("ma") * lit(127.0))
-              .cast("float"))).as("codes"))
+  private def withCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .fvecQuant8(col("embedding")).as("codes"))
+
+  /** The HOF formulation of the quantizer (kept for the equivalence
+    * spec — same values, interpreted evaluation; [[withCodes]] runs the
+    * codegen'd [[org.apache.spark.sql.graft.Int8Quant]]). */
+  def quant8Fold(v: Column): Column = {
+    val maxabs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val ma = maxabs
+    when(ma === 0.0, transform(v, _ => lit(0.0f)))
+      .otherwise(transform(v,
+        x => floor(x.cast("double") / ma * lit(127.0)).cast("float")))
   }
 
   /** The quant CTE shared by the n6/n7 oracles — must mirror

