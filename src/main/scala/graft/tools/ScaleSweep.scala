@@ -56,7 +56,8 @@ object ScaleSweep {
     // eval shingle set (constant here), t10's by vocabulary × docs, n6's
     // by the fixed query set — all should scale ≤ linearly with flat
     // job structure
-    "c2_ngram_decontamination", "t10_tfidf_top_terms", "n6_ann_sq8")
+    "c2_ngram_decontamination", "t10_tfidf_top_terms", "n6_ann_sq8",
+    "n7_ann_ivf_sq8")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the

@@ -64,6 +64,29 @@ class AnnRecallSpec extends SparkSpec {
         s"$ivfSqRecall vs ivf $ivfRecall")
   }
 
+  test("the SQ8 index is materially smaller on disk than raw vectors") {
+    // the memory-knob claim, measured: int8 codes draw from a ≤255-value
+    // alphabet, so parquet dictionary/RLE encoding collapses them even
+    // while the column type stays float (the cross-engine parity form);
+    // a packed-binary layout on a real cluster only widens this gap
+    import org.apache.spark.sql.functions.col
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    emb.select(col("vec_id"), col("embedding")).coalesce(1)
+      .write.parquet(s"$dir/raw")
+    emb.select(col("vec_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .fvecQuant8(col("embedding")).as("codes")).coalesce(1)
+      .write.parquet(s"$dir/codes")
+    def bytes(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val (raw, coded) = (bytes(s"$dir/raw"), bytes(s"$dir/codes"))
+    info(f"index bytes: raw=$raw coded=$coded ratio=${raw.toDouble / coded}%.2f")
+    assert(coded * 2 < raw,
+      s"quantized index should be at most half the raw bytes: $coded vs $raw")
+  }
+
   test("trained IVF beats seeded cells on a density-skewed corpus") {
     // The fixture that motivates TRAINING the quantizer: a dense blob
     // holding the first 16 vectors (the raw seeds) plus 8 loose sparse
