@@ -462,15 +462,43 @@ object Similarity {
     * tracking n4's (SQ preserves cosine order near-perfectly, so the
     * composition costs ~nothing in recall on top of the cell
     * restriction). */
-  def ivfSqTopK(emb: DataFrame, numQueries: Int, k: Int,
-      nprobe: Int = NumProbes): DataFrame = {
-    val sortedCells = sortedCellsFor(emb)
-    val indexed = withCodes(emb)
+  /** The IVF-SQ index AS DATA: one narrow pass per vector computes int8
+    * codes, the code norm, and the cell under `seedCorpus`'s quantizer —
+    * the persistable search-tier row (vec_id, cell, codes, n2). Kept
+    * separate from [[ivfSqSearch]] so the index is a maintainable STORE,
+    * not a query-time intermediate. */
+  def ivfSqIndex(vectors: DataFrame, seedCorpus: DataFrame): DataFrame = {
+    val sortedCells = sortedCellsFor(seedCorpus)
+    withCodes(vectors)
       .select(col("vec_id"), col("codes"), norm2(col("codes")).as("n2"),
         element_at(sortedCells(col("embedding")), 1).getField("cell_id")
           .as("cell"))
       .filter(col("n2") > 0.0)
-    val q = withCodes(emb.filter(col("vec_id") < numQueries))
+  }
+
+  /** E68: incremental index maintenance — the d8 analogy for vectors: a
+    * new batch enters the index at PER-BATCH cost (quantize + assign
+    * against the SAME quantizer seeds, then union) — no retrain, no
+    * rebuild, the existing index rows never rewrite. Because the seeded
+    * quantizer is a pure function of `seedCorpus` (data-independent of
+    * the batch), append ≡ full rebuild bit-for-bit — AnnIndexSpec proves
+    * index-row and search-result equivalence. At 100 TB this is the
+    * difference between re-scanning the corpus per crawl and paying for
+    * the crawl alone (the `Pipeline.upsertStore` philosophy applied to
+    * the vector tier). */
+  def ivfSqAppend(index: DataFrame, batch: DataFrame,
+      seedCorpus: DataFrame): DataFrame =
+    index.unionByName(ivfSqIndex(batch, seedCorpus))
+
+  /** Search an [[ivfSqIndex]]-shaped index: `queryVecs` (raw vectors)
+    * quantize and probe their `nprobe` nearest cells under `seedCorpus`'s
+    * quantizer; candidates score by code cosine and rank via the bounded
+    * aggregator. */
+  def ivfSqSearch(index: DataFrame, queryVecs: DataFrame,
+      seedCorpus: DataFrame, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
+    val sortedCells = sortedCellsFor(seedCorpus)
+    val q = withCodes(queryVecs)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"),
         norm2(col("codes")).as("qn"),
         sortedCells(col("embedding")).as("sc"))
@@ -478,7 +506,7 @@ object Similarity {
       .select(col("query_id"), col("qc"), col("qn"),
         explode(transform(slice(col("sc"), 1, nprobe),
           s => s.getField("cell_id"))).as("probe"))
-    val joined = q.join(indexed.as("c"),
+    val joined = q.join(index.as("c"),
         col("c.cell") === col("probe") &&
           col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -487,6 +515,11 @@ object Similarity {
     rankTopKAgg(joined, k)
       .withColumnRenamed("cosine", "approx_cosine")
   }
+
+  def ivfSqTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame =
+    ivfSqSearch(ivfSqIndex(emb, emb),
+      emb.filter(col("vec_id") < numQueries), emb, k, nprobe)
 
   def ivfSqTopKSql(numQueries: Int, k: Int,
       nprobe: Int = NumProbes): String = {
