@@ -490,6 +490,18 @@ object Similarity {
       seedCorpus: DataFrame): DataFrame =
     index.unionByName(ivfSqIndex(batch, seedCorpus))
 
+  /** Persist an [[ivfSqIndex]] CELL-PARTITIONED (`cell=N` hive layout,
+    * one file per cell via the repartition-before-partitionBy shape of
+    * [[graft.io.Sources.writeSharded]]): a probe's candidate read
+    * becomes `nprobe` DIRECTORY reads with Spark's partition pruning —
+    * at 100 TB the search tier never scans the index, it opens the 2-of-
+    * 1000s of cell dirs the query hashes to (AnnIndexSpec pins the
+    * PartitionFilters in the read plan, round-trip equivalence, and
+    * that appends land as new files in existing cell dirs). */
+  def writeIvfSqIndex(index: DataFrame, path: String): Unit =
+    index.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Search an [[ivfSqIndex]]-shaped index: `queryVecs` (raw vectors)
     * quantize and probe their `nprobe` nearest cells under `seedCorpus`'s
     * quantizer; candidates score by code cosine and rank via the bounded

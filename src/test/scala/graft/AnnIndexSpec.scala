@@ -42,4 +42,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromAppended.exists(_._3 >= 400),
       "some neighbor should come from the appended batch")
   }
+
+  test("cell-partitioned index on disk: probes prune to their directories") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq")
+      .toString
+    val path = s"$dir/index"
+    // incremental persistence: base write, then the batch APPENDS as new
+    // files inside existing cell dirs — base files never rewrite
+    Similarity.writeIvfSqIndex(Similarity.ivfSqIndex(base, base), path)
+    val baseFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    Similarity.writeIvfSqIndex(Similarity.ivfSqIndex(batch, base), path)
+    val afterFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    baseFiles.foreach { case (cell, files) =>
+      assert(files.subsetOf(afterFiles(cell)),
+        s"$cell: base files must survive the append untouched")
+    }
+    // the disk round-trip equals the in-memory rebuild
+    val back = spark.read.parquet(path)
+      .select("vec_id", "cell", "codes", "n2")
+    assert(rows(back.withColumn("cell", col("cell").cast("long")))
+      === rows(Similarity.ivfSqIndex(emb, base)
+        .withColumn("cell", col("cell").cast("long"))))
+    // a probe's read PRUNES: the scan plan carries a cell partition
+    // filter, so only the probed directories are opened
+    val probed = back.filter(col("cell").isin(3, 7))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1500))
+    // search over the disk index matches search over the live one
+    val q = emb.filter(col("vec_id") < 10)
+    def res2(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSqSearch(ix, q, base, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    assert(res2(back) === res2(Similarity.ivfSqIndex(emb, base)))
+  }
 }
