@@ -387,14 +387,28 @@ object TextAnalysis {
     val sh = docs.select(col("doc_id"), col("source"), isEval.as("is_eval"),
       explode(array_distinct(shingles(toksCol, n))).as("sh"))
     val evalSh = sh.filter(col("is_eval")).select(col("sh")).distinct()
-    val perDoc = sh.filter(!col("is_eval"))
-      .join(broadcast(evalSh), Seq("sh"))
+    ngramContaminationAgainst(docs.filter(!isEval), evalSh, n)
+  }
+
+  /** The PRODUCTION form of C2: contamination of `docs` against an
+    * external eval shingle table (one column `sh` of word n-grams — the
+    * benchmark suite's own shingles, tiny by nature). One corpus scan:
+    * explode distinct shingles (narrow), broadcast-join the eval set,
+    * aggregate doc-keyed then source-keyed. The driver query derives
+    * `evalShingles` from the corpus only so the DuckDB oracle can name
+    * the same rows. */
+  def ngramContaminationAgainst(docs: DataFrame, evalShingles: DataFrame,
+      n: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(shingles(toksCol, n))).as("sh"))
+    val perDoc = sh
+      .join(broadcast(evalShingles.select(col("sh"))), Seq("sh"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_overlap"))
     val flagged = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_contaminated"),
         max(col("n_overlap")).as("max_overlap"))
-    docs.filter(!isEval).groupBy(col("source"))
+    docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .join(flagged, Seq("source"), "left")
       .select(col("source"), col("n_docs"),

@@ -37,6 +37,50 @@ class CorpusOpsSpec extends SparkSpec {
     } finally planted.unpersist()
   }
 
+  test("c2 production form: external eval shingle table, same semantics") {
+    // the driver query's in-corpus eval derivation must equal the
+    // production overload fed the same shingles explicitly
+    import graft.functions.TextFunctions._
+    val planted = TextAnalysis.withSourcedTwins(docs)
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val evalSh = planted.filter(isEval)
+      .select(explode(array_distinct(
+        shingles(tokens(norm(col("text"))), 5))).as("sh"))
+      .distinct()
+    val viaTable = TextAnalysis.ngramContaminationAgainst(
+      planted.filter(!isEval), evalSh).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaDerived = TextAnalysis.ngramContamination(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaTable === viaDerived)
+  }
+
+  test("fvec_quant8 properties: bounds, scale-invariance, max saturation") {
+    import org.apache.spark.sql.graft.VectorExpressions.fvecQuant8
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    // codes live in [-127, 127] and the max-|x| element saturates to ±127
+    val checked = emb.select(
+      fvecQuant8(col("embedding")).as("c"),
+      // positive scaling must not change a single code: the per-vector
+      // scale divides out (this is WHY codes-cosine needs no dequant).
+      // A power-of-two factor keeps the float products EXACT so the
+      // invariance is bitwise; an arbitrary factor is invariant only up
+      // to ±1 at floor boundaries (float product rounding)
+      fvecQuant8(transform(col("embedding"),
+        x => x * lit(8.0f))).as("c_scaled"))
+      .collect()
+    checked.foreach { r =>
+      val c = r.getSeq[Float](0)
+      assert(c.forall(v => v >= -127f && v <= 127f))
+      assert(c.exists(v => v == 127f || v == -127f),
+        "the max-magnitude element must saturate")
+      assert(c === r.getSeq[Float](1), "codes must be scale-invariant")
+    }
+    assert(checked.length === 500)
+  }
+
   test("mix2: tempered shares normalize and upweight small sources") {
     val skewed = TextAnalysis.temperatureMixAudit(
       TextAnalysis.weightedKeep(docs)).collect()
