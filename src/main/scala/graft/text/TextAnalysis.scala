@@ -592,6 +592,40 @@ object TextAnalysis {
       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
     FROM t GROUP BY 1"""
 
+  /** E69: incremental corpus-statistics maintenance — the token document-
+    * frequency table that T7 (rarity) and T10 (tf-idf) score against,
+    * maintained as a mergeable STORE instead of recomputed per run: a
+    * new batch contributes its own vocabulary-width (token, df)
+    * aggregate, merged by additive full-outer coalesce. Per-batch cost,
+    * vocabulary-width state and shuffle (sub-linear in corpus size,
+    * Heaps' law), no corpus rescan — the d8/upsertStore philosophy
+    * applied to the statistics tier (k1's HLL sketches cover the
+    * DISTINCT-style stats; this covers the additive ones). NOT
+    * idempotent per batch by construction (df is additive) — exactly-
+    * once application is the store swap layer's job
+    * ([[graft.pipeline.Pipeline.upsertStore]] epoch manifest), the same
+    * contract as every additive KPI there. CorpusOpsSpec proves folding
+    * batches ≡ the one-shot corpus aggregate. */
+  def dfStoreUpdate(store: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch
+      .select(explode(array_distinct(toksCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df_new"))
+    store.select(col("token"), col("df").as("df_old"))
+      .join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+  }
+
+  /** An empty DF store with the right schema (the bootstrap read-or-init
+    * twin of `Pipeline.readOrInit` for this store). */
+  def emptyDfStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("token", StringType),
+        StructField("df", LongType))))
+  }
+
   // PII patterns: shared Java-regex/RE2 subset only (char classes,
   // bounded quantifiers, \b word boundaries) — no backreferences or
   // lookaround, so Spark and DuckDB compile the identical automaton.

@@ -134,6 +134,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again === audit)
   }
 
+  test("df store: folding batches equals the one-shot corpus aggregate") {
+    import graft.functions.TextFunctions._
+    // three uneven batches, one empty — the store must not care
+    val batches = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") < 0), // empty batch
+      docs.filter(col("doc_id") % 3 === 2))
+    val folded = batches.foldLeft(TextAnalysis.emptyDfStore(spark)) {
+      (store, b) => TextAnalysis.dfStoreUpdate(store, b)
+    }
+    val oneShot = docs
+      .select(explode(array_distinct(tokens(norm(col("text"))))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val f = folded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = oneShot.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f === o)
+    assert(f.nonEmpty)
+  }
+
   test("t10: bounded per-doc top-k with deterministic tie-break") {
     val top = TextAnalysis.tfidfTopTerms(docs, k = 3).cache()
     try {
