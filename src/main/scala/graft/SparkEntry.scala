@@ -295,6 +295,18 @@ object SparkEntry {
     "t7_token_rarity" -> ((s, d) =>
       TextAnalysis.tokenRarity(Sources.table(s, d, "documents"))),
 
+    // E69 (T11): incremental DF-store maintenance under the hash gate —
+    // the query FOLDS the corpus through the store in two batches
+    // (odd/even doc_id); the oracle is the one-shot aggregate, so the
+    // hash match IS the incremental ≡ batch-equivalence proof at driver
+    // scale (CorpusOpsSpec covers uneven/empty batch shapes).
+    "t11_df_store" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents")
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .foldLeft(TextAnalysis.emptyDfStore(s))(TextAnalysis.dfStoreUpdate)
+    }),
+
     // E62 (C2): n-gram-level decontamination — contamination by shared
     // word-5-grams with the eval set (the published LM-eval hygiene
     // check), one tier stronger than c1's whole-doc fingerprints; eval
@@ -830,6 +842,13 @@ object SparkEntry {
       WHERE rn <= 5""",
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
+    "t11_df_store" -> s"""
+      SELECT token, count(*)::BIGINT AS df
+      FROM (SELECT doc_id, unnest(list_distinct(${
+        graft.functions.TextFunctions.tokensSql(
+          graft.functions.TextFunctions.normSql("text"))})) AS token
+            FROM documents)
+      GROUP BY 1""",
     "c2_ngram_decontamination" -> TextAnalysis.ngramContaminationSql(
       TextAnalysis.withSourcedTwinsSql("documents")),
     "t10_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
