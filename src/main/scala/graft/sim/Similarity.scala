@@ -467,14 +467,16 @@ object Similarity {
     * the persistable search-tier row (vec_id, cell, codes, n2). Kept
     * separate from [[ivfSqSearch]] so the index is a maintainable STORE,
     * not a query-time intermediate. */
-  def ivfSqIndex(vectors: DataFrame, seedCorpus: DataFrame): DataFrame = {
-    val sortedCells = sortedCellsFor(seedCorpus)
+  def ivfSqIndex(vectors: DataFrame, seedCorpus: DataFrame): DataFrame =
+    ivfSqIndexWith(vectors, sortedCellsFor(seedCorpus))
+
+  private def ivfSqIndexWith(vectors: DataFrame,
+      sortedCells: Column => Column): DataFrame =
     withCodes(vectors)
       .select(col("vec_id"), col("codes"), norm2(col("codes")).as("n2"),
         element_at(sortedCells(col("embedding")), 1).getField("cell_id")
           .as("cell"))
       .filter(col("n2") > 0.0)
-  }
 
   /** E68: incremental index maintenance — the d8 analogy for vectors: a
     * new batch enters the index at PER-BATCH cost (quantize + assign
@@ -485,7 +487,16 @@ object Similarity {
     * index-row and search-result equivalence. At 100 TB this is the
     * difference between re-scanning the corpus per crawl and paying for
     * the crawl alone (the `Pipeline.upsertStore` philosophy applied to
-    * the vector tier). */
+    * the vector tier).
+    *
+    * NOT idempotent per batch, by construction (a union, like every
+    * additive store here — [[graft.text.TextAnalysis.dfStoreUpdate]]
+    * documents the same contract): re-applying a batch duplicates its
+    * rows and a duplicated neighbor would occupy two of a query's k
+    * slots. Exactly-once application is the store swap layer's job —
+    * commit each append through an epoch manifest
+    * (`Pipeline.upsertStore`) or an equivalent put-if-absent publish,
+    * never by blind re-run. */
   def ivfSqAppend(index: DataFrame, batch: DataFrame,
       seedCorpus: DataFrame): DataFrame =
     index.unionByName(ivfSqIndex(batch, seedCorpus))
@@ -497,7 +508,10 @@ object Similarity {
     * at 100 TB the search tier never scans the index, it opens the 2-of-
     * 1000s of cell dirs the query hashes to (AnnIndexSpec pins the
     * PartitionFilters in the read plan, round-trip equivalence, and
-    * that appends land as new files in existing cell dirs). */
+    * that appends land as new files in existing cell dirs). `append`
+    * mode carries [[ivfSqAppend]]'s non-idempotence contract: a retried
+    * write duplicates the batch — publish through the same exactly-once
+    * swap layer as every additive store. */
   def writeIvfSqIndex(index: DataFrame, path: String): Unit =
     index.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
@@ -508,8 +522,11 @@ object Similarity {
     * aggregator. */
   def ivfSqSearch(index: DataFrame, queryVecs: DataFrame,
       seedCorpus: DataFrame, k: Int,
-      nprobe: Int = NumProbes): DataFrame = {
-    val sortedCells = sortedCellsFor(seedCorpus)
+      nprobe: Int = NumProbes): DataFrame =
+    ivfSqSearchWith(index, queryVecs, sortedCellsFor(seedCorpus), k, nprobe)
+
+  private def ivfSqSearchWith(index: DataFrame, queryVecs: DataFrame,
+      sortedCells: Column => Column, k: Int, nprobe: Int): DataFrame = {
     val q = withCodes(queryVecs)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"),
         norm2(col("codes")).as("qn"),
@@ -529,9 +546,12 @@ object Similarity {
   }
 
   def ivfSqTopK(emb: DataFrame, numQueries: Int, k: Int,
-      nprobe: Int = NumProbes): DataFrame =
-    ivfSqSearch(ivfSqIndex(emb, emb),
-      emb.filter(col("vec_id") < numQueries), emb, k, nprobe)
+      nprobe: Int = NumProbes): DataFrame = {
+    // ONE seed collect serves both the index build and the query probes
+    val sortedCells = sortedCellsFor(emb)
+    ivfSqSearchWith(ivfSqIndexWith(emb, sortedCells),
+      emb.filter(col("vec_id") < numQueries), sortedCells, k, nprobe)
+  }
 
   def ivfSqTopKSql(numQueries: Int, k: Int,
       nprobe: Int = NumProbes): String = {

@@ -247,10 +247,9 @@ object TextAnalysis {
     * sequence (no doc is split); oversized docs occupy their own. */
   def packSequences(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = conv(substring(docIdHash(col("doc_id")), 1, 1), 16, 10)
-      .cast("long")
     val withTok = docs.select(col("doc_id"),
-      shard.as("shard"), size(toksCol).cast("long").as("n_tokens"))
+      shardOf(col("doc_id")).as("shard"),
+      size(toksCol).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     withTok
@@ -263,8 +262,7 @@ object TextAnalysis {
   def packSequencesSql: String = s"""
     WITH toks AS (
       SELECT doc_id,
-        strpos('0123456789abcdef',
-          substr(${docIdHashSql("doc_id")}, 1, 1)) - 1 AS shard_raw,
+        ${shardOfSql("doc_id")} AS shard_raw,
         len(${tokensSql(normSql("text"))})::BIGINT AS n_tokens
       FROM documents)
     SELECT doc_id, shard_raw::BIGINT AS shard, n_tokens,
@@ -401,8 +399,11 @@ object TextAnalysis {
       n: Int = 5): DataFrame = {
     val sh = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(shingles(toksCol, n))).as("sh"))
+    // distinct defensively: a duplicate shingle row in the caller's eval
+    // table would fan the join out and inflate n_overlap/max_overlap —
+    // free on the tiny broadcast side, removes an unstated input invariant
     val perDoc = sh
-      .join(broadcast(evalShingles.select(col("sh"))), Seq("sh"))
+      .join(broadcast(evalShingles.select(col("sh")).distinct()), Seq("sh"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_overlap"))
     val flagged = perDoc.groupBy(col("source"))
@@ -575,16 +576,22 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
 
-  /** The 16-way content-stable shard key (shared by [[shardAudit]] and
-    * [[graft.io.Sources.writeSharded]]). */
+  /** The 16-way content-stable shard key — ONE definition shared by
+    * [[shardAudit]], [[packSequences]] (pk1's shard), and
+    * [[graft.io.Sources.writeSharded]], so the shared-key invariant
+    * (pk1 sequences and sh1 shards agree for the same doc) can't drift. */
   def shardOf(id: Column): Column =
     conv(substring(docIdHash(id), 1, 1), 16, 10).cast("long")
+
+  /** SQL twin of [[shardOf]] (shared by the pk1 and sh1 oracles). */
+  def shardOfSql(id: String): String =
+    s"""(strpos('0123456789abcdef',
+       |  substr(${docIdHashSql(id)}, 1, 1)) - 1)""".stripMargin
 
   def shardAuditSql: String = s"""
     WITH t AS (
       SELECT doc_id,
-        (strpos('0123456789abcdef',
-          substr(${docIdHashSql("doc_id")}, 1, 1)) - 1)::BIGINT AS shard,
+        ${shardOfSql("doc_id")}::BIGINT AS shard,
         len(${tokensSql(normSql("text"))})::BIGINT AS n_tokens
       FROM documents)
     SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT

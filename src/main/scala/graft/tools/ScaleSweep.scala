@@ -52,10 +52,11 @@ object ScaleSweep {
     // should stay flat while only the one corpus-scan job grows — the
     // "loop runs over the vocabulary, not the corpus" claim, measured
     "t8_bpe_merges", "t9_bpe_tokenize",
-    // round-7 corpus-width ops: c2's candidate volume is bounded by the
-    // eval shingle set (constant here), t10's by vocabulary × docs, n6's
-    // by the fixed query set — all should scale ≤ linearly with flat
-    // job structure
+    // round-7 corpus-width ops: c2's eval set (doc_id % 97 over the
+    // scaled id space) grows WITH the fan-out — both join sides scale
+    // ~linearly, so the curve should too; t10's volume is vocabulary ×
+    // docs, n6/n7's the fixed query set against a ×N corpus — all
+    // should scale ≤ linearly with flat job structure
     "c2_ngram_decontamination", "t10_tfidf_top_terms", "n6_ann_sq8",
     "n7_ann_ivf_sq8")
 

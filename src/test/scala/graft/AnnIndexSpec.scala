@@ -74,7 +74,10 @@ class AnnIndexSpec extends SparkSpec {
     // filter, so only the probed directories are opened
     val probed = back.filter(col("cell").isin(3, 7))
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+    // a partitioned scan ALWAYS prints a PartitionFilters entry (possibly
+    // empty) and 'cell' appears in any schema dump — assert the filter
+    // list itself is non-empty and names the cell column
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       plan.take(1500))
     // search over the disk index matches search over the live one
     val q = emb.filter(col("vec_id") < 10)

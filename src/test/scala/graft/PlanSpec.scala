@@ -53,7 +53,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("t10: df and corpus-count sides broadcast; the quantizer pass is narrow") {
+  test("t10: the df and corpus-count small sides broadcast, never sort-merge") {
     val p = planOf("t10_tfidf_top_terms")
     assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
       .findAllIn(p).size >= 2, p.take(2000))
