@@ -295,6 +295,26 @@ object SparkEntry {
     "t7_token_rarity" -> ((s, d) =>
       TextAnalysis.tokenRarity(Sources.table(s, d, "documents"))),
 
+    // E70 (V2): profile drift audit — ref/batch split by the t5 hash
+    // convention (first hex digit of md5(doc_id) — doc_id PARITY would
+    // correlate perfectly with the round-robin source assignment and
+    // put every source wholly in one side), with two planted failures:
+    // src3 absent from the batch ("missing") and src5's long docs
+    // dropped (mean-chars "drifted"). Other sources' flags reflect
+    // genuine sampling noise in ~12-doc half-samples vs the 1/3
+    // tolerance — the oracle computes the identical flags either way
+    // (at production per-key volumes the mean estimate sharpens and
+    // the tolerance is crisp).
+    "v2_drift_audit" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents")
+      val half = substring(
+        graft.functions.TextFunctions.docIdHash(col("doc_id")), 1, 1)
+      Validation.driftAudit(
+        docs.filter(half < "8"),
+        docs.filter(half >= "8" && col("source") =!= "src3" &&
+          !(col("source") === "src5" && col("n_chars") > 250)))
+    }),
+
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
     // (odd/even doc_id); the oracle is the one-shot aggregate, so the
@@ -842,6 +862,13 @@ object SparkEntry {
       WHERE rn <= 5""",
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
+    "v2_drift_audit" -> Validation.driftAuditSql(
+      """SELECT * FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'""",
+      """SELECT * FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
+         AND source <> 'src3'
+         AND NOT (source = 'src5' AND n_chars > 250)"""),
     "t11_df_store" -> s"""
       SELECT token, count(*)::BIGINT AS df
       FROM (SELECT doc_id, unnest(list_distinct(${

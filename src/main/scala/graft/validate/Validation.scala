@@ -215,4 +215,64 @@ object Validation {
         CAST(max($c) AS VARCHAR) AS max_val
       FROM $table"""
     }.mkString("\nUNION ALL\n")
+
+  /** V2 (E70): profile DRIFT audit — the monitoring tier over V1's
+    * profiles: a new batch's per-source profile compared against a
+    * reference batch, flagging relative drift (the metric-anomaly check
+    * the public Deequ library popularized; the gate a pipeline runs
+    * before admitting a drop into the store). FULL OUTER on the key so
+    * VANISHED and BRAND-NEW sources are flagged — an inner join would
+    * hide exactly the failures the audit exists to surface (the
+    * c1/mix1/pipe1 left-join-audit convention, taken both ways).
+    * Metrics are integer sums plus one double division per side
+    * (bitwise cross-engine); `drifted` = mean-chars ratio off by more
+    * than `tol` (count COLLAPSE surfaces as `missing` and through the
+    * reported per-side doc counts; a count-ratio rule is deliberately
+    * not folded into the flag — on small per-key samples binomial split
+    * noise would dominate it, while the mean sharpens with volume). One
+    * aggregate per side at source grain — at 100 TB each profile is a
+    * mergeable per-batch aggregate exactly like the KPI tier's (and
+    * could persist through the same store). */
+  def driftAudit(ref: DataFrame, batch: DataFrame,
+      tol: Double = 1.0 / 3): DataFrame = {
+    def profile(df: DataFrame, p: String) = df.groupBy(col("source"))
+      .agg(count(lit(1)).as(s"${p}_docs"),
+        sum(col("n_chars")).as(s"${p}_chars"))
+    val joined = profile(ref, "ref")
+      .join(profile(batch, "batch"), Seq("source"), "full_outer")
+    val refMean = col("ref_chars").cast("double") /
+      col("ref_docs").cast("double")
+    val batchMean = col("batch_chars").cast("double") /
+      col("batch_docs").cast("double")
+    joined.select(col("source"),
+      coalesce(col("ref_docs"), lit(0L)).as("ref_docs"),
+      coalesce(col("batch_docs"), lit(0L)).as("batch_docs"),
+      refMean.as("ref_mean_chars"), batchMean.as("batch_mean_chars"),
+      when(col("ref_docs").isNull, "new")
+        .when(col("batch_docs").isNull, "missing")
+        .when(abs(batchMean / refMean - 1.0) > tol, "drifted")
+        .otherwise("ok").as("status"))
+  }
+
+  def driftAuditSql(refSql: String, batchSql: String,
+      tol: Double = 1.0 / 3): String = s"""
+    WITH refp AS (
+      SELECT source, count(*)::BIGINT AS ref_docs,
+        sum(n_chars)::BIGINT AS ref_chars
+      FROM ($refSql) GROUP BY 1),
+    batchp AS (
+      SELECT source, count(*)::BIGINT AS batch_docs,
+        sum(n_chars)::BIGINT AS batch_chars
+      FROM ($batchSql) GROUP BY 1)
+    SELECT coalesce(r.source, b.source) AS source,
+      coalesce(r.ref_docs, 0) AS ref_docs,
+      coalesce(b.batch_docs, 0) AS batch_docs,
+      r.ref_chars::DOUBLE / r.ref_docs::DOUBLE AS ref_mean_chars,
+      b.batch_chars::DOUBLE / b.batch_docs::DOUBLE AS batch_mean_chars,
+      CASE WHEN r.ref_docs IS NULL THEN 'new'
+           WHEN b.batch_docs IS NULL THEN 'missing'
+           WHEN abs(b.batch_chars::DOUBLE / b.batch_docs::DOUBLE
+                 / (r.ref_chars::DOUBLE / r.ref_docs::DOUBLE) - 1.0) > $tol
+           THEN 'drifted' ELSE 'ok' END AS status
+    FROM refp r FULL OUTER JOIN batchp b ON b.source = r.source"""
 }

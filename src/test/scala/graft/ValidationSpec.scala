@@ -76,4 +76,31 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.missingHeaders(
       Set("a", "b", "c"), Seq("a", "c", "d")) === Set("b"))
   }
+
+  test("driftAudit flags missing, new, drifted, and ok sources") {
+    val s = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    def docs(rows: (String, Long, Long)*) =
+      mk(s, rows.map(r => Row(r._1, r._2, r._3)): _*)
+    val ref = docs(
+      ("a", 1L, 100L), ("a", 2L, 120L),   // stays healthy
+      ("b", 3L, 100L),                     // vanishes from the batch
+      ("c", 4L, 300L), ("c", 5L, 300L))    // batch mean collapses
+    val batch = docs(
+      ("a", 6L, 110L), ("a", 7L, 105L),
+      ("c", 8L, 100L), ("c", 9L, 110L),    // mean 105 vs 300 → drifted
+      ("d", 10L, 50L))                     // brand new
+    val out = Validation.driftAudit(ref, batch).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(out === Map(
+      "a" -> "ok", "b" -> "missing", "c" -> "drifted", "d" -> "new"))
+    // counts survive the full-outer coalesce on both sides
+    val b = Validation.driftAudit(ref, batch)
+      .filter("source = 'b'").head()
+    assert(b.getLong(1) === 1L && b.getLong(2) === 0L)
+    val d = Validation.driftAudit(ref, batch)
+      .filter("source = 'd'").head()
+    assert(d.getLong(1) === 0L && d.getLong(2) === 1L)
+  }
 }
