@@ -315,6 +315,21 @@ object SparkEntry {
           !(col("source") === "src5" && col("n_chars") > 250)))
     }),
 
+    // E73 (V3): embedding-space drift audit over int8 codes — the v2
+    // split convention on vec_id, with label 3 absent from the batch
+    // ("missing" for all its dims) and label 5's positive-first-dim
+    // vectors dropped (dim-1 mean collapses toward the negative half →
+    // "drifted"; other dims of label 5 shift only by sampling noise).
+    "v3_vec_drift" -> ((s, d) => {
+      val emb = Sources.table(s, d, "embeddings")
+      val half = substring(
+        graft.functions.TextFunctions.docIdHash(col("vec_id")), 1, 1)
+      Validation.vecDriftAudit(
+        emb.filter(half < "8"),
+        emb.filter(half >= "8" && col("label") =!= 3 &&
+          !(col("label") === 5 && element_at(col("embedding"), 1) > 0f)))
+    }),
+
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
     // (odd/even doc_id); the oracle is the one-shot aggregate, so the
@@ -418,6 +433,14 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E72 (D10): duplicate-SPAN detection — verbatim token runs repeated
+    // anywhere in the corpus, merged to maximal per-doc spans (the
+    // exact-substring tier; catches boilerplate inside otherwise-distinct
+    // docs). Corpus plants prefix-only twins so spans are PARTIAL.
+    "r2_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(
+        Dedup.withSpanTwins(Sources.table(s, d, "documents")))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -478,6 +501,12 @@ object SparkEntry {
     // stored search tier holds only (cell, codes), never raw floats.
     "n7_ann_ivf_sq8" -> ((s, d) =>
       Similarity.ivfSqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E71: product quantization — candidates stored as PqM codebook ids
+    // (PqM bytes packed vs SQ8's dim bytes); search is per-query distance
+    // tables + PqM lookups per pair (ADC), no per-pair vector math.
+    "n8_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
@@ -869,6 +898,13 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
          AND source <> 'src3'
          AND NOT (source = 'src5' AND n_chars > 250)"""),
+    "v3_vec_drift" -> Validation.vecDriftAuditSql(
+      """SELECT * FROM embeddings
+         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'""",
+      """SELECT * FROM embeddings
+         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '8'
+         AND label <> 3
+         AND NOT (label = 5 AND embedding[1] > 0)"""),
     "t11_df_store" -> s"""
       SELECT token, count(*)::BIGINT AS df
       FROM (SELECT doc_id, unnest(list_distinct(${
@@ -905,6 +941,8 @@ object SparkEntry {
       Dedup.minhashLshPairsSql(Dedup.withNearDupsSql("documents")),
     "d9_dup_clusters" ->
       Dedup.dupClustersSql(Dedup.withNearDupsSql("documents")),
+    "r2_dup_spans" ->
+      Dedup.dupSpansSql(Dedup.withSpanTwinsSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d4_simhash" ->
@@ -921,6 +959,7 @@ object SparkEntry {
     "n5_ann_ivf_trained" -> Similarity.ivfTrainedTopKSql(5, 5),
     "n6_ann_sq8" -> Similarity.sqTopKSql(5, 5),
     "n7_ann_ivf_sq8" -> Similarity.ivfSqTopKSql(5, 5),
+    "n8_ann_pq" -> Similarity.pqTopKSql(5, 5),
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,

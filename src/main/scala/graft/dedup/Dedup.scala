@@ -661,4 +661,118 @@ object Dedup {
       ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming"""
   }
+
+  // ---- D10 (E72): exact-substring duplicate spans --------------------------
+
+  val SpanN = 5        // span shingle width, tokens (the c2 n-gram width)
+  val SpanMinOccur = 2 // corpus-wide occurrences that flag a shingle
+
+  /** Corpus with planted PARTIAL duplicates for D10: every 10th doc gets a
+    * twin holding only its first 15 tokens — so the original is flagged on
+    * a prefix SPAN (not wholesale, which is d1's case) and the twin is
+    * flagged end-to-end. Background 5-gram collisions in the word-soup
+    * corpus contribute additional genuine spans. */
+  def withSpanTwins(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + TwinOffset).as("doc_id"),
+          concat_ws(" ", slice(tokens(norm(col("text"))), 1, 15))
+            .as("text")))
+
+  def withSpanTwinsSql(docs: String): String = s"""
+    SELECT doc_id, text FROM $docs
+    UNION ALL
+    SELECT doc_id + $TwinOffset AS doc_id,
+      array_to_string(list_slice(${tokensSql(normSql("text"))}, 1, 15), ' ')
+        AS text
+    FROM $docs WHERE doc_id % 10 = 0"""
+
+  /** D10 (E72): duplicate-SPAN detection — the span-level tier of the
+    * dedup ladder, after whole-doc (d1) and near-doc (d2/d3/d5): find
+    * runs of [[SpanN]] consecutive tokens that repeat verbatim ANYWHERE
+    * in the corpus (same doc or another), then merge flagged positions
+    * into maximal per-doc spans. This is the published exact-substring
+    * dedup result (repeated spans inside otherwise-distinct documents —
+    * boilerplate, templates, licenses — which document-level tiers miss
+    * because the surrounding text differs); the suffix-array machinery it
+    * used centralizes, so the distributed shape is positioned shingles.
+    *
+    * Plan (the 100-TB shape): ONE narrow pass builds per-position Horner
+    * hashes ([[graft.functions.TextFunctions.spanHashesFromTh]], 8 bytes
+    * per position — no shingle strings ever exist); posexplode streams
+    * (doc, pos, h); the occurrence count is a map-side-combining
+    * aggregate on h; flagged hashes join back onto the stream (equi-join
+    * on h — AQE broadcasts when the frequent set is small, which
+    * boilerplate-only corpora are, but the set is unbounded by nature so
+    * the join is not FORCED broadcast); span merge is per-doc windows
+    * (doc-sized groups), and the final span aggregate reuses the window's
+    * doc_id clustering (no extra shuffle: HashPartitioning(doc_id)
+    * satisfies the (doc_id, span_no) clustering). Hash-collision
+    * semantics are d2/d3's: matches are on the mod-P hash, exact by
+    * construction in both engines.
+    *
+    * Spans: positions p, p' merge when p' - p ≤ n (overlapping or
+    * token-adjacent flagged windows form one contiguous duplicated
+    * region); `span_start`/`span_end` are 1-based TOKEN indexes (end =
+    * last flagged start + n - 1), `n_starts` counts flagged windows
+    * inside the span. */
+  def dupSpans(docs: DataFrame, n: Int = SpanN,
+      minOccur: Int = SpanMinOccur): DataFrame = {
+    // the positioned stream feeds BOTH the occurrence count and the
+    // flagged join-back — materialize it once (disk-backed, the t10/
+    // pipe1/d7 persist policy; released by the caller's cache clear), or
+    // the scan→tokenize→explode subtree runs twice over the corpus
+    val sh = docs
+      .select(col("doc_id"), tokenHashes(tokens(norm(col("text")))).as("th"))
+      .select(col("doc_id"),
+        posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccur)
+    val flagged = sh.join(freq.select(col("h")), Seq("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("news",
+        when(col("gap").isNull || col("gap") > n, 1L).otherwise(0L))
+      .withColumn("span_no", sum(col("news")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy(col("doc_id"), col("span_no"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_starts"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_starts"))
+  }
+
+  def dupSpansSql(corpus: String, n: Int = SpanN,
+      minOccur: Int = SpanMinOccur): String = s"""
+    WITH corpus AS ($corpus),
+    th AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM corpus),
+    shl AS (
+      SELECT doc_id, ${spanHashesFromThSql("th", n)} AS shl FROM th),
+    sh AS (
+      SELECT doc_id, unnest(range(1, len(shl) + 1)) AS pos, shl FROM shl),
+    sh2 AS (SELECT doc_id, pos::BIGINT AS pos, shl[pos::INT] AS h FROM sh),
+    freq AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) >= $minOccur),
+    flagged AS (
+      SELECT s.doc_id, s.pos FROM sh2 s JOIN freq f ON f.h = s.h),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+          OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END AS news
+      FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (
+      SELECT doc_id, pos,
+        sum(news) OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+      FROM isl)
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+      (max(pos) + ${n - 1})::BIGINT AS span_end,
+      count(*)::BIGINT AS n_starts
+    FROM sp GROUP BY doc_id, span_no"""
 }

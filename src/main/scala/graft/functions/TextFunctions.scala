@@ -130,4 +130,30 @@ object TextFunctions {
        |    i -> ($th[i] * $ShingleC1 + $th[i + 1] * $ShingleC2 + $th[i + 2])
        |         % $HashP)
        |END""".stripMargin
+
+  /** Horner n-gram hashes from a token-hash array column — the general-
+    * width sibling of [[hashedShinglesFromTh]] (which keeps its 3-gram
+    * distinct-multiplier form): h = fold (h·C1 + th[j+i]) mod P over the
+    * n hashes starting at j. Native codegen'd array expression
+    * ([[org.apache.spark.sql.graft.SpanHashes]]); one compiled loop per
+    * doc. `th` must be a materialized column, as for
+    * [[hashedShinglesFromTh]]. */
+  def spanHashesFromTh(th: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextExpressions.spanHashes(th, n)
+
+  /** The HOF formulation (equivalence-spec twin of [[spanHashesFromTh]]):
+    * same Horner fold, interpreted. */
+  def spanHashesFromThFold(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(th) - lit(n - 1)), j =>
+        (0 until n).foldLeft(lit(0L)) { (h, i) =>
+          pmod(h * lit(ShingleC1) + element_at(th, j + lit(i)), lit(HashP))
+        }))
+
+  def spanHashesFromThSql(th: String, n: Int): String =
+    s"""CASE WHEN len($th) < $n THEN []::BIGINT[]
+       |  ELSE list_transform(range(1, len($th) - ${n - 2}),
+       |    j -> list_reduce(list_prepend(0::BIGINT, $th[j:j + ${n - 1}]),
+       |      (h, x) -> (h * $ShingleC1 + x) % $HashP))
+       |END""".stripMargin
 }

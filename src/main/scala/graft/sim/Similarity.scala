@@ -794,6 +794,136 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
   }
 
+  val PqM = 8       // subspaces
+  val PqSubDim = 8  // dims per subspace (PqM * PqSubDim = embedding dim)
+  val PqKsub = 16   // codebook entries per subspace (seeded: vec_id < Ksub)
+
+  /** N8 (E71): product-quantized ANN (the public FAISS PQ/ADC shape) —
+    * the third orthogonal index knob after the candidate-set restrictors
+    * (n2 LSH / n4 IVF) and scalar quantization (n6): each vector is split
+    * into [[PqM]] subvectors and each subvector is replaced by the id of
+    * its nearest codebook entry, so a stored candidate is PqM small ints
+    * (dim×4 bytes → PqM bytes packed — 32× here vs SQ8's 4×). Codebooks
+    * are SEEDED per subspace (the first [[PqKsub]] vectors' subvectors —
+    * n4's training-free determinism rationale; k-means training would
+    * only move the entry values, see [[trainCentroids]]). Search is
+    * asymmetric distance computation: the query computes ONE distance
+    * table per subspace (its true L2² to every codebook entry — tiny:
+    * Ksub doubles × PqM), and a candidate's approximate distance is the
+    * sum of PqM table lookups — no per-pair vector math at all, which is
+    * why PQ is the classic memory/compute scale shape for billion-vector
+    * search. All folds are sequential doubles (the [[dot]] convention),
+    * ties to the lower code / neighbor id ⇒ bitwise cross-engine.
+    *
+    * Scale: encode is one narrow pass (PqM×Ksub subdim-length codegen'd
+    * dots per row ≡ Ksub full-dim dots); the search join ships only
+    * (vec_id, PqM codes) per candidate and the query side (with its
+    * distance tables) broadcasts; ranking is WindowGroupLimit-bounded.
+    * Composable with the IVF cell join exactly as n7 composes SQ. */
+  def pqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < PqKsub).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    // codebook[j](c) = (subvector, |entry|²) — |e|² folded driver-side,
+    // identical to the oracle's list_reduce (same sequential fold)
+    val cb = Array.tabulate(PqM) { j =>
+      seeds.map { s =>
+        val sv = s.slice(j * PqSubDim, (j + 1) * PqSubDim)
+        (sv, sv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+    }
+    def subv(v: Column, j: Int) = slice(v, j * PqSubDim + 1, PqSubDim)
+    // encode: per subspace, argmin_c (-2⟨s,e⟩ + |e|²) — |s|² is constant
+    // across entries (the n4 argmin identity); ties to the lower code
+    def codesFor(v: Column) = array((0 until PqM).map { j =>
+      val s = subv(v, j)
+      val ds = cb(j).zipWithIndex.map { case ((e, ee), c) =>
+        struct((lit(-2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)).as("d2p"),
+          lit(c).as("code"))
+      }
+      element_at(array_sort(array(ds.toIndexedSeq: _*)), 1).getField("code")
+    }: _*)
+    val coded = emb.select(col("vec_id"),
+      codesFor(col("embedding")).as("codes"))
+    // ADC tables: dtab[j][c] = |q_j|² - 2⟨q_j,e⟩ + |e|² (true L2², so the
+    // reported approx_d2 is the standard ADC estimate, not rank-only)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        array((0 until PqM).map { j =>
+          val s = subv(col("embedding"), j)
+          array(cb(j).map { case (e, ee) =>
+            dot(s, s) - lit(2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)
+          }.toIndexedSeq: _*)
+        }: _*).as("dtab"))
+    val joined = broadcast(q).join(coded.as("c"),
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (0 until PqM).map { j =>
+          element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)
+        }.reduceLeft(_ + _).as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_d2"))
+  }
+
+  def pqTopKSql(numQueries: Int, k: Int): String = {
+    // The ADC sum runs in LONG format — candidate codes joined to the
+    // query distance tables on (j, code), then folded per pair over a
+    // j-ORDERED list (list_reduce over list(d2 ORDER BY j) ≡ Spark's
+    // fixed-order reduceLeft, bitwise). A codes-wide PqM-way self-join
+    // formulation made DuckDB's join-order planner go quadratic-plus
+    // (the dj⋈dj' pairs bind on query_id alone before the candidate
+    // relation enters — 16^M intermediate rows).
+    s"""
+    WITH subs AS (
+      SELECT e.vec_id, t.j,
+        embedding[(t.j*$PqSubDim+1)::INT:(t.j*$PqSubDim+$PqSubDim)::INT]
+          AS sv
+      FROM embeddings e CROSS JOIN range(0, $PqM) t(j)),
+    cb AS (
+      SELECT s.j, s.vec_id AS code, s.sv,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(s.sv, x -> x::DOUBLE * x::DOUBLE)),
+          (acc, x) -> acc + x) AS ee
+      FROM subs s WHERE s.vec_id < $PqKsub),
+    enc AS (
+      SELECT s.vec_id, s.j, cb.code,
+        -2.0 * ${dotSql("s.sv", "cb.sv")} + cb.ee AS d2p
+      FROM subs s JOIN cb ON cb.j = s.j),
+    enc_r AS (
+      SELECT vec_id, j, code,
+        row_number() OVER (PARTITION BY vec_id, j
+          ORDER BY d2p ASC, code ASC) AS rn
+      FROM enc),
+    codesl AS (
+      SELECT vec_id, j, code FROM enc_r WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, s.j, cb.code,
+        ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "cb.sv")}
+          + cb.ee AS d2
+      FROM subs s JOIN cb ON cb.j = s.j
+      WHERE s.vec_id < $numQueries),
+    flag AS (
+      SELECT qd.query_id, cl.vec_id, qd.j, qd.d2
+      FROM codesl cl JOIN qd ON qd.j = cl.j AND qd.code = cl.code
+      WHERE cl.vec_id <> qd.query_id),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)),
+          (acc, x) -> acc + x) AS approx_d2
+      FROM flag GROUP BY query_id, vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_d2,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_d2
+    FROM ranked WHERE rank <= $k"""
+  }
+
   val NearDupCosine = 0.9
   val VecTwinOffset = 100000L
 

@@ -254,6 +254,85 @@ object Validation {
         .otherwise("ok").as("status"))
   }
 
+  /** V3 (E73): EMBEDDING-space drift audit — [[driftAudit]]'s philosophy
+    * applied to the vector tier: per (label, dimension), the mean int8
+    * code of a batch compared against a reference batch. Works on the
+    * [[org.apache.spark.sql.graft.Int8Quant]] codes, not raw floats,
+    * deliberately: code values are exact small integers, so the per-cell
+    * sums are order-INDEPENDENT in double arithmetic (< 2^53) and the
+    * whole audit is bitwise cross-engine without the sequential-fold
+    * machinery raw float sums would need — and the audit can run
+    * directly over a stored SQ8 index ([[graft.sim.Similarity]] n6/n7)
+    * without ever touching raw vectors. FULL OUTER on (label, dim) so
+    * vanished/new labels surface, as in V2. `drifted` = absolute mean-
+    * code shift beyond `tol` code units; at small per-label samples the
+    * per-dim mean is noisy (sd ≈ 73/√n code units) so some healthy dims
+    * flag — deterministically identical in both engines, and sharpening
+    * with volume (the V2 caveat).
+    *
+    * Scale: one narrow quantize+posexplode pass per side, a map-side-
+    * combining (label, dim) aggregate (output is labels × dim rows —
+    * tiny), one broadcast-able full-outer join. Each side's profile is a
+    * mergeable per-batch aggregate (sums and counts add). */
+  def vecDriftAudit(ref: DataFrame, batch: DataFrame,
+      tol: Double = 40.0): DataFrame = {
+    def profile(df: DataFrame, p: String) = df
+      .select(col("label"),
+        posexplode(org.apache.spark.sql.graft.VectorExpressions
+          .fvecQuant8(col("embedding"))).as(Seq("d0", "v")))
+      .groupBy(col("label"), (col("d0") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as(s"${p}_n"),
+        sum(col("v").cast("double")).as(s"${p}_s"))
+    val joined = profile(ref, "ref")
+      .join(profile(batch, "batch"), Seq("label", "dim"), "full_outer")
+    val refMean = col("ref_s") / col("ref_n").cast("double")
+    val batchMean = col("batch_s") / col("batch_n").cast("double")
+    joined.select(col("label"), col("dim"),
+      coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+      coalesce(col("batch_n"), lit(0L)).as("batch_n"),
+      refMean.as("ref_mean_code"), batchMean.as("batch_mean_code"),
+      when(col("ref_n").isNull, "new")
+        .when(col("batch_n").isNull, "missing")
+        .when(abs(batchMean - refMean) > tol, "drifted")
+        .otherwise("ok").as("status"))
+  }
+
+  def vecDriftAuditSql(refSql: String, batchSql: String,
+      tol: Double = 40.0): String = {
+    def profile(src: String) = s"""
+      SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n,
+        sum(codes[dim::INT]) AS s
+      FROM (
+        SELECT label, unnest(range(1, len(codes) + 1)) AS dim, codes
+        FROM (
+          SELECT label,
+            CASE WHEN ma = 0
+              THEN list_transform(embedding, x -> 0.0::DOUBLE)
+              ELSE list_transform(embedding,
+                x -> floor(x::DOUBLE / ma * 127.0)) END AS codes
+          FROM (
+            SELECT label, embedding,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(embedding, x -> abs(x::DOUBLE))),
+                (acc, x) -> greatest(acc, x)) AS ma
+            FROM ($src))))
+      GROUP BY 1, 2"""
+    s"""
+    WITH refp AS (${profile(refSql)}),
+    batchp AS (${profile(batchSql)})
+    SELECT coalesce(r.label, b.label) AS label,
+      coalesce(r.dim, b.dim) AS dim,
+      coalesce(r.n, 0) AS ref_n, coalesce(b.n, 0) AS batch_n,
+      r.s / r.n::DOUBLE AS ref_mean_code,
+      b.s / b.n::DOUBLE AS batch_mean_code,
+      CASE WHEN r.n IS NULL THEN 'new'
+           WHEN b.n IS NULL THEN 'missing'
+           WHEN abs(b.s / b.n::DOUBLE - r.s / r.n::DOUBLE) > $tol
+           THEN 'drifted' ELSE 'ok' END AS status
+    FROM refp r FULL OUTER JOIN batchp b
+      ON b.label = r.label AND b.dim = r.dim"""
+  }
+
   def driftAuditSql(refSql: String, batchSql: String,
       tol: Double = 1.0 / 3): String = s"""
     WITH refp AS (

@@ -261,6 +261,112 @@ case class HashedShingles(child: Expression)
       newChild: Expression): HashedShingles = copy(child = newChild)
 }
 
+/** Horner n-gram hashes over a token-hash array: out[j] = fold h =
+  * (h·C1 + th[j+i]) mod P over the n hashes starting at j — the
+  * general-width sibling of the 3-gram [[HashedShingles]] combine (which
+  * keeps its distinct-multiplier form for d2/d3 oracle stability). Order-
+  * sensitive, 8 bytes per shingle position, one compiled loop per doc —
+  * the corpus-width hot path under duplicate-SPAN detection, where every
+  * token position (not just distinct shingles) flows to the counting
+  * shuffle. */
+case class SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "span width must be >= 1")
+
+  private val C1 = 1000003L
+  private val P = 1000000007L
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def prettyName: String = "span_hashes"
+
+  private def elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) new GenericArrayData(Array.empty[Long])
+    else if (!elemsNullable) {
+      val out = new Array[Long](len - n + 1)
+      var j = 0
+      while (j < len - n + 1) {
+        var h = 0L
+        var i = 0
+        while (i < n) { h = (h * C1 + arr.getLong(j + i)) % P; i += 1 }
+        out(j) = h
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](len - n + 1)
+      var j = 0
+      while (j < len - n + 1) {
+        var anyNull = false
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          if (arr.isNullAt(j + i)) anyNull = true
+          else h = (h * C1 + arr.getLong(j + i)) % P
+          i += 1
+        }
+        out(j) = if (anyNull) null else java.lang.Long.valueOf(h)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      if (!elemsNullable)
+        s"""
+           |int $len = $a.numElements();
+           |long[] $out = new long[$len < $n ? 0 : $len - ${n - 1}];
+           |for (int $j = 0; $j < $len - ${n - 1}; $j++) {
+           |  long $h = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $h = ($h * ${C1}L + $a.getLong($j + $i)) % ${P}L;
+           |  }
+           |  $out[$j] = $h;
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else {
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $len = $a.numElements();
+           |Object[] $out = new Object[$len < $n ? 0 : $len - ${n - 1}];
+           |for (int $j = 0; $j < $len - ${n - 1}; $j++) {
+           |  boolean $anyNull = false;
+           |  long $h = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($j + $i)) { $anyNull = true; }
+           |    else { $h = ($h * ${C1}L + $a.getLong($j + $i)) % ${P}L; }
+           |  }
+           |  $out[$j] = $anyNull
+           |    ? null : (Object) java.lang.Long.valueOf($h);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanHashes = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash column — drop-in for the HOF fold. */
   def rollHash(c: Column): Column =
@@ -274,6 +380,10 @@ object TextExpressions {
     * `transform(toks, t => rollHash(t))`. */
   def rollHashes(c: Column): Column =
     ExpressionUtils.column(TokenRollHashes(ExpressionUtils.expression(c)))
+
+  /** Codegen'd Horner n-gram hashes from a token-hash array. */
+  def spanHashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(SpanHashes(ExpressionUtils.expression(c), n))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

@@ -62,6 +62,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivfSqRecall >= ivfRecall - 0.1,
       s"IVF-SQ composition lost more than SQ should cost: " +
         s"$ivfSqRecall vs ivf $ivfRecall")
+    // PQ compresses HARDEST (PqM code bytes per candidate vs SQ8's dim
+    // bytes) and pays for it in distance resolution: every subvector
+    // snaps to one of Ksub=16 entries, so on this clusterless corpus —
+    // the hard setting, as for LSH above — recall sits well below the
+    // near-lossless SQ8. The floor pins the encode/ADC path against
+    // regression; real deployments raise Ksub (256) and train codebooks.
+    val pq = pairs(Similarity.pqTopK(emb, 10, 5))
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    info(s"recall: pq=$pqRecall")
+    // measured 0.22 (M=8 × Ksub=16 seeded on uniform noise — every
+    // subvector snaps to one of 16 arbitrary entries, so this corpus is
+    // PQ's worst case exactly as it is LSH's)
+    assert(pqRecall >= 0.15, s"PQ recall collapsed: $pqRecall")
   }
 
   test("the SQ8 index is materially smaller on disk than raw vectors") {

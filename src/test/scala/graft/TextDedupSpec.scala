@@ -374,6 +374,64 @@ class TextDedupSpec extends SparkSpec {
     assert(graft.dedup.Dedup.incrementalDedup(incoming, seen2).count() === 0)
   }
 
+  test("native span_hashes equals the composed Horner fold") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four"),   // exactly n-1 tokens at n=5 → empty
+      (3L, "solo"),
+      (4L, ""))
+    val th = TextFunctions.tokenHashes(
+      TextFunctions.tokens(TextFunctions.norm(col("text"))))
+    Seq(2, 5).foreach { n =>
+      val both = d.select(col("doc_id"), th.as("th"))
+        .select(col("doc_id"),
+          TextFunctions.spanHashesFromTh(col("th"), n).as("native"),
+          TextFunctions.spanHashesFromThFold(col("th"), n).as("fold"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+      // width-n windows over t tokens → max(0, t-n+1) hashes
+      val sizes = both.map(r => r.getLong(0) -> r.getSeq[Long](1).size).toMap
+      assert(sizes(1L) === math.max(0, 8 - n + 1))
+      assert(sizes(4L) === 0)
+    }
+  }
+
+  test("dupSpans merges flagged windows into maximal per-doc spans") {
+    // B repeats A's tokens 6..12 (7 tokens → 5-gram starts 6,7,8 in A /
+    // 1,2,3 in B); C repeats A's 14..18 (5 tokens → one window); all
+    // other tokens are unique, so no background collisions
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val b = ((6 to 12).map(i => s"tok$i") ++ Seq("bx1", "bx2", "bx3"))
+      .mkString(" ")
+    val c = (Seq("cx1", "cx2") ++ (14 to 18).map(i => s"tok$i")).mkString(" ")
+    val out = Dedup.dupSpans(docs((1L, a), (2L, b), (3L, c)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 6L, 12L, 3L),   // A: two separated duplicated regions =
+      (1L, 14L, 18L, 1L),  //    two spans, not one (gap 14-8=6 > n)
+      (2L, 1L, 7L, 3L),    // B: its prefix run, merged across overlaps
+      (3L, 3L, 7L, 1L)))   // C: single window at tokens 3..7
+  }
+
+  test("dupSpans gap boundary: adjacent windows merge, gap n+1 splits") {
+    // shared runs at positions 1..5 and 7..11 of doc 1 (window starts 1
+    // and 7: gap 6 > n=5 → split); doc 3 shares BOTH runs contiguously
+    // minus the separator, exercising the merge arm
+    val d = docs(
+      (1L, "a1 a2 a3 a4 a5 x1 b1 b2 b3 b4 b5"),
+      (2L, "a1 a2 a3 a4 a5 y1 y2 y3 y4 y5 y6"),
+      (3L, "z1 b1 b2 b3 b4 b5 w1 w2 w3 w4 w5"))
+    val out = Dedup.dupSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 5L), (1L, 7L, 11L),
+      (2L, 1L, 5L), (3L, 2L, 6L)))
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long

@@ -77,6 +77,40 @@ class ValidationSpec extends SparkSpec {
       Set("a", "b", "c"), Seq("a", "c", "d")) === Set("b"))
   }
 
+  test("vecDriftAudit flags per-dim code drift and label churn") {
+    val s = StructType(Seq(
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def emb(rows: (Int, Seq[Float])*) =
+      mk(s, rows.map(r => Row(r._1, r._2)): _*)
+    // codes are ±127 exactly (each vector's max|x| hits the quantizer
+    // scale), so means are crisp: label 1 dim 1 flips +127 → -127
+    val ref = emb(
+      (1, Seq(0.5f, 0.5f)), (1, Seq(0.5f, 0.5f)),
+      (2, Seq(0.25f, 0.25f)),         // vanishes from the batch
+      (3, Seq(-0.5f, 0.5f)))          // stays put
+    val batch = emb(
+      (1, Seq(-0.5f, 0.5f)), (1, Seq(-0.5f, 0.5f)),
+      (3, Seq(-0.5f, 0.5f)),
+      (4, Seq(0.1f, 0.2f)))           // brand new
+    val out = Validation.vecDriftAudit(ref, batch).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(6)).toMap
+    assert(out === Map(
+      (1, 1L) -> "drifted", (1, 2L) -> "ok",
+      (2, 1L) -> "missing", (2, 2L) -> "missing",
+      (3, 1L) -> "ok", (3, 2L) -> "ok",
+      (4, 1L) -> "new", (4, 2L) -> "new"))
+    // mean codes are exact integers-in-doubles: +127 vs -127 on the
+    // drifted cell, counts coalesced on both outer sides
+    val d11 = Validation.vecDriftAudit(ref, batch)
+      .filter("label = 1 AND dim = 1").head()
+    assert(d11.getDouble(4) === 127.0 && d11.getDouble(5) === -127.0)
+    assert(d11.getLong(2) === 2L && d11.getLong(3) === 2L)
+    val m = Validation.vecDriftAudit(ref, batch)
+      .filter("label = 2 AND dim = 1").head()
+    assert(m.getLong(2) === 1L && m.getLong(3) === 0L)
+  }
+
   test("driftAudit flags missing, new, drifted, and ok sources") {
     val s = StructType(Seq(
       StructField("source", StringType), StructField("doc_id", LongType),
