@@ -441,6 +441,13 @@ object SparkEntry {
       Dedup.dupSpans(
         Dedup.withSpanTwins(Sources.table(s, d, "documents")))),
 
+    // E75 (R3): duplicated-token rate per source — the decision-grade
+    // summary over r2's spans (which sources ship boilerplate, and how
+    // much of their token mass it is).
+    "r3_dup_span_rate" -> ((s, d) =>
+      Dedup.dupSpanRate(
+        Dedup.withSpanTwinsSourced(Sources.table(s, d, "documents")))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -507,6 +514,11 @@ object SparkEntry {
     // tables + PqM lookups per pair (ADC), no per-pair vector math.
     "n8_ann_pq" -> ((s, d) =>
       Similarity.pqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E74: IVF cells over PQ codes — the FAISS IVFPQ flagship: candidate
+    // set restricted by the coarse quantizer, bytes by product codes.
+    "n9_ann_ivf_pq" -> ((s, d) =>
+      Similarity.ivfPqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
@@ -943,6 +955,8 @@ object SparkEntry {
       Dedup.dupClustersSql(Dedup.withNearDupsSql("documents")),
     "r2_dup_spans" ->
       Dedup.dupSpansSql(Dedup.withSpanTwinsSql("documents")),
+    "r3_dup_span_rate" ->
+      Dedup.dupSpanRateSql(Dedup.withSpanTwinsSourcedSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d4_simhash" ->
@@ -960,6 +974,7 @@ object SparkEntry {
     "n6_ann_sq8" -> Similarity.sqTopKSql(5, 5),
     "n7_ann_ivf_sq8" -> Similarity.ivfSqTopKSql(5, 5),
     "n8_ann_pq" -> Similarity.pqTopKSql(5, 5),
+    "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,

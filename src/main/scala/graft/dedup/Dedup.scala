@@ -748,6 +748,69 @@ object Dedup {
         col("n_starts"))
   }
 
+  /** [[withSpanTwins]] carrying `source` (twins inherit the original's)
+    * — the corpus for the per-source rate audit. */
+  def withSpanTwinsSourced(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + TwinOffset).as("doc_id"),
+          concat_ws(" ", slice(tokens(norm(col("text"))), 1, 15))
+            .as("text"), col("source")))
+
+  def withSpanTwinsSourcedSql(docs: String): String = s"""
+    SELECT doc_id, text, source FROM $docs
+    UNION ALL
+    SELECT doc_id + $TwinOffset AS doc_id,
+      array_to_string(list_slice(${tokensSql(normSql("text"))}, 1, 15), ' ')
+        AS text, source
+    FROM $docs WHERE doc_id % 10 = 0"""
+
+  /** R3 (E75): duplicated-token RATE per source — the decision-grade
+    * audit over [[dupSpans]]: what fraction of each source's tokens sits
+    * inside duplicated spans (merged spans are disjoint, so summing
+    * their lengths counts covered tokens exactly). This is the signal a
+    * curation pipeline actually acts on — "source X ships 40 %
+    * boilerplate" — the same shape as c1/c2's contamination-by-source.
+    * Rate = one double division per source; everything else is integer
+    * sums. Adds one doc-keyed left join and a source-grain aggregate on
+    * top of d10's plan. */
+  def dupSpanRate(docs: DataFrame, n: Int = SpanN,
+      minOccur: Int = SpanMinOccur): DataFrame = {
+    val cover = dupSpans(docs, n, minOccur)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_toks"))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(norm(col("text")))).cast("long").as("n_toks"))
+      .join(cover, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_toks"))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        col("dup_toks"),
+        (col("dup_toks").cast("double") /
+          col("total_toks").cast("double")).as("dup_rate"))
+  }
+
+  def dupSpanRateSql(corpus: String, n: Int = SpanN,
+      minOccur: Int = SpanMinOccur): String = s"""
+    WITH spans AS (${dupSpansSql(corpus, n, minOccur)}),
+    cover AS (
+      SELECT doc_id, sum(span_end - span_start + 1)::BIGINT AS dup_toks
+      FROM spans GROUP BY 1),
+    tokc AS (
+      SELECT doc_id, source,
+        len(${tokensSql(normSql("text"))})::BIGINT AS n_toks
+      FROM ($corpus))
+    SELECT t.source, count(*)::BIGINT AS n_docs,
+      sum(t.n_toks)::BIGINT AS total_toks,
+      sum(coalesce(c.dup_toks, 0))::BIGINT AS dup_toks,
+      sum(coalesce(c.dup_toks, 0))::DOUBLE / sum(t.n_toks)::DOUBLE
+        AS dup_rate
+    FROM tokc t LEFT JOIN cover c ON c.doc_id = t.doc_id
+    GROUP BY 1"""
+
   def dupSpansSql(corpus: String, n: Int = SpanN,
       minOccur: Int = SpanMinOccur): String = s"""
     WITH corpus AS ($corpus),

@@ -820,53 +820,73 @@ object Similarity {
     * (vec_id, PqM codes) per candidate and the query side (with its
     * distance tables) broadcasts; ranking is WindowGroupLimit-bounded.
     * Composable with the IVF cell join exactly as n7 composes SQ. */
-  def pqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  /** Seeded PQ codebooks: codebook[j](c) = (subvector, |entry|²) — |e|²
+    * folded driver-side, identical to the oracle's list_reduce (same
+    * sequential fold). */
+  private def pqCodebook(emb: DataFrame): Array[Array[(Array[Float], Double)]] = {
     val seeds = emb.filter(col("vec_id") < PqKsub).orderBy(col("vec_id"))
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
-    // codebook[j](c) = (subvector, |entry|²) — |e|² folded driver-side,
-    // identical to the oracle's list_reduce (same sequential fold)
-    val cb = Array.tabulate(PqM) { j =>
+    Array.tabulate(PqM) { j =>
       seeds.map { s =>
-        val sv = s.slice(j * PqSubDim, (j + 1) * PqSubDim)
+        val sv = s.slice(j * PqSubDim, (j + 1) * PqSubDim).toArray
         (sv, sv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       }
     }
-    def subv(v: Column, j: Int) = slice(v, j * PqSubDim + 1, PqSubDim)
-    // encode: per subspace, argmin_c (-2⟨s,e⟩ + |e|²) — |s|² is constant
-    // across entries (the n4 argmin identity); ties to the lower code
-    def codesFor(v: Column) = array((0 until PqM).map { j =>
-      val s = subv(v, j)
-      val ds = cb(j).zipWithIndex.map { case ((e, ee), c) =>
-        struct((lit(-2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)).as("d2p"),
-          lit(c).as("code"))
-      }
-      element_at(array_sort(array(ds.toIndexedSeq: _*)), 1).getField("code")
-    }: _*)
-    val coded = emb.select(col("vec_id"),
-      codesFor(col("embedding")).as("codes"))
-    // ADC tables: dtab[j][c] = |q_j|² - 2⟨q_j,e⟩ + |e|² (true L2², so the
-    // reported approx_d2 is the standard ADC estimate, not rank-only)
-    val q = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"),
-        array((0 until PqM).map { j =>
-          val s = subv(col("embedding"), j)
-          array(cb(j).map { case (e, ee) =>
-            dot(s, s) - lit(2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)
-          }.toIndexedSeq: _*)
-        }: _*).as("dtab"))
-    val joined = broadcast(q).join(coded.as("c"),
-        col("c.vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
-        (0 until PqM).map { j =>
-          element_at(element_at(col("dtab"), j + 1),
-            element_at(col("codes"), j + 1) + 1)
-        }.reduceLeft(_ + _).as("approx_d2"))
+  }
+
+  private def pqSubv(v: Column, j: Int) = slice(v, j * PqSubDim + 1, PqSubDim)
+
+  /** PQ encode: per subspace, argmin_c (-2⟨s,e⟩ + |e|²) — |s|² is
+    * constant across entries (the n4 argmin identity); ties to the lower
+    * code. */
+  private def pqCodes(cb: Array[Array[(Array[Float], Double)]],
+      v: Column): Column = array((0 until PqM).map { j =>
+    val s = pqSubv(v, j)
+    val ds = cb(j).zipWithIndex.map { case ((e, ee), c) =>
+      struct((lit(-2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)).as("d2p"),
+        lit(c).as("code"))
+    }
+    element_at(array_sort(array(ds.toIndexedSeq: _*)), 1).getField("code")
+  }: _*)
+
+  /** ADC distance tables: dtab[j][c] = |q_j|² - 2⟨q_j,e⟩ + |e|² (true
+    * L2², so the reported approx_d2 is the standard ADC estimate, not
+    * rank-only). */
+  private def pqDtab(cb: Array[Array[(Array[Float], Double)]],
+      v: Column): Column = array((0 until PqM).map { j =>
+    val s = pqSubv(v, j)
+    array(cb(j).map { case (e, ee) =>
+      dot(s, s) - lit(2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)
+    }.toIndexedSeq: _*)
+  }: _*)
+
+  /** The per-pair ADC sum: PqM table lookups, fixed j order. */
+  private def pqAdcSum(dtab: Column, codes: Column): Column =
+    (0 until PqM).map { j =>
+      element_at(element_at(dtab, j + 1), element_at(codes, j + 1) + 1)
+    }.reduceLeft(_ + _)
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("approx_d2"))
+  }
+
+  def pqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val cb = pqCodebook(emb)
+    val coded = emb.select(col("vec_id"),
+      pqCodes(cb, col("embedding")).as("codes"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        pqDtab(cb, col("embedding")).as("dtab"))
+    val joined = broadcast(q).join(coded.as("c"),
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pqAdcSum(col("dtab"), col("codes")).as("approx_d2"))
+    pqRank(joined, k)
   }
 
   def pqTopKSql(numQueries: Int, k: Int): String = {
@@ -923,6 +943,110 @@ object Similarity {
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_d2
     FROM ranked WHERE rank <= $k"""
   }
+
+  /** N9 (E74): IVF∘PQ composed ANN — the public FAISS IVFPQ flagship
+    * shape: the coarse quantizer restricts the candidate SET (n4's cell
+    * probe join) while product quantization shrinks each stored
+    * candidate to [[PqM]] code bytes (n8's ADC scoring) — the
+    * billion-vector index in its standard form. The stored search-tier
+    * row is only (cell, codes): PqM+1 small ints per vector; raw floats
+    * exist only at build time, exactly the n7 index philosophy with 8×
+    * fewer code bytes. One narrow build pass computes cell AND codes;
+    * search joins each query's `nprobe` cells, then ranks on per-pair
+    * ADC table lookups (no per-pair vector math). Recall = the cell
+    * restriction's recall × PQ's resolution (AnnRecallSpec pins the
+    * composition against its floor). */
+  def ivfPqTopK(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): DataFrame = {
+    val cb = pqCodebook(emb)
+    val sortedCells = sortedCellsFor(emb)
+    val cand = emb.select(col("vec_id"),
+      pqCodes(cb, col("embedding")).as("codes"),
+      element_at(sortedCells(col("embedding")), 1).getField("cell_id")
+        .as("cell"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        pqDtab(cb, col("embedding")).as("dtab"),
+        explode(transform(slice(sortedCells(col("embedding")), 1, nprobe),
+          s => s.getField("cell_id"))).as("probe"))
+    val joined = q.join(cand.as("c"),
+        col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pqAdcSum(col("dtab"), col("codes")).as("approx_d2"))
+    pqRank(joined, k)
+  }
+
+  def ivfPqTopKSql(numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): String = s"""
+    WITH seeds AS (
+      SELECT vec_id AS cell_id, embedding AS sv,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+          (acc, x) -> acc + x) AS s2
+      FROM embeddings WHERE vec_id < $NumCells),
+    cdists AS (
+      SELECT e.vec_id, s.cell_id,
+        -2.0 * ${dotSql("e.embedding", "s.sv")} + s.s2 AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    ranked_cells AS (
+      SELECT vec_id, cell_id, d2,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, cell_id ASC) AS cell_rank
+      FROM cdists),
+    cellof AS (
+      SELECT vec_id, cell_id AS cell FROM ranked_cells WHERE cell_rank = 1),
+    subs AS (
+      SELECT e.vec_id, t.j,
+        embedding[(t.j*$PqSubDim+1)::INT:(t.j*$PqSubDim+$PqSubDim)::INT]
+          AS sv
+      FROM embeddings e CROSS JOIN range(0, $PqM) t(j)),
+    cb AS (
+      SELECT s.j, s.vec_id AS code, s.sv,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(s.sv, x -> x::DOUBLE * x::DOUBLE)),
+          (acc, x) -> acc + x) AS ee
+      FROM subs s WHERE s.vec_id < $PqKsub),
+    enc AS (
+      SELECT s.vec_id, s.j, cb.code,
+        -2.0 * ${dotSql("s.sv", "cb.sv")} + cb.ee AS d2p
+      FROM subs s JOIN cb ON cb.j = s.j),
+    enc_r AS (
+      SELECT vec_id, j, code,
+        row_number() OVER (PARTITION BY vec_id, j
+          ORDER BY d2p ASC, code ASC) AS rn
+      FROM enc),
+    codesl AS (
+      SELECT vec_id, j, code FROM enc_r WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, s.j, cb.code,
+        ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "cb.sv")}
+          + cb.ee AS d2
+      FROM subs s JOIN cb ON cb.j = s.j
+      WHERE s.vec_id < $numQueries),
+    pairs AS (
+      SELECT rc.vec_id AS query_id, c.vec_id
+      FROM ranked_cells rc
+      JOIN cellof c ON c.cell = rc.cell_id AND c.vec_id <> rc.vec_id
+      WHERE rc.vec_id < $numQueries AND rc.cell_rank <= $nprobe),
+    flag AS (
+      SELECT p.query_id, p.vec_id, qd.j, qd.d2
+      FROM pairs p
+      JOIN codesl cl ON cl.vec_id = p.vec_id
+      JOIN qd ON qd.query_id = p.query_id AND qd.j = cl.j
+        AND qd.code = cl.code),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)),
+          (acc, x) -> acc + x) AS approx_d2
+      FROM flag GROUP BY query_id, vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_d2,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_d2
+    FROM ranked WHERE rank <= $k"""
 
   val NearDupCosine = 0.9
   val VecTwinOffset = 100000L

@@ -58,7 +58,13 @@ object ScaleSweep {
     // docs, n6/n7's the fixed query set against a ×N corpus — all
     // should scale ≤ linearly with flat job structure
     "c2_ngram_decontamination", "t10_tfidf_top_terms", "n6_ann_sq8",
-    "n7_ann_ivf_sq8")
+    "n7_ann_ivf_sq8",
+    // round-7 additions: r2's positioned-shingle stream and both drift
+    // audits are pure corpus-width aggregate pipelines (expect linear,
+    // flat job structure); n8's candidate side grows ×N against a fixed
+    // query broadcast like n6
+    "n8_ann_pq", "n9_ann_ivf_pq", "r2_dup_spans", "v2_drift_audit",
+    "v3_vec_drift")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the

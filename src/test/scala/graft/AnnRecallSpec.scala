@@ -75,6 +75,16 @@ class AnnRecallSpec extends SparkSpec {
     // subvector snaps to one of 16 arbitrary entries, so this corpus is
     // PQ's worst case exactly as it is LSH's)
     assert(pqRecall >= 0.15, s"PQ recall collapsed: $pqRecall")
+    // IVFPQ composes the two lossy knobs (cell restriction × PQ
+    // resolution). Measured 0.28 vs plain PQ's 0.22: the cell probe
+    // slightly HELPS PQ here — far-away candidates that PQ's coarse
+    // distance tables wrongly rank high never enter the candidate set
+    // (the classic reason IVFPQ outperforms flat PQ at equal code
+    // budget). Floor pins the composition against collapse.
+    val ivfPq = pairs(Similarity.ivfPqTopK(emb, 10, 5))
+    val ivfPqRecall = (exact & ivfPq).size.toDouble / exact.size
+    info(s"recall: ivfPq=$ivfPqRecall")
+    assert(ivfPqRecall >= 0.2, s"IVFPQ recall collapsed: $ivfPqRecall")
   }
 
   test("the SQ8 index is materially smaller on disk than raw vectors") {

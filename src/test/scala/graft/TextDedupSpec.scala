@@ -432,6 +432,29 @@ class TextDedupSpec extends SparkSpec {
       (2L, 1L, 5L), (3L, 2L, 6L)))
   }
 
+  test("dupSpanRate: merged spans count covered tokens once, per source") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    def sdocs(rows: (Long, String, String)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), s)
+    // srcA: doc 1 (10 toks) shares its first 7 with doc 2 (srcB, 7 toks);
+    // srcC: fully unique doc → rate 0
+    val d = sdocs(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 u1 u2 u3", "srcA"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7", "srcB"),
+      (3L, "v1 v2 v3 v4 v5 v6", "srcC"))
+    val out = Dedup.dupSpanRate(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // shared run of 7 tokens → one merged span covering tokens 1..7 in
+    // both docs (3 overlapping windows, counted once)
+    assert(out("srcA") === ((10L, 7L, 0.7)))
+    assert(out("srcB") === ((7L, 7L, 1.0)))
+    assert(out("srcC") === ((6L, 0L, 0.0)))
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
