@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DecimalType
 import graft.dedup.Dedup
 import graft.io.{RefShape, Sources}
 import graft.kpi.Kpi
-import graft.merge.KpiMerge
+import graft.merge.{KpiMerge, Scd2}
 import graft.multimodal.Multimodal
+import graft.pipeline.ChangeFeed
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 import graft.validate.Validation
@@ -176,6 +177,29 @@ object SparkEntry {
         .withColumn("data_sources", array_join(col("data_sources"), ","))
     }),
 
+    // E77 (M2): SCD Type-2 history-preserving dimension merge — version
+    // rollover on tracked-attribute change via ONE full-outer join +
+    // conditional explode; history passes through join-free.
+    "m2_scd2_products" -> ((s, d) => Scd2.mergeProducts(p(s, d))),
+
+    // E78 (CDF1): change data feed — row-level insert/delete/update_pre/
+    // update_post diff between two snapshots (Delta CDF vocabulary);
+    // unchanged rows emit nothing, so the feed sizes with the churn.
+    // Snapshots derive deterministically from orders: %5==4 withheld
+    // from the old side (inserts), %7==2 from the new side (deletes),
+    // %3==0 gets a price bump (update pairs).
+    "cdf1_store_changes" -> ((s, d) => {
+      val ords = o(s, d).select(col("order_id"), col("status"),
+        col("total_price"))
+      val oldS = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
+      val newS = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
+        .withColumn("total_price",
+          when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
+            .otherwise(col("total_price")))
+      ChangeFeed.diff(oldS, newS, Seq("order_id"),
+        Seq("status", "total_price"))
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §2.11) --------------
 
     // E1: token statistics (whitespace + BPE-ish subword counts).
@@ -294,6 +318,13 @@ object SparkEntry {
     // vocabulary-keyed agg + token join-back, re-agg per doc.
     "t7_token_rarity" -> ((s, d) =>
       TextAnalysis.tokenRarity(Sources.table(s, d, "documents"))),
+
+    // E76 (T12): hashed-feature linear classifier inference — the
+    // model-based quality filter (DCLM/FineWeb-Edu stage): token →
+    // hash bucket → quantized weight, exact integer margin per doc in
+    // one narrow codegen'd pass.
+    "t12_quality_classifier" -> ((s, d) =>
+      TextAnalysis.classifierScore(Sources.table(s, d, "documents"))),
 
     // E70 (V2): profile drift audit — ref/batch split by the t5 hash
     // convention (first hex digit of md5(doc_id) — doc_id PARITY would
@@ -670,6 +701,18 @@ object SparkEntry {
           element_at(col("q"), 2).as("p50"),
           element_at(col("q"), 3).as("p75"))),
 
+    // E79 (X6): per-group robust outlier screen — median/MAD with a
+    // k·MAD threshold (50 % breakdown point; mean/stddev hides the very
+    // outliers it should flag). Exact three-pass baseline, all joins
+    // broadcast so the fact never shuffles; 100-TB swap is
+    // approx_percentile for both quantiles (see Validation.robustOutliers).
+    // k = 1.8 here, not the production default 5: the synthetic uniform
+    // price distribution has NO heavy tail (max ≈ med + 2 MAD), so only a
+    // tight k makes the flag arm carry nonzero counts under the oracle.
+    "x6_robust_outliers" -> ((s, d) =>
+      Validation.robustOutliers(Sources.table(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", k = 1.8)),
+
     // x5's documented 100-TB swap (exact percentile → KLL sketch), made
     // EXECUTABLE the same way as a2x: approx_percentile at accuracy 10⁴
     // guarantees ≤ 10⁻⁴ rank error, so each group's estimate must land
@@ -882,6 +925,32 @@ object SparkEntry {
       FROM u FULL OUTER JOIN t
         ON u.category = t.category AND u.order_date = t.order_date""",
 
+    "m2_scd2_products" -> Scd2.mergeProductsSql,
+
+    "cdf1_store_changes" -> s"""$ctes,
+      snapa AS (SELECT order_id, status, total_price FROM o
+        WHERE order_id % 5 <> 4),
+      snapb AS (SELECT order_id, status,
+        CASE WHEN order_id % 3 = 0 THEN total_price + 1.0
+             ELSE total_price END AS total_price
+        FROM o WHERE order_id % 7 <> 2),
+      upd AS (SELECT a.order_id FROM snapa a JOIN snapb b USING (order_id)
+        WHERE a.status IS DISTINCT FROM b.status
+           OR a.total_price IS DISTINCT FROM b.total_price)
+      SELECT b.order_id, b.status, b.total_price, 'insert' AS change_type
+      FROM snapb b ANTI JOIN snapa a USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price, 'delete' AS change_type
+      FROM snapa a ANTI JOIN snapb b USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price,
+        'update_preimage' AS change_type
+      FROM snapa a JOIN upd USING (order_id)
+      UNION ALL
+      SELECT b.order_id, b.status, b.total_price,
+        'update_postimage' AS change_type
+      FROM snapb b JOIN upd USING (order_id)""",
+
     // ---- training-data pipeline extension oracles -------------------------
 
     "t1_token_stats" -> TextAnalysis.tokenStatsSql,
@@ -903,6 +972,7 @@ object SparkEntry {
       WHERE rn <= 5""",
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
+    "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
     "v2_drift_audit" -> Validation.driftAuditSql(
       """SELECT * FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'""",
@@ -1124,6 +1194,9 @@ object SparkEntry {
         quantile_cont(l_quantity, 0.50) AS p50,
         quantile_cont(l_quantity, 0.75) AS p75
       FROM lineitem GROUP BY 1""",
+
+    "x6_robust_outliers" -> Validation.robustOutliersSql(
+      "lineitem", "l_returnflag", "l_extendedprice", k = 1.8),
 
     // Spark's window("1 hour") aligns tumbling windows to the epoch, so
     // window.start ≙ floor(epoch_us / 3.6e9) * 3.6e9.

@@ -346,6 +346,67 @@ object TextAnalysis {
     FROM tok JOIN dfreq USING (token)
     GROUP BY 1"""
 
+  /** T12 (E76) model geometry: hashed-feature bucket count and the seeded
+    * integer weight table. In production the weights are the TRAINED
+    * parameters of a fastText/logistic quality classifier (the DCLM /
+    * FineWeb-Edu filtering stage), loaded from a model file and broadcast;
+    * here they derive deterministically from the bucket index so the
+    * oracle can rebuild the identical table. Weights are SMALL INTEGERS
+    * (a quantized model, the v3 int8 convention) deliberately: the per-doc
+    * margin is then an exact integer sum — order-independent, bitwise
+    * cross-engine — where float weights would make the fold order part of
+    * the answer. */
+  val ClfBuckets = 64
+  val ClfWeights: Seq[Long] = (0 until ClfBuckets).map { b =>
+    ((b.toLong * 2654435761L + 987654321L) % HashP) % 17L - 8L
+  }
+
+  /** T12 (E76): hashed-feature linear classifier INFERENCE — the
+    * model-based quality-filter stage of a training-data pipeline
+    * (score every document with a trained classifier, keep the positive
+    * margin side). The feature map is the standard hashing trick: token →
+    * rolling hash → bucket (mod [[ClfBuckets]]), so the model is a dense
+    * weight vector with no vocabulary dictionary to ship — the property
+    * that makes this the published shape for corpus-scale filtering.
+    * Execution is ONE narrow codegen'd pass: native per-token hashes
+    * ([[tokenHashes]]) folded through an `aggregate` HOF against a
+    * literal weight array (broadcast to every executor inside the plan) —
+    * no shuffle, no join, column-pruned to (doc_id, text); at 100 TB this
+    * runs at scan speed exactly like t1–t4. Margin is an exact integer;
+    * the only double is the final per-doc normalization. */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val wts = typedlit(ClfWeights)
+    docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
+      .select(col("doc_id"),
+        size(col("th")).cast("long").as("n_tokens"),
+        aggregate(col("th"), lit(0L),
+          (a, h) => a + element_at(wts,
+            pmod(h, lit(ClfBuckets.toLong)).cast("int") + 1))
+          .as("margin"))
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        (col("margin").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("score"),
+        (col("margin") > 0).as("keep"))
+  }
+
+  def classifierScoreSql: String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM t, (SELECT $wlit::BIGINT[] AS wts) w)
+    SELECT doc_id, n_tokens, margin,
+      CAST(margin AS DOUBLE) / greatest(n_tokens, 1) AS score,
+      margin > 0 AS keep
+    FROM m"""
+  }
+
   /** C2 (E62): n-gram-level decontamination — the stronger form of C1's
     * fingerprint check: a training doc is contaminated when it SHARES
     * WORD N-GRAMS with the eval set, not only when it is byte-identical

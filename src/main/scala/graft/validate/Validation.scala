@@ -333,6 +333,63 @@ object Validation {
       ON b.label = r.label AND b.dim = r.dim"""
   }
 
+  /** X6 (E79): per-group ROBUST outlier detection — median/MAD, the
+    * standard data-audit screen that mean/stddev can't do (one genuine
+    * outlier inflates the stddev and hides itself; the breakdown point of
+    * the median/MAD pair is 50 %). A row is an outlier when
+    * |x − median| > k · MAD, MAD = median(|x − median|).
+    *
+    * Exact formulation (the oracle-verifiable baseline): three passes over
+    * the fact — (1) per-group median, (2) deviations joined against the
+    * BROADCAST medians (group cardinality is tiny) → per-group MAD,
+    * (3) threshold count joined against the broadcast (median, MAD) stats.
+    * Every join is a broadcast, so the fact table never shuffles; the only
+    * wide exchanges are the three tiny group-grain aggregates — but exact
+    * `percentile` buffers each group's values, so at 100 TB the swap is
+    * `approx_percentile` (KLL sketch, mergeable, bounded memory) for both
+    * quantiles, collapsing to one narrow pass per stage exactly like the
+    * documented x5→x5x and n1→n2 scale paths. Doubles stay bitwise
+    * cross-engine: both engines interpolate quantile_cont-style and the
+    * threshold arithmetic (abs/·/>) is identical IEEE in the same order. */
+  def robustOutliers(df: DataFrame, group: String, value: String,
+      k: Double = 5.0): DataFrame = {
+    val med = df.groupBy(col(group))
+      .agg(expr(s"percentile($value, 0.5D)").as("med"))
+    val mad = df.join(broadcast(med), Seq(group))
+      .select(col(group), col("med"),
+        abs(col(value) - col("med")).as("dev"))
+      .groupBy(col(group))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(dev, 0.5D)").as("mad"))
+    df.join(broadcast(mad), Seq(group))
+      .groupBy(col(group))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n_rows"),
+        sum(when(abs(col(value) - col("med")) > lit(k) * col("mad"),
+          lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_rate",
+        col("n_outliers").cast("double") / col("n_rows").cast("double"))
+  }
+
+  def robustOutliersSql(table: String, group: String, value: String,
+      k: Double = 5.0): String = s"""
+    WITH m AS (
+      SELECT $group AS g, quantile_cont($value, 0.5) AS med
+      FROM $table GROUP BY 1),
+    s AS (
+      SELECT t.$group AS g, min(m.med) AS med,
+        quantile_cont(abs(t.$value - m.med), 0.5) AS mad
+      FROM $table t JOIN m ON t.$group = m.g
+      GROUP BY 1)
+    SELECT t.$group, s.med, s.mad,
+      count(*)::BIGINT AS n_rows,
+      sum(CASE WHEN abs(t.$value - s.med) > $k * s.mad
+        THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      sum(CASE WHEN abs(t.$value - s.med) > $k * s.mad
+        THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS outlier_rate
+    FROM $table t JOIN s ON t.$group = s.g
+    GROUP BY 1, 2, 3"""
+
   def driftAuditSql(refSql: String, batchSql: String,
       tol: Double = 1.0 / 3): String = s"""
     WITH refp AS (

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{ChangeFeed, Pipeline}
+
+/** Behavior specs for the change data feed (E78): the four Delta CDF
+  * change types, churn-only output, update pre/post pairing, and the
+  * composed epoch-diff read path over a real manifest store. The driver
+  * oracle (cdf1_store_changes) verifies values at scale. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def snap(rows: (Long, String)*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2)), 2), schema)
+
+  private def feed(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+
+  test("insert/delete/update pair; unchanged rows emit nothing") {
+    val out = feed(ChangeFeed.diff(
+      snap(1L -> "same", 2L -> "before", 3L -> "gone"),
+      snap(1L -> "same", 2L -> "after", 4L -> "fresh"),
+      Seq("id"), Seq("v")))
+    assert(out === Set(
+      (2L, "before", "update_preimage"),
+      (2L, "after", "update_postimage"),
+      (3L, "gone", "delete"),
+      (4L, "fresh", "insert")))
+  }
+
+  test("identical snapshots produce an empty feed") {
+    val s = snap(1L -> "a", 2L -> null)
+    assert(ChangeFeed.diff(s, snap(1L -> "a", 2L -> null),
+      Seq("id"), Seq("v")).count() === 0L)
+  }
+
+  test("null-safe: value→null is an update pair, not a delete") {
+    val out = feed(ChangeFeed.diff(snap(1L -> "x"), snap(1L -> null),
+      Seq("id"), Seq("v")))
+    assert(out === Set((1L, "x", "update_preimage"),
+      (1L, null, "update_postimage")))
+  }
+
+  test("betweenEpochs diffs two committed store epochs through readAt") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = Files.createTempDirectory("cdf").toString
+    val path = s"$d/cdfstore"
+    val storeSchema = StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    val fields = Seq("total_orders", "last_updated")
+    def updates(now: String, rows: (String, Long)*) =
+      rows.toSeq.toDF("order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(now))
+        .select(storeSchema.fieldNames.map(col): _*)
+    // epoch 1: dates 01+02; epoch 2 rewrites 01 and adds 03
+    Pipeline.upsertStore(spark, path, storeSchema,
+      updates("t1", ("2024-06-01", 1L), ("2024-06-02", 2L)),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, path, storeSchema,
+      updates("t2", ("2024-06-01", 5L), ("2024-06-03", 3L)),
+      Seq("order_date"), fields)
+    val out = ChangeFeed.betweenEpochs(spark, path, 1L, 2L, storeSchema,
+      Seq("order_date")).collect()
+      .map(r => (r.getAs[String]("order_date"),
+        r.getAs[Long]("total_orders"),
+        r.getAs[String]("change_type"))).toSet
+    assert(out === Set(
+      ("2024-06-01", 1L, "update_preimage"),
+      ("2024-06-01", 5L, "update_postimage"),
+      ("2024-06-03", 3L, "insert")))
+  }
+}

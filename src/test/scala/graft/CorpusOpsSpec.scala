@@ -169,4 +169,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(a === b, "rank assignment must be rerun-stable")
     } finally top.unpersist()
   }
+
+  test("t12: classifier margin is the exact integer fold of hashed weights") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "Alpha beta  BETA"), Row(2L, "   "), Row(3L, "zq")), 2), schema)
+    // independent reimplementation of bucket→weight from the same
+    // constants: rolling char hash mod P, bucket mod ClfBuckets
+    def chash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    def w(tok: String): Long =
+      TextAnalysis.ClfWeights((chash(tok) % TextAnalysis.ClfBuckets).toInt)
+    val out = TextAnalysis.classifierScore(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val m1 = w("alpha") + 2 * w("beta") // norm lowercases, collapses ws
+    assert(out(1L) === ((3L, m1, m1.toDouble / 3.0, m1 > 0)))
+    assert(out(2L) === ((0L, 0L, 0.0, false)), "blank doc: zero tokens")
+    val m3 = w("zq")
+    assert(out(3L) === ((1L, m3, m3.toDouble, m3 > 0)))
+    // the weight table must not be degenerate: both signs present
+    assert(TextAnalysis.ClfWeights.exists(_ > 0)
+      && TextAnalysis.ClfWeights.exists(_ < 0))
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.merge.Scd2
+
+/** Behavior specs for the SCD Type-2 merge (E77): version rollover,
+  * null-safe change detection, partial-batch semantics, idempotence, and
+  * multi-day history accumulation. The driver oracle (m2_scd2_products)
+  * verifies values; these pin the state-machine properties. */
+class Scd2Spec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def snap(rows: (Long, String)*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2)), 2), schema)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      Option(r.getString(3)), r.getBoolean(4))).toSet
+
+  test("rollover closes the old version and opens the new one") {
+    val dim = Scd2.init(snap(1L -> "a", 2L -> "b"), "d0")
+    val out = rows(Scd2.merge(dim, snap(1L -> "a2", 2L -> "b"),
+      Seq("id"), Seq("v"), "d1"))
+    assert(out === Set(
+      (1L, "a", "d0", Some("d1"), false), // closed
+      (1L, "a2", "d1", None, true),       // reopened
+      (2L, "b", "d0", None, true)))       // untouched
+  }
+
+  test("null-safe: null→value and value→null are changes; null→null is not") {
+    val dim = Scd2.init(snap(1L -> null, 2L -> "x", 3L -> null), "d0")
+    val out = rows(Scd2.merge(dim, snap(1L -> "now", 2L -> null, 3L -> null),
+      Seq("id"), Seq("v"), "d1"))
+    assert(out.count(_._5 == false) === 2, "exactly two closed versions")
+    assert(out.contains((3L, null, "d0", None, true)),
+      "null == null must not version")
+  }
+
+  test("keys absent from the batch stay open; new keys insert open") {
+    val dim = Scd2.init(snap(1L -> "a"), "d0")
+    val out = rows(Scd2.merge(dim, snap(9L -> "fresh"),
+      Seq("id"), Seq("v"), "d1"))
+    assert(out === Set(
+      (1L, "a", "d0", None, true),
+      (9L, "fresh", "d1", None, true)))
+  }
+
+  test("idempotent: re-merging the same batch is a no-op") {
+    val dim = Scd2.init(snap(1L -> "a", 2L -> "b"), "d0")
+    val once = Scd2.merge(dim, snap(1L -> "a2"), Seq("id"), Seq("v"), "d1")
+    val twice = Scd2.merge(once, snap(1L -> "a2"), Seq("id"), Seq("v"), "d1")
+    assert(rows(twice) === rows(once))
+  }
+
+  test("three days of history accumulate; as-of resolves uniquely per key") {
+    val d0 = Scd2.init(snap(1L -> "v0"), "2024-01-01")
+    val d1 = Scd2.merge(d0, snap(1L -> "v1"), Seq("id"), Seq("v"),
+      "2024-02-01")
+    val d2 = Scd2.merge(d1, snap(1L -> "v2"), Seq("id"), Seq("v"),
+      "2024-03-01")
+    val hist = rows(d2)
+    assert(hist === Set(
+      (1L, "v0", "2024-01-01", Some("2024-02-01"), false),
+      (1L, "v1", "2024-02-01", Some("2024-03-01"), false),
+      (1L, "v2", "2024-03-01", None, true)))
+    // as-of 2024-02-15: exactly one version covers the date
+    import org.apache.spark.sql.functions._
+    val asof = d2.filter(col("valid_from") <= "2024-02-15" &&
+      (col("valid_to").isNull || col("valid_to") > "2024-02-15"))
+    assert(asof.count() === 1 && asof.head.getString(1) === "v1")
+  }
+}

@@ -137,4 +137,22 @@ class ValidationSpec extends SparkSpec {
       .filter("source = 'd'").head()
     assert(d.getLong(1) === 0L && d.getLong(2) === 1L)
   }
+
+  test("x6: robust outliers — hand-computed median/MAD, only the spike flags") {
+    val s = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    // group a: values 1..5 plus a 1000.0 spike. median = 3.5 (even count,
+    // interpolated), deviations {2.5, 1.5, 0.5, 0.5, 1.5, 996.5} → MAD 1.5;
+    // threshold 5·1.5 = 7.5 flags ONLY the spike. A mean/stddev z-score
+    // at the same data gives stddev ≈ 406 — the spike is barely 2.4σ and a
+    // 3σ screen misses it, which is the point of the operator.
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1000.0).map(v => Row("a", v)) :+
+      Row("b", 7.0) // singleton group: MAD 0, nothing can exceed 5·0 … > is strict
+    val out = Validation.robustOutliers(mk(s, rows: _*), "g", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((3.5, 1.5, 6L, 1L)))
+    assert(out("b") === ((7.0, 0.0, 1L, 0L)),
+      "degenerate MAD=0 group must not flag its own members (strict >)")
+  }
 }
