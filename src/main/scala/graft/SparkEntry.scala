@@ -326,6 +326,46 @@ object SparkEntry {
     "t12_quality_classifier" -> ((s, d) =>
       TextAnalysis.classifierScore(Sources.table(s, d, "documents"))),
 
+    // E82 (T13): quality-decile assignment — curriculum/filter bucketing
+    // of the corpus by classifier score. Exact ntile(10) with a doc_id
+    // tiebreak (integer margins tie heavily; without a total order the
+    // tile of a tied doc would be engine-dependent). ntile needs ONE
+    // global sort — the verifiable baseline; the 100-TB swap is
+    // approx_percentile decile boundaries broadcast-joined back (join-
+    // free bucketing, no total order), trading exact equal-width tiles
+    // for boundary-rounded ones, same trade as x5→x5x.
+    "t13_quality_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").asc, col("doc_id").asc)
+      TextAnalysis.classifierScore(Sources.table(s, d, "documents"))
+        .select(col("doc_id"), col("score"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+    }),
+
+    // E83 (S2): deterministic train/val/test split audit — the assignment
+    // is a pure hash-range function of doc_id (no rand(): rerun/retry
+    // stable, no coordination, any worker can re-derive any doc's split),
+    // ≈80/10/10 by md5 prefix range. The audit is the decision-grade
+    // view: per-split doc count, token mass, and share — one narrow scan,
+    // one 3-row aggregate, a window for the share normalizer.
+    "s2_split_audit" -> ((s, d) => {
+      val h = substring(
+        graft.functions.TextFunctions.docIdHash(col("doc_id")), 1, 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+      Sources.table(s, d, "documents")
+        .select(
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+            .as("split"),
+          size(graft.functions.TextFunctions.tokens(
+            graft.functions.TextFunctions.norm(col("text"))))
+            .cast("long").as("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("doc_share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+    }),
+
     // E70 (V2): profile drift audit — ref/batch split by the t5 hash
     // convention (first hex digit of md5(doc_id) — doc_id PARITY would
     // correlate perfectly with the round-robin source assignment and
@@ -798,6 +838,47 @@ object SparkEntry {
             .as("est_within_1"),
           col("unique_customers"))),
 
+    // E80 (X7): running revenue + day-over-day delta — the cumulative /
+    // lag window family (category-partitioned, date-ordered). Arithmetic
+    // stays in DECIMAL through the cumulative fold (float cumsum would
+    // make the fold order part of the answer), cast to double only at
+    // the boundary. Partition grain is CATEGORY — a handful of huge
+    // partitions would serialize, but category×date rows are tiny here
+    // (the window runs over the AGGREGATED frame, never the fact), the
+    // standard shape for KPI-history queries over the store.
+    "x7_running_revenue" -> ((s, d) => {
+      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .groupBy(col("p.category").as("category"),
+          substring(col("o.created_at"), 1, 10).as("order_date"))
+        .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("category")).orderBy(col("order_date"))
+      daily
+        .withColumn("run_dec", sum(col("rev_dec"))
+          .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+        .select(col("category"), col("order_date"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("run_dec").cast("double").as("running_revenue"),
+          col("prev_dec").cast("double").as("prev_revenue"),
+          (col("rev_dec") - col("prev_dec")).cast("double").as("delta"))
+    }),
+
+    // E81 (X8): CUBE + grouping_id — all four aggregation grains
+    // (month×category, month, category, grand total) in ONE pass via the
+    // Expand operator, each output row tagged with which keys are
+    // aggregated away. Same single-scan Expand machinery as x2's rollup;
+    // the tag is what makes the combined result table self-describing,
+    // exactly how an OLAP cache materializes every grain at once.
+    "x8_cube_revenue" -> ((s, d) =>
+      Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .cube(substring(col("o.created_at"), 1, 7).as("order_month"),
+          col("p.category").as("category"))
+        .agg(sum(col("oi.sale_price").cast(money)).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          grouping_id().as("gid"))),
+
     // §2.5 extension: KPI-history window query — top-3 categories per day
     // by revenue (genuine Window.partitionBy + rank, the shape the
     // reference's KPI store would be queried with).
@@ -973,6 +1054,30 @@ object SparkEntry {
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
+
+    "t13_quality_deciles" -> s"""
+      WITH scored AS (${TextAnalysis.classifierScoreSql})
+      SELECT doc_id, score,
+        ntile(10) OVER (ORDER BY score ASC, doc_id ASC)::BIGINT AS decile
+      FROM scored""",
+
+    "s2_split_audit" -> s"""
+      WITH assigned AS (
+        SELECT CASE
+            WHEN substr(${graft.functions.TextFunctions.docIdHashSql("doc_id")}, 1, 2) < 'cc' THEN 'train'
+            WHEN substr(${graft.functions.TextFunctions.docIdHashSql("doc_id")}, 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+          len(${graft.functions.TextFunctions.tokensSql(
+            graft.functions.TextFunctions.normSql("text"))})::BIGINT
+            AS n_tokens
+        FROM documents),
+      g AS (
+        SELECT split, count(*)::BIGINT AS n_docs,
+          sum(n_tokens)::BIGINT AS n_tokens
+        FROM assigned GROUP BY 1)
+      SELECT split, n_docs, n_tokens,
+        n_docs::DOUBLE / sum(n_docs) OVER ()::DOUBLE AS doc_share
+      FROM g""",
     "v2_drift_audit" -> Validation.driftAuditSql(
       """SELECT * FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'""",
@@ -1045,6 +1150,33 @@ object SparkEntry {
     "n7_ann_ivf_sq8" -> Similarity.ivfSqTopKSql(5, 5),
     "n8_ann_pq" -> Similarity.pqTopKSql(5, 5),
     "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
+
+    "x7_running_revenue" -> s"""$ctes,
+      daily AS (
+        SELECT p.category AS category,
+          substr(o.created_at, 1, 10) AS order_date,
+          sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS rev_dec
+        $kpiJoin
+        GROUP BY 1, 2)
+      SELECT category, order_date,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(sum(rev_dec) OVER (PARTITION BY category ORDER BY order_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_revenue,
+        CAST(lag(rev_dec, 1) OVER (PARTITION BY category
+          ORDER BY order_date) AS DOUBLE) AS prev_revenue,
+        CAST(rev_dec - lag(rev_dec, 1) OVER (PARTITION BY category
+          ORDER BY order_date) AS DOUBLE) AS delta
+      FROM daily""",
+
+    "x8_cube_revenue" -> s"""$ctes
+      SELECT substr(o.created_at, 1, 7) AS order_month,
+        p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_items,
+        GROUPING(substr(o.created_at, 1, 7), p.category)::BIGINT AS gid
+      $kpiJoin
+      GROUP BY CUBE (1, 2)""",
 
     "x2_rollup_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 10) AS order_date,
