@@ -366,6 +366,22 @@ object SparkEntry {
           sum(col("n_docs")).over(w).cast("double"))
     }),
 
+    // E86 (T14): heavy hitters via count-min sketch vs exact counts —
+    // the frequency member of the sketch family (HLL a2x, KLL x5x):
+    // fixed 3×256 mergeable integer state, one narrow build pass; both
+    // engines build the identical deterministic sketch so estimates
+    // hash-compare exactly and `overestimate` shows the collision cost.
+    "t14_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Sources.table(s, d, "documents"))),
+
+    // E87 (V4): equi-depth histogram — the per-column distribution
+    // profile a profiler/CBO keeps; exact interior percentile edges
+    // (broadcast) + one conditional bucket-count pass; approx_percentile
+    // edges are the 100-TB swap.
+    "v4_histogram" -> ((s, d) =>
+      Validation.equiDepthHistogram(
+        Sources.table(s, d, "lineitem"), "l_extendedprice")),
+
     // E70 (V2): profile drift audit — ref/batch split by the t5 hash
     // convention (first hex digit of md5(doc_id) — doc_id PARITY would
     // correlate perfectly with the round-robin source assignment and
@@ -879,6 +895,69 @@ object SparkEntry {
           count(lit(1)).as("n_items"),
           grouping_id().as("gid"))),
 
+    // E84 (X9): calendar gap-fill + forward fill — the time-series
+    // resample every KPI store needs (days with no sales must EXIST as
+    // rows before a moving average / chart / join-to-forecast is right).
+    // Spine = brand × sequence(min_date, max_date) generated from a
+    // 1-row bounds agg (broadcast); daily revenue joins on, missing days
+    // flag `filled` and carry the last seen value (window last() with
+    // ignoreNulls). Spine size is brands × calendar days — bounded by the
+    // CALENDAR, not the data, so at 100 TB it stays tiny while the fact
+    // side never shuffles more than its one daily-grain aggregate.
+    "x9_gap_fill" -> ((s, d) => {
+      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+        .groupBy(col("p.brand").as("brand"),
+          to_date(substring(col("o.created_at"), 1, 10)).as("d"))
+        .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
+      val bounds = daily.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      val spine = daily.select(col("brand")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("brand"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("brand")).orderBy(col("d"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      spine.join(daily, Seq("brand", "d"), "left")
+        .withColumn("ffill_dec",
+          last(col("rev_dec"), ignoreNulls = true).over(w))
+        .select(col("brand"),
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("rev_dec").isNull.as("filled"),
+          col("ffill_dec").cast("double").as("ffill_revenue"))
+    }),
+
+    // E85 (F14): ordered-event funnel — view → click → purchase with
+    // strict temporal ordering (first view, first click AFTER it, first
+    // purchase after THAT): the conversion query every event pipeline
+    // runs, and one that naive per-type mins get wrong (a click before
+    // the first view must not count). Cascaded user-grain aggregates:
+    // each stage filters its event type, joins the previous stage's
+    // timestamp (user-keyed equi join over monotonically SHRINKING
+    // frames), takes a conditional min. Left joins assemble the per-user
+    // funnel row; depth counts completed stages.
+    "f14_funnel" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+      val pch = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(pch, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_us"), col("click_us"),
+          col("purchase_us"),
+          when(col("purchase_us").isNotNull, 3L)
+            .when(col("click_us").isNotNull, 2L)
+            .otherwise(1L).as("depth"))
+    }),
+
     // §2.5 extension: KPI-history window query — top-3 categories per day
     // by revenue (genuine Window.partitionBy + rank, the shape the
     // reference's KPI store would be queried with).
@@ -1055,6 +1134,11 @@ object SparkEntry {
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
 
+    "t14_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+
+    "v4_histogram" -> Validation.equiDepthHistogramSql(
+      "lineitem", "l_extendedprice"),
+
     "t13_quality_deciles" -> s"""
       WITH scored AS (${TextAnalysis.classifierScoreSql})
       SELECT doc_id, score,
@@ -1168,6 +1252,46 @@ object SparkEntry {
         CAST(rev_dec - lag(rev_dec, 1) OVER (PARTITION BY category
           ORDER BY order_date) AS DOUBLE) AS delta
       FROM daily""",
+
+    "x9_gap_fill" -> s"""$ctes,
+      daily AS (
+        SELECT p.brand AS brand,
+          CAST(substr(o.created_at, 1, 10) AS DATE) AS d,
+          sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS rev_dec
+        $kpiJoin
+        GROUP BY 1, 2),
+      b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+      spine AS (
+        SELECT br.brand,
+          CAST(unnest(generate_series(b.mn::TIMESTAMP, b.mx::TIMESTAMP,
+            INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT DISTINCT brand FROM daily) br, b)
+      SELECT s.brand, strftime(s.d, '%Y-%m-%d') AS order_date,
+        CAST(dy.rev_dec AS DOUBLE) AS revenue,
+        dy.rev_dec IS NULL AS filled,
+        CAST(last_value(dy.rev_dec IGNORE NULLS) OVER (
+          PARTITION BY s.brand ORDER BY s.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS ffill_revenue
+      FROM spine s LEFT JOIN daily dy
+        ON s.brand = dy.brand AND s.d = dy.d""",
+
+    "f14_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      v AS (SELECT user_id, min(ts_us) AS view_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts_us) AS click_us
+        FROM ev e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts_us > v.view_us GROUP BY 1),
+      pch AS (SELECT e.user_id, min(e.ts_us) AS purchase_us
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us GROUP BY 1)
+      SELECT v.user_id, v.view_us, c.click_us, pch.purchase_us,
+        (CASE WHEN pch.purchase_us IS NOT NULL THEN 3
+              WHEN c.click_us IS NOT NULL THEN 2
+              ELSE 1 END)::BIGINT AS depth
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN pch USING (user_id)""",
 
     "x8_cube_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 7) AS order_month,

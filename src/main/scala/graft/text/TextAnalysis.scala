@@ -407,6 +407,82 @@ object TextAnalysis {
     FROM m"""
   }
 
+  /** T14 (E86) count-min sketch geometry: 3 hash rows × 256 buckets.
+    * The multipliers are the public Knuth/xxHash/FNV-family odd constants;
+    * every bucket index is exact integer arithmetic below 2^63
+    * (h < P ≈ 1e9, A < 3.3e9 ⇒ h·A + B < 4e18), so both engines build the
+    * IDENTICAL sketch and the estimates compare exactly — no probabilistic
+    * bound needed in the gate. */
+  val CmsRows = 3
+  val CmsWidth = 256L
+  val CmsA = Seq(2654435761L, 2246822519L, 3266489917L)
+  val CmsB = Seq(374761393L, 668265263L, 2147483647L)
+
+  private def cmsBucket(h: Column, r: Int): Column =
+    pmod(pmod(h * lit(CmsA(r)) + lit(CmsB(r)), lit(HashP)), lit(CmsWidth))
+
+  /** T14 (E86): heavy hitters via COUNT-MIN sketch, checked against exact
+    * counts — the frequency-estimation member of the sketch family (HLL
+    * a2x, KLL x5x, bloom-filter join pruning): est(t) = min over rows of
+    * cell(r, h_r(t)), never an underestimate, overestimate bounded by
+    * bucket collisions. The sketch is the 100-TB path for "what are the
+    * hot tokens / keys / URLs" when the key space is unbounded: FIXED
+    * 3×256 integer state, mergeable across partitions/batches (cells are
+    * counts — they add), one narrow pass to build. The exact side (t6's
+    * vocabulary-width aggregate) exists here to make the estimates
+    * hash-verifiable: both engines build the identical deterministic
+    * sketch, so `n_est` compares exactly, and `overestimate` SHOWS the
+    * collision cost instead of hiding it behind a probability bound. */
+  def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
+    val tok = docs.select(explode(toksCol).as("token"))
+      .select(col("token"), charHash(col("token")).as("h"))
+    def rbs(h: Column) = explode(array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsBucket(h, r).as("bucket"))): _*))
+    val cells = tok.select(rbs(col("h")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val top = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"), min(col("h")).as("h"))
+      .orderBy(col("n_exact").desc, col("token").asc).limit(k)
+    top.select(col("token"), col("n_exact"), rbs(col("h")).as("rb"))
+      .select(col("token"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cell_n")).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+  }
+
+  def heavyHittersSql(k: Int = 20): String = {
+    val aLit = CmsA.mkString("[", ", ", "]")
+    val bLit = CmsB.mkString("[", ", ", "]")
+    val bucket = s"((tk.h * cst.ca[t.r + 1] + cst.cb[t.r + 1]) % $HashP) % $CmsWidth"
+    val bucketTop = s"((top.h * cst.ca[t.r + 1] + cst.cb[t.r + 1]) % $HashP) % $CmsWidth"
+    s"""
+    WITH cst AS (SELECT $aLit::BIGINT[] AS ca, $bLit::BIGINT[] AS cb),
+    tok AS (
+      SELECT unnest(${tokensSql(normSql("text"))}) AS token FROM documents),
+    tk AS (SELECT token, ${charHashSql("token")} AS h FROM tok),
+    rs AS (SELECT unnest([0, 1, 2]) AS r),
+    cells AS (
+      SELECT t.r, $bucket AS bucket, count(*)::BIGINT AS cell_n
+      FROM tk, rs t, cst GROUP BY 1, 2),
+    top AS (
+      SELECT token, n_exact, h FROM (
+        SELECT token, count(*)::BIGINT AS n_exact, min(h) AS h,
+          row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+        FROM tk GROUP BY token)
+      WHERE rn <= $k),
+    probes AS (
+      SELECT top.token, top.n_exact, t.r, $bucketTop AS bucket
+      FROM top, rs t, cst)
+    SELECT p.token, p.n_exact, min(c.cell_n) AS n_est,
+      min(c.cell_n) - p.n_exact AS overestimate
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY 1, 2"""
+  }
+
   /** C2 (E62): n-gram-level decontamination — the stronger form of C1's
     * fingerprint check: a training doc is contaminated when it SHARES
     * WORD N-GRAMS with the eval set, not only when it is byte-identical

@@ -390,6 +390,59 @@ object Validation {
     FROM $table t JOIN s ON t.$group = s.g
     GROUP BY 1, 2, 3"""
 
+  /** V4 (E87): equi-depth histogram — the distribution profile a
+    * profiler/CBO keeps per column (equi-depth, not equi-width: every
+    * bucket holds ≈ n/B rows, so skewed value ranges get resolution where
+    * the data actually is). Two passes: exact interior percentile edges
+    * plus min/max in one tiny agg (broadcast), then one conditional
+    * bucket-assignment pass (`1 + #edges < x`, ties land LOW so an edge
+    * value belongs to the bucket it closes — identical lambda both
+    * engines). 100-TB swap is approx_percentile edges, the x5→x5x path;
+    * bucket counting is already one narrow scan either way. */
+  def equiDepthHistogram(df: DataFrame, value: String,
+      buckets: Int = 10): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = df.agg(
+      expr(s"percentile($value, array(${qs.mkString("D, ")}D))").as("es"),
+      min(col(value)).cast("double").as("mn"),
+      max(col(value)).cast("double").as("mx"))
+    val counts = df.crossJoin(broadcast(edges))
+      .select((size(filter(col("es"),
+        e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    counts.crossJoin(broadcast(edges))
+      .select(col("bucket"),
+        when(col("bucket") === 1, col("mn"))
+          .otherwise(element_at(col("es"), (col("bucket") - 1).cast("int")))
+          .as("lo"),
+        when(col("bucket") === buckets, col("mx"))
+          .otherwise(element_at(col("es"), col("bucket").cast("int")))
+          .as("hi"),
+        col("n_rows"))
+  }
+
+  def equiDepthHistogramSql(table: String, value: String,
+      buckets: Int = 10): String = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    s"""
+    WITH e AS (
+      SELECT quantile_cont($value, [${qs.mkString(", ")}]) AS es,
+        min($value)::DOUBLE AS mn, max($value)::DOUBLE AS mx
+      FROM $table),
+    c AS (
+      SELECT (len(list_filter(e.es, x -> x < t.$value)) + 1)::BIGINT
+          AS bucket,
+        count(*)::BIGINT AS n_rows
+      FROM $table t, e GROUP BY 1)
+    SELECT c.bucket,
+      CASE WHEN c.bucket = 1 THEN e.mn ELSE e.es[c.bucket::INT - 1] END
+        AS lo,
+      CASE WHEN c.bucket = $buckets THEN e.mx ELSE e.es[c.bucket::INT] END
+        AS hi,
+      c.n_rows
+    FROM c, e"""
+  }
+
   def driftAuditSql(refSql: String, batchSql: String,
       tol: Double = 1.0 / 3): String = s"""
     WITH refp AS (
