@@ -32,6 +32,32 @@ object SparkEntry {
   private def oi(s: SparkSession, d: String) = RefShape.orderItems(s, d)
   private def p(s: SparkSession, d: String) = RefShape.products(s, d)
 
+  /** Shared by x9/x10: brand×calendar-day spine (generated off a broadcast
+    * 1-row bounds agg — sized by the CALENDAR, not the data), daily revenue
+    * left-joined on, forward-filled in DECIMAL (`ffill_dec`). */
+  private def gapFilledDaily(s: SparkSession, d: String): DataFrame = {
+    // daily is consumed THREE times (bounds agg, brand-distinct, spine
+    // join) — without a persist Spark re-runs the fact join+agg per
+    // consumer. It is brand×day grain (calendar-bounded, tiny at any SF),
+    // so caching is the right trade at 100 TB too. Lifetime contract as
+    // in m1: Verify/Bench clearCache() after every query.
+    val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+      .groupBy(col("p.brand").as("brand"),
+        to_date(substring(col("o.created_at"), 1, 10)).as("d"))
+      .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
+      .persist()
+    val bounds = daily.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val spine = daily.select(col("brand")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("brand"), explode(sequence(col("mn"), col("mx"))).as("d"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("brand")).orderBy(col("d"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    spine.join(daily, Seq("brand", "d"), "left")
+      .withColumn("ffill_dec",
+        last(col("rev_dec"), ignoreNulls = true).over(w))
+  }
+
   /** Category KPI at (category, order_date) grain with a provenance tag —
     * input to the m1 merge query. `half` selects even/odd item ids so the
     * two merge sides overlap on keys but disagree on rows.
@@ -904,26 +930,31 @@ object SparkEntry {
     // ignoreNulls). Spine size is brands × calendar days — bounded by the
     // CALENDAR, not the data, so at 100 TB it stays tiny while the fact
     // side never shuffles more than its one daily-grain aggregate.
-    "x9_gap_fill" -> ((s, d) => {
-      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-        .groupBy(col("p.brand").as("brand"),
-          to_date(substring(col("o.created_at"), 1, 10)).as("d"))
-        .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
-      val bounds = daily.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
-      val spine = daily.select(col("brand")).distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("brand"), explode(sequence(col("mn"), col("mx"))).as("d"))
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy(col("brand")).orderBy(col("d"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      spine.join(daily, Seq("brand", "d"), "left")
-        .withColumn("ffill_dec",
-          last(col("rev_dec"), ignoreNulls = true).over(w))
+    "x9_gap_fill" -> ((s, d) =>
+      gapFilledDaily(s, d)
         .select(col("brand"),
           date_format(col("d"), "yyyy-MM-dd").as("order_date"),
           col("rev_dec").cast("double").as("revenue"),
           col("rev_dec").isNull.as("filled"),
-          col("ffill_dec").cast("double").as("ffill_revenue"))
+          col("ffill_dec").cast("double").as("ffill_revenue"))),
+
+    // E88 (X10): trailing 7-day moving average over the gap-filled
+    // series — the reason x9 exists: a moving average computed only over
+    // PRESENT days is wrong (a 3-sale week averages 3 points, not 7).
+    // Decimal sum over the frame ÷ non-null frame count, double only at
+    // the division; leading pre-first-sale rows stay null.
+    "x10_moving_avg" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w7 = W.partitionBy(col("brand")).orderBy(col("d"))
+        .rowsBetween(-6, W.currentRow)
+      gapFilledDaily(s, d)
+        .withColumn("ma7",
+          (sum(col("ffill_dec")).over(w7).cast("double") /
+            count(col("ffill_dec")).over(w7).cast("double")))
+        .select(col("brand"),
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          col("ffill_dec").cast("double").as("ffill_revenue"),
+          col("ma7"))
     }),
 
     // E85 (F14): ordered-event funnel — view → click → purchase with
@@ -958,6 +989,27 @@ object SparkEntry {
             .otherwise(1L).as("depth"))
     }),
 
+    // E89 (COH1): signup-cohort retention matrix — users bucketed by the
+    // epoch week of their FIRST signup; cell (cohort_week, k) counts the
+    // distinct users of that cohort active in ANY event k weeks later.
+    // Weeks are integer epoch-microsecond division (exact both engines).
+    // Two user-grain aggregates + one user-keyed join (first-signup side
+    // shrinks to distinct users — broadcast when it fits, AQE otherwise);
+    // the (user, week) distinct pass is the only corpus-width shuffle.
+    "coh1_retention" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("(ts DIV 1000) DIV 604800000000").as("wk"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      ev.select(col("user_id"), col("wk")).distinct()
+        .join(cohorts, Seq("user_id"))
+        .filter(col("wk") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // §2.5 extension: KPI-history window query — top-3 categories per day
     // by revenue (genuine Window.partitionBy + rank, the shape the
     // reference's KPI store would be queried with).
@@ -983,6 +1035,29 @@ object SparkEntry {
   private val kpiJoin =
     """FROM o JOIN oi ON o.order_id = oi.order_id
       |JOIN p ON oi.product_id = p.id""".stripMargin
+
+  /** Shared x9/x10 oracle CTE chain: brand×day spine + forward fill,
+    * terminal CTE `ff(brand, d, rev_dec, ffill_dec)`. */
+  private val gapFillCtes =
+    s"""daily AS (
+      |  SELECT p.brand AS brand,
+      |    CAST(substr(o.created_at, 1, 10) AS DATE) AS d,
+      |    sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS rev_dec
+      |  $kpiJoin
+      |  GROUP BY 1, 2),
+      |b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+      |spine AS (
+      |  SELECT br.brand,
+      |    CAST(unnest(generate_series(b.mn::TIMESTAMP, b.mx::TIMESTAMP,
+      |      INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM (SELECT DISTINCT brand FROM daily) br, b),
+      |ff AS (
+      |  SELECT s.brand, s.d, dy.rev_dec,
+      |    last_value(dy.rev_dec IGNORE NULLS) OVER (
+      |      PARTITION BY s.brand ORDER BY s.d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_dec
+      |  FROM spine s LEFT JOIN daily dy
+      |    ON s.brand = dy.brand AND s.d = dy.d)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1254,27 +1329,36 @@ object SparkEntry {
       FROM daily""",
 
     "x9_gap_fill" -> s"""$ctes,
-      daily AS (
-        SELECT p.brand AS brand,
-          CAST(substr(o.created_at, 1, 10) AS DATE) AS d,
-          sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS rev_dec
-        $kpiJoin
-        GROUP BY 1, 2),
-      b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
-      spine AS (
-        SELECT br.brand,
-          CAST(unnest(generate_series(b.mn::TIMESTAMP, b.mx::TIMESTAMP,
-            INTERVAL 1 DAY)) AS DATE) AS d
-        FROM (SELECT DISTINCT brand FROM daily) br, b)
-      SELECT s.brand, strftime(s.d, '%Y-%m-%d') AS order_date,
-        CAST(dy.rev_dec AS DOUBLE) AS revenue,
-        dy.rev_dec IS NULL AS filled,
-        CAST(last_value(dy.rev_dec IGNORE NULLS) OVER (
-          PARTITION BY s.brand ORDER BY s.d
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-          AS ffill_revenue
-      FROM spine s LEFT JOIN daily dy
-        ON s.brand = dy.brand AND s.d = dy.d""",
+      $gapFillCtes
+      SELECT brand, strftime(d, '%Y-%m-%d') AS order_date,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        rev_dec IS NULL AS filled,
+        CAST(ffill_dec AS DOUBLE) AS ffill_revenue
+      FROM ff""",
+
+    "x10_moving_avg" -> s"""$ctes,
+      $gapFillCtes
+      SELECT brand, strftime(d, '%Y-%m-%d') AS order_date,
+        CAST(ffill_dec AS DOUBLE) AS ffill_revenue,
+        CAST(sum(ffill_dec) OVER w7 AS DOUBLE)
+          / CAST(count(ffill_dec) OVER w7 AS DOUBLE) AS ma7
+      FROM ff
+      WINDOW w7 AS (PARTITION BY brand ORDER BY d
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "coh1_retention" -> """
+      WITH ev AS (
+        SELECT user_id, event_type,
+          epoch_us(ts) // 604800000000 AS wk FROM events),
+      cohorts AS (
+        SELECT user_id, min(wk) AS cohort_week FROM ev
+        WHERE event_type = 'signup' GROUP BY 1),
+      uw AS (SELECT DISTINCT user_id, wk FROM ev)
+      SELECT c.cohort_week, uw.wk - c.cohort_week AS weeks_since,
+        count(*)::BIGINT AS n_users
+      FROM uw JOIN cohorts c USING (user_id)
+      WHERE uw.wk >= c.cohort_week
+      GROUP BY 1, 2""",
 
     "f14_funnel" -> """
       WITH ev AS (
