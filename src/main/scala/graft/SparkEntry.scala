@@ -368,6 +368,30 @@ object SparkEntry {
         .withColumn("decile", ntile(10).over(w).cast("long"))
     }),
 
+    // E90 (T13X): t13's documented 100-TB swap made EXECUTABLE, the
+    // a2x/x5x/v1x convention: decile BOUNDARIES from approx_percentile
+    // (KLL, one narrow mergeable pass — no global sort) with each
+    // boundary gated inside the exact ±1%-rank percentile bracket
+    // (sketch rank error ≤ 1e-4 ⊂ the bracket, so the indicator is a
+    // theorem, not luck; both engines agree on the reduced counts
+    // without sharing sketch internals).
+    "t13x_approx_deciles" -> ((s, d) => {
+      val qs = (1 until 10).map(_ / 10.0)
+      val lo = qs.map(q => q - 0.01)
+      val hi = qs.map(q => q + 0.01)
+      TextAnalysis.classifierScore(Sources.table(s, d, "documents"))
+        .select(col("score"))
+        .agg(
+          expr(s"approx_percentile(score, array(${qs.mkString("D, ")}D), 10000)")
+            .as("a"),
+          expr(s"percentile(score, array(${lo.mkString("D, ")}D))").as("lo"),
+          expr(s"percentile(score, array(${hi.mkString("D, ")}D))").as("hi"))
+        .select(explode(arrays_zip(col("a"), col("lo"), col("hi"))).as("z"))
+        .agg(count(lit(1)).as("n_bounds"),
+          sum(when(col("z.a").between(col("z.lo"), col("z.hi")), 1L)
+            .otherwise(0L)).as("n_within"))
+    }),
+
     // E83 (S2): deterministic train/val/test split audit — the assignment
     // is a pure hash-range function of doc_id (no rand(): rerun/retry
     // stable, no coordination, any worker can re-derive any doc's split),
@@ -1208,6 +1232,9 @@ object SparkEntry {
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
+
+    "t13x_approx_deciles" -> """
+      SELECT 9::BIGINT AS n_bounds, 9::BIGINT AS n_within""",
 
     "t14_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
 

@@ -402,10 +402,14 @@ object Validation {
   def equiDepthHistogram(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    // 1-row frame with TWO cross-join consumers (bucket assignment and
+    // lo/hi attachment) — persisted so the full-fact percentile pass runs
+    // once, not per consumer. Lifetime contract as in m1/gapFilledDaily.
     val edges = df.agg(
       expr(s"percentile($value, array(${qs.mkString("D, ")}D))").as("es"),
       min(col(value)).cast("double").as("mn"),
       max(col(value)).cast("double").as("mx"))
+      .persist()
     val counts = df.crossJoin(broadcast(edges))
       .select((size(filter(col("es"),
         e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
