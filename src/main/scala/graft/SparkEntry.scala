@@ -416,6 +416,13 @@ object SparkEntry {
           sum(col("n_docs")).over(w).cast("double"))
     }),
 
+    // E91 (D11): fuzzy vocabulary pairs — edit-distance typo/variant
+    // detection at VOCABULARY grain (sub-linear in corpus size), the
+    // normalization tier below document near-dup; SymSpell-style length
+    // buckets bound the candidates, levenshtein runs only on candidates.
+    "d11_fuzzy_vocab" -> ((s, d) =>
+      Dedup.fuzzyVocabPairs(Sources.table(s, d, "documents"))),
+
     // E86 (T14): heavy hitters via count-min sketch vs exact counts —
     // the frequency member of the sketch family (HLL a2x, KLL x5x):
     // fixed 3×256 mergeable integer state, one narrow build pass; both
@@ -1235,6 +1242,8 @@ object SparkEntry {
 
     "t13x_approx_deciles" -> """
       SELECT 9::BIGINT AS n_bounds, 9::BIGINT AS n_within""",
+
+    "d11_fuzzy_vocab" -> Dedup.fuzzyVocabPairsSql(),
 
     "t14_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
 

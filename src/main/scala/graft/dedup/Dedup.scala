@@ -838,4 +838,56 @@ object Dedup {
       (max(pos) + ${n - 1})::BIGINT AS span_end,
       count(*)::BIGINT AS n_starts
     FROM sp GROUP BY doc_id, span_no"""
+
+  /** D11 (E91): fuzzy VOCABULARY pairs — near-identical token forms
+    * (typos, OCR slips, inflection noise) found by edit distance over the
+    * vocabulary, the normalization tier BELOW document near-dup: d2/d3
+    * ask "are these docs alike", this asks "are these two spellings the
+    * same word" (the SymSpell/typo-clustering published shape). Runs at
+    * VOCABULARY grain — sub-linear in corpus size — never on the corpus:
+    * one explode+agg builds (token, n), then candidates meet in LENGTH
+    * buckets (each side emits keys {L, L+1}; a pair is kept only where
+    * key = max(len_a, len_b), so every |Δlen| ≤ 1 pair meets exactly
+    * once) and only candidates pay the levenshtein DP — the quadratic is
+    * per-bucket, not per-vocabulary. Both engines run the identical
+    * classic DP (integer result), token < token cuts the symmetric half.
+    * Frequency rides along: the high-n side of a pair is the canonical
+    * form a normalizer would rewrite to. */
+  def fuzzyVocabPairs(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(norm(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("len", length(col("token")))
+    def keyed(side: String) = vocab
+      .select(col("token").as(s"token_$side"), col("n").as(s"n_$side"),
+        col("len").as(s"len_$side"),
+        explode(array(col("len"), col("len") + 1)).as("k"))
+    keyed("a").join(keyed("b"), Seq("k"))
+      .filter(col("k") === greatest(col("len_a"), col("len_b")) &&
+        col("token_a") < col("token_b"))
+      .withColumn("dist",
+        levenshtein(col("token_a"), col("token_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("token_a"), col("token_b"),
+        col("n_a"), col("n_b"), col("dist"))
+  }
+
+  def fuzzyVocabPairsSql(maxDist: Int = 2): String = s"""
+    WITH tok AS (
+      SELECT unnest(${tokensSql(normSql("text"))}) AS token FROM documents),
+    v AS (
+      SELECT token, count(*)::BIGINT AS n, length(token) AS len
+      FROM tok GROUP BY 1),
+    ka AS (
+      SELECT token AS token_a, n AS n_a, len AS len_a,
+        unnest([len, len + 1]) AS k FROM v),
+    kb AS (
+      SELECT token AS token_b, n AS n_b, len AS len_b,
+        unnest([len, len + 1]) AS k FROM v)
+    SELECT ka.token_a, kb.token_b, ka.n_a, kb.n_b,
+      levenshtein(ka.token_a, kb.token_b)::BIGINT AS dist
+    FROM ka JOIN kb ON ka.k = kb.k
+    WHERE ka.k = greatest(ka.len_a, kb.len_b)
+      AND ka.token_a < kb.token_b
+      AND levenshtein(ka.token_a, kb.token_b) <= $maxDist"""
 }

@@ -455,6 +455,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out("srcC") === ((6L, 0L, 0.0)))
   }
 
+  test("d11: fuzzy vocab pairs meet exactly once and respect the distance cap") {
+    // vocab: cat/cart (Δlen=1, dist 1), cat/bat (equal len, dist 1),
+    // cat/dog (dist 3 — must not appear). Repetition makes frequencies
+    // distinguishable: the canonical (higher-n) side is derivable.
+    val d = docs((1L, "cat cat cat cart bat dog"), (2L, "cat cart dog"))
+    val out = Dedup.fuzzyVocabPairs(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // each qualifying pair appears EXACTLY once (the max(len) key rule —
+    // equal-length pairs would otherwise match on both L and L+1 buckets)
+    assert(out.keySet === Set(("bat", "cat"), ("cart", "cat"), ("bat", "cart")))
+    assert(out(("bat", "cat")) === ((1L, 4L, 1L)))
+    assert(out(("cart", "cat")) === ((2L, 4L, 1L)))
+    assert(out(("bat", "cart")) === ((1L, 2L, 2L)))
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
