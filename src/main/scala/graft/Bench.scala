@@ -38,7 +38,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup (documented in BASELINE.md): JIT/codegen for the
@@ -76,13 +76,12 @@ object Bench {
       (name, dt, (j1 - j0, s1 - s0, t1c - t0c))
     }
     // The driver parses the FINAL metric line out of a bounded stdout tail
-    // (~5 KB). Round 5 learned this the hard way: wall-times + per-query
-    // scheduler counts on one line outgrew the window at 62 queries and the
-    // driver recorded `parsed: null`. So: per-query counts go on their OWN
-    // line, printed BEFORE the metric line (informational; may scroll out of
-    // the tail), the full detail is also written to target/bench_detail.json
-    // for post-hoc analysis, and the final line stays compact — seconds
-    // rounded to 4 decimals (0.1 ms; bench noise is >100× that).
+    // (~2 KB). Rounds 5 AND 6 learned this the hard way: at 96 queries even
+    // a compact per-query seconds map is ~3 KB and the tail truncates the
+    // line mid-JSON → `parsed: null`. So the final line is CONSTANT-SIZE —
+    // total seconds + query count + sf only. Per-query seconds and
+    // scheduler counts go on their own earlier lines (informational; may
+    // scroll out of the tail) and in target/bench_detail.json.
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
@@ -91,7 +90,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val metricLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     val detail = results.map { case (k, v, (j, s, t)) =>
       s"""\"$k\":{"sec":$v,"jobs":$j,"stages":$s,"tasks":$t}"""
     }.mkString("{", ",", "}")
@@ -101,6 +100,7 @@ object Bench {
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"""{"bench_counts":$counts}""")
+    println(s"""{"bench_seconds":$qs}""")
     println(metricLine)
     spark.stop()
   }

@@ -680,17 +680,18 @@ object SparkEntry {
     // purchase, the same user's latest click at or before it.
     "as1_asof_purchase_click" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
+      val tsUs = Sources.epochUs(ev)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), tsUs.as("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_event_id"),
-          col("user_id").as("c_user"), col("ts").as("click_ts"))
+          col("user_id").as("c_user"), tsUs.as("click_ts"))
       org.apache.spark.sql.graft.AsOfJoinApi.asofJoin(purchases, clicks,
           "user_id", "c_user", "ts", "click_ts")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("ts_us"),
+          col("ts").as("ts_us"),
           col("click_event_id"),
-          expr("click_ts DIV 1000").as("click_ts_us"))
+          col("click_ts").as("click_ts_us"))
     }),
 
     // E13: multimodal binary plumbing — synth payloads, partition-wise
@@ -701,13 +702,13 @@ object SparkEntry {
       Multimodal.mediaSummary(s, Sources.table(s, d, "documents"))),
 
     // §2.5 W2: FIFO top-1 pick (controller.py:64-69) — TakeOrderedAndProject.
-    // `ts` reads as epoch-nanos long (nanosAsLong); DIV 1000 = epoch micros.
-    "w2_fifo_next" -> ((s, d) =>
-      Sources.table(s, d, "events")
-        .filter(col("event_type") === "purchase")
+    "w2_fifo_next" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      ev.filter(col("event_type") === "purchase")
         .orderBy(col("ts").asc, col("event_id").asc).limit(1)
-        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
-          col("user_id"), col("event_type"))),
+        .select(col("event_id"), Sources.epochUs(ev).as("ts_us"),
+          col("user_id"), col("event_type"))
+    }),
 
     // §2.5 W3: existence probe via limit-1 (controller.py:52-56).
     "w3_exists_probe" -> ((s, d) =>
@@ -727,16 +728,17 @@ object SparkEntry {
     // hash-verifies the window semantics themselves. Decimal-sum the
     // double measure so the result is order-independent (exact) and
     // matches the oracle bit-for-bit.
-    "e2_windowed_event_agg" -> ((s, d) =>
-      Sources.table(s, d, "events")
-        .select(timestamp_micros(expr("ts DIV 1000")).as("t"),
+    "e2_windowed_event_agg" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      ev.select(timestamp_micros(Sources.epochUs(ev)).as("t"),
           col("event_type"), col("value"))
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("sum_value"))
         .select(unix_micros(col("window.start")).as("window_start_us"),
-          col("event_type"), col("n_events"), col("sum_value"))),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
 
     // E28: range (interval) join with NO equi-key — purchases × incident
     // windows ([error ts, +30 min], errors with value > 90). Binned to an
@@ -744,12 +746,13 @@ object SparkEntry {
     // nested-loop Spark would otherwise plan; output is exact.
     "e3_range_join_incidents" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
+      val tsSec = Sources.epochSec(ev)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), expr("ts DIV 1000000000").as("t"))
+        .select(col("event_id"), tsSec.as("t"))
       val incidents = ev
         .filter(col("event_type") === "error" && col("value") > 90.0)
         .select(col("event_id").as("incident_id"),
-          expr("ts DIV 1000000000").as("istart"))
+          tsSec.as("istart"))
         .withColumn("iend", col("istart") + lit(1800L))
       graft.operators.RangeJoin
         .pointInInterval(purchases, "t", incidents, "istart", "iend",
@@ -766,16 +769,17 @@ object SparkEntry {
     // gap at sf0.1). Oracle = gaps-and-islands (lag + running sum). The
     // contrast with e1 is the point: T1's window anchors at the FIRST
     // event; a session window anchors at the LAST.
-    "e4_session_windows" -> ((s, d) =>
-      Sources.table(s, d, "events")
-        .select(col("user_id"),
-          timestamp_seconds(expr("ts DIV 1000000000")).as("t"))
+    "e4_session_windows" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      ev.select(col("user_id"),
+          timestamp_seconds(Sources.epochSec(ev)).as("t"))
         .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
           unix_seconds(col("session_window.start")).as("session_start"),
           unix_seconds(col("session_window.end")).as("session_end"),
-          col("n_events"))),
+          col("n_events"))
+    }),
 
     // E32: pivot — revenue by category × item status as columns (the
     // reporting shape over the KPI join). Pivot values are declared
@@ -867,12 +871,13 @@ object SparkEntry {
 
     // §2.4 A9: earliest unprocessed event per group
     // (s3_validation.py:104-112 as a grouped min).
-    "a9_min_batch_start" -> ((s, d) =>
-      Sources.table(s, d, "events")
-        .filter(col("event_type") =!= "error")
+    "a9_min_batch_start" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      ev.filter(col("event_type") =!= "error")
         .groupBy(col("user_id"))
-        .agg(min(expr("ts DIV 1000")).as("batch_start_us"),
-          count(lit(1)).as("n_events"))),
+        .agg(min(Sources.epochUs(ev)).as("batch_start_us"),
+          count(lit(1)).as("n_events"))
+    }),
 
     // §1.2 compat mode: the reference reads schema-less CSV (everything a
     // string) and relies on PySpark 3.x implicit string→double casts. Under
@@ -998,9 +1003,9 @@ object SparkEntry {
     // frames), takes a conditional min. Left joins assemble the per-user
     // funnel row; depth counts completed stages.
     "f14_funnel" -> ((s, d) => {
-      val ev = Sources.table(s, d, "events")
-        .select(col("user_id"), col("event_type"),
-          expr("ts DIV 1000").as("ts_us"))
+      val ev0 = Sources.table(s, d, "events")
+      val ev = ev0.select(col("user_id"), col("event_type"),
+        Sources.epochUs(ev0).as("ts_us"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
       val c = ev.filter(col("event_type") === "click")
@@ -1028,9 +1033,11 @@ object SparkEntry {
     // shrinks to distinct users — broadcast when it fits, AQE otherwise);
     // the (user, week) distinct pass is the only corpus-width shuffle.
     "coh1_retention" -> ((s, d) => {
-      val ev = Sources.table(s, d, "events")
+      val ev0 = Sources.table(s, d, "events")
+      val ev = ev0.select(col("user_id"), col("event_type"),
+          Sources.epochUs(ev0).as("ts_us"))
         .select(col("user_id"), col("event_type"),
-          expr("(ts DIV 1000) DIV 604800000000").as("wk"))
+          expr("ts_us DIV 604800000000").as("wk"))
       val cohorts = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
       ev.select(col("user_id"), col("wk")).distinct()

@@ -12,17 +12,23 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as epoch-nanos long (queries convert explicitly)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail LOUD: a query that errors leaves a visible marker file next to
+    // the outputs AND a red line in the final tally — round 6 proved that
+    // absence-by-exception reads as silence (9 queries vanished from the
+    // correctness board without a trace).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/${name}_ERROR.txt"),
+          s"$name\n${e.toString}\n")
+        catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
@@ -41,6 +47,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val total = SparkEntry.queries.size
+    println(s"[verify] ${total - failed.size}/$total ok" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(", ")}"))
     spark.stop()
   }
 }

@@ -1,8 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 import scala.util.Try
 
@@ -66,6 +66,41 @@ object Sources {
   /** Load one testdata table: `<dir>/<name>.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Event-time normalizer: epoch MICROSECONDS regardless of the column's
+    * physical type. The `events.ts` fixture has shipped as both epoch-nanos
+    * int64 (read via the nanosAsLong legacy flag) and parquet
+    * `timestamp[us]` (read as TIMESTAMP_NTZ) — and a silent flip between
+    * the two once broke every query downstream of `ts`. Every consumer of
+    * an event-time column goes through here, so the unit contract lives in
+    * ONE place and both physical shapes stay supported:
+    *   - timestamp / timestamp_ntz → `unix_micros` (naive values are
+    *     interpreted as UTC — sessions here run with
+    *     `spark.sql.session.timeZone=UTC`, matching how the DuckDB oracles'
+    *     `epoch_us(ts)` reads a naive timestamp);
+    *   - long → epoch nanos by the testdata convention, `DIV 1000`.
+    * Narrow, codegen'd, constant-folded — free at any scale. */
+  def epochUs(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(colName).cast(TimestampType))
+      case LongType => expr(s"`$colName` DIV 1000")
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$colName`: expected timestamp or epoch-nanos " +
+          s"long, got $other")
+    }
+
+  /** Event-time normalizer: epoch SECONDS (floor). Same contract as
+    * [[epochUs]]. */
+  def epochSec(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_seconds(col(colName).cast(TimestampType))
+      case LongType => expr(s"`$colName` DIV 1000000000")
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$colName`: expected timestamp or epoch-nanos " +
+          s"long, got $other")
+    }
 
   /** S5: partitioned lake write (reference `scripts/validation.py:121-129`):
     * stamp the literal processing-date partition column and overwrite.

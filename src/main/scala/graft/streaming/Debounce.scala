@@ -61,13 +61,15 @@ object Debounce {
     }
   }
 
-  /** DataFrame adapter over the `events` testdata table (`ts` is epoch
-    * nanos via nanosAsLong): converts to epoch seconds, keys by `user_id`. */
+  /** DataFrame adapter over the `events` testdata table: normalizes `ts`
+    * to epoch seconds via [[graft.io.Sources.epochSec]] (accepts both the
+    * timestamp[us] and epoch-nanos-long fixture shapes), keys by
+    * `user_id`. */
   def batchAssignDf(events: DataFrame, windowSec: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val ds = events.select(col("user_id").cast("long").as("key"),
-      expr("ts DIV 1000000000").as("ts")).as[Event]
+      graft.io.Sources.epochSec(events).as("ts")).as[Event]
     batchAssign(ds, windowSec).toDF()
   }
 
@@ -133,13 +135,14 @@ object Debounce {
   }
 
   /** DataFrame adapter for [[streamingBatchesEventTime]] over the events
-    * table shape (`user_id`, `ts` epoch-nanos). */
+    * table shape (`user_id`, `ts` — either fixture type). */
   def toEventT(events: DataFrame): Dataset[EventT] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val sec = graft.io.Sources.epochSec(events)
     events.select(col("user_id").cast("long").as("key"),
-        expr("ts DIV 1000000000").as("ts"),
-        expr("ts DIV 1000000000").cast("timestamp").as("event_time"))
+        sec.as("ts"),
+        timestamp_seconds(sec).as("event_time"))
       .as[EventT]
   }
 

@@ -36,7 +36,8 @@ object StreamDedup {
 
   def dedupDocStream(docs: DataFrame, watermark: String): DataFrame =
     withFp(docs
-        .withColumn("event_ts", expr("ts DIV 1000000000").cast("timestamp"))
+        .withColumn("event_ts",
+          timestamp_seconds(graft.io.Sources.epochSec(docs)))
         .withWatermark("event_ts", watermark))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("fp"), col("text"))

@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
 object WindowedAgg {
 
   /** Tumbling event-time counts/sums per (window, event_type).
-    * `events` needs `ts` (epoch-nanos long, per the testdata convention),
-    * `event_type`, `value`. */
+    * `events` needs `ts` (timestamp or epoch-nanos long — normalized by
+    * [[graft.io.Sources.epochSec]]), `event_type`, `value`. */
   def eventTypeWindows(events: DataFrame, windowLen: String,
       watermark: String): DataFrame =
     events
-      .withColumn("event_ts", expr("ts DIV 1000000000").cast("timestamp"))
+      .withColumn("event_ts",
+        timestamp_seconds(graft.io.Sources.epochSec(events)))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -39,18 +40,18 @@ object WindowedAgg {
     * how StreamingAggSpec asserts parity.
     *
     * Inputs use the testdata shape: `event_id`, `user_id`, `ts`
-    * (epoch-nanos long), `event_type`. */
+    * (timestamp or epoch-nanos long), `event_type`. */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
       intervalSec: Long, watermark: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"),
-        expr("ts DIV 1000000000").cast("timestamp").as("p_ts"))
+        timestamp_seconds(graft.io.Sources.epochSec(purchases)).as("p_ts"))
       .withWatermark("p_ts", watermark)
     val c = clicks
       .select(col("event_id").as("click_id"),
         col("user_id").as("c_user"),
-        expr("ts DIV 1000000000").cast("timestamp").as("c_ts"))
+        timestamp_seconds(graft.io.Sources.epochSec(clicks)).as("c_ts"))
       .withWatermark("c_ts", watermark)
     p.join(c,
       col("p_user") === col("c_user") &&

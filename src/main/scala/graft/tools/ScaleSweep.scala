@@ -64,7 +64,17 @@ object ScaleSweep {
     // flat job structure); n8's candidate side grows ×N against a fixed
     // query broadcast like n6
     "n8_ann_pq", "n9_ann_ivf_pq", "r2_dup_spans", "v2_drift_audit",
-    "v3_vec_drift")
+    "v3_vec_drift",
+    // the events tier (round 7): fan-out extends HISTORY (disjoint later
+    // time range, new user population per copy — the realistic 100-TB
+    // growth model), so per-user recurrences (e1), session/funnel grains
+    // (e4/f14), the as-of merge scan (as1), the binned range join (e3)
+    // and the cohort matrix (coh1) should all scale ≤ linearly with flat
+    // job structure; a global-time-range fan-out would instead grow e3's
+    // candidate pairs quadratically — an artifact, not a plan property
+    "as1_asof_purchase_click", "e1_debounce_batches",
+    "e2_windowed_event_agg", "e3_range_join_incidents",
+    "e4_session_windows", "f14_funnel", "coh1_retention")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the
@@ -111,6 +121,33 @@ object ScaleSweep {
     }.reduce(_ unionByName _)
   }
 
+  /** Fan the events table out ×N as ADDED HISTORY: copy k shifts every
+    * timestamp by k·(week-aligned span) and every user/event id by a
+    * disjoint stride — new users, new (later) time range, identical
+    * per-user timelines. Per-copy behavior is bit-identical to the source
+    * (time shifts preserve every gap, window and ordering relation), and
+    * copies interact with NOTHING: no shared users (e1/e4/f14/as1/coh1
+    * grains), no overlapping time ranges (e2 windows, e3 intervals). The
+    * week alignment keeps coh1's epoch-week arithmetic exact across the
+    * shift. Output `ts` uses the epoch-nanos long shape — the second
+    * fixture contract [[graft.io.Sources.epochUs]] supports. */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+    val tsUs = graft.io.Sources.epochUs(ev)
+    val r = ev.agg(min(tsUs), max(tsUs), max(col("event_id")),
+      max(col("user_id"))).head
+    val weekUs = 604800000000L
+    val spanWeeks = (r.getLong(1) - r.getLong(0)) / weekUs + 2
+    val idStride = r.getLong(2) + 1
+    val userStride = r.getLong(3) + 1
+    (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * idStride)).as("event_id"),
+        ((tsUs + lit(k * spanWeeks * weekUs)) * lit(1000L)).as("ts"),
+        (col("user_id") + lit(k * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, workDir, factorsCsv) = args
     val factors = factorsCsv.split(",").map(_.trim.toInt).toSeq
@@ -123,7 +160,7 @@ object ScaleSweep {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -137,6 +174,9 @@ object ScaleSweep {
         scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), f)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        scaleEvents(spark.read.parquet(s"$srcDir/events.parquet"), f)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
         f -> out
       }
     }

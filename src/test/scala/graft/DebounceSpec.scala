@@ -73,12 +73,15 @@ class DebounceSpec extends SparkSpec {
     val expected = Debounce.batchAssignDf(events, windowSec = 3600L)
       .collect().map(_.toString).sorted
 
-    // stage the real table, then a far-future sentinel event that drives
-    // the watermark past every real batch's close
+    // stage the real table (ts normalized to the epoch-NANOS long shape —
+    // the staged stream below declares a BIGINT schema), then a far-future
+    // sentinel event that drives the watermark past every real batch's
+    // close
     val stage = java.nio.file.Files.createTempDirectory("graft-evt-debounce")
-    val slim = events.select(col("user_id"), col("ts"))
+    val slim = events.select(col("user_id"),
+      (graft.io.Sources.epochUs(events) * lit(1000L)).as("ts"))
     slim.coalesce(1).write.parquet(s"$stage/f1")
-    val maxNanos = events.agg(max(col("ts"))).head().getLong(0)
+    val maxNanos = slim.agg(max(col("ts"))).head().getLong(0)
     val spark2 = spark; import spark2.implicits._
     Seq((999999999L, maxNanos + 10L * 3600 * 1000000000L))
       .toDF("user_id", "ts").write.parquet(s"$stage/f2")

@@ -39,12 +39,13 @@ class RangeJoinSpec extends SparkSpec {
 
   test("binned join equals naive join on the real events slice") {
     val ev = Sources.table(spark, sf0001, "events")
+    val tsSec = Sources.epochSec(ev)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), expr("ts DIV 1000000000").as("t"))
+      .select(col("event_id"), tsSec.as("t"))
     val incidents = ev
       .filter(col("event_type") === "error" && col("value") > 50.0)
       .select(col("event_id").as("incident_id"),
-        expr("ts DIV 1000000000").as("istart"))
+        tsSec.as("istart"))
       .withColumn("iend", col("istart") + lit(1800L))
     val binned = RangeJoin.pointInInterval(purchases, "t", incidents,
         "istart", "iend", binWidth = 3600L)

@@ -86,4 +86,39 @@ class SourcesSpec extends SparkSpec {
     val read = spark.read.parquet(out)
     assert(read.filter("order_date = '2024-06-02'").count() === df.count())
   }
+
+  test("epochUs/epochSec normalize every events.ts physical type the " +
+      "driver has shipped (fixture contract)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two instants, exact to the microsecond
+    val us = Seq(1718000000123456L, 1718000003999999L)
+    // (a) epoch-nanos int64 — the round-1..5 fixture shape
+    val nanosDf = us.map(_ * 1000L).toDF("ts")
+    // (b) parquet timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ —
+    //     the round-6+ fixture shape (what broke 9 queries)
+    val ntzDir = s"$tmp/ts_ntz"
+    us.toDF("us").select(timestamp_micros(col("us"))
+        .cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(ntzDir)
+    val ntzDf = spark.read.parquet(ntzDir)
+    assert(ntzDf.schema("ts").dataType === TimestampNTZType)
+    // (c) instant timestamp (isAdjustedToUTC=true)
+    val tzDf = us.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    for (df <- Seq(nanosDf, ntzDf, tzDf)) {
+      val gotUs = df.select(Sources.epochUs(df, "ts")).as[Long]
+        .collect().sorted.toSeq
+      assert(gotUs === us, s"epochUs on ${df.schema("ts").dataType}")
+      val gotSec = df.select(Sources.epochSec(df, "ts")).as[Long]
+        .collect().sorted.toSeq
+      assert(gotSec === us.map(_ / 1000000L),
+        s"epochSec on ${df.schema("ts").dataType}")
+    }
+    // the REAL fixture loads through the same helper — whatever physical
+    // type the driver ships next, this line is the canary
+    val ev = Sources.table(spark, sf0001, "events")
+    assert(ev.select(Sources.epochUs(ev)).as[Long].collect()
+      .forall(v => v > 1L * 1000 * 1000 * 1000 * 1000000L),
+      "events.ts must normalize to plausible epoch micros")
+  }
 }
