@@ -303,6 +303,13 @@ object SparkEntry {
       TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
     }),
 
+    // E92 (B1): bloom-filter membership pruning — the set-membership
+    // sketch (fixed 64×32-bit words, bit_or-mergeable): per-doc
+    // maybe/definitely-not against the eval block list with no corpus
+    // join; no-false-negative guarantee visible in the output.
+    "b1_bloom_prune" -> ((s, d) =>
+      TextAnalysis.bloomPrune(Sources.table(s, d, "documents"))),
+
     // E47 (MIX1): source-weighted deterministic sampling audit — the
     // data-mixing op: per-source hash-cutoff rates, rerun-stable, no
     // rand(), reported as the kept-vs-target audit a mixing run emits.
@@ -351,6 +358,14 @@ object SparkEntry {
     // one narrow codegen'd pass.
     "t12_quality_classifier" -> ((s, d) =>
       TextAnalysis.classifierScore(Sources.table(s, d, "documents"))),
+
+    // E94 (SEL1): budget-constrained quality selection — keep the
+    // best-scored docs until a global token budget is spent (the
+    // "top-X tokens by classifier" curation cut). Exact ordered prefix
+    // sum as the verifiable baseline; 100-TB swap = approx-quantile
+    // score threshold + narrow filter (t13x path).
+    "sel1_budget_select" -> ((s, d) =>
+      TextAnalysis.budgetSelect(Sources.table(s, d, "documents"))),
 
     // E82 (T13): quality-decile assignment — curriculum/filter bucketing
     // of the corpus by classifier score. Exact ntile(10) with a doc_id
@@ -497,6 +512,14 @@ object SparkEntry {
       TextAnalysis.ngramContamination(
         TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
 
+    // E93 (C3): near-dup decontamination — the fuzzy tier above c2:
+    // training docs that are near-DUPLICATES of an eval doc via
+    // MinHash-LSH, eval bands broadcast (no self-join, no band-key
+    // shuffle); planted eval twins must be flagged.
+    "c3_neardup_decon" -> ((s, d) =>
+      Dedup.crossCorpusNearDups(
+        TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
+
     // E63 (T10): per-doc tf-idf top terms — keyword extraction; tf/df
     // from one token aggregate + its vocabulary-width re-aggregate,
     // rational idf (no log, bitwise parity), doc-keyed bounded top-k.
@@ -615,6 +638,20 @@ object SparkEntry {
     // E10: embedding-cosine near-dup pairs (LSH-bucketed).
     "d6_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDups(Sources.table(s, d, "embeddings"))),
+
+    // E95 (D12): semantic dedup (SemDeDup) — coarse-quantizer cells,
+    // within-cell cosine pairs, keep-one-per-group drop list with
+    // provenance. Data-adaptive candidate restriction vs d6's
+    // hyperplane buckets.
+    "d12_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Sources.table(s, d, "embeddings"))),
+
+    // E95 scale knob made executable (the d5/d5x convention): 4× the
+    // cells → ~4× smaller cells → ~16× fewer within-cell candidate
+    // pairs; identical vectors still collide into the same cell, so the
+    // planted twins survive any cell count.
+    "d12x_semdedup_cells" -> ((s, d) =>
+      Similarity.semDedup(Sources.table(s, d, "embeddings"), numCells = 64)),
 
     // E11: brute-force cosine top-k ANN baseline.
     "n1_ann_bruteforce" -> ((s, d) =>
@@ -887,7 +924,15 @@ object SparkEntry {
     "a1c_category_kpi_compat" -> ((s, d) => {
       def strs(df: DataFrame) =
         df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
-      val joined = Kpi.threeWayJoin(strs(o(s, d)), strs(oi(s, d)), strs(p(s, d)))
+      // The stringly-typed arm only exercises the columns the reference
+      // query touches — project BEFORE the all-strings cast so column
+      // pruning still reaches the scan (a whole-table cast would read and
+      // re-cast every column for a 6-row output).
+      val joined = Kpi.threeWayJoin(
+        strs(o(s, d).select("order_id")),
+        strs(oi(s, d).select("id", "order_id", "product_id", "status",
+          "sale_price")),
+        strs(p(s, d).select("id", "category")))
       val price = expr("try_cast(`oi`.`sale_price` AS DOUBLE)")
       joined.groupBy(col("p.category").as("category")).agg(
         sum(price.cast(money)).cast("double").as("daily_revenue"),
@@ -1232,6 +1277,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
+    "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
@@ -1246,6 +1292,7 @@ object SparkEntry {
 
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
+    "sel1_budget_select" -> TextAnalysis.budgetSelectSql(),
 
     "t13x_approx_deciles" -> """
       SELECT 9::BIGINT AS n_bounds, 9::BIGINT AS n_within""",
@@ -1303,6 +1350,8 @@ object SparkEntry {
       GROUP BY 1""",
     "c2_ngram_decontamination" -> TextAnalysis.ngramContaminationSql(
       TextAnalysis.withSourcedTwinsSql("documents")),
+    "c3_neardup_decon" -> Dedup.crossCorpusNearDupsSql(
+      TextAnalysis.withSourcedTwinsSql("documents")),
     "t10_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "mix2_temperature_mix" -> TextAnalysis.temperatureMixAuditSql(
       TextAnalysis.weightedKeepSql),
@@ -1343,6 +1392,8 @@ object SparkEntry {
     "d5x_simhash60_pairs" ->
       Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents"), bits = 60),
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
+    "d12_semdedup" -> Similarity.semDedupSql(),
+    "d12x_semdedup_cells" -> Similarity.semDedupSql(numCells = 64),
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),

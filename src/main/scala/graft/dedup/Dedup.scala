@@ -534,6 +534,88 @@ object Dedup {
     WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold"""
   }
 
+  // ---- C3: cross-corpus near-dup decontamination ---------------------------
+
+  /** C3 (E93): NEAR-DUP decontamination — the fuzzy tier of the
+    * contamination family: c1 flags byte-identical eval copies, c2 flags
+    * shared word n-grams, this flags training docs that are near-DUPLICATES
+    * of an eval doc (lightly edited benchmark text — the leakage mode
+    * n-gram lists miss when the wording drifts). Same MinHash-LSH
+    * machinery as d3 with one structural upgrade for the two-corpus case:
+    * the EVAL side is small by nature, so its banded signatures broadcast
+    * and the training corpus meets them in a broadcast hash join — no
+    * self-join, no shuffle on band keys, corpus touched exactly once (the
+    * signature aggregate is the only doc-grain pass). Candidates clearing
+    * the signature-agreement estimate are (train doc, eval doc) pairs —
+    * the drop list plus its provenance. Eval membership is the c1/c2
+    * `doc_id % 97` convention so the oracle names the same rows; twins of
+    * eval docs planted by [[graft.text.TextAnalysis.withSourcedTwins]]
+    * land on the training side (TwinOffset % 97 ≠ 0) and MUST be
+    * flagged. */
+  def crossCorpusNearDups(docs: DataFrame): DataFrame = {
+    val r = NumHashes / NumBands
+    val sig = minhashSignatures(docs)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("sig"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"), concat_ws("|", (0 until r)
+          .map(rr => element_at(col("sig"), b * r + rr + 1).cast("string")): _*)
+          .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val evalB = banded(sig.filter(pmod(col("doc_id"), lit(97)) === 0))
+    val trainB = banded(sig.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+    val est = (aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)).cast("double") / lit(NumHashes.toDouble)
+    trainB.as("x")
+      .join(broadcast(evalB.as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("y.doc_id").as("eval_doc_id"), est.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= MinhashEstThreshold)
+  }
+
+  def crossCorpusNearDupsSql(corpus: String): String = {
+    val r = NumHashes / NumBands
+    val minCols = (0 until NumHashes).map { i =>
+      val (a, b) = perm(i)
+      s"min((h * $a + $b) % $HashP) AS mh_$i"
+    }.mkString(",\n        ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until r).map(rr => s"mh_${b * r + rr}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val estExpr = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH corpus AS ($corpus),
+    sh AS (${shingleSetSql("corpus")}),
+    sig AS (
+      SELECT doc_id,
+        $minCols
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      $bandRows),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS eval_doc_id
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key
+      WHERE x.doc_id % 97 <> 0 AND y.doc_id % 97 = 0)
+    SELECT cand.doc_id, cand.eval_doc_id,
+      ($estExpr)::DOUBLE / $NumHashes AS est_jaccard
+    FROM cand
+    JOIN sig a ON cand.doc_id = a.doc_id
+    JOIN sig b ON cand.eval_doc_id = b.doc_id
+    WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold"""
+  }
+
   // ---- D4: SimHash ---------------------------------------------------------
 
   val SimhashBits = 32

@@ -361,8 +361,9 @@ object Similarity {
     * assignment (element 1) and the probe list (first nprobe) from ONE
     * pass of NumCells codegen'd dot products, not an O(k^2) expression
     * tree. Shared by [[ivfTopK]] and [[ivfSqTopK]]. */
-  private def sortedCellsFor(emb: DataFrame): Column => Column = {
-    val seeds = emb.filter(col("vec_id") < NumCells)
+  private def sortedCellsFor(emb: DataFrame,
+      numCells: Int = NumCells): Column => Column = {
+    val seeds = emb.filter(col("vec_id") < numCells)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -1094,4 +1095,80 @@ object Similarity {
       ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2)
       >= $NearDupCosine"""
+
+  /** D12 (E95): semantic deduplication (the published SemDeDup shape) —
+    * cluster the embedding corpus with the coarse quantizer, then find
+    * near-duplicate pairs only WITHIN a cluster and keep one
+    * representative per duplicate group (min vec_id). The difference from
+    * d6 is the candidate restriction: d6's hyperplane sign buckets are
+    * data-oblivious; here the cells are the data-adaptive k-means-style
+    * partition (n4's quantizer), which is what lets the method catch
+    * SEMANTIC duplicates that differ in surface form. Output is the drop
+    * list with provenance: each dropped vector, its keeper (lowest-id
+    * within-cell partner above the cosine bar), the best cosine, and how
+    * many partners it had.
+    *
+    * Scale: assignment is one narrow pass (NumCells codegen'd dot
+    * products/row); the pair join is per-cell — quadratic only within a
+    * cell, the published algorithm's own cost model, bounded by growing
+    * NumCells with the corpus so cell size stays ~constant (the d5x-style
+    * scale knob). The keeper aggregate is doc-grain. No corpus-wide
+    * all-pairs anywhere. */
+  def semDedup(embRaw: DataFrame,
+      numCells: Int = NumCells): DataFrame = {
+    val emb = withNearDupVecs(embRaw)
+    val sortedCells = sortedCellsFor(emb, numCells)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"),
+      element_at(sortedCells(col("embedding")), 1).getField("cell_id")
+        .as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("lo"), col("y.vec_id").as("vec_id"),
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.n2") * col("y.n2"))).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(col("lo")).as("keeper_id"),
+        max(col("cosine")).as("best_cosine"),
+        count(lit(1)).as("n_partners"))
+  }
+
+  def semDedupSql(numCells: Int = NumCells): String = {
+    val seedsCte = s"""
+      seeds AS (
+        SELECT vec_id AS cell_id, embedding AS sv,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+            (acc, x) -> acc + x) AS s2
+        FROM embeddings WHERE vec_id < $numCells)"""
+    val d2 = s"-2.0 * ${dotSql("e.embedding", "s.sv")} + s.s2"
+    s"""
+    WITH twinned AS ($withNearDupVecsSql),
+    $seedsCte,
+    dists AS (
+      SELECT e.vec_id, s.cell_id, $d2 AS d2
+      FROM twinned e CROSS JOIN seeds s),
+    ranked_cells AS (
+      SELECT vec_id, cell_id, d2,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, cell_id ASC) AS cell_rank
+      FROM dists),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+        ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
+      FROM twinned e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+    pairs AS (
+      SELECT x.vec_id AS lo, y.vec_id AS vec_id,
+        ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2) AS cosine
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2)
+        >= $NearDupCosine)
+    SELECT vec_id, min(lo) AS keeper_id, max(cosine) AS best_cosine,
+      count(*)::BIGINT AS n_partners
+    FROM pairs GROUP BY 1"""
+  }
 }

@@ -407,6 +407,47 @@ object TextAnalysis {
     FROM m"""
   }
 
+  /** SEL1 (E94) token budget for the driver query — sized so the cut
+    * lands strictly inside the corpus at every SF (the sf0.01 corpus
+    * carries ~15k whitespace tokens): the selection must be a real
+    * prefix, not all-docs or nothing. */
+  val SelBudget = 5000L
+
+  /** SEL1 (E94): budget-constrained quality selection — the data-curation
+    * cut that closes the classifier loop: rank the corpus by t12's
+    * quality score and keep the best documents until a GLOBAL TOKEN
+    * BUDGET is spent (the published "train on the top-X tokens by
+    * classifier" recipe). Selection is deterministic end to end: score
+    * ties break on doc_id, the cumulative token count is an exact integer
+    * prefix sum, and a doc is kept iff its running total fits the budget.
+    *
+    * The single-partition ordered prefix sum is the VERIFIABLE BASELINE
+    * (the x5/t13 convention — exact global order, honest cost). The
+    * 100-TB swap is the t13x path: approx_percentile on the score finds
+    * the budget's cutoff threshold (one mergeable narrow pass, no global
+    * sort), then a narrow `score >= τ` filter selects — join-free,
+    * sort-free, off by at most the sketch's rank error around the
+    * boundary. */
+  def budgetSelect(docs: DataFrame, budget: Long = SelBudget): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    classifierScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  def budgetSelectSql(budget: Long = SelBudget): String = s"""
+    WITH scored AS (${classifierScoreSql})
+    SELECT doc_id, n_tokens, score, cum_tokens FROM (
+      SELECT doc_id, n_tokens, score,
+        sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS cum_tokens
+      FROM scored)
+    WHERE cum_tokens <= $budget"""
+
   /** T14 (E86) count-min sketch geometry: 3 hash rows × 256 buckets.
     * The multipliers are the public Knuth/xxHash/FNV-family odd constants;
     * every bucket index is exact integer arithmetic below 2^63
@@ -481,6 +522,120 @@ object TextAnalysis {
       min(c.cell_n) - p.n_exact AS overestimate
     FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
     GROUP BY 1, 2"""
+  }
+
+  /** B1 (E92) bloom-filter geometry: 3 hash rows into 2048 bits stored as
+    * 64 words × 32 bits. Same public hash family as the count-min sketch
+    * ([[CmsA]]/[[CmsB]] over the rolling fingerprint, all arithmetic
+    * < 2^63), masks come from a literal 32-entry power-of-two table so
+    * neither engine evaluates a variable shift — both build the IDENTICAL
+    * filter and the probe results hash-compare exactly. 32-bit words keep
+    * every mask ≤ 2^31: no sign-bit cases in either engine's BIGINT. */
+  val BloomBits = 2048L
+  val BloomWordBits = 32L
+  private val BloomMasks: Seq[Long] = (0 until BloomWordBits.toInt).map(1L << _)
+
+  private def bloomPos(fp: Column, r: Int): Column =
+    pmod(pmod(fp * lit(CmsA(r)) + lit(CmsB(r)), lit(HashP)), lit(BloomBits))
+
+  /** B1 (E92): bloom-filter membership pruning — the set-MEMBERSHIP member
+    * of the sketch family (HLL a2x = cardinality, KLL x5x/t13x = rank,
+    * count-min t14 = frequency): summarize a block list (here the c1 eval
+    * fingerprints; in production a benchmark registry or an opt-out list)
+    * into a FIXED 64-long bit array and answer "definitely not in the
+    * set / maybe in the set" per corpus doc without ever joining the
+    * corpus against the list. Guarantees by construction: NO false
+    * negatives (every exact hit is bloom-maybe — visible in the output),
+    * false positives bounded by load factor (3 rows × |eval| bits set in
+    * 2048). The 100-TB role is JOIN PRUNING, the hand-rolled analog of
+    * Spark's own runtime bloom filters
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`): a corpus-sized
+    * scan checks a broadcast ≤64-row word table with narrow integer
+    * arithmetic and only the maybe-sliver pays the exact (shuffling)
+    * membership join. The word table is bit_or-mergeable across
+    * partitions AND batches — the incremental form needs no rescan, the
+    * k1/t11 accumulation convention. */
+  private def bloomMask(pos: Column): Column =
+    element_at(typedlit(BloomMasks),
+      pmod(pos, lit(BloomWordBits)).cast("int") + 1)
+
+  // word index = pos DIV 32 — as a shift (32 = 2^5) so it stays in
+  // integer arithmetic in one codegen'd expression
+  private def bloomWord(pos: Column): Column = shiftright(pos, 5)
+
+  private def bloomPositions(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) :+
+      explode(array((0 until CmsRows).map(r => bloomPos(col("fp"), r)): _*))
+        .as("pos"): _*)
+
+  /** The bloom word table as a standalone build: (word, bits) rows from a
+    * set of member fingerprints. Mergeable by construction — `bit_or` is
+    * associative/commutative/idempotent, so per-batch tables union +
+    * re-aggregate to exactly the one-shot table (CorpusOpsSpec pins it);
+    * the incremental block-list store never rescans history. */
+  def bloomWords(memberFps: DataFrame): DataFrame =
+    bloomPositions(memberFps)
+      .groupBy(bloomWord(col("pos")).as("word"))
+      .agg(bit_or(bloomMask(col("pos"))).as("bits"))
+
+  /** Merge per-batch word tables into one filter (the k1 hll_union_agg
+    * analog for membership). */
+  def bloomMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+
+  def bloomPrune(docs: DataFrame): DataFrame = {
+    def mask(pos: Column) = bloomMask(pos)
+    def word(pos: Column) = bloomWord(pos)
+    def positions(df: DataFrame) = bloomPositions(df)
+    val fps = docs.select(col("doc_id"),
+      charHash(norm(col("text"))).as("fp"))
+    val evalFps = fps.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("fp")).distinct()
+    val words = bloomWords(evalFps)
+    val probed = positions(fps)
+      .join(broadcast(words), word(col("pos")) === words("word"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(bool_and((coalesce(col("bits"), lit(0L))
+        .bitwiseAND(mask(col("pos")))) =!= 0).as("bloom_maybe"))
+    probed
+      .join(broadcast(evalFps.withColumn("hit", lit(true))), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_maybe"),
+        coalesce(col("hit"), lit(false)).as("exact_hit"),
+        (col("bloom_maybe") && !coalesce(col("hit"), lit(false)))
+          .as("false_positive"))
+  }
+
+  def bloomPruneSql: String = {
+    val aLit = CmsA.mkString("[", ", ", "]")
+    val bLit = CmsB.mkString("[", ", ", "]")
+    val mLit = BloomMasks.mkString("[", ", ", "]")
+    def pos(fp: String) =
+      s"(($fp * cst.ca[t.r + 1] + cst.cb[t.r + 1]) % $HashP) % $BloomBits"
+    s"""
+    WITH cst AS (SELECT $aLit::BIGINT[] AS ca, $bLit::BIGINT[] AS cb,
+      $mLit::BIGINT[] AS mk),
+    rs AS (SELECT unnest([0, 1, 2]) AS r),
+    fps AS (
+      SELECT doc_id, ${charHashSql(normSql("text"))} AS fp FROM documents),
+    eval AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+    words AS (
+      SELECT pos // $BloomWordBits AS word,
+        bit_or(cst.mk[(pos % $BloomWordBits)::INT + 1]) AS bits
+      FROM (SELECT ${pos("e.fp")} AS pos FROM eval e, rs t, cst), cst
+      GROUP BY 1),
+    probes AS (
+      SELECT f.doc_id, f.fp, ${pos("f.fp")} AS pos FROM fps f, rs t, cst),
+    hits AS (
+      SELECT p.doc_id, p.fp,
+        bool_and((coalesce(w.bits, 0) &
+          cst.mk[(p.pos % $BloomWordBits)::INT + 1]) <> 0) AS bloom_maybe
+      FROM probes p LEFT JOIN words w ON w.word = p.pos // $BloomWordBits,
+        cst
+      GROUP BY 1, 2)
+    SELECT h.doc_id, h.bloom_maybe, e.fp IS NOT NULL AS exact_hit,
+      h.bloom_maybe AND e.fp IS NULL AS false_positive
+    FROM hits h LEFT JOIN eval e ON e.fp = h.fp"""
   }
 
   /** C2 (E62): n-gram-level decontamination — the stronger form of C1's

@@ -74,7 +74,16 @@ object ScaleSweep {
     // candidate pairs quadratically — an artifact, not a plan property
     "as1_asof_purchase_click", "e1_debounce_batches",
     "e2_windowed_event_agg", "e3_range_join_incidents",
-    "e4_session_windows", "f14_funnel", "coh1_retention")
+    "e4_session_windows", "f14_funnel", "coh1_retention",
+    // round-8 additions: b1's probe is a broadcast ≤64-row join (expect
+    // flat structure, linear scan); c3's eval side grows with the id
+    // space (~corpus/97) but stays broadcast; sel1 pays the documented
+    // single-sort baseline (the swap is the t13x threshold path); d12's
+    // FIXED cell count means within-cell pairs grow ~quadratically in the
+    // fan-out — the measured wall whose executable knob is d12x (4× the
+    // cells → ~16× fewer candidate pairs)
+    "b1_bloom_prune", "c3_neardup_decon", "sel1_budget_select",
+    "d12_semdedup", "d12x_semdedup_cells")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the

@@ -181,4 +181,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(found === nTwins,
       s"all $nTwins planted twins must land in the same LSH bucket")
   }
+
+  test("d12 semdedup drops every planted twin at any cell count") {
+    // identical vectors get identical cell assignments whatever the cell
+    // count, so the within-cell pair join must surface each twin with its
+    // original as keeper — the twin-recall guarantee of the d6 test,
+    // carried to the data-adaptive (SemDeDup) candidate restriction and
+    // to its executable scale knob (64 cells)
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val nTwins = emb.count()
+    for (cells <- Seq(Similarity.NumCells, 64)) {
+      val out = Similarity.semDedup(emb, numCells = cells)
+        .filter(expr(s"vec_id >= ${Similarity.VecTwinOffset}")).cache()
+      try {
+        assert(out.count() === nTwins,
+          s"every twin must be dropped at $cells cells")
+        // the twin's original is always a partner (identical → cosine
+        // 1.0), so the min-id keeper can be at most the original's id —
+        // lower only if the original itself has a lower-id near-dup
+        assert(out.filter(
+          col("keeper_id") > col("vec_id") - Similarity.VecTwinOffset)
+          .count() === 0L, s"keeper above the original's id at $cells")
+        assert(out.filter(col("best_cosine") < 0.999).count() === 0L)
+      } finally out.unpersist()
+    }
+  }
 }

@@ -195,4 +195,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(TextAnalysis.ClfWeights.exists(_ > 0)
       && TextAnalysis.ClfWeights.exists(_ < 0))
   }
+
+  test("b1: bloom membership — no false negatives, real pruning power") {
+    val out = TextAnalysis.bloomPrune(docs).cache()
+    try {
+      // the bloom guarantee: a member is NEVER reported definitely-absent
+      assert(out.filter(col("exact_hit") && !col("bloom_maybe")).count()
+        === 0L, "bloom filter produced a false negative")
+      val n = out.count()
+      val hits = out.filter(col("exact_hit")).count()
+      assert(hits > 0, "fixture: eval fingerprints must hit the corpus")
+      // join-pruning power: at sf0.001 load factor (3 rows × ~5 eval fps
+      // of 2048 bits) the maybe-sliver must be a small fraction of the
+      // corpus, or the filter prunes nothing and the exact join runs full
+      val maybe = out.filter(col("bloom_maybe")).count()
+      assert(maybe < n / 2, s"no pruning: $maybe of $n maybe-hits")
+    } finally out.unpersist()
+  }
+
+  test("b1: bloom word table folds across batches to the one-shot filter") {
+    import graft.functions.TextFunctions._
+    // bit_or is associative/commutative/idempotent — building the filter
+    // from two disjoint member batches and merging must equal building it
+    // from the whole block list at once (the k1/t11 incremental-store
+    // convention for the membership sketch)
+    val fps = docs
+      .select(charHash(norm(col("text"))).as("fp"),
+        pmod(col("doc_id"), lit(97)).as("m"))
+      .filter(col("m") === 0).select(col("fp")).distinct().cache()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oneShot = rows(TextAnalysis.bloomWords(fps))
+      val merged = rows(TextAnalysis.bloomMerge(
+        TextAnalysis.bloomWords(fps.filter(pmod(col("fp"), lit(2)) === 0)),
+        TextAnalysis.bloomWords(fps.filter(pmod(col("fp"), lit(2)) =!= 0))))
+      assert(oneShot.nonEmpty && merged === oneShot)
+    } finally { fps.unpersist(); () }
+  }
+
+  test("c3: planted near-dup twins of eval docs are flagged") {
+    import graft.dedup.Dedup
+    val out = Dedup.crossCorpusNearDups(
+      TextAnalysis.withSourcedTwins(docs)).cache()
+    try {
+      val nEval = docs.filter(pmod(col("doc_id"), lit(97)) === 0).count()
+      assert(nEval > 0, "fixture: eval set must be non-empty")
+      // each eval doc's planted twin (id + TwinOffset, one appended token)
+      // shares all but ≤3 shingles with its original — LSH banding plus
+      // the 16-hash agreement estimate must flag every (twin, eval) pair
+      val twinPairs = out.filter(
+        col("doc_id") === col("eval_doc_id") + Dedup.TwinOffset).count()
+      assert(twinPairs >= nEval,
+        s"planted twins not all flagged: $twinPairs < $nEval")
+    } finally out.unpersist()
+  }
 }
