@@ -20,7 +20,15 @@ object Verify {
     // absence-by-exception reads as silence (9 queries vanished from the
     // correctness board without a trace).
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid (Bench's SPARK_GRAFT_ONLY convention): restrict the dump —
+    // and the oracle manifest, so tools/check_oracle.py compares exactly
+    // the restricted set — to iterate one query without the full run.
+    // Unset in driver runs, where everything dumps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,9 +53,10 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val total = SparkEntry.queries.size
+    val total = queries.size
     println(s"[verify] ${total - failed.size}/$total ok" +
       (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(", ")}"))
     spark.stop()

@@ -474,14 +474,34 @@ object TextAnalysis {
     * hash-verifiable: both engines build the identical deterministic
     * sketch, so `n_est` compares exactly, and `overestimate` SHOWS the
     * collision cost instead of hiding it behind a probability bound. */
+  private def cmsRowBuckets(h: Column): Column =
+    explode(array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsBucket(h, r).as("bucket"))): _*))
+
+  /** The count-min cell table as a standalone build: (r, bucket, cell_n)
+    * from a corpus batch. Mergeable by construction — cells are COUNTS,
+    * so per-batch tables union + re-sum to exactly the one-shot table
+    * (CorpusOpsSpec pins it), the additive twin of the bloom word
+    * table's bit_or fold: the streaming/incremental heavy-hitters store
+    * never rescans history. */
+  def cmsCells(docs: DataFrame): DataFrame =
+    docs.select(explode(toksCol).as("token"))
+      .select(charHash(col("token")).as("h"))
+      .select(cmsRowBuckets(col("h")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+
+  /** Merge per-batch count-min cell tables (counts add). */
+  def cmsMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cell_n")).as("cell_n"))
+
   def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
     val tok = docs.select(explode(toksCol).as("token"))
       .select(col("token"), charHash(col("token")).as("h"))
-    def rbs(h: Column) = explode(array((0 until CmsRows).map(r =>
-      struct(lit(r).as("r"), cmsBucket(h, r).as("bucket"))): _*))
-    val cells = tok.select(rbs(col("h")).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
+    def rbs(h: Column) = cmsRowBuckets(h)
+    val cells = cmsCells(docs)
     val top = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("n_exact"), min(col("h")).as("h"))
       .orderBy(col("n_exact").desc, col("token").asc).limit(k)

@@ -234,6 +234,19 @@ class CorpusOpsSpec extends SparkSpec {
     } finally { fps.unpersist(); () }
   }
 
+  test("t14: count-min cells fold across batches to the one-shot sketch") {
+    // cells are counts — building the sketch from two disjoint corpus
+    // batches and summing must equal building it from the whole corpus
+    // (the additive twin of the bloom bit_or fold)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = rows(TextAnalysis.cmsCells(docs))
+    val merged = rows(TextAnalysis.cmsMerge(
+      TextAnalysis.cmsCells(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      TextAnalysis.cmsCells(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))))
+    assert(oneShot.nonEmpty && merged === oneShot)
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
