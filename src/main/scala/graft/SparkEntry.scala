@@ -781,6 +781,15 @@ object SparkEntry {
     // windows ([error ts, +30 min], errors with value > 90). Binned to an
     // equi-join (graft.operators.RangeJoin) instead of the O(n·m)
     // nested-loop Spark would otherwise plan; output is exact.
+    // E96 (JC1): join-cardinality estimation from count-min key sketches
+    // — the CBO statistics primitive: est |orders ⋈ events| on the
+    // customer key from two fixed 3×8192 mergeable sketches
+    // (inner-product bound, never an underestimate) vs the exact
+    // key-grain product.
+    "jc1_join_card_sketch" -> ((s, d) =>
+      graft.operators.JoinCardinality.ordersEventsJoinCard(
+        Sources.table(s, d, "orders"), Sources.table(s, d, "events"))),
+
     "e3_range_join_incidents" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       val tsSec = Sources.epochSec(ev)
@@ -1574,6 +1583,9 @@ object SparkEntry {
     "p4_semi_orders_with_items" -> s"""$ctes
       SELECT o.order_id FROM o
       WHERE EXISTS (SELECT 1 FROM oi WHERE oi.order_id = o.order_id)""",
+
+    "jc1_join_card_sketch" ->
+      graft.operators.JoinCardinality.ordersEventsJoinCardSql,
 
     // the binned equi-join must equal this plain containment join exactly
     "e3_range_join_incidents" -> """

@@ -161,4 +161,18 @@ class SkewJoinSpec extends SparkSpec {
       .select(countDistinct(col("__salt"))).head().getLong(0)
     assert(spread > 8, s"hot key should spread over many salt buckets, got $spread")
   }
+
+  test("jc1: sketch join-size estimate never underestimates; exact is true") {
+    import graft.operators.JoinCardinality
+    val orders = Sources.table(spark, sf0001, "orders")
+    val events = Sources.table(spark, sf0001, "events")
+    val row = JoinCardinality.ordersEventsJoinCard(orders, events).head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    // the CM inner-product bound: collisions only ADD counts
+    assert(est >= exact, s"underestimate: $est < $exact")
+    // the exact side really is the join's size
+    val joined = orders.join(events,
+      orders("o_custkey") === events("user_id")).count()
+    assert(exact === joined)
+  }
 }
