@@ -414,14 +414,11 @@ object SparkEntry {
     // view: per-split doc count, token mass, and share — one narrow scan,
     // one 3-row aggregate, a window for the share normalizer.
     "s2_split_audit" -> ((s, d) => {
-      val h = substring(
-        graft.functions.TextFunctions.docIdHash(col("doc_id")), 1, 2)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy()
       Sources.table(s, d, "documents")
         .select(
-          when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
-            .as("split"),
+          graft.functions.TextFunctions.splitOf(col("doc_id")).as("split"),
           size(graft.functions.TextFunctions.tokens(
             graft.functions.TextFunctions.norm(col("text"))))
             .cast("long").as("n_tokens"))
@@ -590,6 +587,13 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E97 (S3): split-leakage audit — near-dup pairs straddling the
+    // E83 train/val/test hash split ("dedup before you split" made
+    // measurable): d3's pairs, sides split-labeled by the shared rule,
+    // off-diagonal cells of the (split, split) matrix flagged.
+    "s3_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(Sources.table(s, d, "documents"))),
 
     // E37 (D9): duplicate clustering — connected components over the
     // MinHash-LSH pair graph (iterative min-label propagation with
@@ -1321,10 +1325,7 @@ object SparkEntry {
 
     "s2_split_audit" -> s"""
       WITH assigned AS (
-        SELECT CASE
-            WHEN substr(${graft.functions.TextFunctions.docIdHashSql("doc_id")}, 1, 2) < 'cc' THEN 'train'
-            WHEN substr(${graft.functions.TextFunctions.docIdHashSql("doc_id")}, 1, 2) < 'e6' THEN 'val'
-            ELSE 'test' END AS split,
+        SELECT ${graft.functions.TextFunctions.splitOfSql("doc_id")} AS split,
           len(${graft.functions.TextFunctions.tokensSql(
             graft.functions.TextFunctions.normSql("text"))})::BIGINT
             AS n_tokens
@@ -1386,6 +1387,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
     "d3_minhash_lsh" ->
       Dedup.minhashLshPairsSql(Dedup.withNearDupsSql("documents")),
+    "s3_split_leakage" ->
+      Dedup.splitLeakageSql(Dedup.withNearDupsSql("documents")),
     "d9_dup_clusters" ->
       Dedup.dupClustersSql(Dedup.withNearDupsSql("documents")),
     "r2_dup_spans" ->

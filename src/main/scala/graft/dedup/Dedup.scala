@@ -616,6 +616,45 @@ object Dedup {
     WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold"""
   }
 
+  // ---- S3: split-leakage audit ---------------------------------------------
+
+  /** S3 (E97): split-LEAKAGE audit — the check that closes the loop
+    * between the dedup tier and the split tier: hash-range splitting
+    * (E83) assigns docs independently, so two near-duplicate documents
+    * can land in train AND val/test — the eval split then scores the
+    * model on (near-)training data. The published hygiene rule is
+    * "dedup BEFORE you split"; this operator measures how much leakage a
+    * split carries: d3's MinHash-LSH near-dup pairs, each side assigned
+    * its split by the SHARED E83 rule
+    * ([[graft.functions.TextFunctions.splitOf]] — one convention, two
+    * consumers), aggregated to the (split, split) matrix with the
+    * off-diagonal flagged. Cost is d3's pair pass + a 6-row aggregate:
+    * nothing beyond the dedup the pipeline should already run. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.splitOf
+    minhashLshPairs(withNearDups(docs))
+      .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
+  def splitLeakageSql(corpus: String): String = {
+    import graft.functions.TextFunctions.splitOfSql
+    s"""
+    WITH p AS (SELECT * FROM (${minhashLshPairsSql(corpus)}) q),
+    labeled AS (
+      SELECT ${splitOfSql("p.doc_a")} AS sa,
+        ${splitOfSql("p.doc_b")} AS sb
+      FROM p)
+    SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+      count(*)::BIGINT AS n_pairs,
+      least(sa, sb) <> greatest(sa, sb) AS is_leak
+    FROM labeled GROUP BY 1, 2"""
+  }
+
   // ---- D4: SimHash ---------------------------------------------------------
 
   val SimhashBits = 32

@@ -69,6 +69,21 @@ object TextFunctions {
 
   def docIdHashSql(id: String): String = s"md5(CAST($id AS VARCHAR))"
 
+  /** E83/E97 deterministic train/val/test assignment (≈80/10/10 by the
+    * first two hex chars of [[docIdHash]]): rerun/retry-stable, zero
+    * coordination — any worker re-derives any doc's split. Shared by the
+    * s2 split audit and the s3 split-leakage audit so the convention
+    * lives in one place. */
+  def splitOf(id: Column): Column = {
+    val h = substring(docIdHash(id), 1, 2)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def splitOfSql(id: String): String =
+    s"""CASE WHEN substr(${docIdHashSql(id)}, 1, 2) < 'cc' THEN 'train'
+       |  WHEN substr(${docIdHashSql(id)}, 1, 2) < 'e6' THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+
   /** BPE-ish subword token pattern: letter runs, single digits, single
     * non-alnum marks — the shape of a byte-pair pre-tokenizer's splits. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"

@@ -247,6 +247,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(oneShot.nonEmpty && merged === oneShot)
   }
 
+  test("s3: leakage matrix partitions d3's pair set, off-diagonal flagged") {
+    import graft.dedup.Dedup
+    val nPairs = Dedup.minhashLshPairs(Dedup.withNearDups(docs)).count()
+    val m = Dedup.splitLeakage(docs).collect()
+    // every near-dup pair lands in exactly one (split, split) cell
+    assert(m.map(_.getLong(2)).sum === nPairs)
+    assert(m.forall(r => r.getBoolean(3) === (r.getString(0) != r.getString(1))))
+    // independent hash splitting MUST leak on a corpus with planted twins
+    // (a twin's id hashes to an unrelated split) — the fact the audit exists
+    assert(m.filter(_.getBoolean(3)).map(_.getLong(2)).sum > 0)
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
