@@ -83,7 +83,12 @@ object ScaleSweep {
     // fan-out — the measured wall whose executable knob is d12x (4× the
     // cells → ~16× fewer candidate pairs)
     "b1_bloom_prune", "c3_neardup_decon", "sel1_budget_select",
-    "d12_semdedup", "d12x_semdedup_cells")
+    "d12_semdedup", "d12x_semdedup_cells",
+    // jc1: the orders side is NOT fanned out (the sweep scales
+    // documents/embeddings/events), so the curve isolates the events-side
+    // sketch build — expect linear scan cost, constant ≤3×8192 state,
+    // flat jobs; s3 rides d3's pair pass + a 6-row aggregate
+    "jc1_join_card_sketch", "s3_split_leakage")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the
@@ -186,6 +191,10 @@ object ScaleSweep {
         scaleEvents(spark.read.parquet(s"$srcDir/events.parquet"), f)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
+        // pass-through (UNscaled) tables sweep queries also read — jc1's
+        // orders dimension: the sweep isolates the events-side growth
+        spark.read.parquet(s"$srcDir/orders.parquet")
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
         f -> out
       }
     }
