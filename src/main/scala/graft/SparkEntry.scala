@@ -359,6 +359,14 @@ object SparkEntry {
     "t12_quality_classifier" -> ((s, d) =>
       TextAnalysis.classifierScore(Sources.table(s, d, "documents"))),
 
+    // E98 (LM1): bigram LM quality scoring — the CCNet/KenLM curation
+    // stage: corpus-trained conditional-frequency table scores each
+    // doc's token transitions; integer-deterministic (ratio of exact
+    // sums + order-independent min) instead of fold-order-sensitive
+    // log-probs.
+    "lm1_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Sources.table(s, d, "documents"))),
+
     // E94 (SEL1): budget-constrained quality selection — keep the
     // best-scored docs until a global token budget is spent (the
     // "top-X tokens by classifier" curation cut). Exact ordered prefix
@@ -1306,6 +1314,7 @@ object SparkEntry {
     "t7_token_rarity" -> TextAnalysis.tokenRaritySql,
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
     "sel1_budget_select" -> TextAnalysis.budgetSelectSql(),
+    "lm1_bigram_lm" -> TextAnalysis.bigramLmScoreSql,
 
     "t13x_approx_deciles" -> """
       SELECT 9::BIGINT AS n_bounds, 9::BIGINT AS n_within""",

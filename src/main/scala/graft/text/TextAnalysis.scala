@@ -407,6 +407,73 @@ object TextAnalysis {
     FROM m"""
   }
 
+  /** LM1 (E98): bigram language-model quality scoring — the CCNet/KenLM
+    * stage of a curation pipeline: train an n-gram LM on the corpus,
+    * score every document by how probable its token sequence is, filter
+    * the improbable tail. The LM here is the corpus's own bigram
+    * conditional-frequency table (production would train on a trusted
+    * reference corpus and broadcast the table — same join shape);
+    * deliberately integer-deterministic instead of log-prob floats: a
+    * summed log-likelihood would make the fold order part of the answer,
+    * so the score is the RATIO of two exact integer sums
+    * (Σ C(w1,w2) / Σ C(w1) over the doc's bigrams — a frequency-weighted
+    * mean conditional probability) and the weakest-link signal is a MIN
+    * of per-bigram doubles (order-independent). Low `min_cond_prob` =
+    * the doc contains a token transition the corpus has (almost) never
+    * seen — the improbable-sequence detector.
+    *
+    * Scale: one narrow pass builds the doc bigram stream; the pair and
+    * left-unigram count tables are vocabulary²-/vocabulary-bounded
+    * aggregates (the t7/t10 statistics shape); the join-backs are
+    * broadcast when the vocabulary is small (here) and plain shuffle
+    * joins otherwise — never wider than the bigram stream itself. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
+    val emptyPairs = array().cast("array<struct<a:bigint,b:bigint>>")
+    val bi = tok.select(col("doc_id"),
+      explode(when(size(col("th")) < 2, emptyPairs)
+        .otherwise(transform(sequence(lit(1), size(col("th")) - 1), i =>
+          struct(element_at(col("th"), i).as("a"),
+            element_at(col("th"), i + lit(1)).as("b"))))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cPair = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val cLeft = bi.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+    bi.join(broadcast(cPair), Seq("a", "b"))
+      .join(broadcast(cLeft), Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("n_ab")).as("sum_pair_freq"),
+        sum(col("n_a")).as("sum_left_freq"),
+        min(col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("min_cond_prob"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_pair_freq").cast("double") /
+          col("sum_left_freq").cast("double")).as("lm_score"),
+        col("min_cond_prob"))
+  }
+
+  def bigramLmScoreSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    bi AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(th)), i -> th[i])) AS a,
+        unnest(list_transform(range(1, len(th)), i -> th[i + 1])) AS b
+      FROM t WHERE len(th) >= 2),
+    cpair AS (
+      SELECT a, b, count(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+    cleft AS (
+      SELECT a, count(*)::BIGINT AS n_a FROM bi GROUP BY 1)
+    SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+      sum(cpair.n_ab)::DOUBLE / sum(cleft.n_a)::DOUBLE AS lm_score,
+      min(cpair.n_ab::DOUBLE / cleft.n_a::DOUBLE) AS min_cond_prob
+    FROM bi
+    JOIN cpair ON bi.a = cpair.a AND bi.b = cpair.b
+    JOIN cleft ON bi.a = cleft.a
+    GROUP BY 1"""
+
   /** SEL1 (E94) token budget for the driver query — sized so the cut
     * lands strictly inside the corpus at every SF (the sf0.01 corpus
     * carries ~15k whitespace tokens): the selection must be a real

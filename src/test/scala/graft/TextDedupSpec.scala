@@ -23,6 +23,22 @@ class TextDedupSpec extends SparkSpec {
       spark.sparkContext.parallelize(
         rows.map { case (i, t) => Row(i, t, "en") }, 2), docSchema)
 
+  test("lm1: bigram LM score is the exact hand-computed ratio") {
+    // corpus: d1 = "a b a b", d2 = "a c"
+    // bigram stream: (a,b) (b,a) (a,b) | (a,c)
+    // C(a,b)=2 C(b,a)=1 C(a,c)=1; left counts C(a)=3 C(b)=1
+    // d1: sum_pair = 2+1+2 = 5, sum_left = 3+1+3 = 7, min = min(2/3, 1) = 2/3
+    // d2: sum_pair = 1, sum_left = 3
+    val out = TextAnalysis.bigramLmScore(docs((1L, "a b a b"), (2L, "a c")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 5.0 / 7.0, 2.0 / 3.0)))
+    assert(out(2L) === ((1L, 1.0 / 3.0, 1.0 / 3.0)))
+    // a single-token doc has no bigrams and is absent from the doc grain
+    assert(!TextAnalysis.bigramLmScore(docs((1L, "a b"), (2L, "a")))
+      .collect().map(_.getLong(0)).contains(2L))
+  }
+
   test("charHash: deterministic rolling fold, whitespace-normalized input") {
     val out = docs((1L, "ab")).select(
       TextFunctions.charHash(col("text"))).head().getLong(0)
