@@ -1091,6 +1091,31 @@ object SparkEntry {
             .otherwise(1L).as("depth"))
     }),
 
+    // E99 (PATH1): event-transition matrix — the user-journey (Markov)
+    // view product analytics builds where f14 fixes three stages: counts
+    // and row-normalized probabilities of every consecutive
+    // (event_type → next event_type) transition within a user's
+    // timeline. ONE user-grain window pass (lead over the user
+    // partition, event_id tiebreak for simultaneous events) + a
+    // type-pair aggregate — the matrix is |types|² rows however large
+    // the event log; p is a ratio of exact longs (the lm1 discipline).
+    "path1_event_transitions" -> ((s, d) => {
+      val ev0 = Sources.table(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      ev0.select(col("user_id"), col("event_id"),
+          col("event_type").as("from_type"), Sources.epochUs(ev0).as("ts_us"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p", col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wp).cast("double"))
+    }),
+
     // E89 (COH1): signup-cohort retention matrix — users bucketed by the
     // epoch week of their FIRST signup; cell (cohort_week, k) counts the
     // distinct users of that cohort active in ANY event k weeks later.
@@ -1491,6 +1516,21 @@ object SparkEntry {
               WHEN c.click_us IS NOT NULL THEN 2
               ELSE 1 END)::BIGINT AS depth
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN pch USING (user_id)""",
+
+    "path1_event_transitions" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, event_type AS from_type,
+          epoch_us(ts) AS ts_us
+        FROM events),
+      s AS (
+        SELECT from_type,
+          lead(from_type) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) AS to_type
+        FROM ev)
+      SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+        count(*)::DOUBLE /
+          sum(count(*)) OVER (PARTITION BY from_type)::DOUBLE AS p
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2""",
 
     "x8_cube_revenue" -> s"""$ctes
       SELECT substr(o.created_at, 1, 7) AS order_month,

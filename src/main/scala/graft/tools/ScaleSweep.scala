@@ -88,7 +88,12 @@ object ScaleSweep {
     // documents/embeddings/events), so the curve isolates the events-side
     // sketch build — expect linear scan cost, constant ≤3×8192 state,
     // flat jobs; s3 rides d3's pair pass + a 6-row aggregate
-    "jc1_join_card_sketch", "s3_split_leakage")
+    "jc1_join_card_sketch", "s3_split_leakage",
+    // lm1's count tables are vocabulary-bounded (the fan-out bijection
+    // keeps the vocabulary FIXED, so only the bigram stream grows);
+    // path1's matrix is |types|² whatever the log size — both should be
+    // ≤ linear with flat job structure
+    "lm1_bigram_lm", "path1_event_transitions")
 
   /** Substitute every token through the copy-`k` vocabulary shift
     * bijection; `subst` is the collected token→token map (bounded: the
