@@ -483,6 +483,125 @@ object Pipeline {
     readOrInit(spark, path, schema).count()
   }
 
+  /** E100: keyed HARD DELETE over the store — the "right to be
+    * forgotten" operator a lake under GDPR/CCPA needs: remove every row
+    * matching `keyValues` from the CURRENT snapshot via the same
+    * epoch-commit protocol as the batch merge (touched partitions
+    * rewritten by left-anti join, emptied partitions retired from the
+    * manifest, one atomic manifest publish), and then COMPLETE the
+    * erasure in the version store: `.hist/<epoch>` archived partition
+    * copies (the readAt time-travel data) are rewritten dropping the
+    * keys, and this batch's own `.bak` copies are deleted immediately —
+    * erasure semantics deliberately trump the deferred-`.bak`
+    * reader-isolation window for the touched partitions, the same trade
+    * Delta makes when VACUUM removes files a straggling reader might
+    * still reference.
+    *
+    * The pass is IDEMPOTENT and crash-restartable: the history purge
+    * runs unconditionally (not gated on current-snapshot hits), so a
+    * rerun after a crash between the snapshot commit and the history
+    * rewrite finishes the job; time travel to pre-delete epochs still
+    * works and returns the forgotten keys' partitions WITHOUT their rows.
+    *
+    * @return (manifest epoch after the call, rows deleted from the
+    *         current snapshot)
+    */
+  def forgetKeys(spark: SparkSession, path: String, schema: StructType,
+      keyValues: DataFrame, keys: Seq[String],
+      partCol: String = "order_date"): (Long, Long) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    require(!keys.contains(partCol),
+      s"forget keys must be data columns, not the partition column $partCol")
+    val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    restoreBackups(fs, path)
+    val baseEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+    def conflictCheck(stage: String): Unit = {
+      val now = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+      if (now != baseEpoch)
+        throw new StoreConflictException(
+          s"store $path: manifest epoch moved $baseEpoch -> $now ($stage)" +
+            " — a concurrent writer committed during the delete; re-run" +
+            " against the new snapshot.")
+    }
+    val kv = keyValues.select(keys.map(col): _*).distinct().persist()
+    try {
+      val snapshot = readOrInit(spark, path, schema)
+      val touched = snapshot.join(kv, keys, "left_semi")
+      val deleted = touched.count()
+      var epoch = baseEpoch
+      if (deleted > 0L) {
+        val dates = touched.select(col(partCol)).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val remaining = snapshot.where(col(partCol).isin(dates: _*))
+          .join(kv, keys, "left_anti")
+          .select(schema.fieldNames.map(col): _*)
+        val tmp = path + ".tmp"
+        fs.delete(new HPath(tmp), true)
+        remaining.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+        // a fully-emptied partition writes no dir — it is RETIRED from
+        // the manifest rather than swapped
+        val present = listPartitionDirs(fs, tmp, partCol)
+        val emptied = dates.diff(present)
+        conflictCheck("at commit")
+        val baseParts = latestManifest(fs, path).map(_.partitions)
+          .getOrElse(listPartitionDirs(fs, path, partCol))
+        writeBakEpoch(fs, path, baseEpoch)
+        present.foreach { dt =>
+          swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
+            new HPath(s"$path/$partCol=$dt"),
+            new HPath(s"$path.bak/$partCol=$dt"))
+        }
+        emptied.foreach { dt =>
+          val dst = new HPath(s"$path/$partCol=$dt")
+          val bak = new HPath(s"$path.bak/$partCol=$dt")
+          if (fs.exists(bak)) fs.delete(bak, true)
+          if (fs.exists(dst)) {
+            if (!fs.exists(bak.getParent)) fs.mkdirs(bak.getParent)
+            renameOrFail(fs, dst, bak)
+          }
+        }
+        fs.delete(new HPath(tmp), true)
+        writeManifest(fs, path, baseEpoch + 1, partCol,
+          (baseParts.diff(emptied) ++ present).distinct.sorted)
+        dropOldManifests(fs, path, current = baseEpoch + 1)
+        // erasure > deferred isolation: this batch's .bak copies carry
+        // the forgotten rows — delete them NOW instead of leaving them
+        // for the next batch's archive sweep (which would re-introduce
+        // the rows into .hist)
+        dates.foreach { dt =>
+          fs.delete(new HPath(s"$path.bak/$partCol=$dt"), true)
+        }
+        epoch = baseEpoch + 1
+      }
+      // history purge — unconditional, so a crashed/partial prior run is
+      // finished by a rerun. Archived dirs carry the data columns only
+      // (the partition value is the dir name), so read with the explicit
+      // data schema and rewrite in place when the keys appear.
+      val dataSchema = StructType(schema.filterNot(_.name == partCol))
+      val histRoot = new HPath(path + ".hist")
+      if (fs.exists(histRoot)) {
+        for (ep <- fs.listStatus(histRoot).toSeq if ep.isDirectory;
+             pd <- fs.listStatus(ep.getPath).toSeq
+             if pd.isDirectory && pd.getPath.getName.startsWith(partCol + "=")) {
+          val dir = pd.getPath.toString
+          val h = spark.read.schema(dataSchema).parquet(dir)
+          if (h.join(kv, keys, "left_semi").limit(1).count() > 0) {
+            val htmp = new HPath(ep.getPath, s"_${pd.getPath.getName}.fk.tmp")
+            fs.delete(htmp, true)
+            spark.read.schema(dataSchema).parquet(dir)
+              .join(kv, keys, "left_anti")
+              .coalesce(1)
+              .write.parquet(htmp.toString)
+            fs.delete(pd.getPath, true)
+            renameOrFail(fs, htmp, pd.getPath)
+          }
+        }
+      }
+      (epoch, deleted)
+    } finally { kv.unpersist(); () }
+  }
+
   /** E57: manifest-aware retention sweep — expire store partitions whose
     * value sorts below `keepFrom` (dates: "keep the last N days"). The
     * VACUUM every incremental store eventually needs: without it a daily

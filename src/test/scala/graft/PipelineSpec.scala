@@ -739,4 +739,53 @@ class PipelineSpec extends SparkSpec {
       .map(_.getAs[String]("order_date")).sorted.toSeq
       === Seq("2024-06-02", "2024-06-03"))
   }
+
+  test("forgetKeys hard-deletes a key from snapshot AND history (E100)") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/fkstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "category STRING, order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>")
+    def updates(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("category", "order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .select(schema.fieldNames.map(col): _*)
+    def upsert(rows: (String, String, Long)*) =
+      Pipeline.upsertStore(spark, path, schema, updates(rows: _*),
+        Seq("category", "order_date"), Seq("total_orders"),
+        partCol = "order_date")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[String]("order_date"))
+        -> r.getAs[Long]("total_orders")).toMap
+
+    upsert(("A", "2024-06-01", 1L), ("B", "2024-06-01", 2L),
+      ("A", "2024-06-02", 3L), ("B", "2024-06-02", 4L)) // epoch 1
+    upsert(("A", "2024-06-02", 30L))                    // epoch 2
+    upsert(("B", "2024-06-01", 20L))                    // epoch 3
+
+    val (epoch, deleted) = Pipeline.forgetKeys(spark, path, schema,
+      Seq("A").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(epoch === 4L && deleted === 2L)
+    // current snapshot: A gone, B rows untouched
+    assert(rowsOf(Pipeline.readOrInit(spark, path, schema)) ===
+      Map(("B", "2024-06-01") -> 20L, ("B", "2024-06-02") -> 4L))
+    // history: time travel still works but never returns the forgotten
+    // key — at epoch 1 B carries its ORIGINAL values
+    assert(rowsOf(Pipeline.readAt(spark, path, 1L, schema)) ===
+      Map(("B", "2024-06-01") -> 2L, ("B", "2024-06-02") -> 4L))
+    assert(rowsOf(Pipeline.readAt(spark, path, 3L, schema)) ===
+      Map(("B", "2024-06-01") -> 20L, ("B", "2024-06-02") -> 4L))
+    // idempotent rerun: nothing left to delete, epoch unchanged
+    val (epoch2, deleted2) = Pipeline.forgetKeys(spark, path, schema,
+      Seq("A").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(epoch2 === 4L && deleted2 === 0L)
+    // the partition column is not a legal forget key
+    intercept[IllegalArgumentException] {
+      Pipeline.forgetKeys(spark, path, schema,
+        Seq("2024-06-01").toDF("order_date"), Seq("order_date"),
+        partCol = "order_date")
+    }
+  }
 }
