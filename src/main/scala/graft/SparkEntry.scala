@@ -777,6 +777,20 @@ object SparkEntry {
     // hash-verifies the window semantics themselves. Decimal-sum the
     // double measure so the result is order-independent (exact) and
     // matches the oracle bit-for-bit.
+    // E101 (E5): stream-static enrichment, aggregated to the per-segment
+    // KPI — events decorated from the customer dimension (broadcast left
+    // join, unknown keys kept as the NULL segment), then the
+    // decision-grade rollup. The enrichment transform itself runs
+    // batch AND streaming unchanged (StreamingAggSpec parity).
+    "e5_segment_kpi" -> ((s, d) =>
+      graft.streaming.Enrich.enrichEvents(Sources.table(s, d, "events"),
+          Sources.table(s, d, "customer"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))),
+
     "e2_windowed_event_agg" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       ev.select(timestamp_micros(Sources.epochUs(ev)).as("t"),
@@ -1704,6 +1718,13 @@ object SparkEntry {
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2""",
+
+    "e5_segment_kpi" -> """
+      SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+        CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        count(DISTINCT e.user_id) AS n_users
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1""",
 
     "a1c_category_kpi_compat" -> s"""$ctes,
       os AS (SELECT CAST(order_id AS VARCHAR) AS order_id FROM o),

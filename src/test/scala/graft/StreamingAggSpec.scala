@@ -121,4 +121,40 @@ class StreamingAggSpec extends SparkSpec {
       assert(streamOut.toSeq === batchOut.toSeq)
     } finally q.stop()
   }
+
+  test("E101 stream-static enrichment equals the batch join; unknowns flagged") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.Enrich
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    val events = Seq(
+      (1L, 10L, "view", 1.0), (2L, 11L, "click", 2.0),
+      (3L, 99L, "view", 3.0), (4L, 10L, "purchase", 4.0))
+    events.toDF("event_id", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$in/f1")
+    val dim = Seq((10L, "AUTOMOBILE"), (11L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+
+    val batchOut = Enrich.enrichEvents(
+      spark.read.schema(schema).parquet(s"$in/*"), dim)
+      .collect().map(_.toString).sorted.toSeq
+    // unknown user 99: kept, NULL segment, flagged
+    assert(batchOut.exists(_.contains("3,99,view,3.0,null,false")))
+
+    // the SAME transform as a streaming query (broadcast join per
+    // micro-batch; no state store, no watermark, append mode)
+    val q = Enrich.enrichEvents(
+        spark.readStream.schema(schema).parquet(s"$in/*"), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.sql("SELECT * FROM enrich_out")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamOut === batchOut)
+    } finally q.stop()
+  }
 }
