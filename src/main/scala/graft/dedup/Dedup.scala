@@ -194,7 +194,7 @@ object Dedup {
     val m = dfs.agg(
       coalesce(sum(col("df")), lit(0L)).as("total"),
       coalesce(sum(when(col("df") <= maxDf, col("df"))), lit(0L))
-        .as("kept")).head
+        .as("kept")).head()
     val (total, kept) = (m.getLong(0), m.getLong(1))
     System.err.println(
       s"[graft.d7] shingle mass total=$total kept=$kept " +
@@ -369,7 +369,7 @@ object Dedup {
         val next = hop(hop(labels)).localCheckpoint(eager = false)
         val s = next
           .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-          .head.getDecimal(0)
+          .head().getDecimal(0)
         converged = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
         labels = next

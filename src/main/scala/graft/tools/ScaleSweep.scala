@@ -106,7 +106,7 @@ object ScaleSweep {
   }
 
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
-    val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val vocab = docs
       .select(explode(TextFunctions.tokens(
         TextFunctions.norm(col("text")))).as("t"))
@@ -127,7 +127,7 @@ object ScaleSweep {
   }
 
   def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
-    val stride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until factor).map { k =>
       val vec =
         if (k == 0) col("embedding")
@@ -153,7 +153,7 @@ object ScaleSweep {
   def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
     val tsUs = graft.io.Sources.epochUs(ev)
     val r = ev.agg(min(tsUs), max(tsUs), max(col("event_id")),
-      max(col("user_id"))).head
+      max(col("user_id"))).head()
     val weekUs = 604800000000L
     val spanWeeks = (r.getLong(1) - r.getLong(0)) / weekUs + 2
     val idStride = r.getLong(2) + 1
