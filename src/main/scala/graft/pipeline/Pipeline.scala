@@ -382,6 +382,10 @@ object Pipeline {
     val fsPre = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
+    // a crashed forgetKeys leaves a durable tombstone ([[forgetKeys]]'s
+    // crash contract); finish that erasure BEFORE this batch's recovery
+    // sweep could archive backup copies still carrying the forgotten rows
+    completePendingForget(spark, path, schema, partCol)
     restoreBackups(fsPre, path)
 
     // Optimistic concurrency (the Delta conflict-detection analogue over
@@ -503,6 +507,26 @@ object Pipeline {
     * rewrite finishes the job; time travel to pre-delete epochs still
     * works and returns the forgotten keys' partitions WITHOUT their rows.
     *
+    * Crash contract (what makes the rerun guaranteed rather than hoped
+    * for): before any mutation the keys are recorded durably as a
+    * TOMBSTONE — a parquet directory at `<store>.forget.pending` — and
+    * the tombstone is cleared only after the history purge completes.
+    * While it is outstanding, (a) [[restoreBackups]] DELETES orphan
+    * `.bak` copies instead of archiving them to `.hist` (they are the
+    * crashed forget's own pre-delete copies and carry the forgotten
+    * rows — erasure outranks the time-travel archive, the same trade
+    * this operator already makes for its own `.bak` cleanup), and
+    * (b) [[upsertStore]] and a fresh `forgetKeys` call complete the
+    * pending erasure at entry (same key columns are unioned in; a
+    * different key set is finished as its own pass first), so a routine
+    * batch after a crash can never silently retain the keys.
+    *
+    * The `.hist` rewrite itself swaps rename-aside: old dir →
+    * `_<dir>.fk.old`, rewritten `_<dir>.fk.tmp` → live name, then the
+    * old copy is dropped — a readable copy of the archived partition
+    * exists on disk at every instant, and the purge's recovery preamble
+    * finishes (or rolls back) any half-done swap a crash left behind.
+    *
     * @return (manifest epoch after the call, rows deleted from the
     *         current snapshot)
     */
@@ -514,6 +538,22 @@ object Pipeline {
       s"forget keys must be data columns, not the partition column $partCol")
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
+    // outstanding tombstone from a crashed prior forget: same key columns
+    // fold into this pass (erasure is idempotent); a different key set is
+    // completed as its own pass first, clearing its tombstone
+    val pendingDir = new HPath(path + ".forget.pending")
+    val requested = keyValues.select(keys.map(col): _*)
+    val kvIn =
+      if (!fs.exists(pendingDir)) requested
+      else {
+        val pend = spark.read.parquet(pendingDir.toString)
+        if (pend.columns.toSet == keys.toSet)
+          requested.unionByName(pend.select(keys.map(col): _*))
+        else {
+          forgetKeys(spark, path, schema, pend, pend.columns.toSeq, partCol)
+          requested
+        }
+      }
     restoreBackups(fs, path)
     val baseEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
     def conflictCheck(stage: String): Unit = {
@@ -524,7 +564,16 @@ object Pipeline {
             " — a concurrent writer committed during the delete; re-run" +
             " against the new snapshot.")
     }
-    val kv = keyValues.select(keys.map(col): _*).distinct().persist()
+    val kv = kvIn.distinct().persist()
+    // durable tombstone BEFORE any mutation: published by rename so a
+    // torn write can never masquerade as a valid pending-forget record.
+    // Size is request-grain (the distinct keys of one delete request),
+    // not data-grain — a bounded write by construction.
+    val pendingTmp = new HPath(path + ".forget.pending.inprogress")
+    fs.delete(pendingTmp, true)
+    kv.coalesce(1).write.mode("overwrite").parquet(pendingTmp.toString)
+    fs.delete(pendingDir, true) // superseded: its keys are folded into kv
+    renameOrFail(fs, pendingTmp, pendingDir)
     try {
       val snapshot = readOrInit(spark, path, schema)
       val touched = snapshot.join(kv, keys, "left_semi")
@@ -580,26 +629,81 @@ object Pipeline {
       // data schema and rewrite in place when the keys appear.
       val dataSchema = StructType(schema.filterNot(_.name == partCol))
       val histRoot = new HPath(path + ".hist")
+      val FkOld = """_(.+)\.fk\.old""".r
+      val FkTmp = """_(.+)\.fk\.tmp""".r
       if (fs.exists(histRoot)) {
-        for (ep <- fs.listStatus(histRoot).toSeq if ep.isDirectory;
-             pd <- fs.listStatus(ep.getPath).toSeq
-             if pd.isDirectory && pd.getPath.getName.startsWith(partCol + "=")) {
-          val dir = pd.getPath.toString
-          val h = spark.read.schema(dataSchema).parquet(dir)
-          if (h.join(kv, keys, "left_semi").limit(1).count() > 0) {
-            val htmp = new HPath(ep.getPath, s"_${pd.getPath.getName}.fk.tmp")
-            fs.delete(htmp, true)
-            spark.read.schema(dataSchema).parquet(dir)
-              .join(kv, keys, "left_anti")
-              .coalesce(1)
-              .write.parquet(htmp.toString)
-            fs.delete(pd.getPath, true)
-            renameOrFail(fs, htmp, pd.getPath)
+        for (ep <- fs.listStatus(histRoot).toSeq if ep.isDirectory) {
+          // recovery preamble: finish (or roll back) any half-done swap a
+          // crashed purge left, so the main pass below always starts from
+          // a live archived dir. Invariant the sequence maintains: at
+          // every instant at least one of {live dir, .fk.old copy,
+          // completed .fk.tmp rewrite} exists for each archived partition.
+          fs.listStatus(ep.getPath).toSeq.foreach { st =>
+            st.getPath.getName match {
+              case FkOld(orig) =>
+                val live = new HPath(ep.getPath, orig)
+                val tmp = new HPath(ep.getPath, s"_$orig.fk.tmp")
+                if (fs.exists(live)) fs.delete(st.getPath, true)
+                else if (fs.exists(tmp)) { // crash between the two renames
+                  renameOrFail(fs, tmp, live)
+                  fs.delete(st.getPath, true)
+                } else renameOrFail(fs, st.getPath, live)
+              case _ => ()
+            }
+          }
+          // a .fk.tmp whose live dir survived is a pre-swap leftover
+          fs.listStatus(ep.getPath).toSeq.foreach { st =>
+            st.getPath.getName match {
+              case FkTmp(orig) if fs.exists(new HPath(ep.getPath, orig)) =>
+                fs.delete(st.getPath, true)
+              case _ => ()
+            }
+          }
+          for (pd <- fs.listStatus(ep.getPath).toSeq
+               if pd.isDirectory && pd.getPath.getName.startsWith(partCol + "=")) {
+            val dir = pd.getPath.toString
+            val h = spark.read.schema(dataSchema).parquet(dir)
+            if (h.join(kv, keys, "left_semi").limit(1).count() > 0) {
+              val htmp = new HPath(ep.getPath, s"_${pd.getPath.getName}.fk.tmp")
+              fs.delete(htmp, true)
+              spark.read.schema(dataSchema).parquet(dir)
+                .join(kv, keys, "left_anti")
+                .coalesce(1)
+                .write.parquet(htmp.toString)
+              // rename-aside swap (never delete-then-rename): a readable
+              // copy of the archive exists at every instant, and the
+              // preamble above finishes this swap if we crash inside it
+              val hOld = new HPath(ep.getPath, s"_${pd.getPath.getName}.fk.old")
+              fs.delete(hOld, true)
+              renameOrFail(fs, pd.getPath, hOld)
+              renameOrFail(fs, htmp, pd.getPath)
+              fs.delete(hOld, true)
+            }
           }
         }
       }
+      // erasure complete (snapshot + every archived version): retire the
+      // tombstone — until this instant a crash re-enters the purge path
+      fs.delete(pendingDir, true)
       (epoch, deleted)
     } finally { kv.unpersist(); () }
+  }
+
+  /** Finish a crashed [[forgetKeys]] whose tombstone is still outstanding
+    * — the recovery entry point routine batches call before touching the
+    * store, so erasure completes without anyone re-issuing the request.
+    * No-op when no tombstone exists. */
+  private[graft] def completePendingForget(spark: SparkSession, path: String,
+      schema: StructType, partCol: String = "order_date"): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    val pending = new HPath(path + ".forget.pending")
+    if (fs.exists(pending)) {
+      val pend = spark.read.parquet(pending.toString)
+      forgetKeys(spark, path, schema, pend, pend.columns.toSeq, partCol)
+      ()
+    }
   }
 
   /** E57: manifest-aware retention sweep — expire store partitions whose
@@ -833,6 +937,11 @@ object Pipeline {
         case (Some(b), Some(m)) => b == m.epoch
         case _ => false
       }
+      // an outstanding forget tombstone means orphan backups are the
+      // crashed forget's own pre-delete copies — they carry the forgotten
+      // rows, so erasure outranks the time-travel archive: delete, never
+      // file into .hist (see forgetKeys' crash contract)
+      val forgetPending = fs.exists(new HPath(path + ".forget.pending"))
       fs.listStatus(bakRoot)
         .filterNot(_.getPath.getName.startsWith("_")).foreach { s =>
           val dst = new HPath(path, s.getPath.getName)
@@ -840,6 +949,7 @@ object Pipeline {
             if (fs.exists(dst)) fs.delete(dst, true)
             renameOrFail(fs, s.getPath, dst)
           } else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
+          else if (forgetPending) fs.delete(s.getPath, true)
           else be.foreach { e =>
             val histDir = new HPath(s"$path.hist/$e")
             if (!fs.exists(histDir)) fs.mkdirs(histDir)

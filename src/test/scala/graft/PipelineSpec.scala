@@ -788,4 +788,87 @@ class PipelineSpec extends SparkSpec {
         partCol = "order_date")
     }
   }
+
+  test("forgetKeys crash contract: tombstone completes erasure, hist swap recovers") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/fkcrash"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "category STRING, order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>")
+    def updates(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("category", "order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .select(schema.fieldNames.map(col): _*)
+    def upsert(rows: (String, String, Long)*) =
+      Pipeline.upsertStore(spark, path, schema, updates(rows: _*),
+        Seq("category", "order_date"), Seq("total_orders"),
+        partCol = "order_date")
+    def cats(df: org.apache.spark.sql.DataFrame) =
+      df.select("category").distinct().as[String].collect().toSet
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+    upsert(("A", "2024-06-01", 1L), ("B", "2024-06-01", 2L)) // epoch 1
+    upsert(("A", "2024-06-01", 10L))                          // epoch 2
+    upsert(("B", "2024-06-01", 20L))                          // epoch 3
+    // after batch 3: .hist/1 archived, .bak holds epoch-2 copies (with A)
+    assert(fs.exists(new HPath(s"$path.hist/1")))
+    assert(fs.exists(new HPath(s"$path.bak/order_date=2024-06-01")))
+
+    // --- simulate a forget of A that crashed BEFORE any commit: only the
+    // durable tombstone exists. A routine upsert must complete the erasure
+    // (snapshot + every archived version) and must NOT archive the stale
+    // .bak copies — they carry A — into .hist.
+    val pendTmp = new HPath(s"$path.forget.pending.inprogress")
+    Seq("A").toDF("category").coalesce(1)
+      .write.mode("overwrite").parquet(pendTmp.toString)
+    assert(fs.rename(pendTmp, new HPath(s"$path.forget.pending")))
+
+    upsert(("C", "2024-06-02", 5L)) // routine batch triggers recovery
+    assert(!fs.exists(new HPath(s"$path.forget.pending")), "tombstone retired")
+    assert(cats(Pipeline.readOrInit(spark, path, schema)) === Set("B", "C"))
+    // every surviving archived version is A-free (epoch-2 .bak copies were
+    // deleted, not archived; .hist/1 was rewritten by the purge)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == "order_date"))
+    for (ep <- fs.listStatus(new HPath(s"$path.hist")).toSeq;
+         pd <- fs.listStatus(ep.getPath).toSeq
+         if pd.getPath.getName.startsWith("order_date=")) {
+      assert(cats(spark.read.schema(dataSchema).parquet(pd.getPath.toString))
+        === Set("B"), s"archived ${pd.getPath} must not retain A")
+    }
+
+    // --- simulate a purge that crashed MID-SWAP in .hist: live dir absent,
+    // completed .fk.tmp rewrite + .fk.old copy present. The next forget's
+    // recovery preamble must promote the rewrite and drop the old copy.
+    val histEp = fs.listStatus(new HPath(s"$path.hist")).toSeq
+      .filter(_.isDirectory).head.getPath
+    val liveDir = fs.listStatus(histEp).toSeq
+      .filter(_.getPath.getName.startsWith("order_date=")).head.getPath
+    val pn = liveDir.getName
+    val tmpDir = new HPath(histEp, s"_$pn.fk.tmp")
+    spark.read.schema(dataSchema).parquet(liveDir.toString)
+      .coalesce(1).write.parquet(tmpDir.toString)
+    assert(fs.rename(liveDir, new HPath(histEp, s"_$pn.fk.old")))
+    // crash point: live missing, tmp + old on disk
+    val (_, del2) = Pipeline.forgetKeys(spark, path, schema,
+      Seq("Z").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(del2 === 0L)
+    assert(fs.exists(liveDir), "recovery promoted the rewrite to live")
+    assert(!fs.exists(new HPath(histEp, s"_$pn.fk.old")))
+    assert(!fs.exists(new HPath(histEp, s"_$pn.fk.tmp")))
+    assert(cats(spark.read.schema(dataSchema).parquet(liveDir.toString))
+      === Set("B"))
+
+    // --- rewrite-lost variant: only the .fk.old copy survives — recovery
+    // must restore it (never delete the only copy)
+    assert(fs.rename(liveDir, new HPath(histEp, s"_$pn.fk.old")))
+    Pipeline.forgetKeys(spark, path, schema,
+      Seq("Z").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(fs.exists(liveDir), "recovery restored the only surviving copy")
+    assert(!fs.exists(new HPath(histEp, s"_$pn.fk.old")))
+  }
 }
