@@ -632,20 +632,22 @@ object SparkEntry {
       Dedup.simhashSignatures(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
-    // E9: SimHash near-dup pairs (hamming ≤ 3 via band pigeonhole).
+    // E9: SimHash near-dup pairs via band pigeonhole at the EXHIBIT width
+    // — 32-bit opts in explicitly; the production default is d5x's 60.
     "d5_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
-        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+        Dedup.withNearDups(Sources.table(s, d, "documents")),
+        bits = Dedup.SimhashBits)),
 
-    // E9b: the 32-bit signature's measured scale knob — same banded
-    // algorithm at 60 bits (4×15-bit bands, band-pair keys 30-bit). The
-    // ×10 scaling sweep showed 32-bit candidate volume quadratic in
-    // corpus size (signature space saturates on a concentrated corpus);
-    // widening the signature is THE production fix, and this twin makes
-    // it an executable, hash-gated variant rather than a doc note.
+    // E9b: the DEFAULT width — same banded algorithm at 60 bits (4×15-bit
+    // bands, band-pair keys 30-bit). The ×10 scaling sweep showed 32-bit
+    // candidate volume quadratic in corpus size (signature space
+    // saturates on a concentrated corpus); widening the signature is THE
+    // production fix, so simhashPairs defaults to it and the 32-bit
+    // density-wall exhibit (d5) is the explicit-arg variant.
     "d5x_simhash60_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
-        Dedup.withNearDups(Sources.table(s, d, "documents")), bits = 60)),
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
     // E10: embedding-cosine near-dup pairs (LSH-bucketed).
     "d6_embedding_neardup" -> ((s, d) =>
@@ -707,6 +709,13 @@ object SparkEntry {
     // tables + PqM lookups per pair (ADC), no per-pair vector math.
     "n8_ann_pq" -> ((s, d) =>
       Similarity.pqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
+
+    // E71 quality close: PQ with TRAINED per-subspace codebooks — n5's
+    // deterministic Lloyd run once per subspace, adapting each subspace's
+    // 16 entries to its actual distribution (the knob FAISS turns by
+    // default); same encode/ADC/rank structure as n8.
+    "n8x_ann_pq_trained" -> ((s, d) =>
+      Similarity.pqTrainedTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
     // E74: IVF cells over PQ codes — the FAISS IVFPQ flagship: candidate
     // set restricted by the coarse quantizer, bytes by product codes.
@@ -1448,9 +1457,10 @@ object SparkEntry {
     "d4_simhash" ->
       Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
     "d5_simhash_pairs" ->
-      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents")),
+      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents"),
+        bits = Dedup.SimhashBits),
     "d5x_simhash60_pairs" ->
-      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents"), bits = 60),
+      Dedup.simhashPairsSql(Dedup.withNearDupsSql("documents")),
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "d12_semdedup" -> Similarity.semDedupSql(),
     "d12x_semdedup_cells" -> Similarity.semDedupSql(numCells = 64),
@@ -1462,6 +1472,7 @@ object SparkEntry {
     "n6_ann_sq8" -> Similarity.sqTopKSql(5, 5),
     "n7_ann_ivf_sq8" -> Similarity.ivfSqTopKSql(5, 5),
     "n8_ann_pq" -> Similarity.pqTopKSql(5, 5),
+    "n8x_ann_pq_trained" -> Similarity.pqTrainedTopKSql(5, 5),
     "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
 
     "x7_running_revenue" -> s"""$ctes,

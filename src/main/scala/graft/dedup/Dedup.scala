@@ -731,15 +731,27 @@ object Dedup {
   // stays linear. The 4-band pigeonhole holds for any threshold < 4.
   val SimhashMaxHamming = 1
 
+  /** The PRODUCTION pair-join signature width, and [[simhashPairs]]'s
+    * default: the ×10 scaling sweep measured the 32-bit signature space
+    * saturating on a concentrated corpus (candidate volume quadratic in
+    * corpus size — 19M pairs at ×10), while 60 bits keeps candidates
+    * ~105× sparser at the same banded algorithm. 32-bit stays available
+    * behind an explicit `bits = SimhashBits` as the documented
+    * density-wall exhibit (the d5/d5x twin pair). */
+  val SimhashWideBits = 60
+
   /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]] via band-
-    * PAIR pigeonhole: one flipped bit touches at most one of the 4 8-bit
-    * bands, so a qualifying pair agrees on at least one of the 6 two-band
-    * (16-bit) combinations. The 16-bit candidate key is 256× sparser than a
-    * single band's — on corpora whose signatures concentrate (like this
-    * word soup) that is the difference between a candidate set near the
-    * cross product and one near the true pair set. The hamming filter runs
-    * BEFORE distinct so dedup happens on the surviving pairs only. */
-  def simhashPairs(docs: DataFrame, bits: Int = SimhashBits): DataFrame = {
+    * PAIR pigeonhole: one flipped bit touches at most one of the 4 bands
+    * (width/4 bits each), so a qualifying pair agrees on at least one of
+    * the 6 two-band combinations. The two-band candidate key is 2^width/4
+    * × sparser than a single band's — on corpora whose signatures
+    * concentrate (like this word soup) that is the difference between a
+    * candidate set near the cross product and one near the true pair set.
+    * The hamming filter runs BEFORE distinct so dedup happens on the
+    * surviving pairs only. Default width is the scale-safe
+    * [[SimhashWideBits]]; pass `bits = SimhashBits` for the measured
+    * 32-bit density-wall exhibit. */
+  def simhashPairs(docs: DataFrame, bits: Int = SimhashWideBits): DataFrame = {
     // no cache: the band self-join's two sides share one plan, so the
     // exchange is reused rather than recomputed
     val sig = simhashSignatures(docs, bits)
@@ -765,7 +777,7 @@ object Dedup {
       .distinct()
   }
 
-  def simhashPairsSql(corpus: String, bits: Int = SimhashBits): String = {
+  def simhashPairsSql(corpus: String, bits: Int = SimhashWideBits): String = {
     val bands = 4
     val width = bits / bands
     val bandRows = (0 until bands).map { b =>

@@ -637,7 +637,18 @@ object Similarity {
         s"0..${TrainSample - 1} (got ${ids.length} ids" +
         ids.headOption.map(h => s", first=$h, last=${ids.last}").getOrElse("") +
         ") — positional cell ids must equal the oracle's vec_id-keyed cells")
-    var cents = sample.take(NumCells).map(_.map(_.toDouble))
+    lloyd(sample, NumCells)
+  }
+
+  /** The deterministic Lloyd loop itself, shared by the n5 coarse
+    * quantizer (full vectors, [[NumCells]] cells) and the n8x PQ codebook
+    * training (per-subspace subvectors, [[PqKsub]] entries): seeds = the
+    * first `k` sample vectors, [[TrainIters]] fixed iterations, every
+    * float op a sequential left fold in double, ties to the lower id,
+    * empty cells keep their previous centroid — bitwise-reproducible and
+    * mirrored verbatim by the unrolled-iteration oracle CTEs. */
+  private def lloyd(sample: Array[Array[Float]], k: Int): Array[Array[Double]] = {
+    var cents = sample.take(k).map(_.map(_.toDouble))
     for (_ <- 1 to TrainIters) {
       val s2 = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
       // argmin_c of -2<v,c> + |c|^2 (|v|^2 constant per row), ties low
@@ -821,17 +832,44 @@ object Similarity {
     * (vec_id, PqM codes) per candidate and the query side (with its
     * distance tables) broadcasts; ranking is WindowGroupLimit-bounded.
     * Composable with the IVF cell join exactly as n7 composes SQ. */
-  /** Seeded PQ codebooks: codebook[j](c) = (subvector, |entry|²) — |e|²
-    * folded driver-side, identical to the oracle's list_reduce (same
-    * sequential fold). */
-  private def pqCodebook(emb: DataFrame): Array[Array[(Array[Float], Double)]] = {
+  /** Seeded PQ codebooks: codebook[j](c) = (entry-as-doubles, |entry|²) —
+    * |e|² folded driver-side, identical to the oracle's list_reduce (same
+    * sequential fold). Entries are widened float→double at the boundary
+    * (exact), so seeded and trained codebooks share one search path. */
+  private def pqCodebook(emb: DataFrame): Array[Array[(Array[Double], Double)]] = {
     val seeds = emb.filter(col("vec_id") < PqKsub).orderBy(col("vec_id"))
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
     Array.tabulate(PqM) { j =>
       seeds.map { s =>
-        val sv = s.slice(j * PqSubDim, (j + 1) * PqSubDim).toArray
-        (sv, sv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        val sv = s.slice(j * PqSubDim, (j + 1) * PqSubDim)
+          .map(_.toDouble).toArray
+        (sv, sv.foldLeft(0.0)((a, x) => a + x * x))
       }
+    }
+  }
+
+  /** N8x: TRAINED PQ codebooks — the SAME deterministic Lloyd run as
+    * n5's coarse quantizer ([[lloyd]]), once per subspace over the
+    * training sample's subvectors (seeds = the first [[PqKsub]]
+    * subvectors, [[TrainIters]] fixed iterations). Training adapts each
+    * subspace's 16 entries to that subspace's actual distribution, which
+    * is what lifts ADC distance resolution over arbitrary data-point
+    * seeds — the quality knob real PQ deployments always turn (FAISS
+    * trains codebooks by default). Bounded driver state: PqM × Ksub ×
+    * subdim doubles from the same constant-size sample as n5. */
+  private def pqTrainedCodebook(emb: DataFrame): Array[Array[(Array[Double], Double)]] = {
+    val rows = emb.filter(col("vec_id") < TrainSample)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    require(ids.sameElements(0L until TrainSample.toLong),
+      s"PQ training sample must be the dense vec_id prefix " +
+        s"0..${TrainSample - 1} — codebook entry ids must equal the " +
+        "oracle's vec_id-keyed seeds")
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    Array.tabulate(PqM) { j =>
+      val sub = sample.map(_.slice(j * PqSubDim, (j + 1) * PqSubDim))
+      lloyd(sub, PqKsub).map(c => (c, c.foldLeft(0.0)((a, x) => a + x * x)))
     }
   }
 
@@ -840,26 +878,32 @@ object Similarity {
   /** PQ encode: per subspace, argmin_c (-2⟨s,e⟩ + |e|²) — |s|² is
     * constant across entries (the n4 argmin identity); ties to the lower
     * code. */
-  private def pqCodes(cb: Array[Array[(Array[Float], Double)]],
-      v: Column): Column = array((0 until PqM).map { j =>
-    val s = pqSubv(v, j)
-    val ds = cb(j).zipWithIndex.map { case ((e, ee), c) =>
-      struct((lit(-2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)).as("d2p"),
-        lit(c).as("code"))
-    }
-    element_at(array_sort(array(ds.toIndexedSeq: _*)), 1).getField("code")
-  }: _*)
+  private def pqCodes(cb: Array[Array[(Array[Double], Double)]],
+      v: Column): Column = {
+    import org.apache.spark.sql.graft.VectorExpressions.fdvecDot
+    array((0 until PqM).map { j =>
+      val s = pqSubv(v, j)
+      val ds = cb(j).zipWithIndex.map { case ((e, ee), c) =>
+        struct((lit(-2.0) * fdvecDot(s, typedlit(e.toSeq)) + lit(ee)).as("d2p"),
+          lit(c).as("code"))
+      }
+      element_at(array_sort(array(ds.toIndexedSeq: _*)), 1).getField("code")
+    }: _*)
+  }
 
   /** ADC distance tables: dtab[j][c] = |q_j|² - 2⟨q_j,e⟩ + |e|² (true
     * L2², so the reported approx_d2 is the standard ADC estimate, not
     * rank-only). */
-  private def pqDtab(cb: Array[Array[(Array[Float], Double)]],
-      v: Column): Column = array((0 until PqM).map { j =>
-    val s = pqSubv(v, j)
-    array(cb(j).map { case (e, ee) =>
-      dot(s, s) - lit(2.0) * dot(s, typedlit(e.toSeq)) + lit(ee)
-    }.toIndexedSeq: _*)
-  }: _*)
+  private def pqDtab(cb: Array[Array[(Array[Double], Double)]],
+      v: Column): Column = {
+    import org.apache.spark.sql.graft.VectorExpressions.fdvecDot
+    array((0 until PqM).map { j =>
+      val s = pqSubv(v, j)
+      array(cb(j).map { case (e, ee) =>
+        dot(s, s) - lit(2.0) * fdvecDot(s, typedlit(e.toSeq)) + lit(ee)
+      }.toIndexedSeq: _*)
+    }: _*)
+  }
 
   /** The per-pair ADC sum: PqM table lookups, fixed j order. */
   private def pqAdcSum(dtab: Column, codes: Column): Column =
@@ -876,8 +920,22 @@ object Similarity {
         col("approx_d2"))
   }
 
-  def pqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val cb = pqCodebook(emb)
+  def pqTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame =
+    pqSearch(emb, pqCodebook(emb), numQueries, k)
+
+  /** N8x (E71 quality close): PQ ANN with TRAINED codebooks — identical
+    * encode/ADC/rank structure to [[pqTopK]], with per-subspace Lloyd
+    * centroids ([[pqTrainedCodebook]]) in place of the raw seed
+    * subvectors. Same scale shape (one narrow encode pass, broadcast
+    * query side, WindowGroupLimit rank); only the codebook literals
+    * differ. AnnRecallSpec measures the recall lift over the seeded
+    * exhibit. */
+  def pqTrainedTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame =
+    pqSearch(emb, pqTrainedCodebook(emb), numQueries, k)
+
+  private def pqSearch(emb: DataFrame,
+      cb: Array[Array[(Array[Double], Double)]],
+      numQueries: Int, k: Int): DataFrame = {
     val coded = emb.select(col("vec_id"),
       pqCodes(cb, col("embedding")).as("codes"))
     val q = emb.filter(col("vec_id") < numQueries)
@@ -924,6 +982,102 @@ object Similarity {
     qd AS (
       SELECT s.vec_id AS query_id, s.j, cb.code,
         ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "cb.sv")}
+          + cb.ee AS d2
+      FROM subs s JOIN cb ON cb.j = s.j
+      WHERE s.vec_id < $numQueries),
+    flag AS (
+      SELECT qd.query_id, cl.vec_id, qd.j, qd.d2
+      FROM codesl cl JOIN qd ON qd.j = cl.j AND qd.code = cl.code
+      WHERE cl.vec_id <> qd.query_id),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)),
+          (acc, x) -> acc + x) AS approx_d2
+      FROM flag GROUP BY query_id, vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_d2,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, approx_d2
+    FROM ranked WHERE rank <= $k"""
+  }
+
+  /** Oracle for [[pqTrainedTopK]]: the per-subspace Lloyd run unrolled as
+    * [[TrainIters]] CTE stages keyed by (j, code) — the n5 oracle pattern
+    * with the subspace id carried through every stage — then the
+    * [[pqTopKSql]] encode/ADC/rank tail against the trained entries.
+    * Per-entry means are explicit sequential folds over
+    * `list(sv ORDER BY vec_id)` so every centroid double is bitwise-equal
+    * to the Scala fold. */
+  def pqTrainedTopKSql(numQueries: Int, k: Int): String = {
+    def foldDot(v: String, c: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(range(1, len($v) + 1),
+         |    i -> $v[i]::DOUBLE * $c[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val iters = (0 until TrainIters).map { t =>
+      s"""
+      s2_$t AS (
+        SELECT j, code, list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])),
+          (acc, x) -> acc + x) AS s2
+        FROM cent_$t),
+      dist_$t AS (
+        SELECT s.vec_id, s.j, c.code,
+          -2.0 * ${foldDot("s.sv", "c.cv")} + z.s2 AS d2
+        FROM sample s JOIN cent_$t c ON c.j = s.j
+        JOIN s2_$t z ON z.j = c.j AND z.code = c.code),
+      assign_$t AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j
+            ORDER BY d2 ASC, code ASC) AS rn
+          FROM dist_$t) WHERE rn = 1),
+      mean_$t AS (
+        SELECT a.j, a.code,
+          list(s.sv ORDER BY s.vec_id) AS vecs, count(*) AS n
+        FROM assign_$t a JOIN sample s ON s.vec_id = a.vec_id AND s.j = a.j
+        GROUP BY a.j, a.code),
+      cent_${t + 1} AS (
+        SELECT c.j, c.code,
+          coalesce(list_transform(range(1, len(m.vecs[1]) + 1),
+            i -> list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(m.vecs, v -> v[i]::DOUBLE)),
+              (acc, x) -> acc + x) / m.n), c.cv) AS cv
+        FROM cent_$t c LEFT JOIN mean_$t m ON m.j = c.j AND m.code = c.code)"""
+    }.mkString(",")
+    val cT = s"cent_$TrainIters"
+    s"""
+    WITH subs AS (
+      SELECT e.vec_id, t.j,
+        embedding[(t.j*$PqSubDim+1)::INT:(t.j*$PqSubDim+$PqSubDim)::INT]
+          AS sv
+      FROM embeddings e CROSS JOIN range(0, $PqM) t(j)),
+    sample AS (
+      SELECT vec_id, j, sv FROM subs WHERE vec_id < $TrainSample),
+    cent_0 AS (
+      SELECT j, vec_id AS code,
+        list_transform(range(1, len(sv) + 1), i -> sv[i]::DOUBLE) AS cv
+      FROM sample WHERE vec_id < $PqKsub),$iters,
+    cb AS (
+      SELECT j, code, cv, list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])),
+        (acc, x) -> acc + x) AS ee
+      FROM $cT),
+    enc AS (
+      SELECT s.vec_id, s.j, cb.code,
+        -2.0 * ${foldDot("s.sv", "cb.cv")} + cb.ee AS d2p
+      FROM subs s JOIN cb ON cb.j = s.j),
+    enc_r AS (
+      SELECT vec_id, j, code,
+        row_number() OVER (PARTITION BY vec_id, j
+          ORDER BY d2p ASC, code ASC) AS rn
+      FROM enc),
+    codesl AS (
+      SELECT vec_id, j, code FROM enc_r WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, s.j, cb.code,
+        ${dotSql("s.sv", "s.sv")} - 2.0 * ${foldDot("s.sv", "cb.cv")}
           + cb.ee AS d2
       FROM subs s JOIN cb ON cb.j = s.j
       WHERE s.vec_id < $numQueries),

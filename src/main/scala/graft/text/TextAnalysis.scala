@@ -424,9 +424,13 @@ object TextAnalysis {
     *
     * Scale: one narrow pass builds the doc bigram stream; the pair and
     * left-unigram count tables are vocabulary²-/vocabulary-bounded
-    * aggregates (the t7/t10 statistics shape); the join-backs are
-    * broadcast when the vocabulary is small (here) and plain shuffle
-    * joins otherwise — never wider than the bigram stream itself. */
+    * aggregates (the t7/t10 statistics shape). The join-backs carry NO
+    * hard broadcast hint: AQE sees the count tables' actual post-shuffle
+    * size at runtime and converts to broadcast joins when the vocabulary
+    * is small (here), degrading to plain shuffle joins on a vocabulary
+    * too large to ship — a forced hint would instead collect the
+    * vocabulary² table onto the driver and OOM exactly when the corpus
+    * is at its largest. */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
     val emptyPairs = array().cast("array<struct<a:bigint,b:bigint>>")
@@ -439,8 +443,8 @@ object TextAnalysis {
     val cPair = bi.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
     val cLeft = bi.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
-    bi.join(broadcast(cPair), Seq("a", "b"))
-      .join(broadcast(cLeft), Seq("a"))
+    bi.join(cPair, Seq("a", "b"))
+      .join(cLeft, Seq("a"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("n_ab")).as("sum_pair_freq"),
