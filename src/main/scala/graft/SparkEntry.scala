@@ -66,6 +66,25 @@ object SparkEntry {
     * the caller persists it so the join executes once (the reference runs
     * it twice, `transformation.py:193,205`; our oracle's `jall` CTE is the
     * same factoring). */
+  /** m1's persisted input: the narrow projection of the 3-way join both
+    * merge sides filter over. Split out so the bench can time the
+    * materialization and the merge as separate phases ([[benchPhases]])
+    * while the query itself stays one composition. */
+  private def m1Projection(s: SparkSession, d: String): DataFrame =
+    Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+      .select(col("p.category").as("category"),
+        substring(col("o.created_at"), 1, 10).as("order_date"),
+        col("oi.id").as("id"),
+        col("oi.sale_price").cast(money).as("sale_price"),
+        col("oi.status").as("status"))
+
+  private def m1Merged(jall: DataFrame): DataFrame = {
+    val target = categoryKpiHalf(jall, 0, full = true, "order_items")
+    val updates = categoryKpiHalf(jall, 1, full = false, "orders")
+    KpiMerge.mergeCategoryKpi(target, updates)
+      .withColumn("data_sources", array_join(col("data_sources"), ","))
+  }
+
   private def categoryKpiHalf(jall: DataFrame, half: Int,
       full: Boolean, source: String): DataFrame = {
     val base = jall.filter(col("id") % 2 === half)
@@ -182,26 +201,15 @@ object SparkEntry {
 
     // §2.7 M: keyed merge-upsert with per-field coalesce + provenance union
     // (helperfunction.py:53-208) as full-outer join — Delta MERGE equivalent.
-    "m1_merge_category_kpi" -> ((s, d) => {
-      // the narrow projection of the 3-way join, computed ONCE and
-      // persisted — both merge sides are filters over it (id parity), so
-      // the join runs once instead of twice. Lifetime contract: the
-      // returned frame is lazy, so the cache cannot be released here;
-      // Verify/Bench clearCache() after every query, and a library
-      // caller owns the same responsibility (spark.catalog.clearCache
-      // or unpersist after materializing).
-      val jall = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-        .select(col("p.category").as("category"),
-          substring(col("o.created_at"), 1, 10).as("order_date"),
-          col("oi.id").as("id"),
-          col("oi.sale_price").cast(money).as("sale_price"),
-          col("oi.status").as("status"))
-        .persist()
-      val target = categoryKpiHalf(jall, 0, full = true, "order_items")
-      val updates = categoryKpiHalf(jall, 1, full = false, "orders")
-      KpiMerge.mergeCategoryKpi(target, updates)
-        .withColumn("data_sources", array_join(col("data_sources"), ","))
-    }),
+    // The narrow projection of the 3-way join is computed ONCE and
+    // persisted — both merge sides are filters over it (id parity), so
+    // the join runs once instead of twice. Lifetime contract: the
+    // returned frame is lazy, so the cache cannot be released here;
+    // Verify/Bench clearCache() after every query, and a library
+    // caller owns the same responsibility (spark.catalog.clearCache
+    // or unpersist after materializing).
+    "m1_merge_category_kpi" -> ((s, d) =>
+      m1Merged(m1Projection(s, d).persist())),
 
     // E77 (M2): SCD Type-2 history-preserving dimension merge — version
     // rollover on tracked-attribute change via ONE full-outer join +
@@ -1182,6 +1190,38 @@ object SparkEntry {
   )
 
   // -- DuckDB oracles -------------------------------------------------------
+  /** Bench-only substitutions ([[graft.Bench]]): queries whose VERIFY
+    * form carries an oracle-gate overhead the production operator never
+    * pays. Verify keeps the gated `queries` entry as the correctness
+    * artifact; the bench times the production body so the leader list
+    * measures engine speed, not gate cost. Keys must exist in `queries`. */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // v1x's hash gate pays exact NDV (Expand) + HLL in ONE scan to prove
+    // the sketch is within bounds (~6 s idle at sf0.1, a top-3 bench
+    // leader); the production op is the sketch pass alone.
+    "v1x_table_profile_approx" -> ((s, d) =>
+      Validation.tableProfileApprox(
+        Sources.table(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))))
+
+  /** Bench phase decomposition: queries whose cost mixes input
+    * materialization with the operator itself are timed per phase — the
+    * headline time stays the phase sum (identical total work), and the
+    * split lands in bench_counts/bench_detail so the subset metric can be
+    * read as engine-compute vs materialization. */
+  def benchPhases
+      : Map[String, (SparkSession, String) => Seq[(String, () => Long)]] = Map(
+    // m1 = materialize the persisted 3-way-join projection (the input
+    // build both merge sides share), then the two agg halves + full-outer
+    // merge consumed from cache — over a third of the reference-surface
+    // subset, now decomposed.
+    "m1_merge_category_kpi" -> ((s, d) => {
+      val jall = m1Projection(s, d).persist()
+      Seq(
+        ("materialize", () => jall.count()),
+        ("merge", () => m1Merged(jall).count()))
+    }))
+
   private val ctes = RefShape.sqlCtes
 
   private val kpiJoin =

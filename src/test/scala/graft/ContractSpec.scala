@@ -21,6 +21,18 @@ class ContractSpec extends AnyFunSuite {
       s"oracles with no query (dead weight): ${o -- q}")
   }
 
+  test("bench overrides and phase decompositions name real queries") {
+    // a bench-only body for a query id that doesn't exist would silently
+    // bench nothing (overrides are looked up per selected query)
+    val q = SparkEntry.queries.keySet
+    assert((SparkEntry.benchOverrides.keySet -- q) === Set.empty[String])
+    assert((SparkEntry.benchPhases.keySet -- q) === Set.empty[String])
+    // a query can't be both substituted and phase-decomposed — the
+    // phased path wins in Bench and the override would be dead weight
+    assert((SparkEntry.benchOverrides.keySet &
+      SparkEntry.benchPhases.keySet) === Set.empty[String])
+  }
+
   test("README documents every driver query id") {
     val readme = Files.readString(Paths.get("README.md"))
     val missing = SparkEntry.queries.keySet
