@@ -207,6 +207,137 @@ class BatchRunnerSpec extends SparkSpec {
     assert(c5.last.productsPath === Some("in/products.csv"))
   }
 
+  test("capstone: debounce → chunk stream → crash/restart → exactly-once store → enrichment") {
+    // The full reference loop (Step Function semantics) as ONE run:
+    // E14 file-arrival debounce assembles batch chunks, T3 streams them
+    // through the single-flight validate → transform into the epoch
+    // store, the runner CRASHES (in-memory queue lost), a restart
+    // re-delivers the whole control table (at-least-once), and the
+    // keyed idempotent merge keeps the store EXACTLY-ONCE; the E101
+    // enrichment tail then decorates an event stream with a dimension
+    // derived from the pipeline's own validated output. Every stage is
+    // spec-verified alone — this pins the COMPOSITION.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.runner.BatchRunner.Arrival
+    import graft.streaming.Enrich
+    val d = Files.createTempDirectory("graft-capstone")
+    LogAlerter.clear()
+
+    val p = write(d, "products.csv", productsHeader,
+      "7,SKU7,10.0,toys,Car,BrandA,25.0,kids")
+    val o1 = write(d, "orders_part1.csv", ordersHeader,
+      "1,10,complete,2024-06-01 10:00:00,,,,1")
+    val i1 = write(d, "order_items_part1.csv", itemsHeader,
+      "101,1,10,7,complete,2024-06-01 10:00:00,,,,25.0")
+    val o2a = write(d, "orders_part2.csv", ordersHeader,
+      "3,12,complete,2024-06-02 09:00:00,,,,1")
+    val o2b = write(d, "orders_part4.csv", ordersHeader,
+      "4,13,complete,2024-06-02 09:30:00,,,,1")
+    val i2 = write(d, "order_items_part2.csv", itemsHeader,
+      "103,3,12,7,complete,2024-06-02 09:00:00,,,,40.0",
+      "104,4,13,7,returned,2024-06-02 09:30:00,,,,60.0")
+    val o3 = write(d, "orders_part3.csv", ordersHeader,
+      "5,14,complete,2024-06-03 08:00:00,,,,1")
+    val i3 = write(d, "order_items_part3.csv", itemsHeader,
+      "105,5,14,7,complete,2024-06-03 08:00:00,,,,15.0")
+
+    // ---- stage 1: debounce (E14) — day-2's split order parts land in
+    // ONE chunk; products rides the fixed latest_products group
+    val win = 300L
+    val preChunks = BatchRunner.assembleChunks(Seq(
+      Arrival(p, 50L, "2024-06-01"),
+      Arrival(o1, 100L, "2024-06-01"), Arrival(i1, 130L, "2024-06-01"),
+      Arrival(o2a, 200L, "2024-06-02"), Arrival(o2b, 250L, "2024-06-02"),
+      Arrival(i2, 280L, "2024-06-02")), win)
+    assert(preChunks.size === 2)
+    assert(preChunks.last.ordersPaths.toSet === Set(o2a, o2b),
+      "debounce must fold both day-2 order parts into one batch")
+    assert(preChunks.forall(_.productsPath === Some(p)))
+
+    // ---- stage 2: chunk control stream (T3) over the assembled chunks
+    val control = d.resolve("control")
+    Files.createDirectories(control)
+    def doc(c: BatchChunk): String = {
+      // the control source is LINE-delimited JSON — one doc, one line
+      val files = c.ordersPaths ++ c.itemsPaths ++ c.productsPath.toSeq
+      s"""{"batch_id": "${c.batchId}", "created_at": ${c.createdAt}, """ +
+        s""""files": [${files.map("\"" + _ + "\"").mkString(", ")}]}"""
+    }
+    preChunks.foreach(c => Files.writeString(
+      control.resolve(s"chunk_${c.batchId}.json"), doc(c)))
+
+    val runA = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0")
+    try runA.query.processAllAvailable() finally runA.query.stop()
+    // CRASH: the runner process dies here — its in-memory queue and
+    // processed list are gone; only the store and the control table
+    // survive on disk
+    val store = s"$d/work/store/order_kpi"
+    val snapA = spark.read.parquet(store)
+      .collect().map(_.toString).sorted.toSeq
+    assert(snapA.size === 2, "two committed daily rows before the crash")
+
+    // a batch arrives DURING the downtime
+    val chunk3 = BatchRunner.assembleChunks(Seq(
+      Arrival(p, 50L, "2024-06-01"),
+      Arrival(o3, 400000L, "2024-06-03"),
+      Arrival(i3, 400030L, "2024-06-03")), win)
+    assert(chunk3.size === 1)
+    Files.writeString(control.resolve(s"chunk_${chunk3.head.batchId}.json"),
+      doc(chunk3.head))
+
+    // ---- stage 3: RESTART — a fresh process re-reads the WHOLE control
+    // table (at-least-once redelivery); the epoch store's keyed coalescing
+    // merge is what turns that into exactly-once state
+    val runB = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0")
+    try {
+      runB.query.processAllAvailable()
+      val ids = (preChunks ++ chunk3).map(_.batchId)
+      assert(runB.processed().toSet === ids.toSet,
+        "restart must re-run the redelivered batches AND the new one")
+      assert(runB.chunks().forall(_.status == Done),
+        runB.chunks().map(c => (c.batchId, c.status, c.error)))
+      val after = spark.read.parquet(store)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after.size === 3, "downtime batch merged on restart")
+      assert(after.filterNot(_.contains("2024-06-03")) === snapA,
+        "redelivered batches must not change committed state (exactly-once)")
+    } finally runB.query.stop()
+
+    // ---- stage 4: enrichment tail (E101) — the dimension is DERIVED
+    // from the pipeline's own validated output (known buyers), streaming
+    // events decorated, unknown keys flagged not dropped
+    val buyers = preChunks.map(c =>
+        spark.read.parquet(s"$d/work/validated/${c.batchId}/orders")
+          .select(col("user_id")))
+      .reduce(_ unionByName _).distinct()
+      .select(col("user_id").cast("long").as("c_custkey"))
+      .withColumn("c_mktsegment", lit("BUYER"))
+    val evDir = d.resolve("events")
+    import spark.implicits._
+    Seq((1L, 10L, "view", 1.0), (2L, 12L, "cart", 2.0),
+        (3L, 99L, "view", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.parquet(evDir.toString)
+    val evSchema = spark.read.parquet(evDir.toString).schema
+    val q = Enrich.enrichEvents(
+        spark.readStream.schema(evSchema).parquet(evDir.toString), buyers)
+      .writeStream.format("memory").queryName("capstone_enrich")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM capstone_enrich").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("segment"), r.getAs[Boolean]("is_known"))).toMap
+      assert(out(10L) === (("BUYER", true)))
+      assert(out(12L) === (("BUYER", true)))
+      assert(out(99L) === ((null, false)),
+        "unknown keys are flagged, never silently dropped")
+    } finally q.stop()
+  }
+
   test("single-flight: no pick while a chunk is processing") {
     val busy = BatchChunk("x", 1L, Nil, Nil, None,
       status = graft.runner.Runner.Processing)
