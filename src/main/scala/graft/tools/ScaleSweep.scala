@@ -21,15 +21,22 @@ import graft.functions.TextFunctions
   * adds new documents at a constant dup RATE; the planted-twin convention
   * is applied by the queries themselves via `withNearDups`, exactly as at
   * sf0.1). So each copy k>0:
-  *  - documents: substitutes every token through the shift bijection
-  *    vocab[i] → vocab[(i + k) mod V] over the corpus's (small, fixed)
-  *    sorted vocabulary. A bijection preserves within-copy relationships
-  *    EXACTLY (copy k of A duplicates copy k of B iff A duplicated B), so
-  *    the dup rate per copy equals the source corpus's, while across
-  *    copies both order-sensitive shingles AND bag-of-words signatures
-  *    (SimHash is permutation-invariant — mere token shuffling left clone
-  *    signatures hamming-0, the ×4-at-×2 artifact the first smoke run
-  *    measured) see entirely different tokens;
+  *  - documents: substitutes every token through an OPEN-VOCABULARY
+  *    injection — vocab[i] → vocab[(i + k) mod V] + a per-copy suffix —
+  *    so the corpus vocabulary GROWS ×factor with the fan-out (each
+  *    copy's token set is provably disjoint from every other copy's,
+  *    checked at build time). An earlier round used the suffix-free
+  *    shift bijection, which keeps the vocabulary FIXED: all copies then
+  *    draw shingles/signatures from the same closed token space, whose
+  *    collision density rises with the fan-out — pair ops measured
+  *    artifact growth (d3 8.4k→327k pairs at ×10, d7's DF-cap fail-loud)
+  *    that no real ×10 corpus has. Real corpus growth adds vocabulary
+  *    (Heaps' law); disjoint per-copy token spaces are the conservative
+  *    form of that. Within-copy relationships are still preserved
+  *    EXACTLY (the per-copy map is injective: copy k of A duplicates
+  *    copy k of B iff A duplicated B), so the dup rate per copy equals
+  *    the source corpus's, while across copies shingles, MinHash bands,
+  *    SimHash signatures and DF counts see entirely different tokens;
   *  - embeddings: adds a deterministic per-component offset in
   *    [-0.05, 0.05) so clones spread through cosine space instead of
   *    piling 10-deep into every LSH/IVF bucket.
@@ -47,10 +54,11 @@ object ScaleSweep {
     "d1_exact_dedup", "d3_minhash_lsh", "d5_simhash_pairs",
     "d5x_simhash60_pairs", "d7_jaccard_dfcap", "d8_incremental_dedup",
     "d9_dup_clusters", "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained",
-    // the BPE tier: the fan-out keeps the VOCABULARY constant (token
-    // substitution is a bijection over it), so the merge loop's cost
-    // should stay flat while only the one corpus-scan job grows — the
-    // "loop runs over the vocabulary, not the corpus" claim, measured
+    // the BPE tier: the open-vocabulary fan-out grows the token space
+    // ×N (round 8 — the suffix carries new char pairs), so the merge
+    // loop's pair-count state grows with the VOCABULARY while the
+    // corpus-scan jobs grow with the data — both ≤ linear, and the job
+    // structure stays flat ("loop runs over pair types, not the corpus")
     "t8_bpe_merges", "t9_bpe_tokenize",
     // round-7 corpus-width ops: c2's eval set (doc_id % 97 over the
     // scaled id space) grows WITH the fan-out — both join sides scale
@@ -89,15 +97,16 @@ object ScaleSweep {
     // sketch build — expect linear scan cost, constant ≤3×8192 state,
     // flat jobs; s3 rides d3's pair pass + a 6-row aggregate
     "jc1_join_card_sketch", "s3_split_leakage",
-    // lm1's count tables are vocabulary-bounded (the fan-out bijection
-    // keeps the vocabulary FIXED, so only the bigram stream grows);
-    // path1's matrix is |types|² whatever the log size — both should be
-    // ≤ linear with flat job structure
+    // lm1's count tables are vocabulary-bounded; under the open-vocab
+    // fan-out the vocabulary (and so the tables) grows ×N alongside the
+    // bigram stream — still ≤ linear end to end, now without the
+    // fixed-vocab crutch; path1's matrix is |types|² whatever the log
+    // size — both should be ≤ linear with flat job structure
     "lm1_bigram_lm", "path1_event_transitions")
 
-  /** Substitute every token through the copy-`k` vocabulary shift
-    * bijection; `subst` is the collected token→token map (bounded: the
-    * synthetic corpus vocabulary is a few dozen words). */
+  /** Substitute every token through the copy-`k` open-vocabulary
+    * injection; `subst` is the collected token→token map (bounded: the
+    * synthetic corpus vocabulary is a few dozen words per copy). */
   private def shiftedText(subst: Map[String, String]) = {
     val m = typedlit(subst)
     val toks = TextFunctions.tokens(TextFunctions.norm(col("text")))
@@ -114,11 +123,21 @@ object ScaleSweep {
     require(vocab.length > 0 && vocab.length <= 10000,
       s"vocabulary size ${vocab.length} outside the bounded-collect range")
     val v = vocab.length
+    // copy k's token space: the shifted word (keeps within-copy token
+    // frequency ranks decorrelated from copy 0's) carrying a per-copy
+    // suffix that makes the ×factor vocabulary spaces pairwise DISJOINT —
+    // open-vocabulary growth, verified, never assumed
+    def copyVocab(k: Int): IndexedSeq[String] =
+      vocab.indices.map(i => vocab((i + k) % v) + s"k$k")
+    val spaces = vocab.toSet +: (1 until factor).map(copyVocab(_).toSet)
+    require(spaces.map(_.size).sum == spaces.flatten.distinct.size,
+      "per-copy token spaces must be pairwise disjoint — a source word " +
+        "collides with a suffixed form; change the suffix scheme")
     (0 until factor).map { k =>
       val text =
         if (k == 0) col("text")
-        else shiftedText(
-          vocab.indices.map(i => vocab(i) -> vocab((i + k) % v)).toMap)
+        else shiftedText(vocab.indices.map(i =>
+          vocab(i) -> copyVocab(k)(i)).toMap)
       docs.select(
         (col("doc_id") + lit(k * stride)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),

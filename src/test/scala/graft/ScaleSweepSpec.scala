@@ -7,10 +7,11 @@ import graft.tools.ScaleSweep
 
 /** The scaling-curve evidence in BASELINE.md rests on the fan-out
   * generator's decorrelation properties — pin them: copies preserve the
-  * source corpus's duplicate structure EXACTLY (substitution is a
-  * bijection), clones share no content with their originals (else
-  * candidate pairs grow quadratically in the factor, a measurement
-  * artifact), vocabulary and ids behave as documented. */
+  * source corpus's duplicate structure EXACTLY (per-copy substitution is
+  * injective), per-copy token spaces are pairwise DISJOINT so the
+  * vocabulary grows with the fan-out (a closed shared vocabulary made
+  * pair candidates grow quadratically in the factor — the round-7
+  * measurement artifact), and ids behave as documented. */
 class ScaleSweepSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = {
@@ -38,11 +39,18 @@ class ScaleSweepSpec extends SparkSpec {
     }
     // copy 0 is verbatim
     assert(out(0L) === "alpha beta gamma delta")
-    // cross-copy decorrelation: the shift bijection has no fixed points
-    // for k mod V != 0, so every POSITION differs from the original —
-    // which kills order-sensitive shingle identity (bag overlap with the
-    // original is allowed and expected: it is the same background level
-    // any two same-vocabulary docs share)
+    // cross-copy decorrelation, open-vocabulary form: each copy's token
+    // space is DISJOINT from every other copy's (and from the source),
+    // so no token — let alone shingle, band key, or signature — can
+    // collide across copies, and the corpus vocabulary grows ×factor
+    // exactly as real corpus growth adds vocabulary
+    val copyVocabs = (0 until 3).map { k =>
+      (0 until 3).flatMap(i => out(k * 3 + i.toLong).split(" ")).toSet
+    }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      assert(copyVocabs(a).intersect(copyVocabs(b)).isEmpty,
+        s"copies $a and $b share tokens — closed-vocab artifact is back")
+    }
     for (k <- 1 until 3) {
       val orig = out(0L).split(" ").toSeq
       val clone = out(k * 3 + 0L).split(" ").toSeq
@@ -53,10 +61,6 @@ class ScaleSweepSpec extends SparkSpec {
       def shingles(t: Seq[String]) = t.sliding(3).map(_.mkString(" ")).toSet
       assert(shingles(orig).intersect(shingles(clone)).isEmpty,
         s"copy $k clone shares 3-gram shingles with the original")
-      // vocabulary preserved: clone tokens come from the corpus vocabulary
-      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-        "eta", "theta", "iota", "kappa").toSet
-      assert(clone.toSet.subsetOf(vocab))
     }
     // the dedup family's planted-twin convention must hold at any factor:
     // exact dedup on the doubled fan-out collapses every pair
