@@ -3,6 +3,7 @@ package graft.runner
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import graft.pipeline.Pipeline
 import graft.runner.Runner._
@@ -145,6 +146,54 @@ object BatchRunner {
   final case class ChunkStream(query: org.apache.spark.sql.streaming.StreamingQuery,
       chunks: () => Seq[BatchChunk], processed: () => Seq[String])
 
+  // ---- durable batch-status store (the DynamoDB metadata-table analogue,
+  // reference readme.md:25-53 / confirm_status.py): one JSON doc per batch
+  // recording its TERMINAL status. Without it a restart must re-run every
+  // redelivered batch and lean on the store merge's idempotence — correct,
+  // but recovery cost grows with history; with it, completed batches are
+  // rehydrated and skipped, so recovery cost is O(unfinished). Only
+  // terminal states persist: a crash mid-processing leaves no (or a
+  // pending) record and the batch re-runs — the idempotent merge makes
+  // the re-run exactly-once, same as the reference's retry path. Failed
+  // batches rehydrate as FAILED (no silent auto-retry on restart; the
+  // reference's lifecycle re-queues them explicitly, T6). Driver-side
+  // control metadata, same altitude as the control docs themselves.
+
+  private def writeStatus(dir: String, c: BatchChunk): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val err = c.error
+      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
+    java.nio.file.Files.writeString(p.resolve(s"${c.batchId}.json"),
+      s"""{"batch_id": "${c.batchId}", "status": "${c.status.name}", """ +
+        s""""error": $err}""")
+    ()
+  }
+
+  private def readStatuses(dir: String): Map[String, Status] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) Map.empty
+    else {
+      val files = java.nio.file.Files.list(p)
+      try files.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .flatMap { f =>
+          val txt = java.nio.file.Files.readString(f)
+          val id = """"batch_id"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          val st = """"status"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          (id, st) match {
+            case (Some(i), Some("done")) => Some(i -> (Done: Status))
+            case (Some(i), Some("failed")) => Some(i -> (FailedStatus: Status))
+            case _ => None // non-terminal or torn record: re-run (idempotent)
+          }
+        }.toMap
+      finally files.close()
+    }
+  }
+
   /** T3 as a Structured Stream: the control table is a file-source stream
     * of chunk rows (`{"batch_id":…, "created_at":…, "files":[…]}` JSON docs
     * — the DynamoDB-Streams analogue, reference `lambda/lab6-ttl.py:44-112`),
@@ -154,9 +203,17 @@ object BatchRunner {
     * The per-batch `collect()` is control METADATA (a handful of chunk
     * descriptors), not data — the same altitude as the reference's Lambda
     * event payloads; the heavy lifting stays inside the validate/transform
-    * jobs the tick dispatches. */
+    * jobs the tick dispatches.
+    *
+    * `statusDir` (optional) enables the durable batch-status store (see
+    * above): terminal statuses persist per batch and rehydrate on
+    * restart, so recovery re-runs only unfinished work instead of the
+    * whole redelivered history. Without it, restart correctness still
+    * holds via redelivery + the store merge's idempotence (the capstone
+    * spec pins both paths). */
   def streamChunks(spark: SparkSession, controlDir: String, workDir: String,
-      now: String, alerter: Alerter = LogAlerter): ChunkStream = {
+      now: String, alerter: Alerter = LogAlerter,
+      statusDir: Option[String] = None): ChunkStream = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("batch_id", StringType),
@@ -164,13 +221,19 @@ object BatchRunner {
       StructField("files", ArrayType(StringType))))
     val queue = mutable.ArrayBuffer.empty[BatchChunk]
     val processed = mutable.ArrayBuffer.empty[String]
+    // rehydrate terminal statuses ONCE at start: a redelivered chunk whose
+    // batch already finished enqueues Done/Failed and is never re-run
+    val terminal = statusDir.map(readStatuses).getOrElse(Map.empty)
     val query = spark.readStream.schema(schema).json(controlDir)
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val fresh = df.collect().toSeq.map { r =>
-          toChunk(r.getAs[String]("batch_id"), r.getAs[Long]("created_at"),
+          val c = toChunk(r.getAs[String]("batch_id"),
+            r.getAs[Long]("created_at"),
             r.getSeq[String](r.fieldIndex("files")))
+          terminal.get(c.batchId).foreach(s => c.status = s)
+          c
         }
         // idempotent enqueue: the control source is at-least-once (stream
         // retries, re-delivered docs), and a duplicate batch_id would
@@ -185,6 +248,7 @@ object BatchRunner {
         var ran = tick(spark, queue.toSeq, workDir, now, alerter)
         while (ran.nonEmpty) {
           processed.synchronized { processed += ran.get.batchId }
+          statusDir.foreach(writeStatus(_, ran.get))
           ran = tick(spark, queue.toSeq, workDir, now, alerter)
         }
       }

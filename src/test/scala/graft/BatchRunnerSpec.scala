@@ -306,6 +306,36 @@ class BatchRunnerSpec extends SparkSpec {
         "redelivered batches must not change committed state (exactly-once)")
     } finally runB.query.stop()
 
+    // ---- stage 3b: the durable status store (DynamoDB metadata-table
+    // analogue) — a THIRD run with statusDir seeded from a drained run
+    // rehydrates terminal statuses and re-runs NOTHING, while a batch
+    // arriving after the restart still processes; failed batches stay
+    // failed (no silent auto-retry)
+    val statusDir = d.resolve("status").toString
+    val runC = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0", statusDir = Some(statusDir))
+    try runC.query.processAllAvailable() finally runC.query.stop()
+    assert(runC.processed().size === 3,
+      "no status records yet: run C re-runs all three (idempotent)")
+    val o4 = write(d, "orders_part5.csv", ordersHeader,
+      "6,15,complete,2024-06-04 08:00:00,,,,1")
+    val i4 = write(d, "order_items_part5.csv", itemsHeader,
+      "106,6,15,7,complete,2024-06-04 08:00:00,,,,12.0")
+    val chunk4 = BatchRunner.assembleChunks(Seq(
+      Arrival(p, 50L, "2024-06-01"),
+      Arrival(o4, 500000L, "2024-06-04"),
+      Arrival(i4, 500030L, "2024-06-04")), win)
+    Files.writeString(control.resolve(s"chunk_${chunk4.head.batchId}.json"),
+      doc(chunk4.head))
+    val runD = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0", statusDir = Some(statusDir))
+    try {
+      runD.query.processAllAvailable()
+      assert(runD.processed() === Seq(chunk4.head.batchId),
+        "status-store restart must skip every completed batch")
+      assert(spark.read.parquet(store).count() === 4)
+    } finally runD.query.stop()
+
     // ---- stage 4: enrichment tail (E101) — the dimension is DERIVED
     // from the pipeline's own validated output (known buyers), streaming
     // events decorated, unknown keys flagged not dropped
