@@ -467,6 +467,15 @@ object SparkEntry {
       Validation.equiDepthHistogram(
         Sources.table(s, d, "lineitem"), "l_extendedprice")),
 
+    // V4's documented 100-TB swap, now EXECUTABLE under the hash gate
+    // (a2x/x5x/v1x convention): approx_percentile edges (one mergeable
+    // sketch pass, no full-sort percentile) must land inside exact ±0.02
+    // rank windows. The bench times the production approx-histogram body
+    // (benchOverrides); the exact windows are Verify-only gate cost.
+    "v4x_histogram_approx" -> ((s, d) =>
+      Validation.equiDepthHistogramApproxGate(
+        Sources.table(s, d, "lineitem"), "l_extendedprice")),
+
     // E70 (V2): profile drift audit — ref/batch split by the t5 hash
     // convention (first hex digit of md5(doc_id) — doc_id PARITY would
     // correlate perfectly with the round-robin source assignment and
@@ -1202,7 +1211,12 @@ object SparkEntry {
     "v1x_table_profile_approx" -> ((s, d) =>
       Validation.tableProfileApprox(
         Sources.table(s, d, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // v4x's gate pays exact percentile windows; production is the
+    // approx-edge histogram alone (one sketch pass + bucket counting)
+    "v4x_histogram_approx" -> ((s, d) =>
+      Validation.equiDepthHistogramApprox(
+        Sources.table(s, d, "lineitem"), "l_extendedprice")))
 
   /** Bench phase decomposition: queries whose cost mixes input
     * materialization with the operator itself are timed per phase — the
@@ -1413,6 +1427,12 @@ object SparkEntry {
 
     "v4_histogram" -> Validation.equiDepthHistogramSql(
       "lineitem", "l_extendedprice"),
+
+    // the k1/x5x constant-truth convention: the oracle asserts every
+    // approx edge sits inside its exact ±0.02 rank window — a Spark-side
+    // sketch drift emits n_within < 9 and hash-mismatches
+    "v4x_histogram_approx" -> """
+      SELECT CAST(9 AS BIGINT) AS n_edges, CAST(9 AS BIGINT) AS n_within""",
 
     "t13_quality_deciles" -> s"""
       WITH scored AS (${TextAnalysis.classifierScoreSql})

