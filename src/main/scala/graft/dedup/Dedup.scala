@@ -25,13 +25,13 @@ import graft.functions.TextFunctions._
   *    stays inside whole-stage codegen.
   *
   * The `withNearDups` corpus doubles `documents` with a perturbed twin of
-  * each doc (one token appended, id offset +100000) so near-dup operators
+  * each doc (one token appended, id offset +10 M — far above any fanned-out corpus id, so twins never collide with scaled ids even at ×30+ sweeps) so near-dup operators
   * have planted positives to find at any scale factor — the oracle plants
   * the identical twins.
   */
 object Dedup {
 
-  val TwinOffset = 100000L
+  val TwinOffset = 10000000L
 
   /** Test corpus with planted near-duplicates: every doc gets a twin with
     * one appended token. Exact-dedup corpus instead unions verbatim copies. */

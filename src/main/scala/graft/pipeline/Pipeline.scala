@@ -538,6 +538,9 @@ object Pipeline {
       s"forget keys must be data columns, not the partition column $partCol")
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
+    // finish a tombstone publish a crash left half-swapped BEFORE looking
+    // at the pending dir, so the read below always sees a complete record
+    resolvePendingSwap(fs, path)
     // outstanding tombstone from a crashed prior forget: same key columns
     // fold into this pass (erasure is idempotent); a different key set is
     // completed as its own pass first, clearing its tombstone
@@ -564,16 +567,26 @@ object Pipeline {
             " — a concurrent writer committed during the delete; re-run" +
             " against the new snapshot.")
     }
-    val kv = kvIn.distinct().persist()
-    // durable tombstone BEFORE any mutation: published by rename so a
-    // torn write can never masquerade as a valid pending-forget record.
-    // Size is request-grain (the distinct keys of one delete request),
-    // not data-grain — a bounded write by construction.
+    // durable tombstone BEFORE any mutation: published by RENAME-ASIDE
+    // swap (never delete-then-rename — a crash between those two would
+    // lose a still-pending prior erasure), so a complete tombstone exists
+    // on disk at every instant and a torn write can never masquerade as a
+    // valid record. Size is request-grain (the distinct keys of one
+    // delete request), not data-grain — a bounded write by construction.
     val pendingTmp = new HPath(path + ".forget.pending.inprogress")
+    val pendingOld = new HPath(path + ".forget.pending.old")
     fs.delete(pendingTmp, true)
-    kv.coalesce(1).write.mode("overwrite").parquet(pendingTmp.toString)
-    fs.delete(pendingDir, true) // superseded: its keys are folded into kv
+    kvIn.distinct().coalesce(1).write.parquet(pendingTmp.toString)
+    if (fs.exists(pendingDir)) { // superseded: its keys are folded in
+      fs.delete(pendingOld, true)
+      renameOrFail(fs, pendingDir, pendingOld)
+    }
     renameOrFail(fs, pendingTmp, pendingDir)
+    fs.delete(pendingOld, true)
+    // the published tombstone is the authoritative key set: re-reading it
+    // (instead of keeping the in-memory union plan alive) means a cache
+    // eviction can never recompute through the superseded pending dir
+    val kv = spark.read.parquet(pendingDir.toString).persist()
     try {
       val snapshot = readOrInit(spark, path, schema)
       val touched = snapshot.join(kv, keys, "left_semi")
@@ -698,12 +711,42 @@ object Pipeline {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
+    resolvePendingSwap(fs, path)
     val pending = new HPath(path + ".forget.pending")
     if (fs.exists(pending)) {
       val pend = spark.read.parquet(pending.toString)
       forgetKeys(spark, path, schema, pend, pend.columns.toSeq, partCol)
       ()
     }
+  }
+
+  /** Recovery preamble for the tombstone's own rename-aside publish (the
+    * same discipline the `.hist` purge swap uses): whichever of
+    * {published tombstone, rename-aside `.old` copy, completed
+    * `.inprogress` write} a crash left behind, promote exactly one back
+    * to the published name so a complete tombstone is never lost.
+    * Precedence: a published tombstone is authoritative (stale side files
+    * are dropped); else a COMPLETE in-progress write (`_SUCCESS` marker —
+    * it was finished before the swap began and is a superset of the
+    * `.old` copy) is published; else the `.old` copy is restored; a torn
+    * in-progress write alone is deleted. */
+  private def resolvePendingSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val pending = new HPath(path + ".forget.pending")
+    val old = new HPath(path + ".forget.pending.old")
+    val tmp = new HPath(path + ".forget.pending.inprogress")
+    if (fs.exists(pending)) {
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+    } else if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+      renameOrFail(fs, tmp, pending)
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      fs.delete(tmp, true)
+      renameOrFail(fs, old, pending)
+    } else fs.delete(tmp, true)
+    ()
   }
 
   /** E57: manifest-aware retention sweep — expire store partitions whose

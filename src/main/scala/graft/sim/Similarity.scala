@@ -1204,7 +1204,7 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
 
   val NearDupCosine = 0.9
-  val VecTwinOffset = 100000L
+  val VecTwinOffset = 10000000L
 
   /** Corpus with planted duplicate vectors (verbatim twin at id+offset) so
     * the near-dup operator has positives to find at any scale factor. */

@@ -40,8 +40,8 @@ import graft.functions.TextFunctions
   *  - embeddings: adds a deterministic per-component offset in
   *    [-0.05, 0.05) so clones spread through cosine space instead of
   *    piling 10-deep into every LSH/IVF bucket.
-  * Ids shift by k·(max+1): dense, and far below the 100000 twin offset
-  * the dedup corpora add, so no planted-id collision up to ×20.
+  * Ids shift by k·(max+1): dense, and far below the 10 M twin offset
+  * the dedup corpora add, so no planted-id collision up to ×2000.
   *
   * Usage: ScaleSweep <srcSfDir> <workDir> <factors csv, e.g. 1,3,10>
   * (factor 1 runs on srcSfDir directly). Timing protocol matches Bench:

@@ -428,9 +428,9 @@ object Validation {
   /** V4's 100-TB swap, executable (the x5→x5x path): equi-depth
     * histogram with `approx_percentile` edges — one mergeable sketch
     * pass (no full-sort percentile), bucket counting unchanged (already
-    * a single narrow scan). At accuracy 10000 the edges carry ≤ 1e-4
+    * a single narrow scan). At accuracy 1000 the edges carry ≤ 1e-3
     * rank error, so bucket depths match the exact histogram's to within
-    * ±2e-4·n rows per bucket. This is the PRODUCTION histogram body the
+    * ±2e-3·n rows per bucket — comfortably inside the ±0.02-rank gate. This is the PRODUCTION histogram body the
     * bench times; the driver query `v4x` wraps it in an exact-percentile
     * window gate (Verify-only cost, the v1x convention). */
   def equiDepthHistogramApprox(df: DataFrame, value: String,

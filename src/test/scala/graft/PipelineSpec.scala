@@ -871,4 +871,67 @@ class PipelineSpec extends SparkSpec {
     assert(fs.exists(liveDir), "recovery restored the only surviving copy")
     assert(!fs.exists(new HPath(histEp, s"_$pn.fk.old")))
   }
+
+  test("forgetKeys tombstone publish: rename-aside swap survives every crash window") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/fkswap"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "category STRING, order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>")
+    def updates(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("category", "order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .select(schema.fieldNames.map(col): _*)
+    def upsert(rows: (String, String, Long)*) =
+      Pipeline.upsertStore(spark, path, schema, updates(rows: _*),
+        Seq("category", "order_date"), Seq("total_orders"),
+        partCol = "order_date")
+    def cats() = Pipeline.readOrInit(spark, path, schema)
+      .select("category").distinct().as[String].collect().toSet
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val pending = new HPath(s"$path.forget.pending")
+    val old = new HPath(s"$path.forget.pending.old")
+    val tmp = new HPath(s"$path.forget.pending.inprogress")
+    def writeKeys(p: HPath, keys: String*): Unit = {
+      keys.toSeq.toDF("category").coalesce(1).write.parquet(p.toString)
+      ()
+    }
+
+    // --- window 1: crash BETWEEN the two publish renames — the prior
+    // tombstone {A} was renamed aside, the new union {A,B} write is
+    // complete (it finished before the swap began) but not yet published.
+    // Recovery must publish the union: BOTH keys get erased.
+    upsert(("A", "2024-06-01", 1L), ("B", "2024-06-01", 2L),
+      ("C", "2024-06-01", 3L))
+    writeKeys(old, "A")
+    writeKeys(tmp, "A", "B")
+    assert(fs.exists(new HPath(tmp, "_SUCCESS")), "complete write marker")
+    upsert(("C", "2024-06-02", 4L)) // routine batch triggers recovery
+    assert(cats() === Set("C"), "union tombstone erased BOTH crashed keys")
+    assert(!fs.exists(pending) && !fs.exists(old) && !fs.exists(tmp))
+
+    // --- window 2: crash DURING the union write (torn, no _SUCCESS) with
+    // the prior tombstone still published. The torn write is dropped, the
+    // published tombstone stays authoritative.
+    upsert(("D", "2024-06-03", 5L), ("E", "2024-06-03", 6L))
+    writeKeys(pending, "D")
+    fs.mkdirs(tmp) // torn: directory exists, no _SUCCESS, garbage content
+    val out = fs.create(new HPath(tmp, "part-torn.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    upsert(("C", "2024-06-04", 7L))
+    assert(cats() === Set("C", "E"), "published tombstone {D} completed")
+    assert(!fs.exists(pending) && !fs.exists(tmp))
+
+    // --- window 3: only the rename-aside copy survives (crash after the
+    // aside rename with markers unavailable) — recovery restores it.
+    upsert(("F", "2024-06-05", 8L))
+    writeKeys(old, "F")
+    upsert(("C", "2024-06-06", 9L))
+    assert(cats() === Set("C", "E"), "aside copy {F} restored and erased")
+    assert(!fs.exists(pending) && !fs.exists(old))
+  }
 }
