@@ -430,9 +430,10 @@ object Validation {
     * pass (no full-sort percentile), bucket counting unchanged (already
     * a single narrow scan). At accuracy 1000 the edges carry ≤ 1e-3
     * rank error, so bucket depths match the exact histogram's to within
-    * ±2e-3·n rows per bucket — comfortably inside the ±0.02-rank gate. This is the PRODUCTION histogram body the
-    * bench times; the driver query `v4x` wraps it in an exact-percentile
-    * window gate (Verify-only cost, the v1x convention). */
+    * ±2e-3·n rows per bucket — comfortably inside the ±0.02-rank gate.
+    * This is the PRODUCTION histogram body the bench times; the driver
+    * query `v4x` wraps it in an exact-percentile window gate
+    * (Verify-only cost, the v1x convention). */
   def equiDepthHistogramApprox(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
