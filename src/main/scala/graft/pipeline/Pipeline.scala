@@ -980,10 +980,18 @@ object Pipeline {
         case (Some(b), Some(m)) => b == m.epoch
         case _ => false
       }
-      // an outstanding forget tombstone means orphan backups are the
-      // crashed forget's own pre-delete copies — they carry the forgotten
-      // rows, so erasure outranks the time-travel archive: delete, never
-      // file into .hist (see forgetKeys' crash contract)
+      // an outstanding forget tombstone means ORPHAN backups (post-commit
+      // regime) are the crashed forget's own pre-delete copies — they
+      // carry the forgotten rows, so erasure outranks both the
+      // time-travel archive AND the missing-dir restore: delete, never
+      // file into .hist or rename back into the live tree. The dst-
+      // missing case is exactly a partition the forget EMPTIED and
+      // retired from the manifest — restoring it would park the
+      // forgotten rows in an unlisted live dir forever (the completing
+      // forget reads manifest-filtered and would never rewrite it).
+      // Pre-commit crashes are unaffected: they land in the inFlight
+      // regime above (bakEpoch == manifest epoch) and roll back, so a
+      // backup holding non-forgotten rows is never deleted here.
       val forgetPending = fs.exists(new HPath(path + ".forget.pending"))
       fs.listStatus(bakRoot)
         .filterNot(_.getPath.getName.startsWith("_")).foreach { s =>
@@ -991,8 +999,8 @@ object Pipeline {
           if (inFlight) {
             if (fs.exists(dst)) fs.delete(dst, true)
             renameOrFail(fs, s.getPath, dst)
-          } else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
-          else if (forgetPending) fs.delete(s.getPath, true)
+          } else if (forgetPending) fs.delete(s.getPath, true)
+          else if (!fs.exists(dst)) renameOrFail(fs, s.getPath, dst)
           else be.foreach { e =>
             val histDir = new HPath(s"$path.hist/$e")
             if (!fs.exists(histDir)) fs.mkdirs(histDir)

@@ -159,34 +159,60 @@ object BatchRunner {
   // reference's lifecycle re-queues them explicitly, T6). Driver-side
   // control metadata, same altitude as the control docs themselves.
 
+  /** Full JSON string escaping (quotes, backslash, control chars) — a
+    * failed batch's error message routinely carries newlines (Spark
+    * exception + plan dump) and must still produce a valid JSON doc. */
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }.mkString("\"", "", "\"")
+
   private def writeStatus(dir: String, c: BatchChunk): Unit = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
-    val err = c.error
-      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .getOrElse("null")
+    val err = c.error.map(jsonStr).getOrElse("null")
     java.nio.file.Files.writeString(p.resolve(s"${c.batchId}.json"),
-      s"""{"batch_id": "${c.batchId}", "status": "${c.status.name}", """ +
+      s"""{"batch_id": ${jsonStr(c.batchId)}, "status": "${c.status.name}", """ +
         s""""error": $err}""")
     ()
   }
 
-  private def readStatuses(dir: String): Map[String, Status] = {
+  private val JsonEsc = """\\u([0-9a-fA-F]{4})|\\(.)""".r
+  private def unescape(s: String): String = JsonEsc.replaceAllIn(s, m =>
+    scala.util.matching.Regex.quoteReplacement(
+      if (m.group(1) != null) Integer.parseInt(m.group(1), 16).toChar.toString
+      else m.group(2) match {
+        case "n" => "\n"; case "r" => "\r"; case "t" => "\t"; case c => c
+      }))
+
+  private def readStatuses(dir: String): Map[String, (Status, Option[String])] = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) Map.empty
     else {
       val files = java.nio.file.Files.list(p)
+      // every per-file read/parse failure degrades to "non-terminal":
+      // a torn write, stray subdirectory, or non-UTF-8 byte must mean
+      // "re-run this batch" (idempotent), never a restart crash loop —
+      // this store exists FOR crash recovery
       try files.iterator().asScala
         .filter(_.toString.endsWith(".json"))
         .flatMap { f =>
-          val txt = java.nio.file.Files.readString(f)
-          val id = """"batch_id"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          val st = """"status"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          (id, st) match {
-            case (Some(i), Some("done")) => Some(i -> (Done: Status))
-            case (Some(i), Some("failed")) => Some(i -> (FailedStatus: Status))
+          scala.util.Try {
+            val txt = java.nio.file.Files.readString(f)
+            val field = (n: String) =>
+              ("\"" + n + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+                .findFirstMatchIn(txt).map(m => unescape(m.group(1)))
+            (field("batch_id"), field("status"), field("error"))
+          }.toOption.flatMap {
+            case (Some(i), Some("done"), _) => Some(i -> (Done: Status, None))
+            case (Some(i), Some("failed"), e) =>
+              Some(i -> (FailedStatus: Status, e))
             case _ => None // non-terminal or torn record: re-run (idempotent)
           }
         }.toMap
@@ -232,7 +258,10 @@ object BatchRunner {
           val c = toChunk(r.getAs[String]("batch_id"),
             r.getAs[Long]("created_at"),
             r.getSeq[String](r.fieldIndex("files")))
-          terminal.get(c.batchId).foreach(s => c.status = s)
+          terminal.get(c.batchId).foreach { case (st, err) =>
+            c.status = st
+            c.error = err
+          }
           c
         }
         // idempotent enqueue: the control source is at-least-once (stream

@@ -136,8 +136,10 @@ object ScaleSweep {
     (0 until factor).map { k =>
       val text =
         if (k == 0) col("text")
-        else shiftedText(vocab.indices.map(i =>
-          vocab(i) -> copyVocab(k)(i)).toMap)
+        else {
+          val cv = copyVocab(k) // built once per copy, not once per word
+          shiftedText(vocab.indices.map(i => vocab(i) -> cv(i)).toMap)
+        }
       docs.select(
         (col("doc_id") + lit(k * stride)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),

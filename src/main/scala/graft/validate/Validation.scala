@@ -410,6 +410,16 @@ object Validation {
       min(col(value)).cast("double").as("mn"),
       max(col(value)).cast("double").as("mx"))
       .persist()
+    histogramFromEdges(df, value, buckets, edges)
+  }
+
+  /** Shared bucket-assignment tail of the exact and approx equi-depth
+    * histograms: `edges` is a persisted 1-row frame (es array, mn, mx)
+    * with two broadcast cross-join consumers — bucket counting and lo/hi
+    * labeling. Factored so the bucket convention (ties land low, bucket
+    * 1 opens at min, bucket N closes at max) lives in exactly one place. */
+  private def histogramFromEdges(df: DataFrame, value: String,
+      buckets: Int, edges: DataFrame): DataFrame = {
     val counts = df.crossJoin(broadcast(edges))
       .select((size(filter(col("es"),
         e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
@@ -443,19 +453,7 @@ object Validation {
       min(col(value)).cast("double").as("mn"),
       max(col(value)).cast("double").as("mx"))
       .persist()
-    val counts = df.crossJoin(broadcast(edges))
-      .select((size(filter(col("es"),
-        e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
-    counts.crossJoin(broadcast(edges))
-      .select(col("bucket"),
-        when(col("bucket") === 1, col("mn"))
-          .otherwise(element_at(col("es"), (col("bucket") - 1).cast("int")))
-          .as("lo"),
-        when(col("bucket") === buckets, col("mx"))
-          .otherwise(element_at(col("es"), col("bucket").cast("int")))
-          .as("hi"),
-        col("n_rows"))
+    histogramFromEdges(df, value, buckets, edges)
   }
 
   /** The hash gate for [[equiDepthHistogramApprox]] (a2x/x5x/v1x
@@ -467,12 +465,19 @@ object Validation {
   def equiDepthHistogramApproxGate(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    // clamp the ±0.02 rank windows into [0, 1]: at buckets > 50 the
+    // outermost targets sit closer than 0.02 to the ends and an
+    // unclamped fraction would be rejected by percentile() outright
+    // (a clamped window just degenerates to "≥ min" / "≤ max" — still
+    // an honest bound)
+    val lo = qs.map(q => math.max(0.0, q - 0.02))
+    val hi = qs.map(q => math.min(1.0, q + 0.02))
     df.agg(
         expr(s"approx_percentile($value, array(${qs.mkString("D, ")}D), 1000)")
           .cast("array<double>").as("a"),
-        expr(s"percentile($value, array(${qs.map(_ - 0.02).mkString("D, ")}D))")
+        expr(s"percentile($value, array(${lo.mkString("D, ")}D))")
           .as("lo"),
-        expr(s"percentile($value, array(${qs.map(_ + 0.02).mkString("D, ")}D))")
+        expr(s"percentile($value, array(${hi.mkString("D, ")}D))")
           .as("hi"))
       .select(lit(buckets - 1).cast("long").as("n_edges"),
         aggregate(

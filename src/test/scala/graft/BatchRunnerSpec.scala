@@ -24,6 +24,67 @@ class BatchRunnerSpec extends SparkSpec {
     f.toString
   }
 
+  test("status store: torn/garbage records degrade to re-run; failed rehydrates with its error") {
+    val d = Files.createTempDirectory("graft-status")
+    val control = d.resolve("control")
+    val statusDir = d.resolve("status")
+    Files.createDirectories(control)
+    Files.createDirectories(statusDir)
+
+    // a batch that FAILS validation (null order_id) — its failure record,
+    // with a multi-line error message, must round-trip the status store
+    val bad = BatchRunner.toChunk("bad1", 100L, Seq(
+      write(d, "orders_part9.csv", ordersHeader,
+        ",13,complete,2024-06-03 09:00:00,,,,1"),
+      write(d, "order_items_part9.csv", itemsHeader,
+        "104,4,13,7,complete,2024-06-03 09:00:00,,,,10.0"),
+      write(d, "products9.csv", productsHeader,
+        "7,SKU7,10.0,toys,Car,BrandA,25.0,kids")))
+    val files = bad.ordersPaths ++ bad.itemsPaths ++ bad.productsPath.toSeq
+    Files.writeString(control.resolve("chunk_bad1.json"),
+      s"""{"batch_id": "bad1", "created_at": 100, """ +
+        s""""files": [${files.map("\"" + _ + "\"").mkString(", ")}]}""")
+
+    // adversarial statusDir content a crash can leave behind: a torn
+    // JSON doc (invalid bytes, no closing quote), a stray SUBDIRECTORY
+    // named like a record, and a pending (non-terminal) doc — none may
+    // crash the restart, all must mean "re-run"
+    Files.write(statusDir.resolve("torn.json"),
+      Array[Byte]('{', '"', 'b', 0x80.toByte, 0xfe.toByte))
+    Files.createDirectories(statusDir.resolve("subdir.json"))
+    Files.writeString(statusDir.resolve("pending.json"),
+      """{"batch_id": "bad1", "status": "pending", "error": null}""")
+
+    val runA = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0", statusDir = Some(statusDir.toString))
+    try {
+      runA.query.processAllAvailable()
+      assert(runA.processed() === Seq("bad1"),
+        "garbage + non-terminal records must rehydrate nothing")
+      val c = runA.chunks().find(_.batchId == "bad1").get
+      assert(c.status === FailedStatus)
+      assert(c.error.exists(_.contains("NULL_VALIDATION_ERROR")))
+    } finally runA.query.stop()
+    // the failure record on disk is valid JSON even though Spark error
+    // messages carry newlines/quotes
+    val doc = Files.readString(statusDir.resolve("bad1.json"))
+    assert(!doc.contains("\n"), s"unescaped newline in status doc: $doc")
+
+    // restart: the failed batch rehydrates as FAILED with its persisted
+    // error (no silent auto-retry), so nothing re-runs
+    val runB = BatchRunner.streamChunks(spark, control.toString,
+      s"$d/work", now = "t0", statusDir = Some(statusDir.toString))
+    try {
+      runB.query.processAllAvailable()
+      assert(runB.processed() === Seq.empty,
+        "terminal failed status must rehydrate and skip the re-run")
+      val c = runB.chunks().find(_.batchId == "bad1").get
+      assert(c.status === FailedStatus)
+      assert(c.error.exists(_.contains("NULL_VALIDATION_ERROR")),
+        s"persisted error must rehydrate, got ${c.error}")
+    } finally runB.query.stop()
+  }
+
   test("chunks drain FIFO; KPI store accumulates across batches; bad batch alerts") {
     val d = Files.createTempDirectory("graft-runner")
     LogAlerter.clear()

@@ -872,6 +872,77 @@ class PipelineSpec extends SparkSpec {
     assert(!fs.exists(new HPath(histEp, s"_$pn.fk.old")))
   }
 
+  test("forgetKeys crash after commit: emptied-partition backup erased, never restored") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/fkempty"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "category STRING, order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>")
+    def updates(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("category", "order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .select(schema.fieldNames.map(col): _*)
+    def upsert(rows: (String, String, Long)*) =
+      Pipeline.upsertStore(spark, path, schema, updates(rows: _*),
+        Seq("category", "order_date"), Seq("total_orders"),
+        partCol = "order_date")
+    def cats() = Pipeline.readOrInit(spark, path, schema)
+      .select("category").distinct().as[String].collect().toSet
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+    // partition 06-01 holds ONLY key A — a forget of A EMPTIES it (the
+    // partition is retired from the manifest, not swapped)
+    upsert(("A", "2024-06-01", 1L), ("B", "2024-06-02", 2L)) // epoch 1
+    val (ep2, del) = Pipeline.forgetKeys(spark, path, schema,
+      Seq("A").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(del === 1L && ep2 === 2L)
+    assert(cats() === Set("B"))
+
+    // reconstruct the post-commit crash state that completed run cleaned
+    // up: manifest already at epoch 2 WITHOUT 06-01, but (a) the emptied
+    // partition's pre-delete .bak copy still on disk, (b) the bak-epoch
+    // marker at the pre-commit epoch (orphan regime), (c) the forget
+    // tombstone still outstanding — i.e. a crash between writeManifest
+    // and the .bak cleanup / tombstone retire.
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == "order_date"))
+    val bakDir = new HPath(s"$path.bak/order_date=2024-06-01")
+    Seq(("A", 1L)).toDF("category", "total_orders")
+      .withColumn("data_sources", typedLit(Seq("orders")))
+      .select(dataSchema.fieldNames.map(col): _*)
+      .coalesce(1).write.parquet(bakDir.toString)
+    Pipeline.writeBakEpoch(fs, path, 1L)
+    Seq("A").toDF("category").coalesce(1)
+      .write.parquet(s"$path.forget.pending")
+
+    upsert(("C", "2024-06-03", 3L)) // routine batch triggers recovery
+    // the backup carried ONLY forgotten rows: erasure must delete it —
+    // restoring it would park A's rows in an unlisted live dir that the
+    // manifest-filtered completing forget can never rewrite
+    assert(!fs.exists(new HPath(s"$path/order_date=2024-06-01")),
+      "emptied partition must not be restored into the live tree")
+    // the A-rows backup itself is deleted (the .bak root may legitimately
+    // carry the routine upsert's own fresh epoch marker afterwards)
+    assert(!fs.exists(bakDir), "forgotten-rows backup erased")
+    assert(!fs.exists(new HPath(s"$path.forget.pending")), "tombstone retired")
+    assert(cats() === Set("B", "C"))
+    // no archived version carries A either
+    val histRoot = new HPath(s"$path.hist")
+    if (fs.exists(histRoot)) {
+      for (ep <- fs.listStatus(histRoot).toSeq if ep.isDirectory;
+           pd <- fs.listStatus(ep.getPath).toSeq
+           if pd.getPath.getName.startsWith("order_date=")) {
+        val c = spark.read.schema(dataSchema).parquet(pd.getPath.toString)
+          .select("category").distinct().as[String].collect().toSet
+        assert(!c.contains("A"), s"archived ${pd.getPath} retains A")
+      }
+    }
+  }
+
   test("forgetKeys tombstone publish: rename-aside swap survives every crash window") {
     import org.apache.spark.sql.functions.{col, typedLit}
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
