@@ -52,7 +52,7 @@ object Dedup {
     * text, keeping the smallest doc_id; `copies` counts collapsed rows.
     * Input is the corpus doubled verbatim, so every group has ≥ 2 copies. */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
+    docs.select(col("doc_id"), docFp(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("copies"))
@@ -78,12 +78,12 @@ object Dedup {
     */
   def incrementalDedup(incoming: DataFrame, seenFps: DataFrame): DataFrame =
     incoming
-      .withColumn("fp", md5(norm(col("text")).cast("binary")))
+      .withColumn("fp", docFp(col("text")))
       .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
 
   /** The fingerprint store's row shape: one `fp` per doc. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(md5(norm(col("text")).cast("binary")).as("fp")).distinct()
+    docs.select(docFp(col("text")).as("fp")).distinct()
 
   /** d8 oracle: evens are the historical store; incoming = odds + a
     * re-crawl of the evens under new ids — only the odds survive. */

@@ -31,6 +31,15 @@ object TextFunctions {
   def normSql(c: String): String =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
+  /** THE content fingerprint: md5 over the normalized text. One
+    * definition shared by every consumer (batch dedup d1/d8, streaming
+    * dedup E53, decontamination c1, corpus-prep) — the streaming horizon
+    * only composes with the batch fingerprint store if the fingerprints
+    * are bit-identical, so this must never fork per module. */
+  def docFp(c: Column): Column = md5(norm(c).cast("binary"))
+
+  def docFpSql(c: String): String = s"md5(${normSql(c)})"
+
   /** Tokens of a normalized string: split on the single canonical space.
     * Empty input yields an empty array, not [""]. */
   def tokens(normed: Column): Column =

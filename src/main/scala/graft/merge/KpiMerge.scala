@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * in updates insert. This is exactly Delta `MERGE INTO ... whenMatched
   * updateExpr(coalesce...) whenNotMatched insertAll` — Delta jars are not on
   * this classpath, so the join form is the storage-free equivalent with the
-  * same semantics (and the same physical shape: one shuffle on the key, or a
-  * broadcast when updates are small — which at 100 TB they usually are:
-  * a day's KPI deltas vs the full history).
+  * same semantics and physical shape: ONE shuffle of both sides on the
+  * key. (A full-outer equi-join can NOT be planned as a broadcast hash
+  * join — preserving unmatched rows of both sides needs both sides
+  * partitioned — so small updates don't remove the target shuffle here.
+  * At 100 TB the shuffle-avoiding path is the partition-scoped store
+  * merge `Pipeline.upsertStore` uses: only the touched date partitions
+  * join, exactly as Delta prunes MERGE by partition predicate.)
   *
   * Null-field behavior is the subtle part: an update row with a NULL field
   * must NOT clobber the target's value (reference

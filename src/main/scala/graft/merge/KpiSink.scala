@@ -56,13 +56,23 @@ object KpiSink {
     if (prov.isEmpty) merged else merged + (provenanceCol -> prov)
   }
 
-  /** S7/S8: upsert every row of `updates` into the store, partition-wise. */
+  /** S7/S8: upsert every row of `updates` into the store, partition-wise.
+    *
+    * Rows are hash-repartitioned on the key first, so every occurrence of
+    * a key lands in ONE partition and its get→merge→put sequence runs on
+    * a single task: without this, the same key in two concurrently
+    * executing partitions is a classic lost update (both read the same
+    * existing item, the second put erases the first's fields/provenance).
+    * The shuffle is key-grain (KPI rows), not fact-grain — negligible.
+    * Speculative/retried duplicate tasks remain safe because the merge
+    * is idempotent per key, not because of ordering. */
   def upsert(updates: DataFrame, keys: Seq[String], fields: Seq[String],
       provenanceCol: String, factory: KvStoreFactory): Unit = {
+    import org.apache.spark.sql.functions.col
     val schema = updates.schema
     val keyIdx = keys.map(schema.fieldIndex)
     val names = schema.fieldNames
-    updates.foreachPartition { rows: Iterator[Row] =>
+    updates.repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       val store = factory.open() // per-partition client
       rows.foreach { r =>
         val key = keyIdx.map(i => String.valueOf(r.get(i)))

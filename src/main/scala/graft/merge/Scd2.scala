@@ -44,6 +44,23 @@ object Scd2 {
       tracked: Seq[String], batchDate: String): DataFrame = {
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
+    // duplicate keys in one batch would fan the full-outer join out (the
+    // same current row closed N times, N open versions) and silently
+    // break the one-version-per-key-per-date invariant forever after —
+    // fail loud instead, exactly as Delta MERGE raises "multiple source
+    // rows matched". The count rides a window over the batch's own key
+    // shuffle (the merge join repartitions on the same keys), so the
+    // guard adds no extra exchange of the dimension.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val batchChecked = batch
+      .withColumn("__kn", count(lit(1)).over(w))
+      .filter(when(col("__kn") > 1, raise_error(concat(
+          lit("Scd2.merge: multiple batch rows for key ("),
+          concat_ws(",", keys.map(col): _*),
+          lit(") — deduplicate the CDC feed per key before merging"))))
+        .otherwise(lit(true)))
+      .drop("__kn")
     val keyCond = keys.map(k => col(s"c.$k") === col(s"u.$k"))
       .reduce(_ && _)
     val changed = tracked.map(t => !(col(s"c.$t") <=> col(s"u.$t")))
@@ -63,7 +80,7 @@ object Scd2 {
       lit(true))
 
     val emitted = current.alias("c")
-      .join(batch.alias("u"), keyCond, "full_outer")
+      .join(batchChecked.alias("u"), keyCond, "full_outer")
       .select(explode(
         when(inBatchOnly, array(openRow))            // brand-new key
           .when(inDimOnly, array(curRow))            // not in batch: stays

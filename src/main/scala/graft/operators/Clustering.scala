@@ -131,6 +131,15 @@ object Clustering {
       val aggs = cols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
       val stats = dfP.agg(aggs.head, aggs.tail: _*).head()
+      // an empty input (or an all-null clustered column) yields NULL
+      // min/max — fail with the actual problem, not a getDouble NPE
+      // buried inside the write job
+      cols.zipWithIndex.foreach { case (c, i) =>
+        require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+          s"writeZOrdered: no measurable range for column '$c' — input " +
+            "is empty or the column is entirely null; pass explicit " +
+            "ranges or filter first")
+      }
       val ranges = cols.indices.map(i =>
         (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
       writeZOrdered(dfP, cols, path, numFiles, ranges)

@@ -62,10 +62,16 @@ object JoinCardinality {
     val exact = ka.join(kb, Seq("k"))
       .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L))
         .as("exact_join_rows"))
-    // 1-row × 1-row: the bounds-frame crossJoin convention
+    // 1-row × 1-row: the bounds-frame crossJoin convention. over_ratio
+    // is explicitly NULL on an empty exact join (disjoint key sets):
+    // Spark's x/0 is NULL but DuckDB's is Infinity, so without the guard
+    // the engines would disagree on exactly this edge (oracle uses
+    // NULLIF for the same reason)
     est.crossJoin(exact).select(col("est_join_rows"),
       col("exact_join_rows"),
-      (col("est_join_rows").cast("double") / col("exact_join_rows"))
+      when(col("exact_join_rows") === 0, lit(null).cast("double"))
+        .otherwise(col("est_join_rows").cast("double") /
+          col("exact_join_rows"))
         .as("over_ratio"))
   }
 
@@ -101,7 +107,7 @@ object JoinCardinality {
       JOIN (SELECT k, count(*)::BIGINT AS n FROM eb GROUP BY 1) nb
         USING (k))
     SELECT est.est_join_rows, ex.exact_join_rows,
-      est.est_join_rows::DOUBLE / ex.exact_join_rows AS over_ratio
+      est.est_join_rows::DOUBLE / NULLIF(ex.exact_join_rows, 0) AS over_ratio
     FROM est, ex"""
   }
 }

@@ -44,6 +44,17 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "bin width must be positive")
+    // the output contract is point columns ++ interval columns — a name
+    // shared across the two sides would survive the join twice (ambiguous
+    // downstream, and an AnalysisException in the containment filter if
+    // the shared name is ts/start/end); fail with the actual problem
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"pointInInterval: column name(s) ${shared.mkString(", ")} exist on " +
+        "both sides — rename one side before joining")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "pointInInterval: __bin is reserved for the binning key")
     val p = points.withColumn("__bin", expr(s"`$tsCol` DIV $binWidth"))
     val i = intervals.withColumn("__bin",
       explode(sequence(expr(s"`$startCol` DIV $binWidth"),

@@ -172,15 +172,26 @@ object Debounce {
             // FIRING remains on Spark's processing-time clock
             val now = clock()
             val evs = it.toSeq
-            val s0 = state.getOption
-              .getOrElse(DebounceState(now, 0L, Long.MinValue))
-            val s1 = DebounceState(s0.batchStart, s0.nEvents + evs.size,
-              math.max(s0.lastTs, if (evs.isEmpty) Long.MinValue
+            // a group with data in the trigger never gets hasTimedOut —
+            // so an EXPIRED standing batch must be closed here: emit it
+            // and let the incoming events anchor a fresh one (T5), never
+            // merge across an expired boundary (the anchored window is
+            // [batchStart, batchStart + windowMs), closed on both paths)
+            val (closed, base) = state.getOption match {
+              case Some(s) if now >= s.batchStart + windowMs =>
+                (Iterator.single(BatchRow(key, s.batchStart, s.nEvents,
+                  s.lastTs)), DebounceState(now, 0L, Long.MinValue))
+              case Some(s) => (Iterator.empty, s)
+              case None => (Iterator.empty,
+                DebounceState(now, 0L, Long.MinValue))
+            }
+            val s1 = DebounceState(base.batchStart, base.nEvents + evs.size,
+              math.max(base.lastTs, if (evs.isEmpty) Long.MinValue
                 else evs.map(_.ts).max))
             state.update(s1)
             val remaining = math.max(1L, s1.batchStart + windowMs - now)
             state.setTimeoutDuration(remaining)
-            Iterator.empty
+            closed
           }
       }
   }

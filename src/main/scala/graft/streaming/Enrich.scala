@@ -25,13 +25,16 @@ import org.apache.spark.sql.functions._
 object Enrich {
 
   /** Events ⋈ customer-dimension (left): event columns + market segment
-    * + the known-key flag. */
+    * + the known-key flag. `is_known` rides a constant marker column
+    * from the dimension side, NOT `segment.isNotNull` — a key that
+    * exists in the dimension with a NULL attribute is still a KNOWN key
+    * and must not be routed down the unknown-key quarantine path. */
   def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(
       broadcast(customers.select(col("c_custkey").as("user_id"),
-        col("c_mktsegment").as("segment"))),
+        col("c_mktsegment").as("segment"), lit(true).as("__known"))),
       Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("segment"),
-        col("segment").isNotNull.as("is_known"))
+        coalesce(col("__known"), lit(false)).as("is_known"))
 }

@@ -32,7 +32,7 @@ import graft.functions.TextFunctions._
 object StreamDedup {
 
   private def withFp(docs: DataFrame): DataFrame =
-    docs.withColumn("fp", md5(norm(col("text")).cast("binary")))
+    docs.withColumn("fp", docFp(col("text")))
 
   def dedupDocStream(docs: DataFrame, watermark: String): DataFrame =
     withFp(docs

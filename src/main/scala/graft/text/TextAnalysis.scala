@@ -96,7 +96,7 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      md5(norm(col("text")).cast("binary")).as("fp_md5"),
+      docFp(col("text")).as("fp_md5"),
       charHash(norm(col("text"))).as("fp_roll"))
 
   /** T6 (E45): corpus vocabulary top-k — token document frequency and
@@ -133,7 +133,7 @@ object TextAnalysis {
     * fingerprint table. */
   def contaminationBySource(docs: DataFrame,
       evalFps: DataFrame): DataFrame = {
-    val fp = md5(norm(col("text")).cast("binary")).as("fp")
+    val fp = docFp(col("text")).as("fp")
     val flagged = docs.select(col("doc_id"), col("source"), fp)
       .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_semi")
       .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
@@ -148,7 +148,7 @@ object TextAnalysis {
   /** The deterministic eval-set fingerprints used by the c1 driver query. */
   def evalSetFps(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      .select(md5(norm(col("text")).cast("binary")).as("fp"))
+      .select(docFp(col("text")).as("fp"))
 
   def contaminationBySourceSql: String = s"""
     WITH fps AS (
@@ -1432,7 +1432,7 @@ object TextAnalysis {
     // exact dedup, d1 form: grouped min + semi-join on the content hash —
     // the chain's only corpus-width shuffles besides the final audit
     val fp = kept.select(col("doc_id"), col("source"), col("text"),
-      md5(norm(col("text")).cast("binary")).as("fp"))
+      docFp(col("text")).as("fp"))
     val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = fp.join(keepers, Seq("fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("text"))

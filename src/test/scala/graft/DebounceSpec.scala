@@ -141,4 +141,46 @@ class DebounceSpec extends SparkSpec {
         "window expiry must emit one deterministic batch row for the key")
     } finally q.stop()
   }
+
+  test("streaming: data after expiry closes the old batch and anchors a new one (T5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // a group with data in the trigger never gets hasTimedOut, so an
+    // event arriving AFTER the window expired must still close the
+    // standing batch inside the data path — merging across the expired
+    // boundary would produce one fat batch instead of two (the bug this
+    // test pins). The injectable clock jumps past the window between the
+    // two events.
+    @volatile var nowMs = 5000L
+    val q = Debounce.streamingBatches(mem.toDS(), windowMs = 800L,
+        clock = () => nowMs)
+      .writeStream.format("memory").queryName("debounce_late_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
+    try {
+      mem.addData(Event(7, 1000L)) // anchors batch at 5000
+      // let the first event be consumed on its own trigger so the two
+      // events cannot land in one micro-batch (which would anchor once)
+      Thread.sleep(400L)
+      // jump the clock past the expiry and deliver a late event: whether
+      // it is processed before or after the processing-time timeout
+      // fires, the result must be TWO single-event batches
+      nowMs = 6000L
+      mem.addData(Event(7, 2000L))
+      val deadline = System.currentTimeMillis() + 30000L
+      var rows = Array.empty[(Long, Long, Long, Long)]
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        rows = spark.sql(
+          "SELECT key, batchStart, nEvents, lastTs FROM debounce_late_out")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      assert(rows.sorted.toSeq === Seq(
+        (7L, 5000L, 1L, 1000L), (7L, 6000L, 1L, 2000L)),
+        "late data must anchor a fresh batch, never merge across expiry")
+    } finally q.stop()
+  }
 }

@@ -57,6 +57,24 @@ class Scd2Spec extends SparkSpec {
     assert(rows(twice) === rows(once))
   }
 
+  test("duplicate keys in one batch fail loud (Delta MERGE parity)") {
+    val dim = Scd2.init(snap(1L -> "a"), "d0")
+    // two batch rows for id=1 would fan the full-outer join out: the
+    // current row closed twice + two open versions — the merge must
+    // refuse, exactly as Delta raises "multiple source rows matched"
+    val e = intercept[Exception] {
+      Scd2.merge(dim, snap(1L -> "x", 1L -> "y"),
+        Seq("id"), Seq("v"), "d1").collect()
+    }
+    assert(e.getMessage.contains("multiple batch rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple batch rows")),
+      s"unexpected error: ${e.getMessage}")
+    // and a duplicate-free batch still merges normally
+    val ok = rows(Scd2.merge(dim, snap(1L -> "x"), Seq("id"), Seq("v"), "d1"))
+    assert(ok === Set((1L, "a", "d0", Some("d1"), false),
+      (1L, "x", "d1", None, true)))
+  }
+
   test("three days of history accumulate; as-of resolves uniquely per key") {
     val d0 = Scd2.init(snap(1L -> "v0"), "2024-01-01")
     val d1 = Scd2.merge(d0, snap(1L -> "v1"), Seq("id"), Seq("v"),

@@ -131,17 +131,22 @@ class StreamingAggSpec extends SparkSpec {
       "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
     val events = Seq(
       (1L, 10L, "view", 1.0), (2L, 11L, "click", 2.0),
-      (3L, 99L, "view", 3.0), (4L, 10L, "purchase", 4.0))
+      (3L, 99L, "view", 3.0), (4L, 10L, "purchase", 4.0),
+      (5L, 50L, "view", 5.0))
     events.toDF("event_id", "user_id", "event_type", "value")
       .coalesce(1).write.parquet(s"$in/f1")
-    val dim = Seq((10L, "AUTOMOBILE"), (11L, "BUILDING"))
+    val dim = Seq((10L, Some("AUTOMOBILE")), (11L, Some("BUILDING")),
+        (99L, None))
       .toDF("c_custkey", "c_mktsegment")
 
     val batchOut = Enrich.enrichEvents(
       spark.read.schema(schema).parquet(s"$in/*"), dim)
       .collect().map(_.toString).sorted.toSeq
-    // unknown user 99: kept, NULL segment, flagged
-    assert(batchOut.exists(_.contains("3,99,view,3.0,null,false")))
+    // user 99 EXISTS in the dimension with a NULL attribute: a known key
+    // (is_known=true) with segment NULL — not the quarantine path; user
+    // 50 is truly unknown: kept, NULL segment, flagged false
+    assert(batchOut.exists(_.contains("3,99,view,3.0,null,true")))
+    assert(batchOut.exists(_.contains("5,50,view,5.0,null,false")))
 
     // the SAME transform as a streaming query (broadcast join per
     // micro-batch; no state store, no watermark, append mode)
