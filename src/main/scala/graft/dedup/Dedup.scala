@@ -464,6 +464,36 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  // -- shared MinHash-LSH building blocks: the d3 self-join and c3's
+  // two-corpus broadcast join consume the SAME banding and estimate
+  // definitions (one copy, two consumers — the band key scheme and the
+  // agreement estimate can never fork between the operators, and the
+  // same single-definition rule holds for their SQL twins below).
+
+  /** Signatures folded into one array column (doc_id, sig[NumHashes]). */
+  private def lshSigArray(docs: DataFrame): DataFrame =
+    minhashSignatures(docs).select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+
+  /** Banded rows CARRYING the signature array: (doc_id, sig, band, key). */
+  private def lshBanded(df: DataFrame): DataFrame = {
+    val r = NumHashes / NumBands
+    df.select(col("doc_id"), col("sig"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"), concat_ws("|", (0 until r)
+          .map(rr => element_at(col("sig"), b * r + rr + 1).cast("string")): _*)
+          .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Signature-agreement estimate over an x/y banded join. */
+  private def lshEst: Column = (aggregate(
+    zip_with(col("x.sig"), col("y.sig"),
+      (a, b) => when(a === b, 1).otherwise(0)),
+    lit(0), (acc, v) => acc + v)).cast("double") / lit(NumHashes.toDouble)
+
   /** LSH candidate pairs: docs sharing at least one (band, band-signature)
     * bucket, scored by the fraction of equal signature components; kept
     * when the estimate clears the threshold.
@@ -474,21 +504,8 @@ object Dedup {
     * shingle pass or demand a materialized cache). The self-join's two
     * sides share one shuffle (ReusedExchange). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val r = NumHashes / NumBands
-    val sig = minhashSignatures(docs)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"), concat_ws("|", (0 until r)
-          .map(rr => element_at(col("sig"), b * r + rr + 1).cast("string")): _*)
-          .as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val est = (aggregate(
-      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)).cast("double") / lit(NumHashes.toDouble)
+    val banded = lshBanded(lshSigArray(docs))
+    val est = lshEst
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -499,20 +516,28 @@ object Dedup {
       .filter(col("est_jaccard") >= MinhashEstThreshold)
   }
 
-  def minhashLshPairsSql(corpus: String): String = {
+  // SQL twins of the shared building blocks — one definition each, used
+  // by BOTH minhashLshPairsSql and crossCorpusNearDupsSql.
+  private def lshMinColsSql: String = (0 until NumHashes).map { i =>
+    val (a, b) = perm(i)
+    s"min((h * $a + $b) % $HashP) AS mh_$i"
+  }.mkString(",\n        ")
+  private def lshBandRowsSql: String = {
     val r = NumHashes / NumBands
-    val minCols = (0 until NumHashes).map { i =>
-      val (a, b) = perm(i)
-      s"min((h * $a + $b) % $HashP) AS mh_$i"
-    }.mkString(",\n        ")
-    val bandRows = (0 until NumBands).map { b =>
+    (0 until NumBands).map { b =>
       val key = (0 until r).map(rr => s"mh_${b * r + rr}::VARCHAR")
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n      UNION ALL ")
-    val estExpr = (0 until NumHashes)
-      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+  }
+  private def lshEstSql: String = (0 until NumHashes)
+    .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  def minhashLshPairsSql(corpus: String): String = {
+    val minCols = lshMinColsSql
+    val bandRows = lshBandRowsSql
+    val estExpr = lshEstSql
     s"""
     WITH corpus AS ($corpus),
     sh AS (${shingleSetSql("corpus")}),
@@ -553,24 +578,10 @@ object Dedup {
     * land on the training side (TwinOffset % 97 ≠ 0) and MUST be
     * flagged. */
   def crossCorpusNearDups(docs: DataFrame): DataFrame = {
-    val r = NumHashes / NumBands
-    val sig = minhashSignatures(docs)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-    def banded(df: DataFrame) = df.select(col("doc_id"), col("sig"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"), concat_ws("|", (0 until r)
-          .map(rr => element_at(col("sig"), b * r + rr + 1).cast("string")): _*)
-          .as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val evalB = banded(sig.filter(pmod(col("doc_id"), lit(97)) === 0))
-    val trainB = banded(sig.filter(pmod(col("doc_id"), lit(97)) =!= 0))
-    val est = (aggregate(
-      zip_with(col("x.sig"), col("y.sig"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)).cast("double") / lit(NumHashes.toDouble)
+    val sig = lshSigArray(docs)
+    val evalB = lshBanded(sig.filter(pmod(col("doc_id"), lit(97)) === 0))
+    val trainB = lshBanded(sig.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+    val est = lshEst
     trainB.as("x")
       .join(broadcast(evalB.as("y")),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
@@ -581,19 +592,9 @@ object Dedup {
   }
 
   def crossCorpusNearDupsSql(corpus: String): String = {
-    val r = NumHashes / NumBands
-    val minCols = (0 until NumHashes).map { i =>
-      val (a, b) = perm(i)
-      s"min((h * $a + $b) % $HashP) AS mh_$i"
-    }.mkString(",\n        ")
-    val bandRows = (0 until NumBands).map { b =>
-      val key = (0 until r).map(rr => s"mh_${b * r + rr}::VARCHAR")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
-    }.mkString("\n      UNION ALL ")
-    val estExpr = (0 until NumHashes)
-      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val minCols = lshMinColsSql
+    val bandRows = lshBandRowsSql
+    val estExpr = lshEstSql
     s"""
     WITH corpus AS ($corpus),
     sh AS (${shingleSetSql("corpus")}),
@@ -673,11 +674,11 @@ object Dedup {
     * positive. One explode + one grouped aggregation with `bits`
     * conditional sums — no UDF. Bits ≥ [[SimhashLowBits]] vote on the
     * affine-mixed second hash (see above) — without it a wider signature
-    * would only add dead always-zero bits. At bits = 64 the b = 63 term is
-    * Long.MinValue; the partial sums never overflow (the positives total
-    * at most 2^63−1 and the single negative term lands the total exactly
-    * on the signed-64 bit pattern), and DuckDB's `>>`/`&`/`xor` agree with
-    * Java's on negative BIGINTs, so the twin stays bit-exact. */
+    * would only add dead always-zero bits. The maximum width is
+    * 2·[[SimhashLowBits]] = 60 (the live bits two 30-bit hashes carry);
+    * the guard rejects anything wider — a 64-bit signature would need a
+    * third hash source for bits 60–63, not more shifting of the same
+    * two, so widening past 60 is a design change, not a parameter. */
   def simhashSignatures(docs: DataFrame, bits: Int = SimhashBits)
       : DataFrame = {
     require(bits <= 2 * SimhashLowBits,
@@ -979,9 +980,10 @@ object Dedup {
     * same word" (the SymSpell/typo-clustering published shape). Runs at
     * VOCABULARY grain — sub-linear in corpus size — never on the corpus:
     * one explode+agg builds (token, n), then candidates meet in LENGTH
-    * buckets (each side emits keys {L, L+1}; a pair is kept only where
-    * key = max(len_a, len_b), so every |Δlen| ≤ 1 pair meets exactly
-    * once) and only candidates pay the levenshtein DP — the quadratic is
+    * buckets (each side emits keys L..L+maxDist; a pair is kept only
+    * where key = max(len_a, len_b), so every |Δlen| ≤ maxDist pair —
+    * edit distance bounds the length gap, so every candidate — meets
+    * exactly once) and only candidates pay the levenshtein DP — the quadratic is
     * per-bucket, not per-vocabulary. Both engines run the identical
     * classic DP (integer result), token < token cuts the symmetric half.
     * Frequency rides along: the high-n side of a pair is the canonical
@@ -994,7 +996,10 @@ object Dedup {
     def keyed(side: String) = vocab
       .select(col("token").as(s"token_$side"), col("n").as(s"n_$side"),
         col("len").as(s"len_$side"),
-        explode(array(col("len"), col("len") + 1)).as("k"))
+        // keys L..L+maxDist: |Δlen| ≤ dist for any edit-distance-dist
+        // pair, so the buckets cover ALL candidates (keys {L, L+1} alone
+        // would silently drop e.g. every two-insertion typo at dist 2)
+        explode(sequence(col("len"), col("len") + maxDist)).as("k"))
     keyed("a").join(keyed("b"), Seq("k"))
       .filter(col("k") === greatest(col("len_a"), col("len_b")) &&
         col("token_a") < col("token_b"))
@@ -1013,10 +1018,10 @@ object Dedup {
       FROM tok GROUP BY 1),
     ka AS (
       SELECT token AS token_a, n AS n_a, len AS len_a,
-        unnest([len, len + 1]) AS k FROM v),
+        unnest(generate_series(len, len + $maxDist)) AS k FROM v),
     kb AS (
       SELECT token AS token_b, n AS n_b, len AS len_b,
-        unnest([len, len + 1]) AS k FROM v)
+        unnest(generate_series(len, len + $maxDist)) AS k FROM v)
     SELECT ka.token_a, kb.token_b, ka.n_a, kb.n_b,
       levenshtein(ka.token_a, kb.token_b)::BIGINT AS dist
     FROM ka JOIN kb ON ka.k = kb.k

@@ -79,6 +79,9 @@ object Similarity {
     // at Q queries x N vectors this removes 2/3 of the fold work
     val withN = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
+      // zero-norm vectors have undefined cosine (NaN) — excluded on both
+      // sides, mirrored in the oracle (the n6 convention)
+      .filter(col("n2") > 0.0)
     val q = withN.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("n2").as("qn"))
@@ -99,13 +102,14 @@ object Similarity {
     WITH withn AS (
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2
       FROM embeddings),
+    live AS (SELECT * FROM withn WHERE n2 > 0),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn FROM withn
+      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn FROM live
       WHERE vec_id < $numQueries),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
         ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
-      FROM q JOIN withn c ON c.vec_id <> query_id),
+      FROM q JOIN live c ON c.vec_id <> query_id),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
         row_number() OVER (PARTITION BY query_id
@@ -198,6 +202,9 @@ object Similarity {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       lshBucket(col("embedding")).as("bucket"))
+      // zero-norm guard: cosine undefined, and a NaN score would break
+      // the bounded aggregator's window parity (see TopKAggregator)
+      .filter(col("n2") > 0.0)
     val probes = col("qb") +: (0 until NumPlanes).map(j =>
       col("qb").bitwiseXOR(lit(1L << j)))
     val q = bucketed.filter(col("vec_id") < numQueries)
@@ -221,15 +228,16 @@ object Similarity {
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
         ${lshBucketSql("embedding")} AS bucket
       FROM embeddings),
+    live AS (SELECT * FROM bucketed WHERE n2 > 0),
     q AS (
       SELECT vec_id AS query_id, embedding AS qv, n2 AS qn,
         unnest($probeList) AS probe
       FROM (SELECT vec_id, embedding, n2, bucket AS qb
-            FROM bucketed WHERE vec_id < $numQueries)),
+            FROM live WHERE vec_id < $numQueries)),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
         ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
-      FROM q JOIN bucketed c ON c.bucket = probe AND c.vec_id <> query_id),
+      FROM q JOIN live c ON c.bucket = probe AND c.vec_id <> query_id),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
         row_number() OVER (PARTITION BY query_id
@@ -388,6 +396,7 @@ object Similarity {
         sortedCells(col("embedding")).as("sc"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         element_at(col("sc"), 1).getField("cell_id").as("cell"))
+      .filter(col("n2") > 0.0) // zero-norm guard (cosine undefined)
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm2(col("embedding")).as("qn"),
@@ -395,6 +404,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         explode(transform(slice(col("sc"), 1, nprobe),
           s => s.getField("cell_id"))).as("probe"))
+      .filter(col("qn") > 0.0)
     val joined = q.join(assigned.as("c"),
         col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -429,14 +439,16 @@ object Similarity {
       SELECT e.vec_id, e.embedding,
         ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
       FROM embeddings e
-      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1
+      WHERE ${norm2Sql("e.embedding")} > 0),
     q AS (
       SELECT e.vec_id AS query_id, e.embedding AS qv,
         ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
       FROM embeddings e
       JOIN ranked_cells rc ON rc.vec_id = e.vec_id
         AND rc.cell_rank <= $nprobe
-      WHERE e.vec_id < $numQueries),
+      WHERE e.vec_id < $numQueries
+        AND ${norm2Sql("e.embedding")} > 0),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
         ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
@@ -700,6 +712,7 @@ object Similarity {
         sortedCells(col("embedding")).as("sc"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         element_at(col("sc"), 1).getField("cell_id").as("cell"))
+      .filter(col("n2") > 0.0) // zero-norm guard (cosine undefined)
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm2(col("embedding")).as("qn"),
@@ -707,6 +720,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         explode(transform(slice(col("sc"), 1, nprobe),
           s => s.getField("cell_id"))).as("probe"))
+      .filter(col("qn") > 0.0)
     val joined = q.join(assigned.as("c"),
         col("c.cell") === col("probe") && col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -785,14 +799,16 @@ object Similarity {
       SELECT e.vec_id, e.embedding,
         ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
       FROM embeddings e
-      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1
+      WHERE ${norm2Sql("e.embedding")} > 0),
     q AS (
       SELECT e.vec_id AS query_id, e.embedding AS qv,
         ${norm2Sql("e.embedding")} AS qn, rc.cell_id AS probe
       FROM embeddings e
       JOIN ranked_cells rc ON rc.vec_id = e.vec_id
         AND rc.cell_rank <= $nprobe
-      WHERE e.vec_id < $numQueries),
+      WHERE e.vec_id < $numQueries
+        AND ${norm2Sql("e.embedding")} > 0),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
         ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
@@ -1228,6 +1244,9 @@ object Similarity {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       lshBucket(col("embedding")).as("bucket"))
+      // zero-norm guard: Spark drops a NaN cosine at the >= filter but
+      // DuckDB compares NaN greater — excluded on both sides instead
+      .filter(col("n2") > 0.0)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -1242,7 +1261,7 @@ object Similarity {
     bucketed AS (
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
         ${lshBucketSql("embedding")} AS bucket
-      FROM twinned)
+      FROM twinned WHERE ${norm2Sql("embedding")} > 0)
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
       ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2) AS cosine
     FROM bucketed x JOIN bucketed y

@@ -14,6 +14,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering matches the Window formulation exactly: score DESC, id ASC on
   * ties — so results are interchangeable with `row_number`-based top-k
   * (asserted against the same DuckDB oracle).
+  *
+  * NaN scores are ORDER-INCOMPARABLE under the strict `better` relation
+  * and therefore rank worst here (they never displace a comparable
+  * entry), whereas a Window sort would rank NaN largest — producers must
+  * keep NaN out of the score column for window parity (the cosine paths
+  * guard zero-norm vectors upstream; see Similarity's `n2 > 0` filters).
   */
 object TopKAggregator {
 
@@ -33,7 +39,14 @@ object TopKAggregator {
           case -1 => buf.size
           case x => x
         }
-        (buf.take(i) :+ s) ++ buf.drop(i).take(k - i - 1)
+        // insert THEN truncate: an entry order-incomparable with the
+        // current tail (NaN score, or an exact (id, score) duplicate)
+        // falls through the fast path above with i = buf.size — the old
+        // `buf.drop(i).take(k - i - 1)` arithmetic then appended past k
+        // and the buffer grew without bound across reduce/merge. The
+        // take(k) form is bounded for every input; incomparable entries
+        // rank worst (they enter only while the buffer has room).
+        ((buf.take(i) :+ s) ++ buf.drop(i)).take(k)
       }
     }
 

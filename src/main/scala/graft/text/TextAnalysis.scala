@@ -243,8 +243,14 @@ object TextAnalysis {
     * through one task), then within a shard a running token total in
     * doc_id order buckets docs into sequences of ≈ `PackBudget` tokens.
     * The window is per-shard: parallelism = shard count, each shard's
-    * state is one running sum. Boundary docs spill into the next
-    * sequence (no doc is split); oversized docs occupy their own. */
+    * state is one running sum. Assignment is `floor(tokens_before /
+    * budget)`: no doc is split, and the doc that CROSSES the budget
+    * boundary stays in its running sequence — a sequence can therefore
+    * exceed the budget by up to one doc's tokens (and an oversized doc
+    * makes the following seq_no values skip). Consumers with a hard
+    * context cap chunk docs to ≤ the window length first (ch1), which
+    * bounds the overshoot to one chunk; a strict never-exceed packing
+    * would need a sequential per-shard fold, not a window formula. */
   def packSequences(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withTok = docs.select(col("doc_id"),
@@ -569,12 +575,25 @@ object TextAnalysis {
       .agg(sum(col("cell_n")).as("cell_n"))
 
   def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
-    val tok = docs.select(explode(toksCol).as("token"))
+    // ONE corpus pass (the T14 docstring's claim, kept true): the
+    // token-grain (token, h, n_exact) aggregate is the shared base for
+    // BOTH consumers — the cell table re-derives from it by summing
+    // occurrence counts per (r, bucket), which reproduces [[cmsCells]]'
+    // occurrence-grain counts exactly because h is functionally
+    // determined by token. Persisted because two consumers of an
+    // unpersisted subtree would re-run the corpus scan (the m1/t11
+    // lifetime convention: Verify/Bench clearCache after each query).
+    val counts = docs.select(explode(toksCol).as("token"))
       .select(col("token"), charHash(col("token")).as("h"))
+      .groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).as("n_exact"))
+      .persist()
     def rbs(h: Column) = cmsRowBuckets(h)
-    val cells = cmsCells(docs)
-    val top = tok.groupBy(col("token"))
-      .agg(count(lit(1)).as("n_exact"), min(col("h")).as("h"))
+    val cells = counts
+      .select(col("n_exact"), cmsRowBuckets(col("h")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("n_exact")).as("cell_n"))
+    val top = counts.select(col("token"), col("n_exact"), col("h"))
       .orderBy(col("n_exact").desc, col("token").asc).limit(k)
     top.select(col("token"), col("n_exact"), rbs(col("h")).as("rb"))
       .select(col("token"), col("n_exact"),

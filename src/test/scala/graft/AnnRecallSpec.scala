@@ -228,4 +228,22 @@ class AnnRecallSpec extends SparkSpec {
       } finally out.unpersist()
     }
   }
+
+  test("TopK aggregator buffer stays bounded under incomparable entries") {
+    import graft.sim.TopKAggregator.{Scored, TopK}
+    val agg = TopK(3)
+    // an exact (id, score) duplicate of the tail is order-incomparable
+    // with it under the strict better() — the old insert arithmetic
+    // appended it past k and the buffer grew without bound
+    var buf: Seq[Scored] = Vector.empty
+    for (_ <- 1 to 10) buf = agg.reduce(buf, Scored(5L, 1.0))
+    assert(buf.size <= 3, s"duplicate inserts grew the buffer: $buf")
+    // NaN scores are incomparable too: they must never displace a
+    // comparable entry nor grow the buffer
+    var b2: Seq[Scored] = Vector(Scored(1, 3.0), Scored(2, 2.0), Scored(3, 1.0))
+    for (i <- 1 to 10) b2 = agg.reduce(b2, Scored(100L + i, Double.NaN))
+    assert(b2.map(_.id) === Seq(1L, 2L, 3L), s"NaN displaced entries: $b2")
+    val m = agg.merge(Seq(Scored(9L, Double.NaN)), b2)
+    assert(m.size <= 3, s"merge grew past k: $m")
+  }
 }

@@ -487,6 +487,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out(("bat", "cart")) === ((1L, 2L, 2L)))
   }
 
+  test("d11: length buckets cover the full |Δlen| <= maxDist candidate range") {
+    // 'helo' -> 'heallo' is a double insertion: dist 2, Δlen 2. Keys
+    // limited to {L, L+1} would never let the sides meet (the gap the
+    // round-8 review closed); keys L..L+maxDist must surface it exactly
+    // once, and a Δlen=2 pair with dist 3 must still be rejected by the
+    // DP, not by the bucket scheme.
+    val d = docs((1L, "helo heallo haexlm"))
+    val out = Dedup.fuzzyVocabPairs(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out(("heallo", "helo")) === 2L, s"Δlen=2 pair missing: $out")
+    // same Δlen=2 but distance 3 (two inserts + a substitution): reaches
+    // the DP via the buckets and is rejected there
+    assert(!out.contains(("haexlm", "helo")), s"dist-3 pair kept: $out")
+  }
+
   test("quality buckets are ordered with the score") {
     val d = docs(
       (1L, ("the data of and is to in that " * 12).trim), // stopword-rich, long
