@@ -95,10 +95,14 @@ object SparkEntry {
     val rev = sum(col("sale_price")).cast("double").as("daily_revenue")
     val kpis =
       if (full) base.agg(rev,
-        (sum(col("sale_price")).cast("double") /
-          count(col("sale_price"))).as("avg_order_value"),
-        (count(when(col("status") === "returned", true)).cast("double") /
-          count(col("id"))).as("avg_return_rate"))
+        // zero-denominator guards: ANSI divide throws on x / 0 (see
+        // Kpi.ratio); NULLIF in the oracle twins
+        when(count(col("sale_price")) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("sale_price")).cast("double") /
+            count(col("sale_price"))).as("avg_order_value"),
+        when(count(col("id")) === 0, lit(null).cast("double"))
+          .otherwise(count(when(col("status") === "returned", true))
+            .cast("double") / count(col("id"))).as("avg_return_rate"))
       else base.agg(rev,
         lit(null).cast("double").as("avg_order_value"),
         lit(null).cast("double").as("avg_return_rate"))
@@ -997,10 +1001,12 @@ object SparkEntry {
       val price = expr("try_cast(`oi`.`sale_price` AS DOUBLE)")
       joined.groupBy(col("p.category").as("category")).agg(
         sum(price.cast(money)).cast("double").as("daily_revenue"),
-        (sum(price.cast(money)).cast("double") / count(price))
+        when(count(price) === 0, lit(null).cast("double"))
+          .otherwise(sum(price.cast(money)).cast("double") / count(price))
           .as("avg_order_value"),
-        (count(when(col("oi.status") === "returned", true)).cast("double") /
-          count(col("oi.id"))).as("avg_return_rate"))
+        when(count(col("oi.id")) === 0, lit(null).cast("double"))
+          .otherwise(count(when(col("oi.status") === "returned", true))
+            .cast("double") / count(col("oi.id"))).as("avg_return_rate"))
     }),
 
     // E44 (K1): mergeable HLL distinct sketches — the incremental form of
@@ -1270,8 +1276,8 @@ object SparkEntry {
     "a1_category_kpi" -> s"""$ctes
       SELECT p.category AS category,
         CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(oi.sale_price) AS avg_order_value,
-        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS avg_return_rate
+        CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(count(oi.sale_price), 0) AS avg_order_value,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / NULLIF(count(oi.id), 0) AS avg_return_rate
       $kpiJoin
       GROUP BY 1""",
 
@@ -1279,7 +1285,7 @@ object SparkEntry {
       SELECT count(DISTINCT o.order_id) AS total_orders,
         CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         count(oi.id) AS total_items_sold,
-        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS return_rate,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / NULLIF(count(oi.id), 0) AS return_rate,
         count(DISTINCT o.user_id) AS unique_customers
       $kpiJoin""",
 
@@ -1287,7 +1293,7 @@ object SparkEntry {
       SELECT CAST(NULL AS BIGINT) AS total_orders,
         CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         count(oi.id) AS total_items_sold,
-        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / count(oi.id) AS return_rate,
+        CAST(count(*) FILTER (WHERE oi.status = 'returned') AS DOUBLE) / NULLIF(count(oi.id), 0) AS return_rate,
         CAST(NULL AS BIGINT) AS unique_customers
       FROM oi JOIN p ON oi.product_id = p.id""",
 
@@ -1346,8 +1352,8 @@ object SparkEntry {
         $kpiJoin),
       t AS (SELECT category, order_date,
         CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / count(sale_price) AS avg_order_value,
-        CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / count(id) AS avg_return_rate
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(count(sale_price), 0) AS avg_order_value,
+        CAST(count(*) FILTER (WHERE status = 'returned') AS DOUBLE) / NULLIF(count(id), 0) AS avg_return_rate
         FROM jall WHERE id % 2 = 0 GROUP BY 1, 2),
       u AS (SELECT category, order_date,
         CAST(sum(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
@@ -1808,10 +1814,10 @@ object SparkEntry {
         CAST(sum(CAST(TRY_CAST(ois.sale_price AS DOUBLE) AS DECIMAL(18,2)))
           AS DOUBLE) AS daily_revenue,
         CAST(sum(CAST(TRY_CAST(ois.sale_price AS DOUBLE) AS DECIMAL(18,2)))
-          AS DOUBLE) / count(TRY_CAST(ois.sale_price AS DOUBLE))
+          AS DOUBLE) / NULLIF(count(TRY_CAST(ois.sale_price AS DOUBLE)), 0)
           AS avg_order_value,
         CAST(count(*) FILTER (WHERE ois.status = 'returned') AS DOUBLE)
-          / count(ois.id) AS avg_return_rate
+          / NULLIF(count(ois.id), 0) AS avg_return_rate
       FROM os JOIN ois ON os.order_id = ois.order_id
       JOIN ps ON ois.product_id = ps.id
       GROUP BY 1""",

@@ -24,12 +24,18 @@ object TextFunctions {
   /** Mod prime for the rolling hash — fits h*31+cp well inside a long. */
   val HashP = 1000000007L
 
-  /** Canonical text normalization: collapse whitespace, trim, lowercase. */
+  /** Canonical text normalization: collapse whitespace, trim, lowercase.
+    * The whitespace class is the EXPLICIT ASCII set `[\t-\r ]` (HT LF VT
+    * FF CR space), not `\s`: Java's `\s` includes vertical tab but
+    * DuckDB's RE2 `\s` does not, so a document containing \x0B would
+    * fingerprint/tokenize differently per engine — exactly the fork the
+    * bit-identical [[docFp]] contract forbids. `[\t-\r ]` is the same
+    * set on both engines. */
   def norm(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, "[\\t-\\r ]+", " ")))
 
   def normSql(c: String): String =
-    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+    s"lower(trim(regexp_replace($c, '[\\t-\\r ]+', ' ', 'g')))"
 
   /** THE content fingerprint: md5 over the normalized text. One
     * definition shared by every consumer (batch dedup d1/d8, streaming

@@ -78,13 +78,22 @@ object Sources {
     *     interpreted as UTC — sessions here run with
     *     `spark.sql.session.timeZone=UTC`, matching how the DuckDB oracles'
     *     `epoch_us(ts)` reads a naive timestamp);
-    *   - long → epoch nanos by the testdata convention, `DIV 1000`.
+    *   - long → epoch nanos by the testdata convention, floor-divided
+    *     by 1000 (matching the timestamp arm's and DuckDB `//` flooring).
     * Narrow, codegen'd, constant-folded — free at any scale. */
   def epochUs(df: DataFrame, colName: String = "ts"): Column =
     df.schema(colName).dataType match {
       case TimestampType | TimestampNTZType =>
         unix_micros(col(colName).cast(TimestampType))
-      case LongType => expr(s"`$colName` DIV 1000")
+      // floor division (not bare DIV, which truncates toward zero): the
+      // timestamp arm floors via unix_micros, and the normalizer's whole
+      // contract is that the physical-shape flip is invisible — pre-1970
+      // instants must not disagree by one unit. Subtracting pmod makes
+      // the numerator exactly divisible, so DIV's truncation IS floor —
+      // all in exact long arithmetic (a double `/` would lose precision
+      // at epoch-nano magnitudes > 2^53).
+      case LongType =>
+        expr(s"(`$colName` - pmod(`$colName`, 1000L)) DIV 1000")
       case other => throw new IllegalArgumentException(
         s"event-time column `$colName`: expected timestamp or epoch-nanos " +
           s"long, got $other")
@@ -96,7 +105,8 @@ object Sources {
     df.schema(colName).dataType match {
       case TimestampType | TimestampNTZType =>
         unix_seconds(col(colName).cast(TimestampType))
-      case LongType => expr(s"`$colName` DIV 1000000000")
+      case LongType =>
+        expr(s"(`$colName` - pmod(`$colName`, 1000000000L)) DIV 1000000000")
       case other => throw new IllegalArgumentException(
         s"event-time column `$colName`: expected timestamp or epoch-nanos " +
           s"long, got $other")
@@ -159,7 +169,11 @@ object Sources {
         .empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) buf += f
+        val n = f.getPath.getName
+        // skip _ AND . prefixes (ChecksumFileSystem .crc siblings, hidden
+        // files) — same filter compactPartitioned applies; counting crc
+        // bytes would roughly double totalBytes and miscompute nOut
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += f
       }
       buf.toSeq
     }

@@ -1,6 +1,6 @@
 package graft.kpi
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -51,14 +51,23 @@ object Kpi {
   /** A1/A5: per-category KPIs over a joined frame carrying `p.category`,
     * `oi.sale_price`, `oi.status`, `oi.id`
     * (reference `scripts/transformation.py:187-191`). */
+  /** Ratio with an explicit zero-denominator guard: Spark 4 runs ANSI
+    * mode by default, where x / 0 THROWS instead of returning null — an
+    * empty input frame (the global aggs still emit one row) or a group
+    * whose denominator column is entirely null would abort the whole KPI
+    * job. NULL is the reference's own avg()-over-nothing answer; the
+    * oracle twins mirror with NULLIF. */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double")).otherwise(num / den)
+
   def categoryKpi(joined: DataFrame): DataFrame =
     joined.groupBy(col("p.category").as("category")).agg(
       sum(col("oi.sale_price").cast(money)).cast("double").as("daily_revenue"),
       // avg(sale_price) semantics (transformation.py:189): the denominator is
       // count(sale_price) — non-null values only — NOT count(id).
-      (sum(col("oi.sale_price").cast(money)).cast("double") /
+      ratio(sum(col("oi.sale_price").cast(money)).cast("double"),
         count(col("oi.sale_price"))).as("avg_order_value"),
-      (count(when(col("oi.status") === "returned", true)).cast("double") /
+      ratio(count(when(col("oi.status") === "returned", true)).cast("double"),
         count(col("oi.id"))).as("avg_return_rate"))
 
   /** A2: global order KPIs, complete mode
@@ -68,7 +77,7 @@ object Kpi {
       countDistinct(col("o.order_id")).as("total_orders"),
       sum(col("oi.sale_price").cast(money)).cast("double").as("total_revenue"),
       count(col("oi.id")).as("total_items_sold"),
-      (count(when(col("oi.status") === "returned", true)).cast("double") /
+      ratio(count(when(col("oi.status") === "returned", true)).cast("double"),
         count(col("oi.id"))).as("return_rate"),
       countDistinct(col("o.user_id")).as("unique_customers"))
 
@@ -83,7 +92,7 @@ object Kpi {
       lit(null).cast("long").as("total_orders"),
       sum(col("oi.sale_price").cast(money)).cast("double").as("total_revenue"),
       count(col("oi.id")).as("total_items_sold"),
-      (count(when(col("oi.status") === "returned", true)).cast("double") /
+      ratio(count(when(col("oi.status") === "returned", true)).cast("double"),
         count(col("oi.id"))).as("return_rate"),
       lit(null).cast("long").as("unique_customers"))
 
@@ -114,10 +123,18 @@ object Kpi {
     (orders, items) match {
       case (Some(o), Some(i)) =>
         val joined = threeWayJoin(o, i, p).persist()
-        (Some(categoryKpi(joined)), Some(orderKpiComplete(joined)))
+        // outputs are SMALL (category-grain + one global row):
+        // materialize them off the shared cached join, then release the
+        // fact-scale cache — without this every processing date pinned
+        // its full joined frame for the life of the session
+        try (Some(categoryKpi(joined).localCheckpoint(true)),
+          Some(orderKpiComplete(joined).localCheckpoint(true)))
+        finally { joined.unpersist(); () }
       case (None, Some(i)) =>
         val joined = itemsProductsJoin(i, p).persist()
-        (Some(categoryKpi(joined)), Some(orderKpiItemsOnly(joined)))
+        try (Some(categoryKpi(joined).localCheckpoint(true)),
+          Some(orderKpiItemsOnly(joined).localCheckpoint(true)))
+        finally { joined.unpersist(); () }
       case (Some(o), None) =>
         (None, Some(orderKpiOrdersOnly(o)))
       case (None, None) => (None, None)

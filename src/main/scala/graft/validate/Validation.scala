@@ -250,6 +250,12 @@ object Validation {
       refMean.as("ref_mean_chars"), batchMean.as("batch_mean_chars"),
       when(col("ref_docs").isNull, "new")
         .when(col("batch_docs").isNull, "missing")
+        // ref mean 0 short-circuits BEFORE the relative-change division:
+        // ANSI divide throws on /0.0 (it would abort the audit), and the
+        // semantics are decidable without it — any nonzero batch mean
+        // against a zero reference is an infinite relative excursion
+        .when(refMean === 0.0,
+          when(batchMean =!= 0.0, lit("drifted")).otherwise(lit("ok")))
         .when(abs(batchMean / refMean - 1.0) > tol, "drifted")
         .otherwise("ok").as("status"))
   }
@@ -401,6 +407,9 @@ object Validation {
     * bucket counting is already one narrow scan either way. */
   def equiDepthHistogram(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
+    // buckets = 1 has no interior edges — the percentile array literal
+    // would be malformed SQL; fail with the real constraint
+    require(buckets >= 2, s"equi-depth histogram needs >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     // 1-row frame with TWO cross-join consumers (bucket assignment and
     // lo/hi attachment) — persisted so the full-fact percentile pass runs
@@ -409,28 +418,41 @@ object Validation {
       expr(s"percentile($value, array(${qs.mkString("D, ")}D))").as("es"),
       min(col(value)).cast("double").as("mn"),
       max(col(value)).cast("double").as("mx"))
-      .persist()
     histogramFromEdges(df, value, buckets, edges)
   }
 
   /** Shared bucket-assignment tail of the exact and approx equi-depth
-    * histograms: `edges` is a persisted 1-row frame (es array, mn, mx)
-    * with two broadcast cross-join consumers — bucket counting and lo/hi
-    * labeling. Factored so the bucket convention (ties land low, bucket
-    * 1 opens at min, bucket N closes at max) lives in exactly one place. */
+    * histograms: the `edges` frame is ONE bounded row (#edges doubles +
+    * min/max), so it is collected and inlined as LITERALS — the ANN
+    * centroid-collect convention. This removes the previous persist
+    * (which leaked a cached frame per call: the handle was local, so no
+    * caller could ever unpersist it) and both broadcast cross-joins; the
+    * bucket lambda folds over a literal array inside codegen. The bucket
+    * convention (ties land low, bucket 1 opens at min, bucket N closes
+    * at max) lives in exactly this one place. */
   private def histogramFromEdges(df: DataFrame, value: String,
       buckets: Int, edges: DataFrame): DataFrame = {
-    val counts = df.crossJoin(broadcast(edges))
-      .select((size(filter(col("es"),
+    val r = edges.head()
+    if (r.isNullAt(1)) {
+      // empty input (or all-null value column): no measurable edges —
+      // an empty histogram, not an NPE
+      val spark = df.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, lo DOUBLE, hi DOUBLE, n_rows BIGINT"))
+    }
+    val esLit = typedlit(r.getSeq[Double](0))
+    val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+    df.select((size(filter(esLit,
         e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
-    counts.crossJoin(broadcast(edges))
       .select(col("bucket"),
-        when(col("bucket") === 1, col("mn"))
-          .otherwise(element_at(col("es"), (col("bucket") - 1).cast("int")))
+        when(col("bucket") === 1, lit(mn))
+          .otherwise(element_at(esLit, (col("bucket") - 1).cast("int")))
           .as("lo"),
-        when(col("bucket") === buckets, col("mx"))
-          .otherwise(element_at(col("es"), col("bucket").cast("int")))
+        when(col("bucket") === buckets, lit(mx))
+          .otherwise(element_at(esLit, col("bucket").cast("int")))
           .as("hi"),
         col("n_rows"))
   }
@@ -446,13 +468,13 @@ object Validation {
     * (Verify-only cost, the v1x convention). */
   def equiDepthHistogramApprox(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"equi-depth histogram needs >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val edges = df.agg(
       expr(s"approx_percentile($value, array(${qs.mkString("D, ")}D), 1000)")
         .cast("array<double>").as("es"),
       min(col(value)).cast("double").as("mn"),
       max(col(value)).cast("double").as("mx"))
-      .persist()
     histogramFromEdges(df, value, buckets, edges)
   }
 
@@ -464,6 +486,7 @@ object Validation {
     * production body instead. */
   def equiDepthHistogramApproxGate(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"equi-depth histogram needs >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     // clamp the ±0.02 rank windows into [0, 1]: at buckets > 50 the
     // outermost targets sit closer than 0.02 to the ends and an
@@ -527,6 +550,8 @@ object Validation {
       b.batch_chars::DOUBLE / b.batch_docs::DOUBLE AS batch_mean_chars,
       CASE WHEN r.ref_docs IS NULL THEN 'new'
            WHEN b.batch_docs IS NULL THEN 'missing'
+           WHEN r.ref_chars = 0
+           THEN (CASE WHEN b.batch_chars <> 0 THEN 'drifted' ELSE 'ok' END)
            WHEN abs(b.batch_chars::DOUBLE / b.batch_docs::DOUBLE
                  / (r.ref_chars::DOUBLE / r.ref_docs::DOUBLE) - 1.0) > $tol
            THEN 'drifted' ELSE 'ok' END AS status

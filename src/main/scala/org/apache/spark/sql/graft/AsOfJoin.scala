@@ -191,9 +191,20 @@ object AsOfJoinApi {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
+    val (lk, rk) = (attr(leftKey, lPlan), attr(rightKey, rPlan))
+    val (lt, rt) = (attr(leftTs, lPlan), attr(rightTs, rPlan))
+    // the merge-scan exec compares right values with orderings built from
+    // the LEFT side's types — a type mismatch would surface as an
+    // executor-side ClassCastException AFTER the shuffle ran; fail at
+    // call time with the actual problem instead (no implicit coercion:
+    // an as-of join across types is a caller bug, not a cast)
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: $leftKey is ${lk.dataType.sql}, " +
+        s"$rightKey is ${rk.dataType.sql} — cast one side first")
+    require(lt.dataType == rt.dataType,
+      s"as-of join time types differ: $leftTs is ${lt.dataType.sql}, " +
+        s"$rightTs is ${rt.dataType.sql} — cast one side first")
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      AsOfJoin(lPlan, rPlan,
-        attr(leftKey, lPlan), attr(rightKey, rPlan),
-        attr(leftTs, lPlan), attr(rightTs, rPlan)))
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -46,6 +46,28 @@ class KpiSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_return_rate") - 1.0 / 3) < 1e-12)
   }
 
+  test("empty input yields NULL rates, not an ANSI divide-by-zero abort") {
+    // Spark 4 runs ANSI mode by default, where even double / 0 THROWS
+    // (verified on this distribution) — an empty validated partition
+    // reaches the global aggs, which still emit one row with count 0
+    val noItems = mk(itemsS)
+    val noOrders = mk(ordersS)
+    val ord = Kpi.orderKpiComplete(
+      Kpi.threeWayJoin(noOrders, noItems, products)).collect()
+    assert(ord.length === 1)
+    assert(ord.head.isNullAt(ord.head.fieldIndex("return_rate")))
+    val itemsOnly = Kpi.orderKpiItemsOnly(
+      Kpi.itemsProductsJoin(noItems, products)).collect()
+    assert(itemsOnly.head.isNullAt(itemsOnly.head.fieldIndex("return_rate")))
+    // a group whose denominator column is entirely null: avg over nothing
+    // is NULL (the reference's own avg() answer), never a crash
+    val nullPrices = mk(itemsS, Row(101L, 1L, 1L, "shipped", null))
+    val cat = Kpi.categoryKpi(
+      Kpi.threeWayJoin(orders, nullPrices, products)).collect()
+    assert(cat.length === 1)
+    assert(cat.head.isNullAt(cat.head.fieldIndex("avg_order_value")))
+  }
+
   test("items-only order KPIs run over the items⋈products join (orphans excluded)") {
     val (cat, ord) = Kpi.computeKpis(None, Some(items), Some(products))
     val r = ord.get.collect().head
