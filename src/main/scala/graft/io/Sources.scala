@@ -204,7 +204,7 @@ object Sources {
     * throwing — an unchecked rename can silently drop a table (or, on
     * HDFS, nest `src` inside an existing `dst`). Every swap here must
     * fail loud instead. */
-  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))

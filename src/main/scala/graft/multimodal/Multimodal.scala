@@ -140,9 +140,16 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val nFrames = ((length(col("payload")) + lit(FrameSize - 1))
       .cast("long") / lit(FrameSize.toLong)).cast("long")
+    // empty or NULL payloads yield zero frames EXPLICITLY: sequence(0, -1,
+    // stride) is an illegal-range runtime error, and a null sequence
+    // would silently drop the doc — real media corpora (the binaryFile
+    // stand-in this models) routinely carry zero-byte/null blobs
+    val frameIdx = when(nFrames.isNull || nFrames === 0,
+        array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nFrames - 1, lit(stride.toLong)))
     media.select(col("doc_id"),
       explode(transform(
-        sequence(lit(0L), nFrames - 1, lit(stride.toLong)),
+        frameIdx,
         f => struct(f.as("frame_no"),
           col("payload").substr((f * FrameSize + 1).cast("int"),
             lit(FrameSize)).as("frame_bytes")))).as("fr"))

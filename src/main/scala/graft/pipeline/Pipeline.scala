@@ -199,10 +199,22 @@ object Pipeline {
   }
 
   private def rawReadOrInit(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    scala.util.Try(spark.read.schema(schema).parquet(path)).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema))
+      schema: StructType): DataFrame = {
+    // ONLY a genuinely absent store (first run) may fall back to the
+    // empty frame. A blanket Try here once swallowed transient FS errors
+    // (S3 throttle, listing hiccup) as "empty store" — the merge would
+    // then run against nothing and the partition swap would silently and
+    // durably DELETE every pre-existing row of the touched dates whose
+    // key wasn't in that batch. Existence is checked explicitly; any
+    // other failure propagates and aborts the batch (the safe outcome).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(Sources.normalizeScheme(path))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+  }
 
   /** E59: store TIME TRAVEL — read the store exactly as it was at
     * committed `epoch` (the Delta `VERSION AS OF` analogue over the epoch
@@ -470,6 +482,17 @@ object Pipeline {
       // bootstrap a pre-manifest store's partition list from its dirs
       val baseParts = curManifest.map(_.partitions)
         .getOrElse(listPartitionDirs(fs, path, partCol))
+      // post-merge store size in O(touched), not O(store): the previous
+      // total rides the manifest (#rows; one full-count fallback on a
+      // legacy/swept manifest), the touched partitions are counted
+      // pre-swap, and the replacement rows come from the written temp
+      // dir's footers — the result is carried forward on the new
+      // manifest, so per-batch cost never grows with store age
+      val prevTotal = curManifest.flatMap(_.rows)
+        .getOrElse(readOrInit(spark, path, schema).count())
+      val prevTouched = target.count()
+      val tmpRows = spark.read.schema(schema).parquet(tmp).count()
+      val newTotal = prevTotal - prevTouched + tmpRows
       writeBakEpoch(fs, path, curEpoch)
       dates.foreach { dt =>
         swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
@@ -480,11 +503,11 @@ object Pipeline {
       }
       fs.delete(new HPath(tmp), true)
       writeManifest(fs, path, curEpoch + 1, partCol,
-        (baseParts ++ dates).distinct.sorted)
+        (baseParts ++ dates).distinct.sorted, rows = Some(newTotal))
       dropOldManifests(fs, path, current = curEpoch + 1)
       // no `.bak` delete here — see step 4 of the commit protocol above
+      newTotal
     } finally updatesP.unpersist()
-    readOrInit(spark, path, schema).count()
   }
 
   /** E100: keyed HARD DELETE over the store — the "right to be
@@ -624,8 +647,16 @@ object Pipeline {
           }
         }
         fs.delete(new HPath(tmp), true)
+        // post-delete row count in O(1) off the prior manifest's tally.
+        // Fallback (legacy/swept manifest): readOrInit here still serves
+        // the PRE-delete snapshot — the manifest hasn't moved and the
+        // bak-preferred read resolves the swapped partitions' backups —
+        // so its count IS the previous total
+        val prevTotal = latestManifest(fs, path).flatMap(_.rows)
+          .getOrElse(readOrInit(spark, path, schema).count())
         writeManifest(fs, path, baseEpoch + 1, partCol,
-          (baseParts.diff(emptied) ++ present).distinct.sorted)
+          (baseParts.diff(emptied) ++ present).distinct.sorted,
+          rows = Some(prevTotal - deleted))
         dropOldManifests(fs, path, current = baseEpoch + 1)
         // erasure > deferred isolation: this batch's .bak copies carry
         // the forgotten rows — delete them NOW instead of leaving them
@@ -789,6 +820,9 @@ object Pipeline {
             "retention cutoffs would compare against the wrong column")
         val (keep, drop) = m.partitions.partition(_ >= keepFrom)
         if (drop.nonEmpty) {
+          // rows deliberately absent: the expired partitions' counts are
+          // not worth a scan of data being thrown away — the next merge
+          // pays one full-count fallback and re-establishes the tally
           writeManifest(fs, path, m.epoch + 1, m.partCol, keep.sorted)
           dropOldManifests(fs, path, current = m.epoch + 1)
         }
@@ -813,8 +847,12 @@ object Pipeline {
   // readers pick the max without parsing, and publication is a
   // write-to-`.inprogress` + rename — atomic on a correct FileSystem.
 
+  /** `rows` = committed row count of the snapshot (None on legacy
+    * manifests and after a retention sweep, whose expired rows are not
+    * re-counted): lets the per-batch merge report the post-merge store
+    * size in O(touched) instead of re-scanning the whole store. */
   private[graft] final case class StoreManifest(epoch: Long, partCol: String,
-      partitions: Seq[String])
+      partitions: Seq[String], rows: Option[Long] = None)
 
   private val ManifestName = """_manifest\.(\d+)""".r
 
@@ -833,7 +871,11 @@ object Pipeline {
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
-    StoreManifest(epoch, lines.head, lines.tail.filter(_.nonEmpty))
+    val meta = lines.tail.filter(_.startsWith("#"))
+    val rows = meta.collectFirst { case l if l.startsWith("#rows=") =>
+      l.stripPrefix("#rows=").trim.toLong }
+    StoreManifest(epoch, lines.head,
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")), rows)
   }
 
   private[graft] def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -858,12 +900,16 @@ object Pipeline {
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      epoch: Long, partCol: String, partitions: Seq[String]): Unit = {
+      epoch: Long, partCol: String, partitions: Seq[String],
+      rows: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val tmp = new HPath(path, s"_manifest.$epoch.inprogress")
     fs.delete(tmp, false) // leftover from a crash mid-publish
     val out = fs.create(tmp, true)
-    try out.write((partCol +: partitions).mkString("\n").getBytes("UTF-8"))
+    // `#`-prefixed metadata lines are ignored by the partition parser, so
+    // old readers (and manifests without the line) stay compatible
+    val body = partCol +: (rows.map(r => s"#rows=$r").toSeq ++ partitions)
+    try out.write(body.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // a manifest epoch is write-once: an existing file means a concurrent
     // writer already published this epoch — the final arbiter of the
@@ -911,7 +957,13 @@ object Pipeline {
   }
 
   /** The manifest epoch the in-flight swap's backups were taken AGAINST —
-    * readers prefer `.bak` only while this matches the latest manifest. */
+    * readers prefer `.bak` only while this matches the latest manifest.
+    * Fails LOUD on an unparseable stamp: the two recovery regimes make
+    * opposite decisions (roll back vs archive), so guessing a regime on
+    * a torn file could delete the only copy of pre-batch data. The
+    * atomic publish in [[writeBakEpoch]] means a torn `_epoch` can only
+    * predate that fix or indicate FS corruption — both operator
+    * territory. */
   private[graft] def bakEpoch(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -919,8 +971,13 @@ object Pipeline {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(raw.toLongOption.getOrElse(throw new java.io.IOException(
+        s"store $path: unparseable .bak/_epoch stamp '$raw' — recovery " +
+          "cannot tell the rollback and archive regimes apart; inspect " +
+          "the .bak tree manually before retrying")))
     }
   }
 
@@ -929,8 +986,18 @@ object Pipeline {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(path + ".bak")
     if (!fs.exists(root)) fs.mkdirs(root)
-    val out = fs.create(new HPath(root, "_epoch"), true)
+    // write-tmp-then-rename, like the manifest and the forget tombstone:
+    // `_epoch` arbitrates which recovery REGIME runs, so a torn direct
+    // write (crash between create and close) would leave every reader,
+    // writer, and recovery path throwing on an unparseable stamp — the
+    // one commit-protocol file that previously skipped the atomic
+    // publish discipline
+    val tmp = new HPath(root, "_epoch.tmp")
+    fs.delete(tmp, true)
+    val out = fs.create(tmp, true)
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new HPath(root, "_epoch"), true)
+    renameOrFail(fs, tmp, new HPath(root, "_epoch"))
   }
 
   private[graft] def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -1021,14 +1088,11 @@ object Pipeline {
     }
   }
 
-  /** Hadoop rename reports failure by returning false; a silent failure
-    * here would delete the only surviving copy in the follow-up cleanup
-    * (or nest src inside an existing dst on HDFS). Fail loud. */
+  // fail-loud rename shared with the io tier: graft.io.Sources.renameOrFail
   private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"rename failed: $src -> $dst")
+    Sources.renameOrFail(fs, src, dst)
 
   /** Crash-safe directory swap: keep the old dir as a backup until the new
     * one is in place (a failure leaves either the old data or old-as-bak +

@@ -38,7 +38,10 @@ object BatchRunner {
     * are quarantined conceptually by the caller at ingest time. */
   def toChunk(batchId: String, createdAt: Long, files: Seq[String])
       : BatchChunk = {
-    val routed = files.flatMap(f => parseFilename(f).map(_._1 -> f))
+    // duplicates dropped up front: the control source is at-least-once,
+    // and a path listed twice would be unioned with itself — silently
+    // doubling every KPI aggregate downstream
+    val routed = files.distinct.flatMap(f => parseFilename(f).map(_._1 -> f))
     BatchChunk(batchId, createdAt,
       ordersPaths = routed.collect { case ("orders", f) => f },
       itemsPaths = routed.collect { case ("order_items", f) => f },
@@ -83,12 +86,13 @@ object BatchRunner {
           graft.streaming.Debounce.assign(sorted.map(_.arrivalTs), windowSec)
         sorted.zip(assigned).groupBy(_._2.batchStart).toSeq.sortBy(_._1)
           .map { case (start, group) =>
-            val chunk = toChunk(s"$date-$start", start, group.map(_._1.path))
-            if (chunk.productsPath.isEmpty)
-              chunk.copy(productsPath = productsSorted
+            // dated groups can never carry a products file (groupKey
+            // routes every products arrival to `latest_products`), so
+            // the standing-products backfill applies unconditionally
+            toChunk(s"$date-$start", start, group.map(_._1.path))
+              .copy(productsPath = productsSorted
                 .filter(_.arrivalTs <= start + windowSec)
                 .lastOption.map(_.path))
-            else chunk
           }
     }
   }
@@ -110,7 +114,10 @@ object BatchRunner {
           s"$workDir/validated/${chunk.batchId}",
           s"$workDir/results/${chunk.batchId}.json")
         if (res.status != "success")
-          throw new RuntimeException(
+          // a failed validation VERDICT is deterministic — re-running the
+          // null/RI jobs cannot change it, so it must not burn the retry
+          // budget (retries are for transient faults)
+          throw new Runner.NonRetryableFailure(
             s"${res.errorType.getOrElse("UNKNOWN")}: " +
               res.message.getOrElse(""))
         // inter-stage handoff: the validation result's processing_date
@@ -254,7 +261,18 @@ object BatchRunner {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
-        val fresh = df.collect().toSeq.map { r =>
+        // a torn/malformed control doc parses to an all-null row under
+        // the json source's PERMISSIVE default — it must be SKIPPED, not
+        // NPE the foreachBatch (which would kill the stream and, since a
+        // restart re-reads the same file, crash-loop). Skipped docs
+        // surface on restart redelivery once the producer finishes the
+        // write (producers publish control docs atomically; a corrupt
+        // one is inert). Same hardening discipline as readStatuses.
+        val fresh = df.collect().toSeq.filter { r =>
+          !r.isNullAt(r.fieldIndex("batch_id")) &&
+            !r.isNullAt(r.fieldIndex("created_at")) &&
+            !r.isNullAt(r.fieldIndex("files"))
+        }.map { r =>
           val c = toChunk(r.getAs[String]("batch_id"),
             r.getAs[Long]("created_at"),
             r.getSeq[String](r.fieldIndex("files")))

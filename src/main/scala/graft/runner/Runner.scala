@@ -77,10 +77,20 @@ object Runner {
   /** Retry `op` up to `attempts` times with `interval × backoff^n` sleeps —
     * the Step Function's retry policy as a driver-side combinator. */
   @tailrec
+  /** Marks a DETERMINISTIC failure (a data error whose outcome cannot
+    * change on re-execution — null gates, referential violations):
+    * [[withRetry]] fails immediately instead of re-running the full
+    * validation jobs per attempt. Mirrors the reference, where a failed
+    * validation RESULT ends the execution (confirm_status marks failed)
+    * — the Step Function's retry policy covers task crashes, not data
+    * verdicts. */
+  final class NonRetryableFailure(msg: String) extends RuntimeException(msg)
+
   def withRetry[A](attempts: Int, intervalMs: Long, backoff: Double = 2.0)(
       op: () => A): Try[A] =
     Try(op()) match {
       case s @ Success(_) => s
+      case f @ Failure(_: NonRetryableFailure) => f
       case Failure(_) if attempts > 1 =>
         Thread.sleep(intervalMs)
         withRetry(attempts - 1, (intervalMs * backoff).toLong, backoff)(op)
