@@ -45,11 +45,14 @@ object Bench {
     // join+agg shapes via the sf0.001 flagship, plus footer/listing reads
     // of the bench tables — so the first timed query measures the query,
     // not session startup.
-    try {
-      SparkEntry.entry(spark).count()
-      Seq("lineitem", "orders", "part", "documents", "embeddings", "events")
-        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
-    } catch { case _: Throwable => () }
+    // the two warmup steps fail independently: a missing sf0.001
+    // flagship fixture must not cancel the footer/listing warmup of the
+    // ACTUAL bench tables (pass-1 timings would absorb listing cost)
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => () }
+    try Seq("lineitem", "orders", "part", "documents", "embeddings", "events")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").schema)
+    catch { case _: Throwable => () }
     val counters = new SchedulerCounters
     spark.sparkContext.addSparkListener(counters)
     def snapshot(): (Long, Long, Long) = counters.snapshot(spark.sparkContext)
@@ -71,24 +74,38 @@ object Bench {
     val phased = SparkEntry.benchPhases
 
     final case class QRun(sec: Double, jobs: Long, stages: Long,
-        tasks: Long, phases: Seq[(String, Double)])
+        tasks: Long, phases: Seq[(String, Double)], failed: Boolean)
     val runs: Seq[(String, QRun)] =
       for (_ <- 1 to passes; (name, fn0) <- selected) yield {
         val fn = overrides.getOrElse(name, fn0)
+        var failed = false
+        // a crashing query must NEVER pass silently as a near-zero "best"
+        // time: the failure is announced on stderr and counted into the
+        // metric line's `errors` field (the run still completes — one bad
+        // query shouldn't lose the other 107 measurements)
+        def guarded[A](zero: A)(op: => A): A =
+          try op catch {
+            case e: Throwable =>
+              failed = true
+              System.err.println(
+                s"[bench] ERROR $name: ${e.getClass.getSimpleName}: " +
+                  String.valueOf(e.getMessage).take(200))
+              zero
+          }
         val (j0, s0, t0c) = snapshot()
         val t0 = System.nanoTime()
         val phaseSecs = phased.get(name) match {
           case Some(mk) =>
             // phased query: the headline time is still first-byte-to-last
             // (phase sum + plan build); each phase timed separately
-            (try mk(spark, sfDir) catch { case _: Throwable => Nil })
+            guarded(Seq.empty[(String, () => Long)])(mk(spark, sfDir))
               .map { case (label, thunk) =>
                 val p0 = System.nanoTime()
-                try thunk() catch { case _: Throwable => -1L }
+                guarded(-1L)(thunk())
                 label -> (System.nanoTime() - p0) / 1e9
               }
           case None =>
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            guarded(-1L)(fn(spark, sfDir).count())
             Nil
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -97,12 +114,15 @@ object Bench {
         // intermediate (shingle sets, signatures) must not squat on
         // storage memory while later queries run
         spark.catalog.clearCache()
-        name -> QRun(dt, j1 - j0, s1 - s0, t1c - t0c, phaseSecs)
+        name -> QRun(dt, j1 - j0, s1 - s0, t1c - t0c, phaseSecs, failed)
       }
     // headline per query = MIN across passes (its counts/phases ride along
     // so bench_counts stays consistent with the reported seconds)
     val best: Seq[(String, QRun)] = selected.map { case (n, _) =>
-      n -> runs.collect { case (`n`, r) => r }.minBy(_.sec)
+      val rs = runs.collect { case (`n`, r) => r }
+      // a failed pass (near-zero wall) must not beat a real measurement
+      val ok = rs.filterNot(_.failed)
+      n -> (if (ok.nonEmpty) ok.minBy(_.sec) else rs.minBy(_.sec))
     }
     // The driver parses the FINAL metric line out of a bounded stdout tail
     // (~2 KB). Rounds 5 AND 6 learned this the hard way: at 96 queries even
@@ -121,8 +141,12 @@ object Bench {
       s"""\"$k\":{"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$ph}"""
     }.mkString("{", ",", "}")
     val total = best.map(_._2.sec).sum
+    // queries whose EVERY pass failed: announced in the metric line so a
+    // "fast" total can never quietly mean "measured nothing"
+    val nErrors = selected.count { case (n, _) =>
+      runs.collect { case (`n`, r) => r }.forall(_.failed) }
     val metricLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"errors":$nErrors,"sf":"$sfDir"}"""
     val detail = {
       val perPass = runs.zipWithIndex.map { case ((k, r), i) =>
         val ph = if (r.phases.isEmpty) "" else phasesJson(r.phases)

@@ -109,7 +109,10 @@ object SparkEntry {
     kpis.withColumn("data_sources", array(lit(source)))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy vals, not defs: ScaleSweep/Verify/Bench look entries up
+  // repeatedly (including inside timed regions) — the ~100-entry map
+  // and the large oracle SQL strings must not rebuild per access
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.4 A1/A5 + §2.3 J1: per-category KPIs over the 3-way join
     // (reference scripts/transformation.py:180-191).
@@ -1210,7 +1213,7 @@ object SparkEntry {
     * pays. Verify keeps the gated `queries` entry as the correctness
     * artifact; the bench times the production body so the leader list
     * measures engine speed, not gate cost. Keys must exist in `queries`. */
-  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     // v1x's hash gate pays exact NDV (Expand) + HLL in ONE scan to prove
     // the sketch is within bounds (~6 s idle at sf0.1, a top-3 bench
     // leader); the production op is the sketch pass alone.
@@ -1229,7 +1232,7 @@ object SparkEntry {
     * headline time stays the phase sum (identical total work), and the
     * split lands in bench_counts/bench_detail so the subset metric can be
     * read as engine-compute vs materialization. */
-  def benchPhases
+  lazy val benchPhases
       : Map[String, (SparkSession, String) => Seq[(String, () => Long)]] = Map(
     // m1 = materialize the persisted 3-way-join projection (the input
     // build both merge sides share), then the two agg halves + full-outer
@@ -1271,7 +1274,7 @@ object SparkEntry {
       |  FROM spine s LEFT JOIN daily dy
       |    ON s.brand = dy.brand AND s.d = dy.d)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
 
     "a1_category_kpi" -> s"""$ctes
       SELECT p.category AS category,

@@ -29,11 +29,26 @@ object Verify {
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a marker from a PRIOR run in a reused outDir must not outlive
+        // the success that supersedes it
+        Files.deleteIfExists(Paths.get(s"$outDir/${name}_ERROR.txt"))
+        ()
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        // ... and a stale parquet from a prior run must not sit beside a
+        // fresh failure marker looking like current output
+        try {
+          val old = Paths.get(s"$outDir/$name")
+          if (Files.isDirectory(old)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(old).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+        } catch { case _: Throwable => () }
         try Files.writeString(Paths.get(s"$outDir/${name}_ERROR.txt"),
           s"$name\n${e.toString}\n")
         catch { case _: Throwable => () }

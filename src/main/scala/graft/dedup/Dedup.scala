@@ -451,7 +451,7 @@ object Dedup {
 
   /** Permutation constants for h_i(x) = (a_i·x + b_i) mod P — small odd
     * multipliers, deterministic, mirrored verbatim in the oracle SQL. */
-  private def perm(i: Int): (Long, Long) = (2L * i + 3L, 7919L * (i + 1))
+  private[graft] def perm(i: Int): (Long, Long) = (2L * i + 3L, 7919L * (i + 1))
 
   /** MinHash signatures: for each doc, min over its shingle hashes of each
     * permutation — one narrow aggregation, K min() columns. */

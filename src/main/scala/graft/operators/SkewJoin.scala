@@ -33,7 +33,27 @@ object SkewJoin {
   def saltedInner(left: DataFrame, right: DataFrame, key: String,
       factor: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val saltSrc = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
+    require(!left.columns.contains("__salt") &&
+      !right.columns.contains("__salt"),
+      "saltedInner: __salt is reserved (a pre-existing column would be " +
+        "overwritten and dropped from the result)")
+    // default salt source: every HASHABLE left column (hash() rejects
+    // MapType — an unrelated map column must not break a join on a
+    // perfectly hashable key); callers pass a natural id for best spread
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val saltSrc =
+      if (saltCols.nonEmpty) saltCols
+      else left.schema.fields.filterNot(f => hasMap(f.dataType))
+        .map(_.name).toSeq
+    require(saltSrc.nonEmpty,
+      "saltedInner: no hashable columns to derive the salt from — pass " +
+        "saltCols explicitly")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(saltSrc.map(col): _*), lit(factor)))
     val replicatedRight = right

@@ -26,7 +26,13 @@ object WindowedAgg {
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        // DECIMAL through the sum (double at the boundary): double
+        // addition is order-dependent, and streaming partial aggregation
+        // adds in a different order than the batch scan — the documented
+        // batch ≡ streaming parity needs an order-independent fold (the
+        // e2 driver query applies the same discipline)
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))

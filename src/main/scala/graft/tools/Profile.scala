@@ -39,19 +39,26 @@ object Profile {
     val shc = shh.cache()
     time("shingle cache materialize")(shc.count())
 
+    // permutation constants and band layout come from Dedup itself (one
+    // counting discipline): if Dedup.perm/NumHashes/NumBands change,
+    // these staged timings keep decomposing the real operator instead of
+    // silently profiling a divergent copy
     val sig = time("minhash signatures build") {
-      val mins = (0 until 16).map { i =>
-        val a = 2L * i + 3L; val b = 7919L * (i + 1)
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        val (a, b) = Dedup.perm(i)
         min(pmod(col("h") * lit(a) + lit(b), lit(HashP))).as(s"mh_$i")
       }
       val s = shc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).cache()
       s.count(); s
     }
 
-    val banded = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
-      struct(lit(b).as("band"), concat_ws("|",
-        (0 until 4).map(r => col(s"mh_${b * 4 + r}").cast("string")): _*)
-        .as("key"))
+    val bandRows = Dedup.NumHashes / Dedup.NumBands
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until Dedup.NumBands).map { b =>
+        struct(lit(b).as("band"), concat_ws("|",
+          (0 until bandRows).map(r =>
+            col(s"mh_${b * bandRows + r}").cast("string")): _*)
+          .as("key"))
     }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("x").join(banded.as("y"),

@@ -246,16 +246,24 @@ object ScaleSweep {
       val (j0, s0, t0) = snap()
       val start = System.nanoTime()
       // fail-loud operators (d7's 100%-stop-shingle collapse, CC
-      // non-convergence) are expected outcomes at adversarial scales:
-      // record them as rows = -1 instead of killing the sweep
+      // non-convergence) are expected outcomes at adversarial scales,
+      // and ANY other failure must cost one cell, not the whole
+      // multi-hour run's already-measured rows: record rows = -1 and
+      // keep sweeping
       val n = try graft.SparkEntry.queries(q)(spark, dir).count()
-        catch { case e: IllegalStateException =>
-          System.err.println(s"[sweep] $q x$f failed loud: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[sweep] $q x$f failed " +
+            s"(${e.getClass.getSimpleName}): " +
+            String.valueOf(e.getMessage).take(200))
           -1L
         }
       val sec = (System.nanoTime() - start) / 1e9
       val (j1, s1, t1) = snap()
       spark.catalog.clearCache()
+      // incremental echo: even a crash later in the sweep leaves every
+      // completed measurement on stderr
+      System.err.println(
+        f"[sweep] row | $q | x$f | $sec%.2f | $n | ${j1 - j0} | ${s1 - s0} | ${t1 - t0} |")
       (q, f, sec, n, j1 - j0, s1 - s0, t1 - t0)
     }
 
