@@ -872,6 +872,45 @@ class PipelineSpec extends SparkSpec {
     assert(!fs.exists(new HPath(histEp, s"_$pn.fk.old")))
   }
 
+  test("manifest row tally tracks the true store count through merge/forget/sweep") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/tally"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "category STRING, order_date STRING, total_orders BIGINT, " +
+        "data_sources ARRAY<STRING>")
+    def updates(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("category", "order_date", "total_orders")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .select(schema.fieldNames.map(col): _*)
+    def upsert(rows: (String, String, Long)*) =
+      Pipeline.upsertStore(spark, path, schema, updates(rows: _*),
+        Seq("category", "order_date"), Seq("total_orders"),
+        partCol = "order_date")
+    def trueCount() = Pipeline.readOrInit(spark, path, schema).count()
+
+    // the returned post-merge size is O(touched) arithmetic off the
+    // manifest #rows tally — it must equal a full recount at every step
+    assert(upsert(("A", "2024-06-01", 1L), ("B", "2024-06-02", 2L)) === 2L)
+    assert(trueCount() === 2L)
+    // second batch: one update (no growth), one insert into a new date
+    assert(upsert(("A", "2024-06-01", 9L), ("C", "2024-06-03", 3L)) === 3L)
+    assert(trueCount() === 3L)
+    // forget maintains the tally through its delete
+    val (_, del) = Pipeline.forgetKeys(spark, path, schema,
+      Seq("B").toDF("category"), Seq("category"), partCol = "order_date")
+    assert(del === 1L)
+    // a retention sweep DROPS the tally (expired rows are not recounted);
+    // the next merge pays one full-count fallback and re-establishes it
+    val expired = Pipeline.retentionSweep(spark, path, "2024-06-02")
+    assert(expired.nonEmpty)
+    assert(upsert(("D", "2024-06-04", 4L)) === trueCount(),
+      "post-sweep merge must fall back to a real count, not a stale tally")
+    assert(upsert(("D", "2024-06-04", 5L), ("E", "2024-06-04", 6L))
+      === trueCount(), "tally re-established after the fallback")
+  }
+
   test("forgetKeys crash after commit: emptied-partition backup erased, never restored") {
     import org.apache.spark.sql.functions.{col, typedLit}
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
