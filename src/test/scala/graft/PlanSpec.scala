@@ -1,6 +1,7 @@
 package graft
 
 import graft.io.Sources
+import graft.validate.Validation
 
 /** Plan-shape regression guards: the scale-critical physical properties
   * (pushdown, pruning, broadcast, anti-join form) asserted against the
@@ -125,6 +126,36 @@ class PlanSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("v4x production body: literal edges, no percentile/Expand/Window in the scan") {
+    // the approx histogram's returned plan is the bucket-count pass over
+    // LITERAL edges (the 1-row sketch agg ran eagerly at build time and
+    // was inlined) — no percentile of any kind, no Expand, no Window,
+    // no range-partitioned sort may appear in the per-row scan, or the
+    // swap has silently regressed to re-paying the cost it exists to
+    // avoid
+    val p = Validation.equiDepthHistogramApprox(
+        Sources.table(spark, sf0001, "lineitem"), "l_extendedprice")
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"), p.take(2000))
+    assert(p.contains("filter("), p.take(2000)) // literal-edge bucket lambda
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("t14: heavy hitters shares ONE token-grain base across both consumers") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("t14_heavy_hitters")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // both consumers (top-k and the count-min cells) must read the
+    // persisted token-grain aggregate — two InMemoryTableScans over the
+    // one cached relation. (The raw plan string shows the cached
+    // relation's own parquet scan once per description, so counting
+    // FileScan lines would be misleading.)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    spark.catalog.clearCache()
   }
 
   test("mediaSummary branches share one persisted corpus scan") {
