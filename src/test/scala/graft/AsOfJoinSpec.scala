@@ -22,14 +22,19 @@ class AsOfJoinSpec extends SparkSpec {
       schema)
 
   /** Reference composition: theta-join on key && r.ts <= l.ts, keep the
-    * max-ts right row per left row (latest id wins ties — ts are unique
-    * in these fixtures). */
+    * max-ts right row per left row. The window order carries `rid` desc
+    * as the SECOND key so equal-(k, ts) right rows resolve exactly like
+    * the custom operator's documented greatest-id tie-break — ordering
+    * by rts alone would leave ties to partition layout and the
+    * comparison test would only pass while the fixture happens to be
+    * tie-free. */
   private def composed(left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame) = {
     val j = left.join(right.select(col("id").as("rid"), col("k").as("rk"),
         col("ts").as("rts")),
       col("k") === col("rk") && col("rts") <= col("ts"), "left")
-    val w = Window.partitionBy(col("id")).orderBy(col("rts").desc_nulls_last)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("rts").desc_nulls_last, col("rid").desc_nulls_last)
     j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("k"), col("ts"), col("rid"), col("rts"))
   }

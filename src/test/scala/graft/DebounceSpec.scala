@@ -161,9 +161,15 @@ class DebounceSpec extends SparkSpec {
       .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
     try {
       mem.addData(Event(7, 1000L)) // anchors batch at 5000
-      // let the first event be consumed on its own trigger so the two
-      // events cannot land in one micro-batch (which would anchor once)
-      Thread.sleep(400L)
+      // WAIT until the first event is actually consumed (progress shows
+      // >= 1 input row) so the two events cannot land in one micro-batch
+      // — a fixed sleep raced GC/load pauses and could anchor once
+      val consumeDeadline = System.currentTimeMillis() + 30000L
+      while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+          System.currentTimeMillis() < consumeDeadline)
+        Thread.sleep(50L)
+      assert(q.recentProgress.map(_.numInputRows).sum >= 1,
+        "first event never consumed")
       // jump the clock past the expiry and deliver a late event: whether
       // it is processed before or after the processing-time timeout
       // fires, the result must be TWO single-event batches

@@ -24,7 +24,9 @@ class KpiSinkSpec extends SparkSpec {
       Row("d2", 5L, 50.0, Seq("orders")))
     val updates = df(
       Row("d1", 12L, null, Seq("orders")), // orders_only: preserves revenue
-      Row("d3", 1L, 9.0, Seq("orders")))   // brand-new key
+      Row("d3", 1L, 9.0, Seq("orders")),   // brand-new key
+      Row("d4", 2L, null, Seq("orders")))  // new key with a NULL field:
+                                           // merged value stays null
 
     // plan-level merge
     val planned = KpiMerge.merge(target, updates, Seq("order_date"),
@@ -53,8 +55,14 @@ class KpiSinkSpec extends SparkSpec {
       assert(item.get("total_revenue").orNull === p("total_revenue"), k)
       assert(item("data_sources") === p("data_sources"), k)
     }
-    // null fields are DROPPED in the sink item, not stored as null
-    assert(!sunk(Seq("d3")).contains("nonexistent"))
+    // null fields are DROPPED in the sink item, not stored as null: d4's
+    // merged total_revenue is null on both sides of the equivalence
+    // (coalesce(null, absent)), so the KV item must simply OMIT the key
+    // (helperfunction.py:38-40's remove_null_values)
+    assert(planned(Seq("d4"))("total_revenue") == null,
+      "fixture must produce a null merged field")
+    assert(!sunk(Seq("d4")).contains("total_revenue"),
+      s"null field stored instead of dropped: ${sunk(Seq("d4"))}")
   }
 
   test("sink upsert is idempotent under row-level retry") {

@@ -5,10 +5,18 @@ import graft.multimodal.Multimodal
 
 /** Multimodal plumbing: binary payload column, partition-wise decode stub,
   * frame sampling — schema and batch shape are the real contract. */
-class MultimodalSpec extends SparkSpec {
+class MultimodalSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val docs = Sources.table(spark, sf0001, "documents")
   private lazy val media = Multimodal.mediaCorpus(docs).cache()
+
+  // the session is SHARED across all suites: the cached binary corpus
+  // must not squat on block-store memory for the rest of the run
+  override def afterAll(): Unit = {
+    media.unpersist()
+    super.afterAll()
+  }
 
   test("media corpus carries binary payload + typed metadata struct") {
     val schema = media.schema

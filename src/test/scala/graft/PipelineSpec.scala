@@ -11,6 +11,18 @@ class PipelineSpec extends SparkSpec {
 
   private def dir(): Path = Files.createTempDirectory("graft-e2e")
 
+  /** Recursive delete with the directory stream CLOSED per level — an
+    * unclosed Files.list leaks one fd per directory in the shared
+    * long-lived test JVM. */
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.forEach(c => deleteRec(c)) finally ls.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
   private val ordersHeader =
     "order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item"
   private val itemsHeader =
@@ -103,11 +115,6 @@ class PipelineSpec extends SparkSpec {
 
     // simulate a later orders-only batch for the same date: remove items
     val itemsDir = d.resolve("validated/order_items")
-    def deleteRec(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => deleteRec(c))
-      Files.deleteIfExists(p)
-    }
     deleteRec(itemsDir)
 
     val (cat2, ord2) = Pipeline.transformJob(spark, s"$d/validated",
@@ -142,10 +149,11 @@ class PipelineSpec extends SparkSpec {
       val part = d.resolve(s"store/$sub/order_date=2024-06-01")
       assert(Files.isDirectory(part), s"expected partition dir $part")
       val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
-      Files.list(part).forEach { f =>
+      val ls = Files.list(part)
+      try ls.forEach { f =>
         if (!Files.isDirectory(f)) out += (f.getFileName.toString ->
           Files.readAllBytes(f))
-      }
+      } finally ls.close()
       out.toMap
     }
     val before = (partFiles("category_kpi"), partFiles("order_kpi"))
@@ -267,10 +275,6 @@ class PipelineSpec extends SparkSpec {
 
     // orders-only rerun: without recovery the merge target would be empty
     // and the complete-run revenue fields would be silently dropped
-    def deleteRec(pp: Path): Unit = {
-      if (Files.isDirectory(pp)) Files.list(pp).forEach(c => deleteRec(c))
-      Files.deleteIfExists(pp)
-    }
     deleteRec(d.resolve("validated/order_items"))
     Pipeline.transformJob(spark, s"$d/validated", "2024-06-01",
       s"$d/store", now = "t2")
@@ -397,9 +401,11 @@ class PipelineSpec extends SparkSpec {
       "stale .bak must outlive the commit that superseded it")
     Pipeline.upsertStore(spark, path, schema,
       updates("t3", ("2024-06-02", 3L, 30.0)), Seq("order_date"), fields)
-    val bakLeft = Files.list(d.resolve("isostore.bak")).toArray
-      .map(_.asInstanceOf[Path].getFileName.toString)
-      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val bakLs = Files.list(d.resolve("isostore.bak"))
+    val bakLeft =
+      try bakLs.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      finally bakLs.close()
     assert(bakLeft === Set("order_date=2024-06-02"),
       "batch 2's stale backups swept at batch 3 start; only batch 3's own remain")
   }
