@@ -95,14 +95,11 @@ object SparkEntry {
     val rev = sum(col("sale_price")).cast("double").as("daily_revenue")
     val kpis =
       if (full) base.agg(rev,
-        // zero-denominator guards: ANSI divide throws on x / 0 (see
-        // Kpi.ratio); NULLIF in the oracle twins
-        when(count(col("sale_price")) === 0, lit(null).cast("double"))
-          .otherwise(sum(col("sale_price")).cast("double") /
-            count(col("sale_price"))).as("avg_order_value"),
-        when(count(col("id")) === 0, lit(null).cast("double"))
-          .otherwise(count(when(col("status") === "returned", true))
-            .cast("double") / count(col("id"))).as("avg_return_rate"))
+        // zero-denominator guard (Kpi.ratio); NULLIF in the oracle twins
+        Kpi.ratio(sum(col("sale_price")).cast("double"),
+          count(col("sale_price"))).as("avg_order_value"),
+        Kpi.ratio(count(when(col("status") === "returned", true))
+          .cast("double"), count(col("id"))).as("avg_return_rate"))
       else base.agg(rev,
         lit(null).cast("double").as("avg_order_value"),
         lit(null).cast("double").as("avg_return_rate"))
@@ -1004,12 +1001,10 @@ object SparkEntry {
       val price = expr("try_cast(`oi`.`sale_price` AS DOUBLE)")
       joined.groupBy(col("p.category").as("category")).agg(
         sum(price.cast(money)).cast("double").as("daily_revenue"),
-        when(count(price) === 0, lit(null).cast("double"))
-          .otherwise(sum(price.cast(money)).cast("double") / count(price))
+        Kpi.ratio(sum(price.cast(money)).cast("double"), count(price))
           .as("avg_order_value"),
-        when(count(col("oi.id")) === 0, lit(null).cast("double"))
-          .otherwise(count(when(col("oi.status") === "returned", true))
-            .cast("double") / count(col("oi.id"))).as("avg_return_rate"))
+        Kpi.ratio(count(when(col("oi.status") === "returned", true))
+          .cast("double"), count(col("oi.id"))).as("avg_return_rate"))
     }),
 
     // E44 (K1): mergeable HLL distinct sketches — the incremental form of

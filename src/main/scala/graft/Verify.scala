@@ -45,8 +45,10 @@ object Verify {
           val old = Paths.get(s"$outDir/$name")
           if (Files.isDirectory(old)) {
             import scala.jdk.CollectionConverters._
-            Files.walk(old).iterator().asScala.toSeq.reverse
+            val walk = Files.walk(old)
+            try walk.iterator().asScala.toSeq.reverse
               .foreach(Files.deleteIfExists(_))
+            finally walk.close()
           }
         } catch { case _: Throwable => () }
         try Files.writeString(Paths.get(s"$outDir/${name}_ERROR.txt"),

@@ -48,18 +48,19 @@ object Kpi {
     items.as("oi")
       .join(broadcast(products.as("p")), col("oi.product_id") === col("p.id"))
 
-  /** A1/A5: per-category KPIs over a joined frame carrying `p.category`,
-    * `oi.sale_price`, `oi.status`, `oi.id`
-    * (reference `scripts/transformation.py:187-191`). */
   /** Ratio with an explicit zero-denominator guard: Spark 4 runs ANSI
     * mode by default, where x / 0 THROWS instead of returning null — an
     * empty input frame (the global aggs still emit one row) or a group
     * whose denominator column is entirely null would abort the whole KPI
     * job. NULL is the reference's own avg()-over-nothing answer; the
-    * oracle twins mirror with NULLIF. */
-  private def ratio(num: Column, den: Column): Column =
+    * oracle twins mirror with NULLIF. One definition for every consumer
+    * (this file + SparkEntry's m1 halves and compat arm). */
+  private[graft] def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
+  /** A1/A5: per-category KPIs over a joined frame carrying `p.category`,
+    * `oi.sale_price`, `oi.status`, `oi.id`
+    * (reference `scripts/transformation.py:187-191`). */
   def categoryKpi(joined: DataFrame): DataFrame =
     joined.groupBy(col("p.category").as("category")).agg(
       sum(col("oi.sale_price").cast(money)).cast("double").as("daily_revenue"),

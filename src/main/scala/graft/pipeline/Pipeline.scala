@@ -906,8 +906,12 @@ object Pipeline {
     val tmp = new HPath(path, s"_manifest.$epoch.inprogress")
     fs.delete(tmp, false) // leftover from a crash mid-publish
     val out = fs.create(tmp, true)
-    // `#`-prefixed metadata lines are ignored by the partition parser, so
-    // old readers (and manifests without the line) stay compatible
+    // `#`-prefixed metadata lines are ignored by THIS repo's partition
+    // parser; manifests WITHOUT the line stay readable (legacy manifests
+    // parse with rows = None). Note the compatibility is forward-only:
+    // a parser predating the '#' filter would read the line as a
+    // partition value — acceptable because the manifest format and its
+    // only readers live in this repo and version together
     val body = partCol +: (rows.map(r => s"#rows=$r").toSeq ++ partitions)
     try out.write(body.mkString("\n").getBytes("UTF-8"))
     finally out.close()

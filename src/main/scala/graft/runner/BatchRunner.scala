@@ -40,8 +40,11 @@ object BatchRunner {
       : BatchChunk = {
     // duplicates dropped up front: the control source is at-least-once,
     // and a path listed twice would be unioned with itself — silently
-    // doubling every KPI aggregate downstream
-    val routed = files.distinct.flatMap(f => parseFilename(f).map(_._1 -> f))
+    // doubling every KPI aggregate downstream. Null entries (a torn
+    // control doc's files array can carry them in PERMISSIVE mode) are
+    // dropped too — parseFilename(null) would NPE the stream
+    val routed = files.filter(_ != null).distinct
+      .flatMap(f => parseFilename(f).map(_._1 -> f))
     BatchChunk(batchId, createdAt,
       ordersPaths = routed.collect { case ("orders", f) => f },
       itemsPaths = routed.collect { case ("order_items", f) => f },

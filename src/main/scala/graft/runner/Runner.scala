@@ -74,9 +74,6 @@ object Runner {
 
   // ---- T7: retry with exponential backoff (stepfunction.json:71-89) -------
 
-  /** Retry `op` up to `attempts` times with `interval × backoff^n` sleeps —
-    * the Step Function's retry policy as a driver-side combinator. */
-  @tailrec
   /** Marks a DETERMINISTIC failure (a data error whose outcome cannot
     * change on re-execution — null gates, referential violations):
     * [[withRetry]] fails immediately instead of re-running the full
@@ -86,6 +83,9 @@ object Runner {
     * verdicts. */
   final class NonRetryableFailure(msg: String) extends RuntimeException(msg)
 
+  /** Retry `op` up to `attempts` times with `interval × backoff^n` sleeps —
+    * the Step Function's retry policy as a driver-side combinator. */
+  @tailrec
   def withRetry[A](attempts: Int, intervalMs: Long, backoff: Double = 2.0)(
       op: () => A): Try[A] =
     Try(op()) match {

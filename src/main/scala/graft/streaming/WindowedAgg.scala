@@ -31,7 +31,9 @@ object WindowedAgg {
         // adds in a different order than the batch scan — the documented
         // batch ≡ streaming parity needs an order-independent fold (the
         // e2 driver query applies the same discipline)
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        // (38, 6): enough integral headroom that no realistic event value
+        // can hit an ANSI CAST_OVERFLOW — (18, 6) would cap at ~1e12
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
           .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),

@@ -434,13 +434,16 @@ object Validation {
       buckets: Int, edges: DataFrame): DataFrame = {
     val r = edges.head()
     if (r.isNullAt(1)) {
-      // empty input (or all-null value column): no measurable edges —
-      // an empty histogram, not an NPE
-      val spark = df.sparkSession
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "bucket BIGINT, lo DOUBLE, hi DOUBLE, n_rows BIGINT"))
+      // min is NULL: the value column has no non-null rows. Mirror the
+      // oracle (and the pre-inline crossJoin plan) instead of NPE-ing on
+      // getDouble: with NULL edges every row's bucket expression is NULL
+      // (`size(filter(NULL, _)) + 1`), so a non-empty all-null table
+      // emits ONE (NULL, NULL, NULL, n) row and a truly empty table
+      // emits nothing — both engines agree
+      return df.select(lit(null).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+        .select(col("bucket"), lit(null).cast("double").as("lo"),
+          lit(null).cast("double").as("hi"), col("n_rows"))
     }
     val esLit = typedlit(r.getSeq[Double](0))
     val (mn, mx) = (r.getDouble(1), r.getDouble(2))
