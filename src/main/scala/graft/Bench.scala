@@ -74,48 +74,80 @@ object Bench {
     val phased = SparkEntry.benchPhases
 
     final case class QRun(sec: Double, jobs: Long, stages: Long,
-        tasks: Long, phases: Seq[(String, Double)], failed: Boolean)
-    val runs: Seq[(String, QRun)] =
-      for (_ <- 1 to passes; (name, fn0) <- selected) yield {
-        val fn = overrides.getOrElse(name, fn0)
-        var failed = false
-        // a crashing query must NEVER pass silently as a near-zero "best"
-        // time: the failure is announced on stderr and counted into the
-        // metric line's `errors` field (the run still completes — one bad
-        // query shouldn't lose the other 107 measurements)
-        def guarded[A](zero: A)(op: => A): A =
-          try op catch {
-            case e: Throwable =>
-              failed = true
-              System.err.println(
-                s"[bench] ERROR $name: ${e.getClass.getSimpleName}: " +
-                  String.valueOf(e.getMessage).take(200))
-              zero
-          }
-        val (j0, s0, t0c) = snapshot()
-        val t0 = System.nanoTime()
-        val phaseSecs = phased.get(name) match {
-          case Some(mk) =>
-            // phased query: the headline time is still first-byte-to-last
-            // (phase sum + plan build); each phase timed separately
-            guarded(Seq.empty[(String, () => Long)])(mk(spark, sfDir))
-              .map { case (label, thunk) =>
-                val p0 = System.nanoTime()
-                guarded(-1L)(thunk())
-                label -> (System.nanoTime() - p0) / 1e9
-              }
-          case None =>
-            guarded(-1L)(fn(spark, sfDir).count())
-            Nil
+        tasks: Long, phases: Seq[(String, Double)], failed: Boolean,
+        pass: Int)
+    def runOne(name: String, fn0: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, pass: Int): QRun = {
+      val fn = overrides.getOrElse(name, fn0)
+      var failed = false
+      // a crashing query must NEVER pass silently as a near-zero "best"
+      // time: the failure is announced on stderr and counted into the
+      // metric line's `errors` field (the run still completes — one bad
+      // query shouldn't lose the other 107 measurements)
+      def guarded[A](zero: A)(op: => A): A =
+        try op catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(
+              s"[bench] ERROR $name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200))
+            zero
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val (j1, s1, t1c) = snapshot()
-        // drop caches OUTSIDE the timed window: operators that cache an
-        // intermediate (shingle sets, signatures) must not squat on
-        // storage memory while later queries run
-        spark.catalog.clearCache()
-        name -> QRun(dt, j1 - j0, s1 - s0, t1c - t0c, phaseSecs, failed)
+      val (j0, s0, t0c) = snapshot()
+      val t0 = System.nanoTime()
+      val phaseSecs = phased.get(name) match {
+        case Some(mk) =>
+          // phased query: the headline time is still first-byte-to-last
+          // (phase sum + plan build); each phase timed separately
+          guarded(Seq.empty[(String, () => Long)])(mk(spark, sfDir))
+            .map { case (label, thunk) =>
+              val p0 = System.nanoTime()
+              guarded(-1L)(thunk())
+              label -> (System.nanoTime() - p0) / 1e9
+            }
+        case None =>
+          guarded(-1L)(fn(spark, sfDir).count())
+          Nil
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (j1, s1, t1c) = snapshot()
+      // drop caches OUTSIDE the timed window: operators that cache an
+      // intermediate (shingle sets, signatures) must not squat on
+      // storage memory while later queries run
+      spark.catalog.clearCache()
+      QRun(dt, j1 - j0, s1 - s0, t1c - t0c, phaseSecs, failed, pass)
+    }
+    val baseRuns: Seq[(String, QRun)] =
+      for (p <- 1 to passes; (name, fn0) <- selected)
+        yield name -> runOne(name, fn0, p)
+    // Adaptive extra pass (BENCH_r08 lesson: min-of-2 lost four queries
+    // to a busy co-tenant — both passes of s3 drew load and the official
+    // artifact overstated 4×). A query earns ONE more pass when its base
+    // passes disagree by >2× (at least one was load-noised) or its best
+    // time sits >1.5× above the recorded idle band (ALL passes were
+    // noised — disagreement alone can't see that). Bands come from
+    // tools/idle_bands.json, written from an idle run's bench_detail and
+    // kept in-repo per BASELINE.md's protocol note; queries without a
+    // band use the disagreement trigger only.
+    val idleBands: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("tools", "idle_bands.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val SpreadTrigger = 2.0
+    val BandTrigger = 1.5
+    val extraRuns: Seq[(String, QRun)] = if (passes < 2) Nil else
+      for {
+        (name, fn0) <- selected
+        secs = baseRuns.collect { case (`name`, r) if !r.failed => r.sec }
+        if secs.size >= 2 && (secs.max > secs.min * SpreadTrigger ||
+          idleBands.get(name).exists(b => secs.min > b * BandTrigger))
+      } yield name -> runOne(name, fn0, passes + 1)
+    val runs: Seq[(String, QRun)] = baseRuns ++ extraRuns
     // headline per query = MIN across passes (its counts/phases ride along
     // so bench_counts stays consistent with the reported seconds)
     val best: Seq[(String, QRun)] = selected.map { case (n, _) =>
@@ -146,14 +178,20 @@ object Bench {
     val nErrors = selected.count { case (n, _) =>
       runs.collect { case (`n`, r) => r }.forall(_.failed) }
     val metricLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"errors":$nErrors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"extra":${extraRuns.size},"errors":$nErrors,"sf":"$sfDir"}"""
     val detail = {
-      val perPass = runs.zipWithIndex.map { case ((k, r), i) =>
+      val perPass = runs.map { case (k, r) =>
         val ph = if (r.phases.isEmpty) "" else phasesJson(r.phases)
-        s"""\"$k#${i / selected.size + 1}\":{"sec":${r.sec},"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$ph}"""
+        s"""\"$k#${r.pass}\":{"sec":${r.sec},"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$ph}"""
       }
       val mins = best.map { case (k, r) => s"\"$k\":${r4(r.sec)}" }
-      s"""{"min":${mins.mkString("{", ",", "}")},"runs":${perPass.mkString("{", ",", "}")}}"""
+      // per-query pass spread: every measured wall time in pass order, so
+      // load noise is visible per query without reparsing the runs map
+      val spread = selected.map { case (n, _) =>
+        val ss = runs.collect { case (`n`, r) => r4(r.sec) }
+        s"\"$n\":[${ss.mkString(",")}]"
+      }
+      s"""{"min":${mins.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"runs":${perPass.mkString("{", ",", "}")}}"""
     }
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")

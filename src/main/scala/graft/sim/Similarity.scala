@@ -1222,6 +1222,31 @@ object Similarity {
   val NearDupCosine = 0.9
   val VecTwinOffset = 10000000L
 
+  /** Sentinel for [[semDedup]]'s `numCells`: derive the cell count from
+    * the corpus size instead of pinning a constant. */
+  val CellsBySize = 0
+
+  /** Floor for the derived cell count — below this the per-cell pair
+    * join is cheap at any corpus size that matters. */
+  val SemDedupMinCells = 64
+
+  /** Target vectors per cell for the derived count. Chosen from the ×50
+    * sweep measurement (BASELINE.md): at 200k twinned vectors the
+    * hand-turned knee was 256 cells ≈ 780 vectors/cell (10.1 s vs the
+    * 64-cell default's quadratic 26.4 s); 768 reproduces that knee
+    * (ceil(200000/768) = 261) and keeps within-cell pair volume
+    * ~cell_size²/2 ≈ 300k pairs/cell flat as the corpus grows. */
+  val SemDedupTargetCellSize = 768
+
+  /** cells = max(SemDedupMinCells, ceil(corpusRows / SemDedupTargetCellSize)).
+    * Seeds are the first `cells` vec_ids, so the derived count is valid
+    * whenever the raw corpus has at least that many low ids — true by
+    * construction here (cells ≤ max(64, 2n/768) ≤ n for n ≥ 64). */
+  def semDedupCells(corpusRows: Long): Int =
+    math.max(SemDedupMinCells.toLong,
+      (corpusRows + SemDedupTargetCellSize - 1) / SemDedupTargetCellSize)
+      .toInt
+
   /** Corpus with planted duplicate vectors (verbatim twin at id+offset) so
     * the near-dup operator has positives to find at any scale factor. */
   def withNearDupVecs(emb: DataFrame): DataFrame =
@@ -1281,16 +1306,26 @@ object Similarity {
     * within-cell partner above the cosine bar), the best cosine, and how
     * many partners it had.
     *
-    * Scale: assignment is one narrow pass (NumCells codegen'd dot
+    * Scale: assignment is one narrow pass (cells codegen'd dot
     * products/row); the pair join is per-cell — quadratic only within a
     * cell, the published algorithm's own cost model, bounded by growing
-    * NumCells with the corpus so cell size stays ~constant (the d5x-style
-    * scale knob). The keeper aggregate is doc-grain. No corpus-wide
-    * all-pairs anywhere. */
+    * the cell count with the corpus so cell size stays ~constant. The
+    * DEFAULT now turns that knob itself: `numCells = CellsBySize` derives
+    * cells = max([[SemDedupMinCells]], ceil(corpus / [[SemDedupTargetCellSize]]))
+    * from one O(1)-output count of the twinned corpus, so the measured
+    * ×50 quadratic wall of a fixed small cell count (BASELINE.md) cannot
+    * recur silently; an explicit `numCells > 0` still overrides (the
+    * d12x pinned-knob twin). The keeper aggregate is doc-grain. No
+    * corpus-wide all-pairs anywhere. */
   def semDedup(embRaw: DataFrame,
-      numCells: Int = NumCells): DataFrame = {
+      numCells: Int = CellsBySize): DataFrame = {
     val emb = withNearDupVecs(embRaw)
-    val sortedCells = sortedCellsFor(emb, numCells)
+    val cells =
+      if (numCells != CellsBySize) numCells
+      // twin corpus is exactly 2n rows by construction — count the raw
+      // side once (narrow single-column scan) instead of the union
+      else semDedupCells(2L * embRaw.count())
+    val sortedCells = sortedCellsFor(emb, cells)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       element_at(sortedCells(col("embedding")), 1).getField("cell_id")
@@ -1307,7 +1342,15 @@ object Similarity {
         count(lit(1)).as("n_partners"))
   }
 
-  def semDedupSql(numCells: Int = NumCells): String = {
+  def semDedupSql(numCells: Int = CellsBySize): String = {
+    // the oracle derives the same cell count from the same corpus-size
+    // formula (twinned corpus = 2n by construction), so Spark default and
+    // SQL default stay value-identical at any scale factor
+    val cellBound =
+      if (numCells != CellsBySize) numCells.toString
+      else s"""(SELECT greatest($SemDedupMinCells,
+          (2 * count(*) + ${SemDedupTargetCellSize - 1})
+            // $SemDedupTargetCellSize) FROM embeddings)"""
     val seedsCte = s"""
       seeds AS (
         SELECT vec_id AS cell_id, embedding AS sv,
@@ -1315,7 +1358,7 @@ object Similarity {
             list_transform(range(1, len(embedding) + 1),
               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
             (acc, x) -> acc + x) AS s2
-        FROM embeddings WHERE vec_id < $numCells)"""
+        FROM embeddings WHERE vec_id < $cellBound)"""
     val d2 = s"-2.0 * ${dotSql("e.embedding", "s.sv")} + s.s2"
     s"""
     WITH twinned AS ($withNearDupVecsSql),

@@ -208,11 +208,12 @@ class AnnRecallSpec extends SparkSpec {
     // count, so the within-cell pair join must surface each twin with its
     // original as keeper — the twin-recall guarantee of the d6 test,
     // carried to the data-adaptive (SemDeDup) candidate restriction and
-    // to its executable scale knob (64 cells)
+    // to its executable scale knob (64 cells) and the size-derived
+    // default (CellsBySize)
     import org.apache.spark.sql.functions.{col, expr}
     val emb = Sources.table(spark, sf0001, "embeddings")
     val nTwins = emb.count()
-    for (cells <- Seq(Similarity.NumCells, 64)) {
+    for (cells <- Seq(Similarity.CellsBySize, Similarity.NumCells, 64)) {
       val out = Similarity.semDedup(emb, numCells = cells)
         .filter(expr(s"vec_id >= ${Similarity.VecTwinOffset}")).cache()
       try {
@@ -227,6 +228,22 @@ class AnnRecallSpec extends SparkSpec {
         assert(out.filter(col("best_cosine") < 0.999).count() === 0L)
       } finally out.unpersist()
     }
+  }
+
+  test("semDedupCells derives the measured knee and floors at the minimum") {
+    import Similarity.{semDedupCells, SemDedupMinCells, SemDedupTargetCellSize}
+    // verify-SF corpora stay on the floor (small cells are cheap there)
+    assert(semDedupCells(1000L) === SemDedupMinCells) // sf0.01 twinned
+    assert(semDedupCells(4000L) === SemDedupMinCells) // sf0.1 twinned
+    // the x50 sweep corpus (200k twinned) lands at the hand-turned knee
+    // region: 256 cells was the measured 10.1s setting, derived = 261
+    assert(semDedupCells(200000L) === 261)
+    // ceil semantics: one row past a boundary adds a cell
+    val t = SemDedupTargetCellSize.toLong
+    assert(semDedupCells(t * 1000) === 1000)
+    assert(semDedupCells(t * 1000 + 1) === 1001)
+    // cells grow linearly with the corpus -> cell size stays ~constant
+    assert(semDedupCells(20000000L) === math.ceil(2e7 / t).toInt)
   }
 
   test("TopK aggregator buffer stays bounded under incomparable entries") {
