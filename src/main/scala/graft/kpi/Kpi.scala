@@ -127,7 +127,14 @@ object Kpi {
         // outputs are SMALL (category-grain + one global row):
         // materialize them off the shared cached join, then release the
         // fact-scale cache — without this every processing date pinned
-        // its full joined frame for the life of the session
+        // its full joined frame for the life of the session.
+        // Cluster caveat: localCheckpoint truncates lineage and the
+        // blocks live only on executors, so losing an executor AFTER this
+        // point makes the frames unrecoverable (no recompute path), and
+        // the checkpoint jobs run eagerly inside what reads as a
+        // plan-building function. Acceptable for this driver-tool
+        // deployment; a multi-tenant cluster service would collect these
+        // bounded results to driver-local literals instead
         try (Some(categoryKpi(joined).localCheckpoint(true)),
           Some(orderKpiComplete(joined).localCheckpoint(true)))
         finally { joined.unpersist(); () }

@@ -64,9 +64,10 @@ object JoinCardinality {
         .as("exact_join_rows"))
     // 1-row × 1-row: the bounds-frame crossJoin convention. over_ratio
     // is explicitly NULL on an empty exact join (disjoint key sets):
-    // Spark's x/0 is NULL but DuckDB's is Infinity, so without the guard
-    // the engines would disagree on exactly this edge (oracle uses
-    // NULLIF for the same reason)
+    // Spark 4's ANSI mode THROWS on divide-by-zero (the Kpi.ratio
+    // rationale, verified empirically — even for double/long) while
+    // DuckDB yields Infinity, so without the guard the query would abort
+    // on exactly this edge (oracle uses NULLIF for the same reason)
     est.crossJoin(exact).select(col("est_join_rows"),
       col("exact_join_rows"),
       when(col("exact_join_rows") === 0, lit(null).cast("double"))

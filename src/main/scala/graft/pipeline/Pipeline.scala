@@ -16,8 +16,17 @@ import graft.validate.Validation
   * sees it has NOT modified the store (clean abort) unless the message
   * says otherwise; re-running merges against the new snapshot. The Delta
   * `ConcurrentModificationException` analogue. */
-final class StoreConflictException(msg: String)
+class StoreConflictException(msg: String)
   extends IllegalStateException(msg)
+
+/** A live concurrent writer holds the store's commit lease — this batch
+  * aborted CLEAN before touching the store (temp dir removed). Retry
+  * after the holder commits; the retry re-merges against the new
+  * snapshot via the normal CAS path. Subtype of
+  * [[StoreConflictException]] so one catch-and-retry loop handles both
+  * the optimistic (epoch moved) and pessimistic (lease held) abort. */
+final class StoreLeaseHeldException(msg: String)
+  extends StoreConflictException(msg)
 
 /** The reference's two job entry points as library functions
   * (SURVEY.md §3): `Ingest → Validate → Conform` ≙
@@ -388,7 +397,8 @@ object Pipeline {
   private[graft] def upsertStore(spark: SparkSession, path: String,
       schema: StructType, updates: DataFrame, keys: Seq[String],
       fields: Seq[String], partCol: String = "order_date",
-      expectedEpoch: Option[Long] = None): Long = {
+      expectedEpoch: Option[Long] = None,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
     val fsPre = org.apache.hadoop.fs.FileSystem.get(
@@ -408,11 +418,13 @@ object Pipeline {
     // only if the store is still at the epoch I read"), and re-check it at
     // every mutation boundary; a moved epoch aborts CLEAN (temp dir only,
     // store untouched) with [[StoreConflictException]], and the retry
-    // re-merges against the new snapshot. Writers inside the commit
-    // section itself are still arbitrated by the exclusive manifest-rename
-    // publish; racing swaps past the entry check additionally need the
-    // single-flight runner (T4) or a storage-side lease — same residual a
-    // Delta LogStore delegates to its put-if-absent primitive.
+    // re-merges against the new snapshot. The commit section itself is
+    // EXCLUSIVE under the `_lease` put-if-absent arbiter (see the commit
+    // lease block below): racing swaps past the entry check can no longer
+    // interleave, a live holder turns the second writer away clean
+    // ([[StoreLeaseHeldException]]), a crashed holder is taken over by
+    // epoch/TTL fencing, and the write-once manifest publish remains the
+    // final backstop beneath all of it.
     val planEpoch = latestManifest(fsPre, path).map(_.epoch).getOrElse(0L)
     val baseEpoch = expectedEpoch.getOrElse(planEpoch)
     def conflictCheck(stage: String): Unit = {
@@ -445,11 +457,23 @@ object Pipeline {
     try merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     catch { case e: Throwable => updatesP.unpersist(); throw e }
     // commit-section entry: last clean-abort point (nothing in the store
-    // has been touched yet — only the temp dir exists)
+    // has been touched yet — only the temp dir exists). The lease makes
+    // the section EXCLUSIVE (two writers passing the epoch check together
+    // can no longer interleave their dir swaps); the epoch re-check under
+    // the lease then closes the plan→commit CAS window with no writer
+    // racing it.
+    val lease =
+      try acquireStoreLease(fs, path, baseEpoch, leaseTtlMs)
+      catch { case e: Throwable =>
+        fs.delete(new HPath(tmp), true)
+        updatesP.unpersist()
+        throw e
+      }
     try conflictCheck("at commit")
-    catch { case e: StoreConflictException =>
+    catch { case e: Throwable =>
       fs.delete(new HPath(tmp), true)
       updatesP.unpersist()
+      releaseStoreLease(fs, path, lease)
       throw e
     }
 
@@ -502,12 +526,19 @@ object Pipeline {
           new HPath(s"$path.bak/$partCol=$dt"))
       }
       fs.delete(new HPath(tmp), true)
+      // fencing check: a takeover (stale-lease break by a writer that
+      // judged us dead) must stop us HERE — publishing after being
+      // fenced out could overwrite the successor's commit
+      verifyStoreLease(fs, path, lease)
       writeManifest(fs, path, curEpoch + 1, partCol,
         (baseParts ++ dates).distinct.sorted, rows = Some(newTotal))
       dropOldManifests(fs, path, current = curEpoch + 1)
       // no `.bak` delete here — see step 4 of the commit protocol above
       newTotal
-    } finally updatesP.unpersist()
+    } finally {
+      updatesP.unpersist()
+      releaseStoreLease(fs, path, lease)
+    }
   }
 
   /** E100: keyed HARD DELETE over the store — the "right to be
@@ -600,6 +631,12 @@ object Pipeline {
     val pendingOld = new HPath(path + ".forget.pending.old")
     fs.delete(pendingTmp, true)
     kvIn.distinct().coalesce(1).write.parquet(pendingTmp.toString)
+    // completeness marker of OUR OWN, created only after the write
+    // returns: the committer's `_SUCCESS` depends on
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs, which object-store
+    // configs commonly disable — without this marker a fully-written
+    // tombstone would be treated as torn by [[resolvePendingSwap]] there
+    fs.create(new HPath(pendingTmp, "_graft_committed"), true).close()
     if (fs.exists(pendingDir)) { // superseded: its keys are folded in
       fs.delete(pendingOld, true)
       renameOrFail(fs, pendingDir, pendingOld)
@@ -628,44 +665,56 @@ object Pipeline {
         // the manifest rather than swapped
         val present = listPartitionDirs(fs, tmp, partCol)
         val emptied = dates.diff(present)
-        conflictCheck("at commit")
-        val baseParts = latestManifest(fs, path).map(_.partitions)
-          .getOrElse(listPartitionDirs(fs, path, partCol))
-        writeBakEpoch(fs, path, baseEpoch)
-        present.foreach { dt =>
-          swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
-            new HPath(s"$path/$partCol=$dt"),
-            new HPath(s"$path.bak/$partCol=$dt"))
-        }
-        emptied.foreach { dt =>
-          val dst = new HPath(s"$path/$partCol=$dt")
-          val bak = new HPath(s"$path.bak/$partCol=$dt")
-          if (fs.exists(bak)) fs.delete(bak, true)
-          if (fs.exists(dst)) {
-            if (!fs.exists(bak.getParent)) fs.mkdirs(bak.getParent)
-            renameOrFail(fs, dst, bak)
+        // same commit-section discipline as the batch merge: lease first
+        // (exclusive section), epoch re-check under it, fencing check
+        // before the publish
+        val lease =
+          try acquireStoreLease(fs, path, baseEpoch)
+          catch { case e: Throwable =>
+            fs.delete(new HPath(tmp), true)
+            throw e
           }
-        }
-        fs.delete(new HPath(tmp), true)
-        // post-delete row count in O(1) off the prior manifest's tally.
-        // Fallback (legacy/swept manifest): readOrInit here still serves
-        // the PRE-delete snapshot — the manifest hasn't moved and the
-        // bak-preferred read resolves the swapped partitions' backups —
-        // so its count IS the previous total
-        val prevTotal = latestManifest(fs, path).flatMap(_.rows)
-          .getOrElse(readOrInit(spark, path, schema).count())
-        writeManifest(fs, path, baseEpoch + 1, partCol,
-          (baseParts.diff(emptied) ++ present).distinct.sorted,
-          rows = Some(prevTotal - deleted))
-        dropOldManifests(fs, path, current = baseEpoch + 1)
-        // erasure > deferred isolation: this batch's .bak copies carry
-        // the forgotten rows — delete them NOW instead of leaving them
-        // for the next batch's archive sweep (which would re-introduce
-        // the rows into .hist)
-        dates.foreach { dt =>
-          fs.delete(new HPath(s"$path.bak/$partCol=$dt"), true)
-        }
-        epoch = baseEpoch + 1
+        try {
+          conflictCheck("at commit")
+          val baseParts = latestManifest(fs, path).map(_.partitions)
+            .getOrElse(listPartitionDirs(fs, path, partCol))
+          writeBakEpoch(fs, path, baseEpoch)
+          present.foreach { dt =>
+            swapDir(fs, new HPath(s"$tmp/$partCol=$dt"),
+              new HPath(s"$path/$partCol=$dt"),
+              new HPath(s"$path.bak/$partCol=$dt"))
+          }
+          emptied.foreach { dt =>
+            val dst = new HPath(s"$path/$partCol=$dt")
+            val bak = new HPath(s"$path.bak/$partCol=$dt")
+            if (fs.exists(bak)) fs.delete(bak, true)
+            if (fs.exists(dst)) {
+              if (!fs.exists(bak.getParent)) fs.mkdirs(bak.getParent)
+              renameOrFail(fs, dst, bak)
+            }
+          }
+          fs.delete(new HPath(tmp), true)
+          // post-delete row count in O(1) off the prior manifest's tally.
+          // Fallback (legacy/swept manifest): readOrInit here still serves
+          // the PRE-delete snapshot — the manifest hasn't moved and the
+          // bak-preferred read resolves the swapped partitions' backups —
+          // so its count IS the previous total
+          val prevTotal = latestManifest(fs, path).flatMap(_.rows)
+            .getOrElse(readOrInit(spark, path, schema).count())
+          verifyStoreLease(fs, path, lease)
+          writeManifest(fs, path, baseEpoch + 1, partCol,
+            (baseParts.diff(emptied) ++ present).distinct.sorted,
+            rows = Some(prevTotal - deleted))
+          dropOldManifests(fs, path, current = baseEpoch + 1)
+          // erasure > deferred isolation: this batch's .bak copies carry
+          // the forgotten rows — delete them NOW instead of leaving them
+          // for the next batch's archive sweep (which would re-introduce
+          // the rows into .hist)
+          dates.foreach { dt =>
+            fs.delete(new HPath(s"$path.bak/$partCol=$dt"), true)
+          }
+          epoch = baseEpoch + 1
+        } finally releaseStoreLease(fs, path, lease)
       }
       // history purge — unconditional, so a crashed/partial prior run is
       // finished by a rerun. Archived dirs carry the data columns only
@@ -757,10 +806,13 @@ object Pipeline {
     * `.inprogress` write} a crash left behind, promote exactly one back
     * to the published name so a complete tombstone is never lost.
     * Precedence: a published tombstone is authoritative (stale side files
-    * are dropped); else a COMPLETE in-progress write (`_SUCCESS` marker —
-    * it was finished before the swap began and is a superset of the
-    * `.old` copy) is published; else the `.old` copy is restored; a torn
-    * in-progress write alone is deleted. */
+    * are dropped); else a COMPLETE in-progress write is published (it was
+    * finished before the swap began and is a superset of the `.old`
+    * copy); else the `.old` copy is restored; a torn in-progress write
+    * alone is deleted. Completeness = OUR `_graft_committed` marker
+    * (written by [[forgetKeys]] after the tombstone write returns — the
+    * committer's `_SUCCESS` is config-dependent and commonly disabled on
+    * object stores; it is honored as a legacy fallback only). */
   private def resolvePendingSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -770,7 +822,8 @@ object Pipeline {
     if (fs.exists(pending)) {
       fs.delete(old, true)
       fs.delete(tmp, true)
-    } else if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+    } else if (fs.exists(new HPath(tmp, "_graft_committed")) ||
+        fs.exists(new HPath(tmp, "_SUCCESS"))) {
       renameOrFail(fs, tmp, pending)
       fs.delete(old, true)
     } else if (fs.exists(old)) {
@@ -837,6 +890,139 @@ object Pipeline {
         drop
     }
   }
+
+  // ---- commit lease -----------------------------------------------------
+  //
+  // The put-if-absent arbiter over the commit SECTION (E60's last
+  // residual): optimistic epoch CAS catches a writer that committed
+  // before this batch entered its commit section, and the write-once
+  // manifest publish arbitrates the very end — but two writers passing
+  // the entry check together would still interleave their partition-dir
+  // swaps (reconciled later, yet torn until then). The lease closes that
+  // window: `_lease` inside the store dir, created with the FileSystem's
+  // create-no-overwrite primitive (atomic on HDFS; the same primitive a
+  // Delta LogStore builds its commits on), carrying a monotonic fencing
+  // token + owner id + the holder's base epoch.
+  //
+  // Liveness without a heartbeat: a crashed holder's lease is TAKEN OVER
+  // when it is provably finished (its recorded epoch is older than the
+  // current manifest — the commit published, only the release was lost)
+  // or presumed dead (file age beyond the TTL). Takeover bumps the
+  // fencing token; the previous holder, if actually alive, fails its
+  // pre-publish [[verifyStoreLease]] and aborts WITHOUT publishing — its
+  // half-swapped dirs are exactly the crash shape [[restoreBackups]]
+  // already reconciles. Clock caveat: the TTL compares the driver clock
+  // with the store FileSystem's mtime — keep it generous (default 10
+  // min) relative to plausible skew.
+
+  private[graft] final case class StoreLease(token: Long, owner: String,
+      epoch: Long)
+
+  private val LeaseName = "_lease"
+  private[graft] val DefaultLeaseTtlMs = 600000L
+  private val MaxLeaseAttempts = 5
+
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, LeaseName)
+
+  /** None = file absent OR unreadable/torn (caller distinguishes via
+    * exists). Format: one line, `token owner epoch`. */
+  private def parseLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[StoreLease] =
+    try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      raw.trim.split("\\s+") match {
+        case Array(t, o, e) => Some(StoreLease(t.toLong, o, e.toLong))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Acquire the store's commit lease or abort clean. A held lease is
+    * honored (StoreLeaseHeldException) unless stale: epoch-fenced (its
+    * holder's commit already published — the manifest moved past the
+    * lease's recorded epoch) or TTL-expired (holder presumed crashed
+    * mid-commit). Stale leases are broken and re-acquired with a BUMPED
+    * fencing token; racing breakers are re-arbitrated by
+    * create-no-overwrite on the next attempt. */
+  private[graft] def acquireStoreLease(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, baseEpoch: Long,
+      ttlMs: Long = DefaultLeaseTtlMs): StoreLease = {
+    val p = leasePath(path)
+    val owner = java.util.UUID.randomUUID().toString
+    var fence = 1L
+    var attempt = 0
+    while (attempt < MaxLeaseAttempts) {
+      attempt += 1
+      if (!fs.exists(p)) {
+        val mine = StoreLease(fence, owner, baseEpoch)
+        val created =
+          try {
+            val out = fs.create(p, false)
+            try out.write(s"${mine.token} ${mine.owner} ${mine.epoch}"
+              .getBytes("UTF-8"))
+            finally out.close()
+            true
+          } catch { case _: java.io.IOException => false } // lost the race
+        // re-read after create: on stores whose create-no-overwrite is a
+        // non-atomic exists+create (local fs), the read-back is the
+        // arbiter — exactly one writer's content survives
+        if (created && parseLease(fs, p).contains(mine)) return mine
+      } else {
+        val existing = parseLease(fs, p)
+        val age = try
+          System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => 0L } // vanished: retry loop
+        val curEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+        val stale = existing match {
+          case Some(l) => l.epoch < curEpoch || age > ttlMs
+          case None => age > ttlMs // torn lease: only time can condemn it
+        }
+        if (!stale)
+          throw new StoreLeaseHeldException(
+            s"store $path: commit lease held by " +
+              s"${existing.map(_.owner).getOrElse("<torn lease>")} " +
+              s"(age ${age}ms, ttl ${ttlMs}ms) — a concurrent writer is " +
+              "in its commit section; this batch aborted cleanly before " +
+              "touching the store. Retry after the holder commits.")
+        fence = math.max(fence, existing.map(_.token + 1).getOrElse(1L))
+        fs.delete(p, false) // break the stale lease; next attempt re-creates
+      }
+    }
+    throw new StoreLeaseHeldException(
+      s"store $path: could not acquire the commit lease after " +
+        s"$MaxLeaseAttempts attempts — writers are churning it; retry.")
+  }
+
+  /** Fencing check, called immediately before the manifest publish: the
+    * lease on disk must still be OURS (same owner AND token). A takeover
+    * (stale-lease break) replaces it — this writer then aborts without
+    * publishing, leaving only the crash shape the new holder's
+    * [[restoreBackups]] reconciles. */
+  private[graft] def verifyStoreLease(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, lease: StoreLease): Unit = {
+    val cur = parseLease(fs, leasePath(path))
+    if (!cur.contains(lease))
+      throw new StoreConflictException(
+        s"store $path: commit lease lost before publish (now held by " +
+          s"${cur.map(l => s"${l.owner} token=${l.token}").getOrElse("nobody")}," +
+          s" ours was token=${lease.token}) — a takeover fenced this " +
+          "writer out; aborting without publishing. The new holder's " +
+          "backup restore reconciles the swapped partition dirs.")
+  }
+
+  /** Release = delete, but only while the lease is still ours — never
+    * yank a successor's lease after being fenced out. Best-effort: a
+    * failed delete leaves a lease that is epoch-stale the moment our
+    * manifest publish landed, so the next writer breaks it for free. */
+  private[graft] def releaseStoreLease(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, lease: StoreLease): Unit =
+    try {
+      if (parseLease(fs, leasePath(path)).contains(lease))
+        fs.delete(leasePath(path), false)
+      ()
+    } catch { case _: java.io.IOException => () }
 
   // ---- commit manifest --------------------------------------------------
   //

@@ -574,6 +574,14 @@ object TextAnalysis {
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cell_n")).as("cell_n"))
 
+  /** CACHE-LIFETIME CONTRACT: the returned plan reads a persisted
+    * token-grain relation (the shared base both consumers scan — the
+    * one-pass property PlanSpec pins). The handle is method-local, so the
+    * caller releases it with `spark.catalog.clearCache()` after
+    * materializing the k-row result; Verify and Bench already do, but a
+    * long-lived consumer that skips it retains one cached corpus-scale
+    * relation per call. (An eager collect-and-unpersist here would break
+    * the shared-base plan shape this function exists to provide.) */
   def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
     // ONE corpus pass (the T14 docstring's claim, kept true): the
     // token-grain (token, h, n_exact) aggregate is the shared base for

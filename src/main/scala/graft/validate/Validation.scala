@@ -404,7 +404,13 @@ object Validation {
     * bucket-assignment pass (`1 + #edges < x`, ties land LOW so an edge
     * value belongs to the bucket it closes — identical lambda both
     * engines). 100-TB swap is approx_percentile edges, the x5→x5x path;
-    * bucket counting is already one narrow scan either way. */
+    * bucket counting is already one narrow scan either way.
+    *
+    * EAGER: building the returned frame runs the edge aggregation as one
+    * job at CALL time (edges are collected and inlined as literals — the
+    * r8 plan pin that removed a leaked persist and both broadcast
+    * cross-joins), so upstream errors surface at construction, not at
+    * first action. Same holds for [[equiDepthHistogramApprox]]. */
   def equiDepthHistogram(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
     // buckets = 1 has no interior edges — the percentile array literal
@@ -468,7 +474,8 @@ object Validation {
     * ±2e-3·n rows per bucket — comfortably inside the ±0.02-rank gate.
     * This is the PRODUCTION histogram body the bench times; the driver
     * query `v4x` wraps it in an exact-percentile window gate
-    * (Verify-only cost, the v1x convention). */
+    * (Verify-only cost, the v1x convention). EAGER like
+    * [[equiDepthHistogram]]: the sketch pass runs at call time. */
   def equiDepthHistogramApprox(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"equi-depth histogram needs >= 2 buckets, got $buckets")

@@ -632,6 +632,128 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.latestManifest(fs, path).get.epoch === epochA + 2)
   }
 
+  test("commit lease serializes interleaved upserts: loser aborts clean, retry lands (E60 lease)") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/leasestore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(tag: String, n: Long) =
+      Seq(("2024-06-01", n, n * 10.0)).toDF(
+        "order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(tag))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val leaseFile = new org.apache.hadoop.fs.Path(path, "_lease")
+
+    Pipeline.upsertStore(spark, path, schema, updates("base", 1L),
+      Seq("order_date"), fields)
+    // a successful commit leaves no lease behind
+    assert(!fs.exists(leaseFile))
+    val epoch0 = Pipeline.latestManifest(fs, path).get.epoch
+
+    // writer A is mid-commit-section (holds the lease, hasn't published)
+    val held = Pipeline.acquireStoreLease(fs, path, epoch0)
+    // writer B's full upsert turns away CLEAN: typed abort, no temp
+    // residue, store bytes and epoch untouched, A's lease intact
+    val e = intercept[graft.pipeline.StoreLeaseHeldException] {
+      Pipeline.upsertStore(spark, path, schema, updates("b", 7L),
+        Seq("order_date"), fields)
+    }
+    assert(e.getMessage.contains("lease held"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp")))
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epoch0)
+    assert(spark.read.schema(schema).parquet(path)
+      .head().getAs[String]("last_updated") === "base")
+    Pipeline.verifyStoreLease(fs, path, held) // still A's
+
+    // A commits nothing and releases; B's retry now lands, one epoch on
+    Pipeline.releaseStoreLease(fs, path, held)
+    Pipeline.upsertStore(spark, path, schema, updates("b", 7L),
+      Seq("order_date"), fields)
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epoch0 + 1)
+    assert(spark.read.schema(schema).parquet(path)
+      .head().getAs[Long]("total_orders") === 7L)
+    assert(!fs.exists(leaseFile))
+    deleteRec(d)
+  }
+
+  test("stale lease takeover: TTL-expired holder is fenced by a bumped token, epoch-stale breaks free") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/fencestore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(tag: String, n: Long) =
+      Seq(("2024-06-01", n, n * 10.0)).toDF(
+        "order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(tag))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val leaseFile = new org.apache.hadoop.fs.Path(path, "_lease")
+    Pipeline.upsertStore(spark, path, schema, updates("base", 1L),
+      Seq("order_date"), fields)
+    val epoch0 = Pipeline.latestManifest(fs, path).get.epoch
+
+    // crashed holder: lease at the CURRENT epoch, never released. A live
+    // TTL says honor it...
+    val dead = Pipeline.acquireStoreLease(fs, path, epoch0)
+    intercept[graft.pipeline.StoreLeaseHeldException] {
+      Pipeline.acquireStoreLease(fs, path, epoch0)
+    }
+    // ...but once the file ages past the TTL the next writer takes over
+    // with a BUMPED fencing token, and the dead holder's pre-publish
+    // verify fails — it can never publish over the successor
+    fs.setTimes(leaseFile, System.currentTimeMillis() - 3600000L, -1L)
+    val takeover = Pipeline.acquireStoreLease(fs, path, epoch0, ttlMs = 50L)
+    assert(takeover.token === dead.token + 1)
+    assert(takeover.owner !== dead.owner)
+    intercept[graft.pipeline.StoreConflictException] {
+      Pipeline.verifyStoreLease(fs, path, dead)
+    }
+    Pipeline.verifyStoreLease(fs, path, takeover)
+    // release is owner-checked: the fenced-out holder cannot yank the
+    // successor's lease
+    Pipeline.releaseStoreLease(fs, path, dead)
+    assert(fs.exists(leaseFile))
+    Pipeline.releaseStoreLease(fs, path, takeover)
+    assert(!fs.exists(leaseFile))
+
+    // epoch fencing needs NO TTL wait: a lease whose recorded epoch is
+    // already behind the manifest belongs to a commit that finished
+    // (crash between publish and release) — broken immediately
+    val finished = Pipeline.acquireStoreLease(fs, path, epoch0 - 1)
+    val fresh = Pipeline.acquireStoreLease(fs, path, epoch0) // no ttl arg
+    assert(fresh.token === finished.token + 1)
+    Pipeline.releaseStoreLease(fs, path, fresh)
+
+    // end-to-end: an upsert through a TTL-expired foreign lease succeeds
+    // (takeover inside upsertStore) and leaves a clean store
+    val zombie = Pipeline.acquireStoreLease(fs, path, epoch0)
+    fs.setTimes(leaseFile, System.currentTimeMillis() - 3600000L, -1L)
+    Pipeline.upsertStore(spark, path, schema, updates("t", 9L),
+      Seq("order_date"), fields, leaseTtlMs = 50L)
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epoch0 + 1)
+    assert(spark.read.schema(schema).parquet(path)
+      .head().getAs[Long]("total_orders") === 9L)
+    assert(!fs.exists(leaseFile))
+    // the zombie, resuming after the takeover's commit, is fenced out
+    intercept[graft.pipeline.StoreConflictException] {
+      Pipeline.verifyStoreLease(fs, path, zombie)
+    }
+    deleteRec(d)
+  }
+
   test("readAt time-travels to any retained epoch, exactly") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
@@ -1028,6 +1150,22 @@ class PipelineSpec extends SparkSpec {
     assert(fs.exists(new HPath(tmp, "_SUCCESS")), "complete write marker")
     upsert(("C", "2024-06-02", 4L)) // routine batch triggers recovery
     assert(cats() === Set("C"), "union tombstone erased BOTH crashed keys")
+    assert(!fs.exists(pending) && !fs.exists(old) && !fs.exists(tmp))
+
+    // --- window 1b: same crash shape on a config where the committer's
+    // _SUCCESS is disabled (marksuccessfuljobs=false — common on object
+    // stores): OUR OWN `_graft_committed` marker, which forgetKeys writes
+    // after the tombstone write returns, must alone promote the union —
+    // previously this state was treated as torn and silently reverted to
+    // the .old tombstone.
+    upsert(("G", "2024-06-07", 10L), ("H", "2024-06-07", 11L))
+    writeKeys(old, "G")
+    writeKeys(tmp, "G", "H")
+    fs.delete(new HPath(tmp, "_SUCCESS"), false)
+    fs.create(new HPath(tmp, "_graft_committed"), true).close()
+    upsert(("C", "2024-06-08", 12L))
+    assert(cats() === Set("C"),
+      "own marker promoted the union tombstone without _SUCCESS")
     assert(!fs.exists(pending) && !fs.exists(old) && !fs.exists(tmp))
 
     // --- window 2: crash DURING the union write (torn, no _SUCCESS) with
