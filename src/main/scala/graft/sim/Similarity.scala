@@ -826,6 +826,15 @@ object Similarity {
   val PqSubDim = 8  // dims per subspace (PqM * PqSubDim = embedding dim)
   val PqKsub = 16   // codebook entries per subspace (seeded: vec_id < Ksub)
 
+  /** Trained-PQ (n8x) default, read off the measured recall-vs-Ksub
+    * curve (BASELINE.md; AnnRecallSpec reproduces it): recall@5
+    * noise/clustered = 0.26/0.63 at 16, 0.34/0.67 at 64, 0.26/0.81 at
+    * 256 — 64 is the knee, better than 16 on BOTH fixtures for 4× encode
+    * cost, while 256 overfits the 256-vector training sample on noise
+    * (one entry per sample point ≈ seeded again). The seeded exhibit
+    * (n8, [[PqKsub]]) deliberately stays at 16. */
+  val PqKsubTrained = 64
+
   /** N8 (E71): product-quantized ANN (the public FAISS PQ/ADC shape) —
     * the third orthogonal index knob after the candidate-set restrictors
     * (n2 LSH / n4 IVF) and scalar quantization (n6): each vector is split
@@ -872,8 +881,15 @@ object Similarity {
     * is what lifts ADC distance resolution over arbitrary data-point
     * seeds — the quality knob real PQ deployments always turn (FAISS
     * trains codebooks by default). Bounded driver state: PqM × Ksub ×
-    * subdim doubles from the same constant-size sample as n5. */
-  private def pqTrainedCodebook(emb: DataFrame): Array[Array[(Array[Double], Double)]] = {
+    * subdim doubles from the same constant-size sample as n5.
+    *
+    * `ksub` is the measured quality knob (BASELINE.md recall-vs-Ksub
+    * curve): entries per subspace, bounded by the training sample. */
+  private def pqTrainedCodebook(emb: DataFrame,
+      ksub: Int = PqKsubTrained): Array[Array[(Array[Double], Double)]] = {
+    require(ksub >= 2 && ksub <= TrainSample,
+      s"PQ codebook entries must be in [2, TrainSample=$TrainSample], " +
+        s"got $ksub — Lloyd seeds are the first ksub sample subvectors")
     val rows = emb.filter(col("vec_id") < TrainSample)
       .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
       .collect()
@@ -885,7 +901,7 @@ object Similarity {
     val sample = rows.map(_.getSeq[Float](1).toArray)
     Array.tabulate(PqM) { j =>
       val sub = sample.map(_.slice(j * PqSubDim, (j + 1) * PqSubDim))
-      lloyd(sub, PqKsub).map(c => (c, c.foldLeft(0.0)((a, x) => a + x * x)))
+      lloyd(sub, ksub).map(c => (c, c.foldLeft(0.0)((a, x) => a + x * x)))
     }
   }
 
@@ -945,9 +961,11 @@ object Similarity {
     * subvectors. Same scale shape (one narrow encode pass, broadcast
     * query side, WindowGroupLimit rank); only the codebook literals
     * differ. AnnRecallSpec measures the recall lift over the seeded
-    * exhibit. */
-  def pqTrainedTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame =
-    pqSearch(emb, pqTrainedCodebook(emb), numQueries, k)
+    * exhibit and the recall-vs-`ksub` curve (BASELINE.md) behind the
+    * default. */
+  def pqTrainedTopK(emb: DataFrame, numQueries: Int, k: Int,
+      ksub: Int = PqKsubTrained): DataFrame =
+    pqSearch(emb, pqTrainedCodebook(emb, ksub), numQueries, k)
 
   private def pqSearch(emb: DataFrame,
       cb: Array[Array[(Array[Double], Double)]],
@@ -1026,7 +1044,8 @@ object Similarity {
     * Per-entry means are explicit sequential folds over
     * `list(sv ORDER BY vec_id)` so every centroid double is bitwise-equal
     * to the Scala fold. */
-  def pqTrainedTopKSql(numQueries: Int, k: Int): String = {
+  def pqTrainedTopKSql(numQueries: Int, k: Int,
+      ksub: Int = PqKsubTrained): String = {
     def foldDot(v: String, c: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE,
          |  list_transform(range(1, len($v) + 1),
@@ -1074,7 +1093,7 @@ object Similarity {
     cent_0 AS (
       SELECT j, vec_id AS code,
         list_transform(range(1, len(sv) + 1), i -> sv[i]::DOUBLE) AS cv
-      FROM sample WHERE vec_id < $PqKsub),$iters,
+      FROM sample WHERE vec_id < $ksub),$iters,
     cb AS (
       SELECT j, code, cv, list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])),

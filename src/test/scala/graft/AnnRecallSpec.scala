@@ -86,9 +86,10 @@ class AnnRecallSpec extends SparkSpec {
     info(s"recall: ivfPq=$ivfPqRecall")
     assert(ivfPqRecall >= 0.2, s"IVFPQ recall collapsed: $ivfPqRecall")
     // TRAINED codebooks (n8x): per-subspace Lloyd entries adapt to each
-    // subspace's actual distribution, so even on noise the 16 entries
-    // spread over the data's real support instead of sitting at 16
-    // arbitrary sample points — the ADC resolution lift training buys.
+    // subspace's actual distribution, so even on noise the entries
+    // spread over the data's real support instead of sitting at
+    // arbitrary sample points — the ADC resolution lift training buys
+    // (default Ksub = 64, the measured knee; see the curve test below).
     val pqT = pairs(Similarity.pqTrainedTopK(emb, 10, 5))
     val pqTRecall = (exact & pqT).size.toDouble / exact.size
     info(s"recall: pqTrained=$pqTRecall")
@@ -119,15 +120,12 @@ class AnnRecallSpec extends SparkSpec {
       s"quantized index should be at most half the raw bytes: $coded vs $raw")
   }
 
-  test("trained IVF beats seeded cells on a density-skewed corpus") {
-    // The fixture that motivates TRAINING the quantizer: a dense blob
-    // holding the first 16 vectors (the raw seeds) plus 8 loose sparse
-    // clusters elsewhere. Seeded cells all sit inside the blob, so the
-    // sparse regions are partitioned by far-away centroids and a sparse
-    // query's single probe misses straddling neighbors; Lloyd iterations
-    // pull centroids out to the sparse mass and give those regions their
-    // own cells. Deterministic: built by a fixed affine mix of the real
-    // embeddings, queries are the sparse ids 16..29, nprobe = 1.
+  /** The fixture that motivates TRAINING the quantizer: a dense blob
+    * holding the first 16 vectors (the raw seeds) plus 8 loose sparse
+    * clusters elsewhere. Deterministic: built by a fixed affine mix of
+    * the real embeddings; sparse queries are ids 16..29. Shared by the
+    * trained-IVF test and the PQ Ksub curve. */
+  private def densitySkewedCorpus(): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val emb = Sources.table(spark, sf0001, "embeddings")
@@ -146,8 +144,17 @@ class AnnRecallSpec extends SparkSpec {
     }
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    val corpus = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(skewed.toSeq, 4), schema)
+  }
+
+  test("trained IVF beats seeded cells on a density-skewed corpus") {
+    // Seeded cells all sit inside the blob, so the sparse regions are
+    // partitioned by far-away centroids and a sparse query's single
+    // probe misses straddling neighbors; Lloyd iterations pull centroids
+    // out to the sparse mass and give those regions their own cells.
+    // nprobe = 1 — the setting where cell quality is the whole game.
+    val corpus = densitySkewedCorpus()
 
     def sparseRecall(df: DataFrame): Double = {
       val got = pairs(df).filter(_._1 >= 16)
@@ -175,6 +182,44 @@ class AnnRecallSpec extends SparkSpec {
       s"PQ training must not lose to blob seeds ($pqTrained < $pqSeeded)")
     assert(pqTrained >= 0.5,
       s"trained PQ recall on the clustered fixture: $pqTrained")
+  }
+
+  test("trained PQ recall vs Ksub: the curve behind the default (BASELINE.md)") {
+    // The d12x-cells discipline applied to the PQ quality knob: one
+    // measured recall@5 per Ksub setting on BOTH fixtures (uniform noise
+    // = PQ's hard case; density-skewed = training's home turf), so the
+    // default is a read-off-the-curve choice, not a guess. More entries
+    // per subspace = finer ADC resolution = monotone-ish recall, paying
+    // Ksub-proportional encode cost — the classic PQ budget trade.
+    val noise = Sources.table(spark, sf0001, "embeddings")
+    val noiseTruth = pairs(Similarity.bruteForceTopK(noise, 10, 5))
+    val skew = densitySkewedCorpus()
+    val skewTruth = pairs(Similarity.bruteForceTopK(skew, 30, 5))
+      .filter(_._1 >= 16)
+    val curve = Seq(16, 64, 256).map { ksub =>
+      val n = (noiseTruth &
+        pairs(Similarity.pqTrainedTopK(noise, 10, 5, ksub = ksub)))
+        .size.toDouble / noiseTruth.size
+      val s = (skewTruth &
+        pairs(Similarity.pqTrainedTopK(skew, 30, 5, ksub = ksub))
+          .filter(_._1 >= 16)).size.toDouble / skewTruth.size
+      info(f"ksub=$ksub%3d noise=$n%.2f clustered=$s%.2f")
+      (ksub, n, s)
+    }
+    // more resolution must never cost much recall (small flips allowed:
+    // ADC is approximate and ties reshuffle)
+    curve.sliding(2).foreach { case Seq((k1, n1, s1), (k2, n2, s2)) =>
+      assert(n2 >= n1 - 0.1, s"noise recall fell $n1 -> $n2 at ksub $k2")
+      assert(s2 >= s1 - 0.1, s"clustered recall fell $s1 -> $s2 at ksub $k2")
+    }
+    // floors for the shipped trained default (PqKsubTrained = the knee),
+    // pinned just under the measured values of the matching curve point
+    // (0.34 noise / 0.67 clustered)
+    val (defK, defNoise, defSkew) =
+      curve.find(_._1 == Similarity.PqKsubTrained).get
+    assert(defK === Similarity.PqKsubTrained)
+    assert(defNoise >= 0.25, s"default-Ksub noise recall: $defNoise")
+    assert(defSkew >= 0.6, s"default-Ksub clustered recall: $defSkew")
   }
 
   test("twin top-1 recall is 1.0 for both scale paths") {
