@@ -396,4 +396,46 @@ object TextExpressions {
       require(children.length == 1, "roll_hash takes exactly 1 argument")
       StringRollHash(children.head)
     })
+
+  // SQL descriptors for the remaining text expressions — the full native
+  // surface the DataFrame tier uses must be reachable from `spark.sql`
+  // text too, or a SQL-only deployment silently falls back to interpreted
+  // HOF folds for the dedup family's hottest loops (SqlSurfaceSpec pins
+  // the parity).
+
+  val tokenHashesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_hashes"),
+    new ExpressionInfo(classOf[TokenRollHashes].getName, "token_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "token_hashes takes exactly 1 argument")
+      TokenRollHashes(children.head)
+    })
+
+  val hashedShinglesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_shingles"),
+    new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "hashed_shingles takes exactly 1 argument")
+      HashedShingles(children.head)
+    })
+
+  val spanHashesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("span_hashes"),
+    new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "span_hashes takes exactly 2 arguments (array, n)")
+      val n = children(1) match {
+        case e if e.foldable && e.dataType ==
+          org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"span_hashes n must be an int literal, got $other")
+      }
+      SpanHashes(children.head, n)
+    })
 }

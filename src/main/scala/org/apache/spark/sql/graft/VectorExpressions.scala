@@ -260,6 +260,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExpressions.fdvecDotDescriptor)
     ext.injectFunction(VectorExpressions.fvecQuant8Descriptor)
     ext.injectFunction(TextExpressions.rollHashDescriptor)
+    ext.injectFunction(TextExpressions.tokenHashesDescriptor)
+    ext.injectFunction(TextExpressions.hashedShinglesDescriptor)
+    ext.injectFunction(TextExpressions.spanHashesDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.reflect.ClassTag
+
+/** SQL-surface parity: every query so far executes through the DataFrame
+  * API, but the library's deployment contract for SQL-only users is
+  * `GraftExtensions` (`spark.sql.extensions`). This spec runs a
+  * representative sample across the tiers — a1 (KPI joins), t7 (corpus
+  * stats), d3 (MinHash-LSH), n6 (SQ8 ANN), x8 (CUBE) — as `spark.sql`
+  * TEXT on a session built through the extensions, and pins:
+  *
+  *  1. identical results to the DataFrame query on the same session;
+  *  2. identical optimized-plan operator shape (node-name sequence) —
+  *     the SQL entry path must not plan extra shuffles/joins;
+  *  3. the SQL plan evaluates the same native codegen'd Expressions
+  *     (`FloatVectorDot`, `Int8Quant`, `TokenRollHashes`,
+  *     `HashedShingles`) — NOT an interpreted fallback; resolution goes
+  *     through the injected function registry, which only the extensions
+  *     provide.
+  *
+  * Multi-referenced relations are textually inlined (not CTEs) so the
+  * SQL logical graph duplicates subtrees exactly like the DataFrame
+  * self-joins do — Spark keeps multi-referenced CTEs as `WithCTE`, which
+  * would make shapes incomparable while planning the same work.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = SqlSurfaceSpec.session
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def shapeOf(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+
+  private def usesNative[T](df: DataFrame)(implicit ct: ClassTag[T]): Boolean =
+    df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case e if ct.runtimeClass.isInstance(e) => e
+      })
+    }.flatten.nonEmpty
+
+  /** Core pin: same rows, same optimized shape. */
+  private def assertParity(name: String, sqlText: String): DataFrame = {
+    val api = SparkEntry.queries(name)(ext, sf0001)
+    val viaSql = ext.sql(sqlText)
+    assert(shapeOf(viaSql) === shapeOf(api),
+      s"$name: SQL plan shape diverged from the DataFrame plan")
+    assert(rowsOf(viaSql) === rowsOf(api), s"$name: SQL results diverged")
+    viaSql
+  }
+
+  // -- reference-shaped inputs as SQL text (RefShape mirror) ----------------
+  private val oSql =
+    """SELECT o_orderkey AS order_id, o_custkey AS user_id,
+      |  o_orderstatus AS status, CAST(o_orderdate AS STRING) AS created_at,
+      |  o_totalprice AS total_price FROM orders""".stripMargin
+  private val oiSql =
+    """SELECT l_orderkey * 10 + l_linenumber AS id, l_orderkey AS order_id,
+      |  l_partkey AS product_id,
+      |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+      |       ELSE l_returnflag END AS status,
+      |  CAST(l_shipdate AS STRING) AS created_at,
+      |  l_extendedprice AS sale_price FROM lineitem""".stripMargin
+  private val pSql =
+    """SELECT p_partkey AS id, p_type AS category, p_retailprice AS cost,
+      |  p_name AS name, p_brand AS brand FROM part""".stripMargin
+
+  private val money = "DECIMAL(18,2)"
+
+  test("a1 via spark.sql: same rows, same plan shape, broadcast join survives") {
+    val viaSql = assertParity("a1_category_kpi", s"""
+      WITH o AS ($oSql), oi AS ($oiSql), p AS ($pSql)
+      SELECT /*+ BROADCAST(p) */ p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS $money)) AS DOUBLE) AS daily_revenue,
+        CASE WHEN count(oi.sale_price) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(sum(CAST(oi.sale_price AS $money)) AS DOUBLE)
+               / count(oi.sale_price) END AS avg_order_value,
+        CASE WHEN count(oi.id) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(count(CASE WHEN oi.status = 'returned' THEN true END)
+                    AS DOUBLE) / count(oi.id) END AS avg_return_rate
+      FROM o JOIN oi ON o.order_id = oi.order_id
+             JOIN p ON oi.product_id = p.id
+      GROUP BY p.category""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("x8 via spark.sql: CUBE plans the same single-scan Expand") {
+    val viaSql = assertParity("x8_cube_revenue", s"""
+      WITH o AS ($oSql), oi AS ($oiSql), p AS ($pSql)
+      SELECT /*+ BROADCAST(p) */
+        substring(o.created_at, 1, 7) AS order_month,
+        p.category AS category,
+        CAST(sum(CAST(oi.sale_price AS $money)) AS DOUBLE) AS revenue,
+        count(1) AS n_items, grouping_id() AS gid
+      FROM o JOIN oi ON o.order_id = oi.order_id
+             JOIN p ON oi.product_id = p.id
+      GROUP BY CUBE(substring(o.created_at, 1, 7), p.category)""")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
+  // tokens-of-normalized-text as SQL text (TextFunctions.norm/tokens mirror)
+  private def toksSql(text: String): String = {
+    val normed = s"lower(trim(regexp_replace($text, '[\\\\t-\\\\r ]+', ' ')))"
+    s"""CASE WHEN $normed = '' THEN CAST(array() AS ARRAY<STRING>)
+       |     ELSE split($normed, ' ', -1) END""".stripMargin
+  }
+
+  test("t7 via spark.sql: corpus-stats join-back keeps the broadcast DF side") {
+    // `tok` is consumed twice (df-count + join-back) — inlined twice, as
+    // the DataFrame plan duplicates the subtree.
+    val tokSql =
+      s"SELECT doc_id, explode(${toksSql("text")}) AS token FROM documents"
+    val viaSql = assertParity("t7_token_rarity", s"""
+      SELECT /*+ BROADCAST(dfreq) */ doc_id,
+        count(1) AS n_tokens,
+        CAST(sum(df) AS DOUBLE) / count(1) AS mean_token_df,
+        min(df) AS rarest_df
+      FROM ($tokSql) tok
+      JOIN (SELECT token, count(1) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM ($tokSql) t2)
+            GROUP BY token) dfreq
+        USING (token)
+      GROUP BY doc_id""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(usesNative[org.apache.spark.sql.graft.StringRollHash](viaSql)
+      === false) // t7 is pure built-ins on both paths
+  }
+
+  test("n6 via spark.sql: fvec_quant8/fvec_dot resolve to the native expressions") {
+    // `live` (quantized + norm-filtered vectors) feeds both the query side
+    // and the candidate side — inlined twice.
+    val liveSql = s"""
+      SELECT vec_id, codes, sqrt(fvec_dot(codes, codes)) AS n2
+      FROM (SELECT vec_id, embedding, fvec_quant8(embedding) AS codes
+            FROM embeddings) wc
+      WHERE sqrt(fvec_dot(codes, codes)) > 0.0D"""
+    val viaSql = assertParity("n6_ann_sq8", s"""
+      SELECT query_id, rank, neighbor_id, approx_cosine
+      FROM (
+        SELECT query_id, neighbor_id, approx_cosine,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM (
+          SELECT /*+ BROADCAST(q) */ q.query_id,
+            c.vec_id AS neighbor_id,
+            fvec_dot(q.qc, c.codes) / (q.qn * c.n2) AS approx_cosine
+          FROM (SELECT vec_id AS query_id, codes AS qc, n2 AS qn
+                FROM ($liveSql) lq WHERE vec_id < 5) q
+          JOIN ($liveSql) c ON c.vec_id <> q.query_id) scored) ranked
+      WHERE rank <= 5""")
+    assert(usesNative[org.apache.spark.sql.graft.FloatVectorDot](viaSql))
+    assert(usesNative[org.apache.spark.sql.graft.Int8Quant](viaSql))
+  }
+
+  test("d3 via spark.sql: token_hashes/hashed_shingles resolve native; banded self-join shape holds") {
+    import graft.dedup.Dedup
+    val nh = Dedup.NumHashes
+    val r = nh / Dedup.NumBands
+    val corpusSql = s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${Dedup.TwinOffset}L AS doc_id,
+        concat(text, ' spark') AS text FROM documents"""
+    val minCols = (0 until nh).map { i =>
+      val (a, b) = Dedup.perm(i)
+      s"min(pmod(h * ${a}L + ${b}L, ${graft.functions.TextFunctions.HashP}L))"
+    }.mkString(", ")
+    val bandStructs = (0 until Dedup.NumBands).map { b =>
+      val key = (b * r until b * r + r)
+        .map(i => s"CAST(element_at(sig, ${i + 1}) AS STRING)")
+        .mkString(", ")
+      s"named_struct('band', $b, 'key', concat_ws('|', $key))"
+    }.mkString(",\n          ")
+    // shingle relation → signature array; `banded` feeds the self-join
+    // twice — inlined twice like the DataFrame's banded.as("x")/as("y").
+    val bandedSql = s"""
+      SELECT doc_id, sig, bk.band AS band, bk.key AS key
+      FROM (
+        SELECT doc_id, sig, explode(array(
+          $bandStructs)) AS bk
+        FROM (
+          SELECT doc_id, array($minCols) AS sig
+          FROM (
+            SELECT doc_id,
+              explode(array_distinct(hashed_shingles(th))) AS h
+            FROM (SELECT doc_id, token_hashes(${toksSql("text")}) AS th
+                  FROM ($corpusSql) corpus) hashed) sh
+          GROUP BY doc_id) sig) bx"""
+    val est = s"""CAST(aggregate(zip_with(x.sig, y.sig,
+        (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),
+        0, (acc, v) -> acc + v) AS DOUBLE) / ${nh.toDouble}D"""
+    val viaSql = assertParity("d3_minhash_lsh", s"""
+      SELECT doc_a, doc_b, est_jaccard FROM (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          $est AS est_jaccard
+        FROM ($bandedSql) x JOIN ($bandedSql) y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) cand
+      WHERE est_jaccard >= ${Dedup.MinhashEstThreshold}D""")
+    assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
+    assert(usesNative[org.apache.spark.sql.graft.HashedShingles](viaSql))
+  }
+
+  test("extensions registry: functions resolve ONLY through GraftExtensions") {
+    // the base test session never injected them — proves resolution rides
+    // the extension, not some global registry side effect
+    val err = intercept[Exception] {
+      spark.sql("SELECT fvec_dot(array(1.0F), array(1.0F))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("fvec_dot"))
+    assert(ext.sql("SELECT fvec_dot(array(3.0F), array(4.0F)) AS d")
+      .head().getDouble(0) === 12.0)
+    assert(ext.sql("SELECT roll_hash('ab') AS h").head().getLong(0) ===
+      (('a'.toLong * 31 + 'b') % graft.functions.TextFunctions.HashP))
+    assert(ext.sql(
+      "SELECT span_hashes(array(1L, 2L, 3L), 2) AS sh").head()
+      .getSeq[Long](0).length === 2)
+  }
+}
+
+object SqlSurfaceSpec {
+  /** One extensions-built session for the suite, sharing TestSpark's
+    * SparkContext. Built under the TestSpark lock with active/default
+    * cleared so `getOrCreate` constructs a NEW session through
+    * `GraftExtensions` (the deployment path), then both globals are
+    * restored so concurrent suites keep seeing the base session. */
+  lazy val session: SparkSession = TestSpark.synchronized {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions()(_))
+        .getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  } match { case s =>
+    Seq("orders", "lineitem", "part", "documents", "embeddings").foreach { t =>
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $t USING parquet
+                OPTIONS (path '/root/testdata/sf0.001/$t.parquet')""")
+    }
+    s
+  }
+}
