@@ -387,6 +387,27 @@ object Similarity {
     }
   }
 
+  /** Nearest seeded cell as ONE native argmin loop
+    * ([[org.apache.spark.sql.graft.PqEncode]] with m=1: codebook =
+    * the seed matrix, subDim = the full vector) — value-identical to
+    * `element_at(sortedCellsFor(...), 1).cell_id` (same widened-float
+    * entries, same |s|² fold, same total order and lower-id tie-break)
+    * but O(cells·dim) primitive flops per row with a constant-size plan,
+    * where the composed form's unrolled struct array leaves codegen
+    * entirely once `cells` is large. The scale path for SIZE-DERIVED
+    * cell counts (semDedup); the fixed-16-cell IVF family keeps the
+    * composed form, whose sorted ARRAY it needs for nprobe>1 probing. */
+  private def argminCellFor(emb: DataFrame,
+      numCells: Int): Column => Column = {
+    val seeds = emb.filter(col("vec_id") < numCells)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    val codebook = Seq(seeds.toSeq)
+    (v: Column) => element_at(
+      org.apache.spark.sql.graft.VectorExpressions.pqEncode(v, codebook), 1)
+  }
+
   def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
       nprobe: Int = NumProbes): DataFrame = {
     val sortedCells = sortedCellsFor(emb)
@@ -861,7 +882,7 @@ object Similarity {
     * |e|² folded driver-side, identical to the oracle's list_reduce (same
     * sequential fold). Entries are widened float→double at the boundary
     * (exact), so seeded and trained codebooks share one search path. */
-  private def pqCodebook(emb: DataFrame): Array[Array[(Array[Double], Double)]] = {
+  private[graft] def pqCodebook(emb: DataFrame): Array[Array[(Array[Double], Double)]] = {
     val seeds = emb.filter(col("vec_id") < PqKsub).orderBy(col("vec_id"))
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
     Array.tabulate(PqM) { j =>
@@ -885,7 +906,7 @@ object Similarity {
     *
     * `ksub` is the measured quality knob (BASELINE.md recall-vs-Ksub
     * curve): entries per subspace, bounded by the training sample. */
-  private def pqTrainedCodebook(emb: DataFrame,
+  private[graft] def pqTrainedCodebook(emb: DataFrame,
       ksub: Int = PqKsubTrained): Array[Array[(Array[Double], Double)]] = {
     require(ksub >= 2 && ksub <= TrainSample,
       s"PQ codebook entries must be in [2, TrainSample=$TrainSample], " +
@@ -909,9 +930,20 @@ object Similarity {
 
   /** PQ encode: per subspace, argmin_c (-2⟨s,e⟩ + |e|²) — |s|² is
     * constant across entries (the n4 argmin identity); ties to the lower
-    * code. */
-  private def pqCodes(cb: Array[Array[(Array[Double], Double)]],
-      v: Column): Column = {
+    * code. Native codegen'd argmin loop
+    * ([[org.apache.spark.sql.graft.PqEncode]]) — this is the corpus-width
+    * index-build kernel, and the composed `array_sort`-over-structs form
+    * ([[pqCodesComposed]], kept for the equivalence spec) allocates
+    * M×Ksub boxed structs per ROW, which dominated n8x at Ksub=64. */
+  private[graft] def pqCodes(cb: Array[Array[(Array[Double], Double)]],
+      v: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.pqEncode(
+      v, cb.toSeq.map(_.toSeq.map(_._1.toSeq)))
+
+  /** The composed argmin (struct sort) — same codes as [[pqCodes]],
+    * interpreted struct allocation per entry; equivalence-spec twin. */
+  private[graft] def pqCodesComposed(
+      cb: Array[Array[(Array[Double], Double)]], v: Column): Column = {
     import org.apache.spark.sql.graft.VectorExpressions.fdvecDot
     array((0 until PqM).map { j =>
       val s = pqSubv(v, j)
@@ -925,9 +957,20 @@ object Similarity {
 
   /** ADC distance tables: dtab[j][c] = |q_j|² - 2⟨q_j,e⟩ + |e|² (true
     * L2², so the reported approx_d2 is the standard ADC estimate, not
-    * rank-only). */
-  private def pqDtab(cb: Array[Array[(Array[Double], Double)]],
-      v: Column): Column = {
+    * rank-only). Native ([[org.apache.spark.sql.graft.PqDtab]]) — only Q
+    * rows evaluate it, but the composed form's M×Ksub unrolled literal
+    * arrays made plan analysis + fresh-per-invocation Janino compile the
+    * dominant n8x cost at Ksub=64; one node keeps the plan constant-size
+    * at any Ksub. */
+  private[graft] def pqDtab(cb: Array[Array[(Array[Double], Double)]],
+      v: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.pqDtab(
+      v, cb.toSeq.map(_.toSeq.map(_._1.toSeq)))
+
+  /** The composed dtab (unrolled literal arrays) — equivalence-spec twin
+    * of the native [[pqDtab]]. */
+  private[graft] def pqDtabComposed(
+      cb: Array[Array[(Array[Double], Double)]], v: Column): Column = {
     import org.apache.spark.sql.graft.VectorExpressions.fdvecDot
     array((0 until PqM).map { j =>
       val s = pqSubv(v, j)
@@ -1344,11 +1387,19 @@ object Similarity {
       // twin corpus is exactly 2n rows by construction — count the raw
       // side once (narrow single-column scan) instead of the union
       else semDedupCells(2L * embRaw.count())
-    val sortedCells = sortedCellsFor(emb, cells)
+    // argmin-cell via the native PqEncode kernel with m=1 (same distance
+    // form -2⟨v,s⟩+|s|², same double total-order, same lower-id
+    // tie-break as the array_sort formulation — AnnIndexSpec pins the
+    // equivalence for PQ, ClusteringSpec/d12 hash parity pins it here).
+    // The composed [[sortedCellsFor]] unrolls `cells` struct builds +
+    // an array_sort PER ROW: fine at the fixed 16-cell IVF default, but
+    // the SIZE-DERIVED cell count grows with the corpus, and at ×100
+    // (≈521 cells) the unrolled expression fell out of codegen and made
+    // assignment the dominant N×cells cost (BASELINE.md ×100 row).
+    val argminCell = argminCellFor(emb, cells)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
-      element_at(sortedCells(col("embedding")), 1).getField("cell_id")
-        .as("cell"))
+      argminCell(col("embedding")).as("cell"))
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("lo"), col("y.vec_id").as("vec_id"),

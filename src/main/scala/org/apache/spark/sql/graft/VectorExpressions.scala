@@ -194,6 +194,260 @@ case class Int8Quant(child: Expression)
       newChild: Expression): Int8Quant = copy(child = newChild)
 }
 
+/** PQ encode — per subspace `j`, the argmin over codebook entries of the
+  * ADC rank distance `-2⟨s_j,e⟩ + |e|²` (the |s|² term cancels out of the
+  * argmin), emitting one small int code per subspace. This is the
+  * corpus-width kernel of the n8/n8x/n9 index build: the composed form
+  * (`array_sort` over Ksub `struct(d2p, code)` rows per subspace) allocates
+  * and comparator-sorts M×Ksub boxed structs PER ROW, which at the trained
+  * default (M=8, Ksub=64) dominated the whole query. Here it is one tight
+  * primitive loop (M·Ksub·subDim fused multiply-adds) inside whole-stage
+  * codegen.
+  *
+  * Semantics are IDENTICAL to the composed form, pinned by AnnIndexSpec:
+  *  - per-entry dot is the strict sequential left-to-right double fold of
+  *    `(double)s(i) · e(i)` over `min(subDim, len - j·subDim)` elements —
+  *    [[FloatDoubleDot]]'s order against a slice, bitwise-equal;
+  *  - |e|² comes from the same left-to-right fold the driver-side codebook
+  *    builder uses (recomputed here, identical order);
+  *  - the winner comparison is Spark's own double TOTAL order
+  *    (`SQLOrderingUtil.compareDoubles` — the comparator `array_sort` used
+  *    on the struct's first field: NaN greatest, -0.0 < 0.0), ties to the
+  *    LOWER code exactly like the struct sort's second field.
+  *
+  * The codebook is a driver-trained constant (bounded: M × Ksub × subDim
+  * doubles), shipped as a referenced object — not a SQL-surface function
+  * (a trained artifact has no literal SQL spelling; SQL users get the
+  * unrolled oracle form). */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val m = codebook.length
+  private val ksub = if (codebook.isEmpty) 0 else codebook.head.length
+  private val subDim =
+    if (ksub == 0) 0 else codebook.head.head.length
+  require(m > 0 && ksub > 0 && subDim > 0 &&
+    codebook.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
+    s"codebook must be rectangular m×ksub×subDim, got $m×$ksub×$subDim")
+
+  /** Flattened entries [(j·ksub + c)·subDim + i] — rebuilt per JVM. */
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * ksub * subDim)
+    var p = 0
+    codebook.foreach(_.foreach(_.foreach { v => a(p) = v; p += 1 }))
+    a
+  }
+
+  /** |e|² per (j,c) — the same sequential fold as the codebook builder. */
+  @transient private lazy val norms: Array[Double] =
+    codebook.flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x))).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      val nj = math.max(0, math.min(subDim, len - base))
+      var bestD = 0.0
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        var i = 0
+        while (i < nj) {
+          acc += x.getFloat(base + i).toDouble *
+            flat((j * ksub + c) * subDim + i)
+          i += 1
+        }
+        val d = -2.0 * acc + norms(j * ksub + c)
+        if (c == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(d, bestD) < 0) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("pqNorms", norms, "double[]")
+      val len = ctx.freshName("len")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val nj = ctx.freshName("nj")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $len = $a.numElements();
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $subDim;
+         |  int $nj = java.lang.Math.max(0,
+         |    java.lang.Math.min($subDim, $len - $base));
+         |  double $bestD = 0.0;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $nj; $i++) {
+         |      $acc += ((double) $a.getFloat($base + $i))
+         |        * $flatRef[($j * $ksub + $c) * $subDim + $i];
+         |    }
+         |    double $d = -2.0 * $acc + $normsRef[$j * $ksub + $c];
+         |    if ($c == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |        .compareDoubles($d, $bestD) < 0) { $bestD = $d; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncode = copy(child = newChild)
+}
+
+/** ADC distance tables for a PQ query vector — dtab[j][c] = |s_j|² -
+  * 2⟨s_j,e⟩ + |e|² (true L2² per subspace/entry), the query-side twin of
+  * [[PqEncode]]. Evaluated on only Q rows, so runtime was never the
+  * issue — the composed form unrolled M×Ksub literal arrays and dot
+  * expressions into a plan whose ANALYSIS + Janino compile dominated the
+  * whole query at the trained Ksub=64 default (each invocation embeds
+  * fresh codebook literals ⇒ fresh codegen). One node, one referenced
+  * codebook, constant plan size.
+  *
+  * Arithmetic mirrors the composed columns exactly: |s_j|² is
+  * [[FloatVectorDot]]'s sequential self-dot of the slice, ⟨s_j,e⟩ is
+  * [[FloatDoubleDot]]'s fold, and the combination associates as
+  * `(ss - 2.0·acc) + ee`. */
+case class PqDtab(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val m = codebook.length
+  private val ksub = if (codebook.isEmpty) 0 else codebook.head.length
+  private val subDim =
+    if (ksub == 0) 0 else codebook.head.head.length
+  require(m > 0 && ksub > 0 && subDim > 0 &&
+    codebook.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
+    s"codebook must be rectangular m×ksub×subDim, got $m×$ksub×$subDim")
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * ksub * subDim)
+    var p = 0
+    codebook.foreach(_.foreach(_.foreach { v => a(p) = v; p += 1 }))
+    a
+  }
+
+  @transient private lazy val norms: Array[Double] =
+    codebook.flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x))).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false)
+
+  override def prettyName: String = "pq_dtab"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      val nj = math.max(0, math.min(subDim, len - base))
+      var ss = 0.0
+      var i = 0
+      while (i < nj) {
+        val v = x.getFloat(base + i).toDouble
+        ss += v * v
+        i += 1
+      }
+      val row = new Array[Double](ksub)
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        i = 0
+        while (i < nj) {
+          acc += x.getFloat(base + i).toDouble *
+            flat((j * ksub + c) * subDim + i)
+          i += 1
+        }
+        row(c) = (ss - 2.0 * acc) + norms(j * ksub + c)
+        c += 1
+      }
+      rows(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("pqNorms", norms, "double[]")
+      val len = ctx.freshName("len")
+      val rows = ctx.freshName("rows")
+      val row = ctx.freshName("row")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val nj = ctx.freshName("nj")
+      val base = ctx.freshName("base")
+      val ss = ctx.freshName("ss")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $len = $a.numElements();
+         |Object[] $rows = new Object[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $subDim;
+         |  int $nj = java.lang.Math.max(0,
+         |    java.lang.Math.min($subDim, $len - $base));
+         |  double $ss = 0.0;
+         |  for (int $i = 0; $i < $nj; $i++) {
+         |    double $v = (double) $a.getFloat($base + $i);
+         |    $ss += $v * $v;
+         |  }
+         |  double[] $row = new double[$ksub];
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $nj; $i++) {
+         |      $acc += ((double) $a.getFloat($base + $i))
+         |        * $flatRef[($j * $ksub + $c) * $subDim + $i];
+         |    }
+         |    $row[$c] = ($ss - 2.0 * $acc) + $normsRef[$j * $ksub + $c];
+         |  }
+         |  $rows[$j] =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqDtab = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd float-vector dot product column. */
   def fvecDot(a: Column, b: Column): Column =
@@ -208,6 +462,17 @@ object VectorExpressions {
   /** Codegen'd int8 scalar-quantization codes column. */
   def fvecQuant8(a: Column): Column =
     ExpressionUtils.column(Int8Quant(ExpressionUtils.expression(a)))
+
+  /** Codegen'd PQ argmin-encode column over a driver-built codebook
+    * (m × ksub × subDim). */
+  def pqEncode(a: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(
+      PqEncode(ExpressionUtils.expression(a), codebook))
+
+  /** Codegen'd ADC distance-table column (query side of PQ search). */
+  def pqDtab(a: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(
+      PqDtab(ExpressionUtils.expression(a), codebook))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier

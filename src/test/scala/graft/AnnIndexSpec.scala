@@ -87,4 +87,49 @@ class AnnIndexSpec extends SparkSpec {
           r.getAs[Long]("neighbor_id"))).toSet
     assert(res2(back) === res2(Similarity.ivfSqIndex(emb, base)))
   }
+
+  test("native PqEncode == composed argmin, seeded and trained codebooks") {
+    // the codegen'd argmin loop must emit the IDENTICAL code arrays as
+    // the array_sort-over-structs formulation it replaced — same fold
+    // order, same double total-order comparison, same lower-code
+    // tie-break — across the whole fixture corpus, for both codebook
+    // builders (64 trained entries exercises deep argmin chains)
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    for (cb <- Seq(Similarity.pqCodebook(emb),
+        Similarity.pqTrainedCodebook(emb))) {
+      val both = emb.select(col("vec_id"),
+        Similarity.pqCodes(cb, col("embedding")).as("fast"),
+        Similarity.pqCodesComposed(cb, col("embedding")).as("composed"))
+      val diverged = both
+        .filter(col("fast") =!= col("composed")).count()
+      assert(diverged === 0)
+      // and the interpreted eval path (nullSafeEval, no codegen) agrees
+      // with the codegen'd result on a sample
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val cbSeq = cb.toSeq.map(_.toSeq.map(_._1.toSeq))
+      val sample = emb.orderBy(col("vec_id")).limit(50)
+        .select(col("embedding"), Similarity.pqCodes(cb, col("embedding")))
+        .collect()
+      sample.foreach { r =>
+        val viaEval = org.apache.spark.sql.graft.PqEncode(
+          Literal.create(r.getSeq[Float](0), ArrayType(FloatType)), cbSeq)
+          .eval(null).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData].toIntArray.toSeq
+        assert(viaEval === r.getSeq[Int](1))
+      }
+      // query-side dtab: native node == composed unrolled-literal form,
+      // bit-for-bit (doubleToLongBits) across every (j, c) table entry
+      val dtabs = emb.filter(col("vec_id") < 10).select(col("vec_id"),
+        Similarity.pqDtab(cb, col("embedding")).as("fast"),
+        Similarity.pqDtabComposed(cb, col("embedding")).as("composed"))
+        .collect()
+      dtabs.foreach { r =>
+        def bits(i: Int): Seq[Seq[Long]] =
+          r.getSeq[scala.collection.Seq[Double]](i)
+            .map(_.map(java.lang.Double.doubleToLongBits).toSeq).toSeq
+        assert(bits(1) === bits(2), s"vec ${r.getLong(0)}")
+      }
+    }
+  }
 }
