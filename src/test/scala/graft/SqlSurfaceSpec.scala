@@ -31,8 +31,20 @@ class SqlSurfaceSpec extends SparkSpec {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private def shapeOf(df: DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+  /** Optimized-plan operator sequence, with runs of CONSECUTIVE Project
+    * nodes collapsed to one: whether CollapseProject inlines two stacked
+    * projections is cost-guard-sensitive (alias reuse of non-cheap
+    * expressions) and was observed to differ between otherwise identical
+    * runs under the concurrent suite — a cosmetic difference (a Project
+    * is free) that must not fail the pin. Joins, filters, windows,
+    * aggregates and scan COUNTS stay strictly compared. */
+  private def shapeOf(df: DataFrame): Seq[String] = {
+    val names = df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    names.foldLeft(List.empty[String]) {
+      case (acc @ "Project" :: _, "Project") => acc
+      case (acc, n) => n :: acc
+    }.reverse
+  }
 
   private def usesNative[T](df: DataFrame)(implicit ct: ClassTag[T]): Boolean =
     df.queryExecution.optimizedPlan.collect { case n =>
