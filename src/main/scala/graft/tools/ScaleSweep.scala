@@ -206,7 +206,13 @@ object ScaleSweep {
 
     val dirs = factors.map { f =>
       if (f == 1) f -> srcDir
-      else {
+      else if (sys.env.contains("SPARK_GRAFT_SWEEP_REUSE") &&
+          new java.io.File(s"$workDir/x$f/orders.parquet/_SUCCESS").exists()) {
+        // reuse a previously generated fan-out (orders is written LAST, so
+        // its _SUCCESS implies the whole tier completed) — regeneration
+        // costs minutes at deep factors and the generator is deterministic
+        f -> s"$workDir/x$f"
+      } else {
         val out = s"$workDir/x$f"
         scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), f)
           .repartition(cpus.toInt)
