@@ -1378,7 +1378,16 @@ object Similarity {
     * ×50 quadratic wall of a fixed small cell count (BASELINE.md) cannot
     * recur silently; an explicit `numCells > 0` still overrides (the
     * d12x pinned-knob twin). The keeper aggregate is doc-grain. No
-    * corpus-wide all-pairs anywhere. */
+    * corpus-wide all-pairs anywhere.
+    *
+    * Bound of THIS quantizer: seeds are driver-collected and ship to
+    * executors as one referenced array ([[argminCellFor]]), so the
+    * derived count holds to cells ≈ 1e5 (≈ 77M vectors at the 768
+    * target — ~50 MB of seed state). Beyond that the published next
+    * step is hierarchical assignment (a coarse quantizer over the
+    * seeds, two nested argmins — n7's IVF-over-codes composition);
+    * the formula and oracle stay unchanged, only the assign pass
+    * becomes two-level. */
   def semDedup(embRaw: DataFrame,
       numCells: Int = CellsBySize): DataFrame = {
     val emb = withNearDupVecs(embRaw)
