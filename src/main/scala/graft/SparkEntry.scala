@@ -688,6 +688,14 @@ object SparkEntry {
     "d12x_semdedup_cells" -> ((s, d) =>
       Similarity.semDedup(Sources.table(s, d, "embeddings"), numCells = 64)),
 
+    // E102 (D13): SemDeDup with HIERARCHICAL (coarse→fine) cell
+    // assignment — the scale path once the size-derived cell count is
+    // itself large: per-row assign cost ⌈√cells⌉ + bucket instead of
+    // cells, one codegen'd two-level argmin kernel; both stages
+    // mirrored in the oracle.
+    "d13_semdedup_hier" -> ((s, d) =>
+      Similarity.semDedupHier(Sources.table(s, d, "embeddings"))),
+
     // E11: brute-force cosine top-k ANN baseline.
     "n1_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(Sources.table(s, d, "embeddings"), 5, 5)),
@@ -1528,6 +1536,7 @@ object SparkEntry {
     "d6_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "d12_semdedup" -> Similarity.semDedupSql(),
     "d12x_semdedup_cells" -> Similarity.semDedupSql(numCells = 64),
+    "d13_semdedup_hier" -> Similarity.semDedupHierSql(),
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),

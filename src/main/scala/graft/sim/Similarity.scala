@@ -1421,6 +1421,155 @@ object Similarity {
         count(lit(1)).as("n_partners"))
   }
 
+  /** Coarse-level size for the hierarchical assign: K1 = ⌈√cells⌉ —
+    * balances the two argmin stages (K1 + cells/K1 minimized at √cells).
+    * One formula, mirrored in the oracle. */
+  def hierCoarseCount(cells: Int): Int =
+    math.ceil(math.sqrt(cells.toDouble)).toInt
+
+  /** D13 (E102): SemDeDup with HIERARCHICAL cell assignment — the scale
+    * path past [[semDedup]]'s flat argmin once the SIZE-DERIVED cell
+    * count itself is large (the documented seed-collect bound): argmin
+    * over K1 = ⌈√cells⌉ coarse centroids (the first K1 seeds), then
+    * argmin over only that coarse bucket's fine seeds — per-row assign
+    * cost K1 + bucket ≈ 2√cells instead of cells (the FAISS coarse+fine
+    * IVF composition), one codegen'd kernel
+    * ([[org.apache.spark.sql.graft.PqEncodeNested]]). The partition is
+    * an APPROXIMATION of the flat argmin (a vector near a coarse
+    * boundary may land in a different fine cell), which is exactly how
+    * production IVF assignment works — and identical vectors still take
+    * identical paths, so planted twins always share a cell and the d12
+    * recall-by-construction property holds unchanged (ClusteringSpec).
+    * Pair join + keeper aggregate are [[semDedup]]'s verbatim. The
+    * oracle mirrors both argmin stages (same seed set, same fine→coarse
+    * bucketing, same rank form) in SQL.
+    *
+    * When to use which (×100-measured, BASELINE.md): at cell counts the
+    * flat argmin still handles (≤ ~1e5), FLAT is both exact and faster —
+    * the bucket-restricted fine choice makes the hierarchical partition
+    * less balanced, and the extra within-cell pairs cost more than the
+    * assign pass saves (17.6 s vs 5.8 s at ×100 / 521 cells, outputs
+    * within 0.5%). This operator is the escape hatch for the regime
+    * BEYOND the seed-collect bound, where flat assignment is infeasible
+    * outright (cells ≈ 1e6 ⇒ 1e6 dots/row and GB-scale seed shipping vs
+    * ~2e3 dots/row here); [[semDedup]] stays the default. */
+  def semDedupHier(embRaw: DataFrame,
+      numCells: Int = CellsBySize): DataFrame = {
+    val emb = withNearDupVecs(embRaw)
+    val cells =
+      if (numCells != CellsBySize) numCells
+      else semDedupCells(2L * embRaw.count())
+    val k1 = hierCoarseCount(cells)
+    // seeds widened float→double ONCE (exact) — the same arithmetic the
+    // kernel, the flat path and the oracle use
+    val seeds: Array[(Int, IndexedSeq[Double])] =
+      emb.filter(col("vec_id") < cells).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    val coarse = seeds.take(k1).map(_._2)
+    val coarseNorms = coarse.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    // fine→coarse bucketing, driver-side, with the kernel's exact rank
+    // form (sequential fold, total order, lowest-bucket tie-break) — the
+    // oracle recomputes the identical partition in SQL
+    def coarseOf(v: IndexedSeq[Double]): Int = {
+      var best = 0; var bestD = 0.0; var c = 0
+      while (c < coarse.length) {
+        var acc = 0.0; var i = 0
+        val n = math.min(v.length, coarse(c).length)
+        while (i < n) { acc += v(i) * coarse(c)(i); i += 1 }
+        val d = -2.0 * acc + coarseNorms(c)
+        if (c == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(d, bestD) < 0) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val fineByBucket: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      IndexedSeq.tabulate(k1) { b =>
+        seeds.iterator.filter(s => coarseOf(s._2) == b)
+          .map { case (id, v) => (id, v: Seq[Double]) }.toSeq
+      }
+    val cellCol = org.apache.spark.sql.graft.VectorExpressions
+      .pqEncodeNested(col("embedding"),
+        coarse.toIndexedSeq.map(v => v: Seq[Double]), fineByBucket)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"), cellCol.as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("lo"), col("y.vec_id").as("vec_id"),
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.n2") * col("y.n2"))).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(col("lo")).as("keeper_id"),
+        max(col("cosine")).as("best_cosine"),
+        count(lit(1)).as("n_partners"))
+  }
+
+  /** Oracle for [[semDedupHier]]: both argmin stages unrolled in SQL —
+    * the fine→coarse bucketing over the seed relation, the vector→coarse
+    * rank, then the vector→fine rank restricted to the bucket. */
+  def semDedupHierSql(numCells: Int = CellsBySize): String = {
+    val cellExpr =
+      if (numCells != CellsBySize)
+        s"SELECT ${numCells}::BIGINT AS cb"
+      else s"""SELECT greatest($SemDedupMinCells,
+          (2 * count(*) + ${SemDedupTargetCellSize - 1})
+            // $SemDedupTargetCellSize)::BIGINT AS cb FROM embeddings"""
+    val s2 = s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        (acc, x) -> acc + x)"""
+    s"""
+    WITH twinned AS ($withNearDupVecsSql),
+    cellb AS ($cellExpr),
+    seeds AS (
+      SELECT vec_id AS cell_id, embedding AS sv, $s2 AS s2
+      FROM embeddings WHERE vec_id < (SELECT cb FROM cellb)),
+    coarse AS (
+      SELECT cell_id AS bucket_id, sv, s2 FROM seeds
+      WHERE cell_id < (SELECT CAST(ceil(sqrt(cb)) AS BIGINT) FROM cellb)),
+    fine_bucket AS (
+      SELECT cell_id, bucket_id FROM (
+        SELECT f.cell_id, c.bucket_id,
+          row_number() OVER (PARTITION BY f.cell_id
+            ORDER BY -2.0 * ${dotSql("f.sv", "c.sv")} + c.s2 ASC,
+              c.bucket_id ASC) AS rnk
+        FROM seeds f CROSS JOIN coarse c) WHERE rnk = 1),
+    vcoarse AS (
+      SELECT vec_id, bucket_id FROM (
+        SELECT e.vec_id, c.bucket_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY -2.0 * ${dotSql("e.embedding", "c.sv")} + c.s2 ASC,
+              c.bucket_id ASC) AS rnk
+        FROM twinned e CROSS JOIN coarse c) WHERE rnk = 1),
+    vfine AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, f.cell_id AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY -2.0 * ${dotSql("e.embedding", "f.sv")} + f.s2 ASC,
+              f.cell_id ASC) AS rnk
+        FROM twinned e
+        JOIN vcoarse vc ON vc.vec_id = e.vec_id
+        JOIN fine_bucket fb ON fb.bucket_id = vc.bucket_id
+        JOIN seeds f ON f.cell_id = fb.cell_id) WHERE rnk = 1),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, ${norm2Sql("e.embedding")} AS n2,
+        vf.cell
+      FROM twinned e JOIN vfine vf ON vf.vec_id = e.vec_id),
+    pairs AS (
+      SELECT x.vec_id AS lo, y.vec_id AS vec_id,
+        ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2) AS cosine
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n2 * y.n2)
+        >= $NearDupCosine)
+    SELECT vec_id, min(lo) AS keeper_id, max(cosine) AS best_cosine,
+      count(*)::BIGINT AS n_partners
+    FROM pairs GROUP BY 1"""
+  }
+
   def semDedupSql(numCells: Int = CellsBySize): String = {
     // the oracle derives the same cell count from the same corpus-size
     // formula (twinned corpus = 2n by construction), so Spark default and

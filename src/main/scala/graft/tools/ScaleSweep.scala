@@ -92,6 +92,11 @@ object ScaleSweep {
     // cells → ~16× fewer candidate pairs)
     "b1_bloom_prune", "c3_neardup_decon", "sel1_budget_select",
     "d12_semdedup", "d12x_semdedup_cells",
+    // round 9: hierarchical assignment — expect the pair-join cost of
+    // d12 with the assign pass dropping from cells to ~2*sqrt(cells)
+    // dots per row (structure: same jobs as d12 plus the driver-side
+    // seed bucketing's one collect)
+    "d13_semdedup_hier",
     // jc1: the orders side is NOT fanned out (the sweep scales
     // documents/embeddings/events), so the curve isolates the events-side
     // sketch build — expect linear scan cost, constant ≤3×8192 state,

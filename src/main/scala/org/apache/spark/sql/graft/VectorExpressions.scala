@@ -448,6 +448,149 @@ case class PqDtab(child: Expression, codebook: Seq[Seq[Seq[Double]]])
       newChild: Expression): PqDtab = copy(child = newChild)
 }
 
+/** Two-level (hierarchical) nearest-cell assignment — the scale path
+  * past [[PqEncode]]'s flat argmin when the cell count itself grows with
+  * the corpus (SemDeDup's size-derived cells): argmin over K1 ≈ √cells
+  * COARSE centroids first, then argmin over only that coarse bucket's
+  * FINE seeds, emitting the fine seed's GLOBAL cell id. Per-row work
+  * drops from `cells` dot products to `K1 + bucket` (≈ 2√cells when
+  * buckets balance) — the standard IVF-style two-level quantizer
+  * (FAISS's coarse+fine composition), here as one codegen'd kernel.
+  *
+  * Determinism contract (the oracle mirrors every step in SQL):
+  *  - both argmins use the ADC rank form `-2⟨v,e⟩ + |e|²` with
+  *    sequential double folds and [[PqEncode]]'s total order + lowest-id
+  *    tie-break;
+  *  - the fine→coarse bucketing is computed ONCE (driver/oracle side)
+  *    with the identical arithmetic, so both engines hold the same
+  *    partition of the fine seeds;
+  *  - identical vectors take identical paths, so planted twins always
+  *    share a cell — the same recall-by-construction as the flat form.
+  *
+  * A selectable-but-empty coarse bucket cannot occur: fine seed j sits
+  * at distance 0 from coarse j (coarse = the first K1 fine seeds), so
+  * bucket j loses seed j only to an IDENTICAL lower coarse — whose
+  * bucket then also wins every vector that would have selected j (equal
+  * distances tie low). Buckets are still guarded at construction. */
+case class PqEncodeNested(child: Expression,
+    coarse: Seq[Seq[Double]],
+    fineByBucket: Seq[Seq[(Int, Seq[Double])]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val k1 = coarse.length
+  private val dim = if (coarse.isEmpty) 0 else coarse.head.length
+  require(k1 > 0 && dim > 0 && coarse.forall(_.length == dim),
+    s"coarse book must be rectangular k1×dim, got $k1×$dim")
+  require(fineByBucket.length == k1,
+    s"need one fine bucket per coarse centroid ($k1), " +
+      s"got ${fineByBucket.length}")
+  require(fineByBucket.forall(_.forall(_._2.length == dim)),
+    "fine seeds must share the coarse dimensionality")
+  require(fineByBucket.forall(b =>
+    b.map(_._1) == b.map(_._1).sorted), "fine ids must ascend per bucket")
+
+  @transient private lazy val coarseFlat: Array[Double] =
+    coarse.flatten.toArray
+  @transient private lazy val coarseNorms: Array[Double] =
+    coarse.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+  @transient private lazy val offsets: Array[Int] =
+    fineByBucket.scanLeft(0)(_ + _.length).toArray
+  @transient private lazy val fineFlat: Array[Double] =
+    fineByBucket.flatMap(_.flatMap(_._2)).toArray
+  @transient private lazy val fineNorms: Array[Double] =
+    fineByBucket.flatMap(_.map(_._2.foldLeft(0.0)((a, x) => a + x * x)))
+      .toArray
+  @transient private lazy val fineIds: Array[Int] =
+    fineByBucket.flatMap(_.map(_._1)).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "pq_encode_nested"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    def d2(flat: Array[Double], norms: Array[Double], c: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * flat(c * dim + i); i += 1 }
+      -2.0 * acc + norms(c)
+    }
+    var bestB = 0
+    var bestD = 0.0
+    var c = 0
+    while (c < k1) {
+      val d = d2(coarseFlat, coarseNorms, c)
+      if (c == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(d, bestD) < 0) { bestD = d; bestB = c }
+      c += 1
+    }
+    var bestF = 0
+    var fbD = 0.0
+    var first = true
+    c = offsets(bestB)
+    while (c < offsets(bestB + 1)) {
+      val d = d2(fineFlat, fineNorms, c)
+      if (first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(d, fbD) < 0) { fbD = d; bestF = c; first = false }
+      c += 1
+    }
+    fineIds(bestF)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cf = ctx.addReferenceObj("nestCoarse", coarseFlat, "double[]")
+      val cn = ctx.addReferenceObj("nestCoarseN", coarseNorms, "double[]")
+      val off = ctx.addReferenceObj("nestOff", offsets, "int[]")
+      val ff = ctx.addReferenceObj("nestFine", fineFlat, "double[]")
+      val fn = ctx.addReferenceObj("nestFineN", fineNorms, "double[]")
+      val fi = ctx.addReferenceObj("nestFineIds", fineIds, "int[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bestB = ctx.freshName("bestB")
+      val bestD = ctx.freshName("bestD")
+      val bestF = ctx.freshName("bestF")
+      val first = ctx.freshName("first")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int $bestB = 0;
+         |double $bestD = 0.0;
+         |for (int $c = 0; $c < $k1; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $cf[$c * $dim + $i];
+         |  }
+         |  double $d = -2.0 * $acc + $cn[$c];
+         |  if ($c == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |      .compareDoubles($d, $bestD) < 0) { $bestD = $d; $bestB = $c; }
+         |}
+         |int $bestF = 0;
+         |boolean $first = true;
+         |for (int $c = $off[$bestB]; $c < $off[$bestB + 1]; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $ff[$c * $dim + $i];
+         |  }
+         |  double $d = -2.0 * $acc + $fn[$c];
+         |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |      .compareDoubles($d, $bestD) < 0) {
+         |    $bestD = $d; $bestF = $c; $first = false;
+         |  }
+         |}
+         |${ev.value} = $fi[$bestF];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeNested = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd float-vector dot product column. */
   def fvecDot(a: Column, b: Column): Column =
@@ -473,6 +616,12 @@ object VectorExpressions {
   def pqDtab(a: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(
       PqDtab(ExpressionUtils.expression(a), codebook))
+
+  /** Codegen'd two-level nearest-cell column (coarse → fine argmin). */
+  def pqEncodeNested(a: Column, coarse: Seq[Seq[Double]],
+      fineByBucket: Seq[Seq[(Int, Seq[Double])]]): Column =
+    ExpressionUtils.column(
+      PqEncodeNested(ExpressionUtils.expression(a), coarse, fineByBucket))
 
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier

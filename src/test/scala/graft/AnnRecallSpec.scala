@@ -275,6 +275,33 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("d13 hierarchical semdedup keeps the twin-recall guarantee") {
+    // the two-level (coarse→fine) assignment APPROXIMATES the flat
+    // argmin partition, but identical vectors take identical paths —
+    // so the d12 twin-recall contract must hold verbatim, at the
+    // size-derived default and at an explicit cell count (which forces
+    // multi-bucket coarse structure at this corpus size)
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val nTwins = emb.count()
+    for (cells <- Seq(Similarity.CellsBySize, 100)) {
+      val out = Similarity.semDedupHier(emb, numCells = cells)
+        .filter(expr(s"vec_id >= ${Similarity.VecTwinOffset}")).cache()
+      try {
+        assert(out.count() === nTwins,
+          s"every twin must be dropped at $cells cells (hier)")
+        assert(out.filter(
+          col("keeper_id") > col("vec_id") - Similarity.VecTwinOffset)
+          .count() === 0L, s"keeper above the original's id at $cells")
+        assert(out.filter(col("best_cosine") < 0.999).count() === 0L)
+      } finally out.unpersist()
+    }
+    // coarse sizing: K1 = ceil(sqrt(cells)), mirrored in the oracle
+    assert(Similarity.hierCoarseCount(64) === 8)
+    assert(Similarity.hierCoarseCount(521) === 23)
+    assert(Similarity.hierCoarseCount(65) === 9)
+  }
+
   test("semDedupCells derives the measured knee and floors at the minimum") {
     import Similarity.{semDedupCells, SemDedupMinCells, SemDedupTargetCellSize}
     // verify-SF corpora stay on the floor (small cells are cheap there)
