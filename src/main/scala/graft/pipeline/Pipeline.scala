@@ -405,10 +405,11 @@ object Pipeline {
       new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
     // a crashed forgetKeys leaves a durable tombstone ([[forgetKeys]]'s
-    // crash contract); finish that erasure BEFORE this batch's recovery
-    // sweep could archive backup copies still carrying the forgotten rows
+    // crash contract); finish that erasure BEFORE this batch merges.
+    // The recovery sweep inside runs UNDER the commit lease
+    // ([[recoverUnderLease]]) — a live holder's in-flight swap must turn
+    // this batch away clean here, not be "recovered" out from under it.
     completePendingForget(spark, path, schema, partCol)
-    restoreBackups(fsPre, path)
 
     // Optimistic concurrency (the Delta conflict-detection analogue over
     // the epoch manifest): the merge below is read-modify-write against
@@ -448,10 +449,13 @@ object Pipeline {
     val merged = KpiMerge.merge(target, updatesP, keys, fields,
       Some("data_sources")).select(schema.fieldNames.map(col): _*)
 
-    val tmp = path + ".tmp"
+    // PER-WRITER staging dir (round-9 review): a shared `.tmp` let a
+    // second writer clobber the live lease holder's staged commit data
+    // before it even attempted the lease. Unique names make staging
+    // race-free; crashed writers' orphans are GC'd under the lease below.
+    val tmp = stagingDir(path)
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new HPath(tmp), true) // stale temp from a prior failure
     // the merge plan reads the store partitions being replaced, so write
     // to the temp dir first (finishes the read), then swap directories
     try merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
@@ -500,6 +504,12 @@ object Pipeline {
     // StoreConflictException (the documented catch-and-retry path would
     // otherwise strand one cached relation per conflict)
     try {
+      // orphan staging dirs from crashed writers (unique-named): GC'd
+      // here UNDER the lease, and only past the TTL, so no live writer's
+      // in-progress staging is ever yanked (a writer that stages longer
+      // than the TTL loses its swap to renameOrFail and aborts clean —
+      // the same bound every other liveness decision uses)
+      sweepOrphanStaging(fs, path, exclude = tmp, ttlMs = leaseTtlMs)
       val curManifest = latestManifest(fs, path)
       // pinned by conflictCheck("at commit") just above
       val curEpoch = baseEpoch
@@ -593,8 +603,10 @@ object Pipeline {
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
     // finish a tombstone publish a crash left half-swapped BEFORE looking
-    // at the pending dir, so the read below always sees a complete record
-    resolvePendingSwap(fs, path)
+    // at the pending dir, so the read below always sees a complete record;
+    // the whole recovery sweep (swap promote + backup restore) runs under
+    // the commit lease — a live writer's in-flight swap is NOT a crash
+    recoverUnderLease(fs, path)
     // outstanding tombstone from a crashed prior forget: same key columns
     // fold into this pass (erasure is idempotent); a different key set is
     // completed as its own pass first, clearing its tombstone
@@ -611,7 +623,6 @@ object Pipeline {
           requested
         }
       }
-    restoreBackups(fs, path)
     val baseEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
     def conflictCheck(stage: String): Unit = {
       val now = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
@@ -658,8 +669,7 @@ object Pipeline {
         val remaining = snapshot.where(col(partCol).isin(dates: _*))
           .join(kv, keys, "left_anti")
           .select(schema.fieldNames.map(col): _*)
-        val tmp = path + ".tmp"
-        fs.delete(new HPath(tmp), true)
+        val tmp = stagingDir(path) // per-writer, as in upsertStore
         remaining.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
         // a fully-emptied partition writes no dir — it is RETIRED from
         // the manifest rather than swapped
@@ -676,6 +686,8 @@ object Pipeline {
           }
         try {
           conflictCheck("at commit")
+          sweepOrphanStaging(fs, path, exclude = tmp,
+            ttlMs = DefaultLeaseTtlMs)
           val baseParts = latestManifest(fs, path).map(_.partitions)
             .getOrElse(listPartitionDirs(fs, path, partCol))
           writeBakEpoch(fs, path, baseEpoch)
@@ -791,7 +803,7 @@ object Pipeline {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val fs = FileSystem.get(new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
-    resolvePendingSwap(fs, path)
+    recoverUnderLease(fs, path)
     val pending = new HPath(path + ".forget.pending")
     if (fs.exists(pending)) {
       val pend = spark.read.parquet(pending.toString)
@@ -864,7 +876,7 @@ object Pipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(Sources.normalizeScheme(path)),
       spark.sparkContext.hadoopConfiguration)
-    restoreBackups(fs, path)
+    recoverUnderLease(fs, path)
     latestManifest(fs, path) match {
       case None => Nil // pre-manifest store: nothing committed to expire
       case Some(m) =>
@@ -987,7 +999,19 @@ object Pipeline {
               "in its commit section; this batch aborted cleanly before " +
               "touching the store. Retry after the holder commits.")
         fence = math.max(fence, existing.map(_.token + 1).getOrElse(1L))
-        fs.delete(p, false) // break the stale lease; next attempt re-creates
+        // break the stale lease by RENAME-claim, not delete: rename moves
+        // that specific file atomically, so of N racing breakers exactly
+        // one wins and the losers' claims fail — a bare delete could land
+        // on the FRESH lease another breaker just created (round-9
+        // review). The graveyard file is then deleted by the claimant.
+        val grave = new org.apache.hadoop.fs.Path(
+          p.getParent, s"${p.getName}.broken.$fence." +
+            java.util.UUID.randomUUID().toString.take(8))
+        val claimed = try fs.rename(p, grave)
+        catch { case _: java.io.IOException => false }
+        if (claimed) fs.delete(grave, false)
+        // claimed or not, loop: either we re-create, or we re-judge the
+        // winner's fresh lease (not stale → clean LeaseHeld abort)
       }
     }
     throw new StoreLeaseHeldException(
@@ -1019,10 +1043,78 @@ object Pipeline {
   private[graft] def releaseStoreLease(fs: org.apache.hadoop.fs.FileSystem,
       path: String, lease: StoreLease): Unit =
     try {
-      if (parseLease(fs, leasePath(path)).contains(lease))
+      // Post-publish our lease is epoch-stale: a successor may break it
+      // LEGITIMATELY at any instant, so a parse-then-delete here could
+      // remove the successor's fresh lease (round-9 review). Skip the
+      // delete on that path — the next writer's epoch-stale break claims
+      // it atomically (rename) for free. On the abort path (epoch
+      // unchanged) our lease is younger than the TTL by construction, so
+      // no breaker can race the matched delete.
+      val curEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+      if (lease.epoch >= curEpoch &&
+          parseLease(fs, leasePath(path)).contains(lease))
         fs.delete(leasePath(path), false)
       ()
     } catch { case _: java.io.IOException => () }
+
+  /** Per-writer staging directory — unique-named so concurrent writers
+    * can never clobber each other's staged commit data (the shared
+    * `.tmp` did exactly that before the lease was even attempted).
+    * Crashed writers' orphans are swept by [[sweepOrphanStaging]]. */
+  private def stagingDir(path: String): String =
+    path + ".tmp." + java.util.UUID.randomUUID().toString.take(8)
+
+  /** GC crashed writers' staging dirs (`<store>.tmp*` siblings,
+    * including the legacy shared `.tmp` name). Runs ONLY under the
+    * commit lease, and only deletes dirs idle past the TTL — a live
+    * writer refreshes nothing mid-stage, so the TTL is the same bound
+    * every liveness decision here uses; a writer staging longer than the
+    * TTL fails its swap (renameOrFail) and aborts clean. */
+  private def sweepOrphanStaging(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, exclude: String, ttlMs: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val store = new HPath(path)
+    val parent = store.getParent
+    if (parent == null) return
+    val prefix = store.getName + ".tmp"
+    val now = System.currentTimeMillis()
+    try fs.listStatus(parent).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && st.getPath.toString != exclude &&
+          now - st.getModificationTime > ttlMs)
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () } // GC is best-effort
+    // graveyard files a crashed lease-breaker left between its
+    // rename-claim and delete: garbage from the instant of the rename
+    // (nothing ever reads a broken lease), deletable by anyone
+    try fs.listStatus(store).foreach { st =>
+      if (st.getPath.getName.startsWith(LeaseName + ".broken."))
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Crash-recovery sweep under the commit lease. The unguarded form
+    * treated a LIVE holder's in-flight swap (bak-epoch == manifest
+    * epoch) as a crash and rolled its partitions back mid-commit
+    * (round-9 review); now recovery only proceeds as the lease holder,
+    * and a live writer turns the caller away clean
+    * ([[StoreLeaseHeldException]]) BEFORE any mutation. The lease is
+    * only taken when there is evidence of interrupted work, so the
+    * common no-crash path stays two `exists` probes. */
+  private[graft] def recoverUnderLease(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, ttlMs: Long = DefaultLeaseTtlMs): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val evidence = fs.exists(new HPath(path + ".bak")) ||
+      fs.exists(new HPath(path + ".forget.pending.old")) ||
+      fs.exists(new HPath(path + ".forget.pending.inprogress"))
+    if (!evidence) return
+    val recEpoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+    val l = acquireStoreLease(fs, path, recEpoch, ttlMs)
+    try {
+      resolvePendingSwap(fs, path)
+      restoreBackups(fs, path)
+    } finally releaseStoreLease(fs, path, l)
+  }
 
   // ---- commit manifest --------------------------------------------------
   //

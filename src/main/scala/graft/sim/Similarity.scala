@@ -1409,16 +1409,7 @@ object Similarity {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"),
       argminCell(col("embedding")).as("cell"))
-    assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("lo"), col("y.vec_id").as("vec_id"),
-        (dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.n2") * col("y.n2"))).as("cosine"))
-      .filter(col("cosine") >= NearDupCosine)
-      .groupBy(col("vec_id"))
-      .agg(min(col("lo")).as("keeper_id"),
-        max(col("cosine")).as("best_cosine"),
-        count(lit(1)).as("n_partners"))
+    semDedupPairs(assigned)
   }
 
   /** Coarse-level size for the hierarchical assign: K1 = ⌈√cells⌉ —
@@ -1459,7 +1450,6 @@ object Similarity {
     val cells =
       if (numCells != CellsBySize) numCells
       else semDedupCells(2L * embRaw.count())
-    val k1 = hierCoarseCount(cells)
     // seeds widened float→double ONCE (exact) — the same arithmetic the
     // kernel, the flat path and the oracle use
     val seeds: Array[(Int, IndexedSeq[Double])] =
@@ -1467,6 +1457,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0).toInt,
           r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    // clamped to the seeds actually present: a corpus smaller than
+    // ⌈√cells⌉ rows must degrade like the flat path does (review #6),
+    // and the oracle clamps with the same least()
+    val k1 = math.min(hierCoarseCount(cells), seeds.length)
     val coarse = seeds.take(k1).map(_._2)
     val coarseNorms = coarse.map(_.foldLeft(0.0)((a, x) => a + x * x))
     // fine→coarse bucketing, driver-side, with the kernel's exact rank
@@ -1490,11 +1484,30 @@ object Similarity {
         seeds.iterator.filter(s => coarseOf(s._2) == b)
           .map { case (id, v) => (id, v: Seq[Double]) }.toSeq
       }
+    // the kernel's coarse argmin runs over NON-EMPTY buckets only
+    // (review #7): in exact arithmetic an empty bucket is never
+    // selectable (its seed lost only to an identical lower coarse, which
+    // then also wins every vector), but floating-point folds over
+    // NEAR-identical seeds can round the two sides differently — Spark
+    // would then emit a wrong cell while the oracle drops the row. The
+    // oracle restricts its vector→coarse rank to fine_bucket's image,
+    // the exact same set; ascending bucket order keeps the positional
+    // tie-break ≡ the oracle's bucket_id tie-break.
+    val kept = fineByBucket.zipWithIndex.collect {
+      case (b, i) if b.nonEmpty => (coarse(i): Seq[Double], b)
+    }
     val cellCol = org.apache.spark.sql.graft.VectorExpressions
-      .pqEncodeNested(col("embedding"),
-        coarse.toIndexedSeq.map(v => v: Seq[Double]), fineByBucket)
+      .pqEncodeNested(col("embedding"), kept.map(_._1), kept.map(_._2))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"), cellCol.as("cell"))
+    semDedupPairs(assigned)
+  }
+
+  /** Shared within-cell pair join + keeper aggregate — ONE definition
+    * for the flat (d12/d12x) and hierarchical (d13) assignments, so the
+    * dedup contract (cosine bar, pair orientation, keeper tie policy)
+    * can never fork between them (review #8). */
+  private def semDedupPairs(assigned: DataFrame): DataFrame =
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("lo"), col("y.vec_id").as("vec_id"),
@@ -1505,7 +1518,6 @@ object Similarity {
       .agg(min(col("lo")).as("keeper_id"),
         max(col("cosine")).as("best_cosine"),
         count(lit(1)).as("n_partners"))
-  }
 
   /** Oracle for [[semDedupHier]]: both argmin stages unrolled in SQL —
     * the fine→coarse bucketing over the seed relation, the vector→coarse
@@ -1529,7 +1541,8 @@ object Similarity {
       FROM embeddings WHERE vec_id < (SELECT cb FROM cellb)),
     coarse AS (
       SELECT cell_id AS bucket_id, sv, s2 FROM seeds
-      WHERE cell_id < (SELECT CAST(ceil(sqrt(cb)) AS BIGINT) FROM cellb)),
+      WHERE cell_id < (SELECT least(CAST(ceil(sqrt(cb)) AS BIGINT),
+        (SELECT count(*) FROM seeds)) FROM cellb)),
     fine_bucket AS (
       SELECT cell_id, bucket_id FROM (
         SELECT f.cell_id, c.bucket_id,
@@ -1543,7 +1556,12 @@ object Similarity {
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY -2.0 * ${dotSql("e.embedding", "c.sv")} + c.s2 ASC,
               c.bucket_id ASC) AS rnk
-        FROM twinned e CROSS JOIN coarse c) WHERE rnk = 1),
+        FROM twinned e CROSS JOIN (
+          -- the vector->coarse rank runs over NON-EMPTY buckets only,
+          -- the exact set the kernel keeps (see semDedupHier review #7)
+          SELECT * FROM coarse WHERE bucket_id IN
+            (SELECT DISTINCT bucket_id FROM fine_bucket)) c)
+        WHERE rnk = 1),
     vfine AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, f.cell_id AS cell,

@@ -212,13 +212,16 @@ object ScaleSweep {
     val dirs = factors.map { f =>
       if (f == 1) f -> srcDir
       else if (sys.env.contains("SPARK_GRAFT_SWEEP_REUSE") &&
-          new java.io.File(s"$workDir/x$f/orders.parquet/_SUCCESS").exists()) {
-        // reuse a previously generated fan-out (orders is written LAST, so
-        // its _SUCCESS implies the whole tier completed) — regeneration
-        // costs minutes at deep factors and the generator is deterministic
+          new java.io.File(s"$workDir/x$f/_graft_sweep_complete").exists()) {
+        // reuse a previously generated fan-out. The gate is the sweep's
+        // OWN tier-completion marker — written only after every table of
+        // the tier landed, and deleted FIRST on regeneration, so an
+        // interrupted rebuild can never leave a stale per-table _SUCCESS
+        // vouching for a torn sibling. The generator is deterministic.
         f -> s"$workDir/x$f"
       } else {
         val out = s"$workDir/x$f"
+        new java.io.File(s"$out/_graft_sweep_complete").delete()
         scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), f)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -232,6 +235,7 @@ object ScaleSweep {
         // orders dimension: the sweep isolates the events-side growth
         spark.read.parquet(s"$srcDir/orders.parquet")
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        new java.io.FileOutputStream(s"$out/_graft_sweep_complete").close()
         f -> out
       }
     }

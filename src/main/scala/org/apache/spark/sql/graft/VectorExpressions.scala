@@ -219,28 +219,35 @@ case class Int8Quant(child: Expression)
   * doubles), shipped as a referenced object — not a SQL-surface function
   * (a trained artifact has no literal SQL spelling; SQL users get the
   * unrolled oracle form). */
-case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression with ExpectsInputTypes {
-
-  private val m = codebook.length
-  private val ksub = if (codebook.isEmpty) 0 else codebook.head.length
-  private val subDim =
+/** Shared codebook geometry + flattening for [[PqEncode]]/[[PqDtab]]:
+  * ONE definition of the rectangularity contract, the flattened
+  * [(j·ksub + c)·subDim + i] layout, and the |e|² sequential fold (the
+  * exact fold the driver-side codebook builders and the oracles use) —
+  * the two kernels can never drift apart on codebook interpretation. */
+private[graft] trait PqCodebookParams {
+  def codebook: Seq[Seq[Seq[Double]]]
+  protected final val m: Int = codebook.length
+  protected final val ksub: Int =
+    if (codebook.isEmpty) 0 else codebook.head.length
+  protected final val subDim: Int =
     if (ksub == 0) 0 else codebook.head.head.length
   require(m > 0 && ksub > 0 && subDim > 0 &&
     codebook.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
     s"codebook must be rectangular m×ksub×subDim, got $m×$ksub×$subDim")
 
-  /** Flattened entries [(j·ksub + c)·subDim + i] — rebuilt per JVM. */
-  @transient private lazy val flat: Array[Double] = {
+  @transient protected final lazy val flat: Array[Double] = {
     val a = new Array[Double](m * ksub * subDim)
     var p = 0
     codebook.foreach(_.foreach(_.foreach { v => a(p) = v; p += 1 }))
     a
   }
 
-  /** |e|² per (j,c) — the same sequential fold as the codebook builder. */
-  @transient private lazy val norms: Array[Double] =
+  @transient protected final lazy val norms: Array[Double] =
     codebook.flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x))).toArray
+}
+
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes with PqCodebookParams {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
@@ -338,25 +345,7 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
   * [[FloatDoubleDot]]'s fold, and the combination associates as
   * `(ss - 2.0·acc) + ee`. */
 case class PqDtab(child: Expression, codebook: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression with ExpectsInputTypes {
-
-  private val m = codebook.length
-  private val ksub = if (codebook.isEmpty) 0 else codebook.head.length
-  private val subDim =
-    if (ksub == 0) 0 else codebook.head.head.length
-  require(m > 0 && ksub > 0 && subDim > 0 &&
-    codebook.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
-    s"codebook must be rectangular m×ksub×subDim, got $m×$ksub×$subDim")
-
-  @transient private lazy val flat: Array[Double] = {
-    val a = new Array[Double](m * ksub * subDim)
-    var p = 0
-    codebook.foreach(_.foreach(_.foreach { v => a(p) = v; p += 1 }))
-    a
-  }
-
-  @transient private lazy val norms: Array[Double] =
-    codebook.flatMap(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x))).toArray
+    extends UnaryExpression with ExpectsInputTypes with PqCodebookParams {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
@@ -467,11 +456,14 @@ case class PqDtab(child: Expression, codebook: Seq[Seq[Seq[Double]]])
   *  - identical vectors take identical paths, so planted twins always
   *    share a cell — the same recall-by-construction as the flat form.
   *
-  * A selectable-but-empty coarse bucket cannot occur: fine seed j sits
-  * at distance 0 from coarse j (coarse = the first K1 fine seeds), so
-  * bucket j loses seed j only to an IDENTICAL lower coarse — whose
-  * bucket then also wins every vector that would have selected j (equal
-  * distances tie low). Buckets are still guarded at construction. */
+  * Every bucket must be NON-EMPTY — enforced at construction: the
+  * caller drops empty buckets (with their coarse centroids) before
+  * building this expression, and the oracle restricts its coarse rank
+  * to the same set. (In exact arithmetic an empty bucket is never
+  * selectable — its seed lost only to an identical lower coarse — but
+  * floating-point folds over near-identical seeds can round the
+  * seed-side and vector-side comparisons differently, so the guard is
+  * structural, not arithmetic.) */
 case class PqEncodeNested(child: Expression,
     coarse: Seq[Seq[Double]],
     fineByBucket: Seq[Seq[(Int, Seq[Double])]])
@@ -488,6 +480,9 @@ case class PqEncodeNested(child: Expression,
     "fine seeds must share the coarse dimensionality")
   require(fineByBucket.forall(b =>
     b.map(_._1) == b.map(_._1).sorted), "fine ids must ascend per bucket")
+  require(fineByBucket.forall(_.nonEmpty),
+    "every coarse bucket must be non-empty — drop empty buckets (and " +
+      "their coarse centroids) before constructing the expression")
 
   @transient private lazy val coarseFlat: Array[Double] =
     coarse.flatten.toArray

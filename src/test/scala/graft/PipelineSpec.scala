@@ -653,8 +653,12 @@ class PipelineSpec extends SparkSpec {
 
     Pipeline.upsertStore(spark, path, schema, updates("base", 1L),
       Seq("order_date"), fields)
-    // a successful commit leaves no lease behind
-    assert(!fs.exists(leaseFile))
+    // the new release contract (round-9 review): after a successful
+    // PUBLISH the lease is epoch-stale and deliberately left in place —
+    // deleting it post-publish could race a successor's legitimate break
+    // and remove the successor's fresh lease. The epoch-stale leftover
+    // must cost the next writer nothing: the acquire below (writer A)
+    // breaks it for free via the rename-claim.
     val epoch0 = Pipeline.latestManifest(fs, path).get.epoch
 
     // writer A is mid-commit-section (holds the lease, hasn't published)
@@ -679,7 +683,92 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.latestManifest(fs, path).get.epoch === epoch0 + 1)
     assert(spark.read.schema(schema).parquet(path)
       .head().getAs[Long]("total_orders") === 7L)
-    assert(!fs.exists(leaseFile))
+    // B's post-publish lease may remain epoch-stale (release contract);
+    // it must not block the next writer — the break is free
+    val next = Pipeline.acquireStoreLease(fs, path, epoch0 + 1)
+    Pipeline.releaseStoreLease(fs, path, next)
+    deleteRec(d)
+  }
+
+  test("staging is per-writer and orphan staging GC respects the TTL") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/stagestore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(tag: String, n: Long) =
+      Seq(("2024-06-01", n, n * 10.0)).toDF(
+        "order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(tag))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a FOREIGN writer's staged data (round-9 review: the shared `.tmp`
+    // let a second writer clobber the live holder's staging): fresh
+    // staging must SURVIVE another writer's whole upsert...
+    val foreign = new org.apache.hadoop.fs.Path(path + ".tmp.aaaa1111")
+    fs.mkdirs(foreign)
+    val marker = new org.apache.hadoop.fs.Path(foreign, "part-staged")
+    fs.create(marker, true).close()
+    Pipeline.upsertStore(spark, path, schema, updates("base", 1L),
+      Seq("order_date"), fields)
+    assert(fs.exists(marker), "a fresh foreign staging dir was clobbered")
+    // ...and be GC'd only once it is older than the TTL (a crashed
+    // writer's orphan), under the next commit's lease
+    fs.setTimes(foreign, System.currentTimeMillis() - 3600000L, -1L)
+    Pipeline.upsertStore(spark, path, schema, updates("b", 2L),
+      Seq("order_date"), fields, leaseTtlMs = 60000L)
+    assert(!fs.exists(foreign), "an expired orphan staging dir survived GC")
+    // the winning writers left no staging of their own behind
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(d.toString))
+      .map(_.getPath.getName).filter(_.startsWith("stagestore.tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    deleteRec(d)
+  }
+
+  test("recovery sweep runs under the lease: a live holder's in-flight swap is not rolled back") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/recoverstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(tag: String, n: Long) =
+      Seq(("2024-06-01", n, n * 10.0)).toDF(
+        "order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit(tag))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    Pipeline.upsertStore(spark, path, schema, updates("base", 1L),
+      Seq("order_date"), fields)
+    val epoch0 = Pipeline.latestManifest(fs, path).get.epoch
+    // writer A holds the lease mid-swap: bak-epoch stamped at the
+    // CURRENT epoch and a backup dir present — exactly the state the
+    // unguarded sweep misread as a crash (round-9 review)
+    val held = Pipeline.acquireStoreLease(fs, path, epoch0)
+    val bakDir = new org.apache.hadoop.fs.Path(
+      path + ".bak/order_date=2024-06-01")
+    fs.mkdirs(bakDir)
+    val bakMarker = new org.apache.hadoop.fs.Path(bakDir, "part-old")
+    fs.create(bakMarker, true).close()
+    Pipeline.writeBakEpoch(fs, path, epoch0)
+    // writer B: turned away by the RECOVERY lease before any mutation —
+    // A's in-flight backup state must be byte-untouched
+    intercept[graft.pipeline.StoreLeaseHeldException] {
+      Pipeline.upsertStore(spark, path, schema, updates("b", 7L),
+        Seq("order_date"), fields)
+    }
+    assert(fs.exists(bakMarker), "a live holder's backup dir was swept")
+    Pipeline.verifyStoreLease(fs, path, held) // A still owns the lease
+    Pipeline.releaseStoreLease(fs, path, held)
     deleteRec(d)
   }
 
@@ -746,7 +835,11 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.latestManifest(fs, path).get.epoch === epoch0 + 1)
     assert(spark.read.schema(schema).parquet(path)
       .head().getAs[Long]("total_orders") === 9L)
-    assert(!fs.exists(leaseFile))
+    // post-publish the successful writer's (now epoch-stale) lease may
+    // remain — the release contract leaves it for the next break, which
+    // must succeed without waiting (epoch-stale ⇒ rename-claimed free)
+    val reacq = Pipeline.acquireStoreLease(fs, path, epoch0 + 1)
+    Pipeline.releaseStoreLease(fs, path, reacq)
     // the zombie, resuming after the takeover's commit, is fenced out
     intercept[graft.pipeline.StoreConflictException] {
       Pipeline.verifyStoreLease(fs, path, zombie)
