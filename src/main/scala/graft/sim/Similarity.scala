@@ -1380,14 +1380,14 @@ object Similarity {
     * d12x pinned-knob twin). The keeper aggregate is doc-grain. No
     * corpus-wide all-pairs anywhere.
     *
-    * Bound of THIS quantizer: seeds are driver-collected and ship to
-    * executors as one referenced array ([[argminCellFor]]), so the
-    * derived count holds to cells ≈ 1e5 (≈ 77M vectors at the 768
-    * target — ~50 MB of seed state). Beyond that the published next
-    * step is hierarchical assignment (a coarse quantizer over the
-    * seeds, two nested argmins — n7's IVF-over-codes composition);
-    * the formula and oracle stay unchanged, only the assign pass
-    * becomes two-level. */
+    * Bound of THIS quantizer: the flat argmin costs N×cells dots (and
+    * ships all seeds to every executor), growing linearly in the cell
+    * count — the measured crossover against the two-level assignment
+    * ([[semDedupHier]], d13) sits at ≈1000–2000 cells (≈1–1.5M vectors
+    * under the derived default; CellCrossover table in BASELINE.md).
+    * This stays the default because its partition is the exact argmin;
+    * above ~1M vectors use [[semDedupHier]], and past the seed-collect
+    * bound (~1e5 cells) flat is infeasible outright. */
   def semDedup(embRaw: DataFrame,
       numCells: Int = CellsBySize): DataFrame = {
     val emb = withNearDupVecs(embRaw)
@@ -1435,15 +1435,18 @@ object Similarity {
     * oracle mirrors both argmin stages (same seed set, same fine→coarse
     * bucketing, same rank form) in SQL.
     *
-    * When to use which (×100-measured, BASELINE.md): at cell counts the
-    * flat argmin still handles (≤ ~1e5), FLAT is both exact and faster —
-    * the bucket-restricted fine choice makes the hierarchical partition
-    * less balanced, and the extra within-cell pairs cost more than the
-    * assign pass saves (17.6 s vs 5.8 s at ×100 / 521 cells, outputs
-    * within 0.5%). This operator is the escape hatch for the regime
-    * BEYOND the seed-collect bound, where flat assignment is infeasible
-    * outright (cells ≈ 1e6 ⇒ 1e6 dots/row and GB-scale seed shipping vs
-    * ~2e3 dots/row here); [[semDedup]] stays the default. */
+    * When to use which — MEASURED, not extrapolated (CellCrossover on
+    * the ×100 / 400k-vector corpus, BASELINE.md): flat cost grows
+    * linearly in the cell count (assignment is N×cells) while this
+    * operator flat-lines — 4.9 vs 5.5 s at 521 cells (flat wins,
+    * narrowly), 13.0 vs 4.9 s at 2000, 34.6 vs 7.9 s at 5000 (4.4×),
+    * outputs within ~1% throughout. Under the derived-cells default
+    * (cells ∝ corpus/768) that crossover corresponds to a corpus of
+    * ~1–1.5M vectors. [[semDedup]] stays the default because its
+    * partition is the exact argmin (and the verify-SF floor sits well
+    * below the crossover); callers above ~1M vectors should reach for
+    * this operator, and past the seed-collect bound (~1e5 cells) flat
+    * is infeasible outright. */
   def semDedupHier(embRaw: DataFrame,
       numCells: Int = CellsBySize): DataFrame = {
     val emb = withNearDupVecs(embRaw)
