@@ -883,23 +883,46 @@ object Pipeline {
         require(m.partCol == partCol,
           s"store $path is partitioned by ${m.partCol}, not $partCol — " +
             "retention cutoffs would compare against the wrong column")
-        val (keep, drop) = m.partitions.partition(_ >= keepFrom)
-        if (drop.nonEmpty) {
-          // rows deliberately absent: the expired partitions' counts are
-          // not worth a scan of data being thrown away — the next merge
-          // pays one full-count fallback and re-establishes the tally
-          writeManifest(fs, path, m.epoch + 1, m.partCol, keep.sorted)
-          dropOldManifests(fs, path, current = m.epoch + 1)
-        }
-        // GC only what the PRE-sweep manifest already didn't list — the
-        // dirs this sweep just expired stay until the next one (deferred
-        // deletion, see scaladoc)
-        val preListed = m.partitions.toSet
-        listPartitionDirs(fs, path, m.partCol)
-          .filterNot(preListed)
-          .foreach(pv =>
-            fs.delete(new HPath(path, s"${m.partCol}=$pv"), true))
-        drop
+        // the whole mutating section (manifest bump + unlisted-dir GC)
+        // runs under the commit lease: an UNLISTED dir is otherwise
+        // indistinguishable from a live writer's freshly swapped
+        // new-date partition whose manifest hasn't published yet —
+        // unguarded GC would delete it out from under the commit (the
+        // round-9 recovery-sweep finding, retention flavor). A live
+        // writer turns retention away clean; retry after it commits.
+        val lease = acquireStoreLease(fs, path, m.epoch)
+        try {
+          // epoch re-check under the lease (the upsertStore CAS
+          // convention): if the manifest moved between the read and the
+          // acquire, our lease was born epoch-stale — breakable mid-
+          // sweep — so abort clean and let the caller retry
+          val cur = latestManifest(fs, path).getOrElse(m)
+          if (cur.epoch != m.epoch)
+            throw new StoreConflictException(
+              s"store $path: manifest epoch moved ${m.epoch} -> " +
+                s"${cur.epoch} before the retention sweep's lease — " +
+                "aborted cleanly; retry against the new snapshot.")
+          val (keep, drop) = cur.partitions.partition(_ >= keepFrom)
+          if (drop.nonEmpty) {
+            // rows deliberately absent: the expired partitions' counts
+            // are not worth a scan of data being thrown away — the next
+            // merge pays one full-count fallback and re-establishes the
+            // tally
+            writeManifest(fs, path, cur.epoch + 1, cur.partCol,
+              keep.sorted)
+            dropOldManifests(fs, path, current = cur.epoch + 1)
+          }
+          // GC only what the PRE-sweep manifest already didn't list —
+          // the dirs this sweep just expired stay until the next one
+          // (deferred deletion, see scaladoc); under the lease these can
+          // only be crash debris, never a live writer's swap
+          val preListed = cur.partitions.toSet
+          listPartitionDirs(fs, path, cur.partCol)
+            .filterNot(preListed)
+            .foreach(pv =>
+              fs.delete(new HPath(path, s"${cur.partCol}=$pv"), true))
+          drop
+        } finally releaseStoreLease(fs, path, lease)
     }
   }
 
