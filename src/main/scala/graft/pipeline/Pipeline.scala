@@ -926,6 +926,35 @@ object Pipeline {
     }
   }
 
+  /** E27 under the store protocol: partition compaction of the KPI
+    * store AS THE LEASE HOLDER. `Sources.compactPartitioned` swaps live
+    * partition directories, so running it beside a committing writer
+    * could interleave with that writer's own dir swap — the same race
+    * family the leased recovery sweep and retention sweep close. The
+    * manifest is untouched (same rows, fewer files ⇒ the epoch does not
+    * move), so the epoch re-check under the lease only guards the
+    * born-stale window. Run it in a read-quiet window like any file-
+    * level compaction: a reader mid-scan of a compacted partition can
+    * lose files (the store's manifest isolation is partition-grain, not
+    * file-grain — the Delta-versioned-file-names trade we did not take). */
+  def compactStore(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    recoverUnderLease(fs, path)
+    val epoch = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+    val lease = acquireStoreLease(fs, path, epoch)
+    try {
+      val now = latestManifest(fs, path).map(_.epoch).getOrElse(0L)
+      if (now != epoch)
+        throw new StoreConflictException(
+          s"store $path: manifest epoch moved $epoch -> $now before the " +
+            "compaction lease — aborted cleanly; retry.")
+      Sources.compactPartitioned(spark, path, targetBytes)
+    } finally releaseStoreLease(fs, path, lease)
+  }
+
   // ---- commit lease -----------------------------------------------------
   //
   // The put-if-absent arbiter over the commit SECTION (E60's last

@@ -772,6 +772,47 @@ class PipelineSpec extends SparkSpec {
     deleteRec(d)
   }
 
+  test("compactStore serializes with writers and preserves the store exactly") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import spark.implicits._
+    val d = dir()
+    val path = s"$d/compactstore"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_date STRING, total_orders BIGINT, total_revenue DOUBLE, " +
+        "data_sources ARRAY<STRING>, last_updated STRING")
+    def updates(dt: String, n: Long) =
+      Seq((dt, n, n * 10.0)).toDF(
+        "order_date", "total_orders", "total_revenue")
+        .withColumn("data_sources", typedLit(Seq("orders")))
+        .withColumn("last_updated", lit("t"))
+        .select(schema.fieldNames.map(col): _*)
+    val fields = Seq("total_orders", "total_revenue", "last_updated")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // several tiny batches fragment the partitions
+    Pipeline.upsertStore(spark, path, schema, updates("2024-06-01", 1L),
+      Seq("order_date"), fields)
+    Pipeline.upsertStore(spark, path, schema, updates("2024-06-02", 2L),
+      Seq("order_date"), fields)
+    val beforeRows = spark.read.schema(schema).parquet(path)
+      .orderBy(col("order_date")).collect().map(_.toString).toSeq
+    val epoch = Pipeline.latestManifest(fs, path).get.epoch
+    // a live writer blocks compaction cleanly
+    val held = Pipeline.acquireStoreLease(fs, path, epoch)
+    intercept[graft.pipeline.StoreLeaseHeldException] {
+      Pipeline.compactStore(spark, path)
+    }
+    Pipeline.releaseStoreLease(fs, path, held)
+    // unleased: compacts, preserves bytes-for-rows and the manifest
+    val res = Pipeline.compactStore(spark, path)
+    assert(res.nonEmpty)
+    assert(Pipeline.latestManifest(fs, path).get.epoch === epoch)
+    val afterRows = spark.read.schema(schema).parquet(path)
+      .orderBy(col("order_date")).collect().map(_.toString).toSeq
+    assert(afterRows === beforeRows)
+    deleteRec(d)
+  }
+
   test("stale lease takeover: TTL-expired holder is fenced by a bumped token, epoch-stale breaks free") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
