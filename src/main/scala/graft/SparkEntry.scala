@@ -751,6 +751,14 @@ object SparkEntry {
     "n9_ann_ivf_pq" -> ((s, d) =>
       Similarity.ivfPqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E103: k-NN label propagation — each "unlabeled" query vector takes
+    // the majority label of its k nearest labeled neighbors (the pseudo-
+    // labeling stage of a training-data pipeline); exact scoring here as
+    // the oracle baseline, candidate generation interchangeable with the
+    // whole n2–n9 ANN ladder.
+    "knn1_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(Sources.table(s, d, "embeddings"))),
+
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
     // a reporting layer runs over the store.
@@ -1547,6 +1555,7 @@ object SparkEntry {
     "n8_ann_pq" -> Similarity.pqTopKSql(5, 5),
     "n8x_ann_pq_trained" -> Similarity.pqTrainedTopKSql(5, 5),
     "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
+    "knn1_knn_classify" -> Similarity.knnClassifySql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

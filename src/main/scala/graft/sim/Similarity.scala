@@ -1636,4 +1636,96 @@ object Similarity {
       count(*)::BIGINT AS n_partners
     FROM pairs GROUP BY 1"""
   }
+
+  // ---- E103 (KNN1): k-NN label propagation --------------------------------
+
+  /** Query count / vote size for the driver's `knn1` query. */
+  val KnnQueries = 20
+  val KnnK = 5
+
+  /** E103: k-NN label propagation — semi-supervised labeling: each query
+    * vector (`vec_id < numQueries`, treated as unlabeled) receives the
+    * MAJORITY label of its k nearest labeled neighbors by cosine, with the
+    * query's stored label kept as ground truth for the accuracy audit.
+    * This is the standard weak-labeling / pseudo-labeling stage of a
+    * training-data pipeline (label the unlabeled 99% from the curated 1%).
+    *
+    * Shape: candidate scoring is the n1/n3 broadcast pass (queries
+    * broadcast, one codegen'd [[dot]] per pair), ranking is the bounded
+    * [[TopKAggregator]] (map-side combine — the shuffle carries ≤ k
+    * entries per group per partition), and the vote is a tiny
+    * (numQueries × labels)-row aggregate. The scoring pass is
+    * INTERCHANGEABLE with any ANN tier (n2/n4–n9 produce the same
+    * `(query_id, neighbor_id, cosine)` relation cheaper at lower recall) —
+    * the exact form here is the oracle-verifiable baseline, exactly the
+    * n1-vs-ladder contract.
+    *
+    * Vote tie-break is fully deterministic and mirrored in the oracle:
+    * votes DESC, best (lowest) neighbor rank ASC, label ASC. */
+  def knnClassify(emb: DataFrame, numQueries: Int = KnnQueries,
+      k: Int = KnnK): DataFrame = {
+    val withN = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm2(col("embedding")).as("n2"))
+      // zero-norm vectors have undefined cosine — excluded both sides,
+      // the n1/n6 convention, mirrored in the oracle
+      .filter(col("n2") > 0.0)
+    val q = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("n2").as("qn"), col("label").as("true_label"))
+    // the labeled pool excludes the queries themselves (they are the
+    // "unlabeled" set) — disjoint by the vec_id split
+    val pool = withN.filter(col("vec_id") >= numQueries)
+    val scored = broadcast(q.select(col("query_id"), col("qv"), col("qn")))
+      .join(pool.as("c"), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("c.embedding")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    val ranked = rankTopKAgg(scored, k)
+    val votes = ranked
+      .join(pool.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
+    votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .join(q.select(col("query_id"), col("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"),
+        col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
+  def knnClassifySql(numQueries: Int = KnnQueries, k: Int = KnnK)
+      : String = s"""
+    WITH withn AS (
+      SELECT vec_id, embedding, label, ${norm2Sql("embedding")} AS n2
+      FROM embeddings),
+    live AS (SELECT * FROM withn WHERE n2 > 0),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn,
+        label AS true_label
+      FROM live WHERE vec_id < $numQueries),
+    pool AS (SELECT * FROM live WHERE vec_id >= $numQueries),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label,
+        ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
+      FROM q JOIN pool c ON c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, label,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS votes,
+        min(rank) AS best_rank
+      FROM ranked WHERE rank <= $k GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, label, votes,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY votes DESC, best_rank ASC, label ASC) AS vr
+      FROM votes)
+    SELECT b.query_id, b.label AS pred_label, b.votes, q.true_label,
+      b.label = q.true_label AS correct
+    FROM best b JOIN q ON q.query_id = b.query_id
+    WHERE vr = 1"""
 }
