@@ -273,6 +273,13 @@ object SparkEntry {
       Dedup.ngramJaccardDfCapped(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E104: CONTAINMENT near-dup — the asymmetric twin of d7: directional
+    // |A∩B|/|A| catches quote/subset pairs (planted first-12-token quote
+    // twins) that Jaccard's union normalizer suppresses on long docs.
+    "d14_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Dedup.withContainedDups(Sources.table(s, d, "documents")))),
+
     // E35 (D8): incremental dedup — a new batch left-anti-joined against
     // the accumulated fingerprint store (evens = history, incoming = odds
     // + a re-crawl of the evens). The production shape: per-batch work
@@ -1534,6 +1541,8 @@ object SparkEntry {
       Dedup.dupSpanRateSql(Dedup.withSpanTwinsSourcedSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
+    "d14_containment" ->
+      Dedup.containmentPairsSql(Dedup.withContainedDupsSql("documents")),
     "d4_simhash" ->
       Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
     "d5_simhash_pairs" ->

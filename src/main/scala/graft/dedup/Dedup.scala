@@ -46,6 +46,32 @@ object Dedup {
     UNION ALL
     SELECT doc_id + $TwinOffset AS doc_id, text || ' spark' AS text FROM $docs"""
 
+  val QuoteOffset = 20000000L
+  val QuoteTokens = 12
+
+  /** Corpus with planted CONTAINED duplicates for d14: every doc gets a
+    * "quote" twin holding only its first [[QuoteTokens]] tokens (id offset
+    * +20 M, disjoint from [[TwinOffset]]'s band) — the quote's shingle set
+    * is a SUBSET of the original's by construction, so directional
+    * containment is exactly 1.0 while Jaccard shrinks with the original's
+    * length: the planted positive d14 must find and a symmetric threshold
+    * misses on long docs. */
+  def withContainedDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + QuoteOffset).as("doc_id"),
+        array_join(slice(tokens(norm(col("text"))), 1, QuoteTokens), " ")
+          .as("text")))
+
+  def withContainedDupsSql(docs: String): String = s"""
+    SELECT doc_id, text FROM $docs
+    UNION ALL
+    SELECT doc_id + $QuoteOffset AS doc_id,
+      array_to_string(
+        list_slice(${tokensSql(normSql("text"))}, 1, $QuoteTokens),
+        ' ') AS text
+    FROM $docs"""
+
   // ---- D1: exact dedup -----------------------------------------------------
 
   /** Exact dedup by content fingerprint: one row per distinct normalized
@@ -211,10 +237,18 @@ object Dedup {
           "maxDf or use the MinHash path (d3), which has no DF " +
           "precondition")
     }
-    ngramJaccardDfCappedFrom(sh0, dfs, maxDf)
+    dfCappedPairScores(sh0, dfs, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  private def ngramJaccardDfCappedFrom(sh0: DataFrame, dfs: DataFrame,
+  /** Shared body of the df-capped similarity family (d7 Jaccard, d14
+    * containment): capped shingle relation → sizes → shared-shingle
+    * intersection counts → per-pair scores. Returns EVERY co-shingled
+    * pair with `containment_a`, `containment_b`, and `jaccard` columns —
+    * callers apply their own threshold, so one relation definition serves
+    * both symmetric and asymmetric scoring. */
+  private def dfCappedPairScores(sh0: DataFrame, dfs: DataFrame,
       maxDf: Int): DataFrame = {
     val rare = dfs
       .filter(col("df") <= maxDf)
@@ -237,10 +271,74 @@ object Dedup {
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sa.n")).as("containment_a"),
+        (col("inter").cast("double") / col("sb.n")).as("containment_b"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
   }
+
+  // ---- D14: containment near-dup (asymmetric) -----------------------------
+
+  /** Pairs whose larger directional containment crosses this line. */
+  val ContainmentThreshold = 0.8
+
+  /** E104: CONTAINMENT near-dup pairs — the asymmetric member of the
+    * dedup ladder. Jaccard normalizes by the UNION, so a short document
+    * fully quoted inside a much longer one scores ≈ \|A\|/\|B\| and slips
+    * under any useful Jaccard threshold; directional containment
+    * C(A→B) = \|A∩B\|/\|A\| scores that same pair 1.0. This is the quote/
+    * subset/boilerplate-expansion detector (the "suffix-eviction" case of
+    * text dedup): emitted pairs carry BOTH directions plus the Jaccard
+    * score for contrast, and a pair qualifies when its GREATER containment
+    * crosses [[ContainmentThreshold]].
+    *
+    * Same engine as d7 — the df-capped shingle relation
+    * ([[dfCappedPairScores]]: stop-shingles excluded from sets AND join,
+    * candidate volume linear for heavy-tailed corpora, shuffle keyed on
+    * the shingle hash), so the asymmetric score costs nothing beyond the
+    * pair pass the pipeline already runs; only the final normalization
+    * differs. Same fail-loud DF-collapse guard, same oracle CTE skeleton. */
+  def containmentPairs(docs: DataFrame, maxDf: Int = MaxShingleDf,
+      minContainment: Double = ContainmentThreshold): DataFrame = {
+    val sh0 = shingleSet(docs)
+    val dfs = sh0.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = dfs.agg(
+      coalesce(sum(col("df")), lit(0L)).as("total"),
+      coalesce(sum(when(col("df") <= maxDf, col("df"))), lit(0L))
+        .as("kept")).head()
+    if (m.getLong(0) > 0 && m.getLong(1) == 0) {
+      dfs.unpersist()
+      throw new IllegalStateException(
+        s"containment pairs: every shingle exceeds maxDf=$maxDf — the " +
+          "prefix filter dropped 100% of shingle mass (see d7's contract)")
+    }
+    dfCappedPairScores(sh0, dfs, maxDf)
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+  }
+
+  def containmentPairsSql(corpus: String, maxDf: Int = MaxShingleDf,
+      minContainment: Double = ContainmentThreshold): String = s"""
+    WITH corpus AS ($corpus),
+    sh0 AS (${shingleSetSql("corpus")}),
+    rare AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= $maxDf),
+    sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare ON sh0.h = rare.h),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      inter::DOUBLE / sa.n AS containment_a,
+      inter::DOUBLE / sb.n AS containment_b,
+      inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE greatest(inter::DOUBLE / sa.n, inter::DOUBLE / sb.n)
+      >= $minContainment"""
 
   def ngramJaccardDfCappedSql(corpus: String,
       maxDf: Int = MaxShingleDf): String = s"""

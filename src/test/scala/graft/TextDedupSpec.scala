@@ -234,6 +234,50 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, 2L)))
   }
 
+  test("d14: containment finds the quote pair Jaccard suppresses") {
+    // a 12-token quote inside a 48-token original: containment(B→A) = 1.0
+    // exactly, Jaccard ≈ 10/46 — far under d7's 0.6 threshold. The
+    // asymmetric score is the only member of the ladder that fires.
+    val long = (1 to 48).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = "completely different body with no shared shingles at all"
+    val d = docs((1L, long), (2L, quote), (3L, other))
+    val cont = Dedup.containmentPairs(d, maxDf = 20).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getAs[Double]("containment_b") === 1.0,
+      "the quote's capped shingle set is a subset by construction")
+    assert(r.getAs[Double]("jaccard") < Dedup.JaccardThreshold,
+      "the planted pair must be one Jaccard would miss")
+    assert(Dedup.ngramJaccardDfCapped(d, maxDf = 20).count() === 0L,
+      "d7 at its threshold must NOT see the quote pair")
+  }
+
+  test("d14: containment dominates jaccard on every emitted pair") {
+    val d = Dedup.withContainedDups(
+      docs((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 9).map(i => s"b$i").mkString(" ")),
+        (3L, (5 to 40).map(i => s"a$i").mkString(" "))))
+    val rows = Dedup.containmentPairs(d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb, j) = (r.getAs[Double]("containment_a"),
+        r.getAs[Double]("containment_b"), r.getAs[Double]("jaccard"))
+      assert(ca >= j && cb >= j,
+        s"containment is inter/side vs inter/union — must dominate: $r")
+      assert(math.max(ca, cb) >= Dedup.ContainmentThreshold)
+    }
+    // every original gained a planted quote twin at +QuoteOffset with
+    // full directional containment (doc 2 is only 9 tokens, so its
+    // "quote" is the whole doc — exact dup, containment 1.0 both ways)
+    val planted = rows.filter(r =>
+      r.getLong(1) == r.getLong(0) + Dedup.QuoteOffset)
+    assert(planted.length === 3)
+    planted.foreach(r =>
+      assert(r.getAs[Double]("containment_b") === 1.0))
+  }
+
   test("langId picks the marker-richest language deterministically") {
     val d = docs(
       (1L, "the cat is of the house and it is a thing"),
