@@ -758,6 +758,12 @@ object SparkEntry {
     "n9_ann_ivf_pq" -> ((s, d) =>
       Similarity.ivfPqTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E105: BM25 ranked retrieval — the inverted-index search stage:
+    // each query doc's distinct terms score every term-sharing doc
+    // (rational-odds idf, ordered per-pair fold), ranked top-k.
+    "t15_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopKRetrieval(Sources.table(s, d, "documents"))),
+
     // E103: k-NN label propagation — each "unlabeled" query vector takes
     // the majority label of its k nearest labeled neighbors (the pseudo-
     // labeling stage of a training-data pipeline); exact scoring here as
@@ -1565,6 +1571,7 @@ object SparkEntry {
     "n8x_ann_pq_trained" -> Similarity.pqTrainedTopKSql(5, 5),
     "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
     "knn1_knn_classify" -> Similarity.knnClassifySql(),
+    "t15_bm25" -> TextAnalysis.bm25TopKRetrievalSql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

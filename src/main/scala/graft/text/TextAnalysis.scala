@@ -484,6 +484,131 @@ object TextAnalysis {
     JOIN cleft ON bi.a = cleft.a
     GROUP BY 1"""
 
+  // ---- T15 (E105): BM25 ranked retrieval ----------------------------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Queries = 5
+  val Bm25TopK = 5
+
+  /** T15 (E105): BM25 ranked retrieval — the inverted-index search stage
+    * (dense retrieval's sparse sibling, and the standard "find training
+    * docs like these seeds" / retrieval-augmented curation primitive):
+    * each query document's distinct terms score every other document that
+    * shares a term, summed per (query, doc) and ranked top-k.
+    *
+    * Deterministic BM25 with the lm1 discipline: the usual `ln` idf would
+    * put each engine's libm in the answer (Math.log and DuckDB's ln may
+    * differ in the last ulp), so idf is the RAW ODDS ratio
+    * `(N - df + ½)/(df + ½)` — the exact rational inside Robertson's log,
+    * same relevance ordering force (monotone in df), every arithmetic op
+    * IEEE-correctly-rounded identically on both engines. The per-(q,d)
+    * term-score sum is a SEQUENTIAL fold in term-hash order
+    * (`sort_array` + `aggregate` ≙ DuckDB `list(… ORDER BY term)` +
+    * `list_reduce`), so fold order is part of the contract, not the
+    * scheduler's mood.
+    *
+    * Scale (100 TB): `tf` IS the inverted index — a token-grain aggregate
+    * (one shuffle, bucketable/persistable by term, exactly the t11 DF
+    * store's maintenance shape); corpus stats are a 1-row broadcast
+    * bounds frame (the jc1/v4x convention); the query side is tiny and
+    * broadcast, so the candidate join shuffles nothing but postings for
+    * terms the queries actually contain; the per-pair fold's lists are
+    * bounded by the query's term count. */
+  def bm25TopKRetrieval(docs: DataFrame,
+      numQueries: Int = Bm25Queries, k: Int = Bm25TopK): DataFrame = {
+    val k1 = Bm25K1
+    val tok = docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("th")).cast("long")), lit(0L)).as("tot_dl"))
+    val tf = tok
+      .select(col("doc_id"), size(col("th")).cast("long").as("dl"),
+        explode(col("th")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = tok.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("th"))).as("term"))
+    val scored = broadcast(q)
+      .join(tf.as("p"), col("p.term") === q("term") &&
+        col("p.doc_id") =!= col("query_id"))
+      .join(dfT.as("d"), col("d.term") === q("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("p.doc_id").as("doc_id"), q("term"),
+        (((col("n_docs") - col("d.df") + lit(0.5)) /
+            (col("d.df") + lit(0.5))) *
+          (col("p.tf") * lit(k1 + 1.0)) /
+          (col("p.tf") + lit(k1) * (lit(1.0 - Bm25B) + lit(Bm25B) *
+            col("p.dl").cast("double") /
+            (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
+          .as("s"))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        collect_list(struct(col("term"), col("s"))).as("ts"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        aggregate(sort_array(col("ts")), lit(0.0),
+          (a, x) => a + x.getField("s")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  def bm25TopKRetrievalSql(numQueries: Int = Bm25Queries,
+      k: Int = Bm25TopK): String = {
+    val k1 = Bm25K1
+    s"""
+    WITH t AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs,
+        coalesce(sum(len(th)), 0)::BIGINT AS tot_dl
+      FROM t),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, len(th)::BIGINT AS dl, unnest(th) AS term
+            FROM t)
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(th)) AS term
+      FROM t WHERE doc_id < $numQueries),
+    scored AS (
+      -- every fractional literal is ::DOUBLE: DuckDB parses bare 2.2 as
+      -- DECIMAL and computes tf * 2.2 EXACTLY, which rounds differently
+      -- from the double multiply Spark does (0.5/0.25/0.75 are dyadic so
+      -- the distinction is invisible elsewhere; 1.2/2.2 are not)
+      SELECT q.query_id, p.doc_id, q.term,
+        ((s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+          (p.tf * ${k1 + 1.0}::DOUBLE) /
+          (p.tf + $k1::DOUBLE * (${1.0 - Bm25B}::DOUBLE + $Bm25B::DOUBLE *
+            p.dl::DOUBLE / (s.tot_dl::DOUBLE / s.n_docs::DOUBLE))) AS s
+      FROM q
+      JOIN tf p ON p.term = q.term AND p.doc_id <> q.query_id
+      JOIN dft d ON d.term = q.term
+      CROSS JOIN stats s),
+    pair AS (
+      SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+        list(s ORDER BY term) AS ss
+      FROM scored GROUP BY 1, 2),
+    summed AS (
+      SELECT query_id, doc_id, n_terms,
+        list_reduce(list_prepend(0.0::DOUBLE, ss), (a, x) -> a + x)
+          AS score
+      FROM pair),
+    ranked AS (
+      SELECT query_id, doc_id, n_terms, score,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS rank
+      FROM summed)
+    SELECT query_id, rank::BIGINT AS rank, doc_id, n_terms, score
+    FROM ranked WHERE rank <= $k"""
+  }
+
   /** SEL1 (E94) token budget for the driver query — sized so the cut
     * lands strictly inside the corpus at every SF (the sf0.01 corpus
     * carries ~15k whitespace tokens): the selection must be a real
