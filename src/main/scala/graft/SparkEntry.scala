@@ -764,6 +764,13 @@ object SparkEntry {
     "t15_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopKRetrieval(Sources.table(s, d, "documents"))),
 
+    // E106: hybrid retrieval — Reciprocal Rank Fusion of the BM25 and
+    // dense-cosine rankings over the shared doc/vec id space (no score
+    // calibration crosses the system boundary, only ranks).
+    "rrf1_hybrid_fusion" -> ((s, d) =>
+      TextAnalysis.hybridRrf(Sources.table(s, d, "documents"),
+        Sources.table(s, d, "embeddings"))),
+
     // E103: k-NN label propagation — each "unlabeled" query vector takes
     // the majority label of its k nearest labeled neighbors (the pseudo-
     // labeling stage of a training-data pipeline); exact scoring here as
@@ -1572,6 +1579,7 @@ object SparkEntry {
     "n9_ann_ivf_pq" -> Similarity.ivfPqTopKSql(5, 5),
     "knn1_knn_classify" -> Similarity.knnClassifySql(),
     "t15_bm25" -> TextAnalysis.bm25TopKRetrievalSql(),
+    "rrf1_hybrid_fusion" -> TextAnalysis.hybridRrfSql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

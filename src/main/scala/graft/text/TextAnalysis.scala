@@ -609,6 +609,86 @@ object TextAnalysis {
     FROM ranked WHERE rank <= $k"""
   }
 
+  // ---- RRF1 (E106): hybrid sparse+dense retrieval fusion ------------------
+
+  /** Standard RRF damping constant (Cormack et al.'s 60). */
+  val RrfC = 60L
+  val RrfInnerK = 10
+
+  /** RRF1 (E106): hybrid retrieval — Reciprocal Rank Fusion of the
+    * BM25 (sparse, [[bm25TopKRetrieval]]) and dense-cosine
+    * ([[graft.sim.Similarity.bruteForceTopK]]) rankings over the shared
+    * document id space: `rrf(d) = Σ_systems 1/(C + rank_s(d))`, the
+    * fusion every production RAG/search stack runs because rank-space
+    * combination needs no score calibration between systems.
+    *
+    * Determinism: each term is one exact double division; a document
+    * ranked by only one system contributes that single term (FULL OUTER
+    * join + coalesce-to-0 — never a NULL-poisoned sum); the two-term add
+    * is a single IEEE rounding identical on both engines. Ranks, not
+    * scores, cross the system boundary — the reason this needs no
+    * cross-engine score normalization at all.
+    *
+    * Scale: both inputs are already top-k-bounded per query (k·Q rows
+    * each), so the fusion join, scoring, and final rank are
+    * driver-trivial at ANY corpus size — the expensive parts are the
+    * upstream retrievals, each already scoped by its own scale ladder
+    * (inverted index / ANN tiers). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      numQueries: Int = Bm25Queries, innerK: Int = RrfInnerK,
+      k: Int = Bm25TopK): DataFrame = {
+    val bm = bm25TopKRetrieval(docs, numQueries, innerK)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("bm25_rank"))
+    val dn = graft.sim.Similarity.bruteForceTopK(emb, numQueries, innerK)
+      .select(col("query_id").as("d_query_id"),
+        col("neighbor_id").as("d_doc_id"), col("rank").as("dense_rank"))
+    val fused = bm.join(dn,
+        col("query_id") === col("d_query_id") &&
+          col("doc_id") === col("d_doc_id"), "full_outer")
+      .select(
+        coalesce(col("query_id"), col("d_query_id")).as("query_id"),
+        coalesce(col("doc_id"), col("d_doc_id")).as("doc_id"),
+        col("bm25_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("dense_rank")), lit(0.0)))
+          .as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("bm25_rank"), col("dense_rank"), col("rrf"))
+  }
+
+  def hybridRrfSql(numQueries: Int = Bm25Queries,
+      innerK: Int = RrfInnerK, k: Int = Bm25TopK): String = s"""
+    WITH bm AS (
+      SELECT query_id, doc_id, rank AS bm25_rank
+      FROM (${bm25TopKRetrievalSql(numQueries, innerK)})),
+    dn AS (
+      SELECT query_id AS d_query_id, neighbor_id AS d_doc_id,
+        rank AS dense_rank
+      FROM (${graft.sim.Similarity.bruteForceTopKSql(numQueries, innerK)})),
+    fused AS (
+      SELECT coalesce(bm.query_id, dn.d_query_id) AS query_id,
+        coalesce(bm.doc_id, dn.d_doc_id) AS doc_id,
+        bm.bm25_rank, dn.dense_rank,
+        coalesce(1.0::DOUBLE / ($RrfC + bm.bm25_rank), 0.0::DOUBLE) +
+          coalesce(1.0::DOUBLE / ($RrfC + dn.dense_rank), 0.0::DOUBLE)
+          AS rrf
+      FROM bm FULL OUTER JOIN dn
+        ON bm.query_id = dn.d_query_id AND bm.doc_id = dn.d_doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, bm25_rank, dense_rank, rrf,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused)
+    SELECT query_id, rank::BIGINT AS rank, doc_id, bm25_rank, dense_rank,
+      rrf
+    FROM ranked WHERE rank <= $k"""
+
   /** SEL1 (E94) token budget for the driver query — sized so the cut
     * lands strictly inside the corpus at every SF (the sf0.01 corpus
     * carries ~15k whitespace tokens): the selection must be a real

@@ -72,6 +72,41 @@ class Bm25Spec extends SparkSpec {
       s"k1 saturation must cap the tf payoff: $s20 vs $s21")
   }
 
+  test("rrf1: a doc both systems rank beats every single-system doc") {
+    val d = docs(
+      (0L, "shared words about spark engines"),
+      (1L, "shared words about spark engines too"), // text near-copy
+      (2L, "shared words about spark engines also"), // text match only
+      (3L, "completely disjoint other content body"), // vector match only
+      (4L, "nothing in common with anything here"))
+    val e = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.99f, 0.01f), 0), // vector twin of the query
+      (2L, Seq(0f, 1f), 1), // orthogonal: dense ignores it
+      (3L, Seq(0.98f, 0.02f), 0), // dense match, no shared text
+      (4L, Seq(-1f, 0.1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = TextAnalysis.hybridRrf(d, e, numQueries = 1, innerK = 2,
+        k = 4).collect()
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getAs[Long]("doc_id") === 1L,
+      "the doc in BOTH top lists must fuse to rank 1")
+    val r1 = byRank.head
+    val (br, dr) = (r1.getAs[Long]("bm25_rank"), r1.getAs[Long]("dense_rank"))
+    assert(r1.getAs[Double]("rrf") ===
+      1.0 / (60L + br) + 1.0 / (60L + dr),
+      "fused score is exactly the two reciprocal terms")
+    // single-system docs carry a null rank on the missing side and one term
+    val vOnly = out.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(vOnly.isNullAt(vOnly.fieldIndex("bm25_rank")))
+    assert(vOnly.getAs[Double]("rrf") ===
+      1.0 / (60L + vOnly.getAs[Long]("dense_rank")))
+    val tOnly = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(tOnly.isNullAt(tOnly.fieldIndex("dense_rank")))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L),
+      "doc 4 is in neither top list and must not appear")
+  }
+
   test("bm25: n_terms counts matched distinct query terms only") {
     val d = docs(
       (0L, "one two three"),
