@@ -764,6 +764,12 @@ object SparkEntry {
     "t15_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopKRetrieval(Sources.table(s, d, "documents"))),
 
+    // E107: DSIR-style targeted selection — hashed-bigram target-vs-raw
+    // counts score every raw doc's target affinity (integer-exact
+    // posterior, the lm1 discipline), top-k kept.
+    "imp1_dsir_select" -> ((s, d) =>
+      TextAnalysis.dsirSelect(Sources.table(s, d, "documents"))),
+
     // E106: hybrid retrieval — Reciprocal Rank Fusion of the BM25 and
     // dense-cosine rankings over the shared doc/vec id space (no score
     // calibration crosses the system boundary, only ranks).
@@ -1580,6 +1586,7 @@ object SparkEntry {
     "knn1_knn_classify" -> Similarity.knnClassifySql(),
     "t15_bm25" -> TextAnalysis.bm25TopKRetrievalSql(),
     "rrf1_hybrid_fusion" -> TextAnalysis.hybridRrfSql(),
+    "imp1_dsir_select" -> TextAnalysis.dsirSelectSql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

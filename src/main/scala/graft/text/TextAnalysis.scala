@@ -609,6 +609,100 @@ object TextAnalysis {
     FROM ranked WHERE rank <= $k"""
   }
 
+  // ---- IMP1 (E107): DSIR-style targeted data selection --------------------
+
+  /** Hashed-bigram feature space (the DSIR paper's hashed n-gram model). */
+  val DsirBuckets = 1024L
+  val DsirTargetSources = Seq("src0", "src1")
+  val DsirTopK = 50
+
+  /** IMP1 (E107): targeted data selection, the DSIR shape (Xie et al.
+    * 2023: importance resampling on hashed n-gram features) — given a
+    * small TARGET corpus (the distribution you want more of) and the raw
+    * pool, score every raw document by how target-like its content is
+    * and keep the top-k. Features are hashed bigrams (the native
+    * [[spanHashesFromTh]] Horner kernel, mod [[DsirBuckets]] — the
+    * hashing trick, no vocabulary to ship).
+    *
+    * Where DSIR computes a log-likelihood ratio (a float fold whose order
+    * would become part of the answer), the score here is the
+    * integer-exact lm1 discipline: `affinity = Σ ct(b) / Σ (ct(b)+cr(b))`
+    * over the doc's bigram occurrences — the frequency-weighted posterior
+    * that a random corpus-wide occurrence of this doc's content came
+    * from the target corpus. A RATIO OF TWO EXACT LONG SUMS: associative,
+    * order-free, bitwise identical on both engines, same
+    * "target-content-mass" ordering force as the likelihood ratio.
+    *
+    * Scale: one narrow pass builds the bigram stream; the count table is
+    * [[DsirBuckets]]-bounded state (mergeable across batches — the
+    * t11/t14 statistics shape) with NO broadcast hint (AQE converts the
+    * join-back when small, the lm1 convention); the top-k is a bounded
+    * rank over per-doc scores. */
+  def dsirSelect(docs: DataFrame,
+      targetSources: Seq[String] = DsirTargetSources,
+      k: Int = DsirTopK): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      tokenHashes(toksCol).as("th"))
+    val bg = tok.select(col("doc_id"), col("source"),
+      explode(spanHashesFromTh(col("th"), 2)).as("h2"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("h2"), lit(DsirBuckets)).as("b"))
+    val isT = col("source").isin(targetSources: _*)
+    val counts = bg.groupBy(col("b")).agg(
+      sum(when(isT, lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(isT, lit(0L)).otherwise(lit(1L))).as("cr"))
+    val scored = bg.filter(!isT)
+      .join(counts, Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ct")).as("target_mass"),
+        sum(col("ct") + col("cr")).as("total_mass"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        (col("target_mass").cast("double") /
+          col("total_mass").cast("double")).as("affinity"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("affinity").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("source"), col("n_bigrams"), col("affinity"))
+  }
+
+  def dsirSelectSql(targetSources: Seq[String] = DsirTargetSources,
+      k: Int = DsirTopK): String = {
+    val tlist = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+        unnest(${spanHashesFromThSql("th", 2)}) % $DsirBuckets AS b
+      FROM t),
+    counts AS (
+      SELECT b,
+        sum(CASE WHEN source IN ($tlist) THEN 1 ELSE 0 END)::BIGINT AS ct,
+        sum(CASE WHEN source IN ($tlist) THEN 0 ELSE 1 END)::BIGINT AS cr
+      FROM bg GROUP BY 1),
+    scored AS (
+      SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
+        sum(ct)::BIGINT AS target_mass,
+        sum(ct + cr)::BIGINT AS total_mass
+      FROM bg JOIN counts USING (b)
+      WHERE source NOT IN ($tlist)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, source, n_bigrams,
+        target_mass::DOUBLE / total_mass::DOUBLE AS affinity,
+        row_number() OVER (
+          ORDER BY target_mass::DOUBLE / total_mass::DOUBLE DESC,
+            doc_id ASC) AS rank
+      FROM scored)
+    SELECT rank::BIGINT AS rank, doc_id, source, n_bigrams, affinity
+    FROM ranked WHERE rank <= $k"""
+  }
+
   // ---- RRF1 (E106): hybrid sparse+dense retrieval fusion ------------------
 
   /** Standard RRF damping constant (Cormack et al.'s 60). */

@@ -259,6 +259,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.filter(_.getBoolean(3)).map(_.getLong(2)).sum > 0)
   }
 
+  test("imp1: a target-content clone outranks off-target docs") {
+    import spark.implicits._
+    // target source docs share a distinctive phrase; raw doc 100 clones
+    // it (pure target content), raw doc 101 shares nothing with target,
+    // raw docs 102/103 supply off-target mass so 101's bigrams have
+    // raw-side counts
+    val d = Seq(
+      (1L, "quantum flux capacitor alignment protocol active", "tgt"),
+      (2L, "quantum flux capacitor alignment protocol standby", "tgt"),
+      (100L, "quantum flux capacitor alignment protocol copy", "raw"),
+      (101L, "ordinary mundane text about nothing special", "raw"),
+      (102L, "ordinary mundane text about nothing special twin", "raw"),
+      (103L, "ordinary mundane text about anything else", "raw"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirSelect(d, targetSources = Seq("tgt"), k = 10)
+      .collect()
+    assert(!out.exists(_.getAs[String]("source") == "tgt"),
+      "target docs are the reference distribution, never selected")
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getAs[Long]("doc_id") === 100L,
+      s"the target-content clone must rank 1: ${byRank.toSeq}")
+    val aff = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("affinity")).toMap
+    assert(aff(100L) > 0.5, "clone's bigram mass is mostly target-side")
+    assert(aff(101L) < aff(100L))
+    out.foreach { r =>
+      val a = r.getAs[Double]("affinity")
+      assert(a >= 0.0 && a <= 1.0, "affinity is a posterior, in [0,1]")
+    }
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
