@@ -764,6 +764,12 @@ object SparkEntry {
     "t15_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopKRetrieval(Sources.table(s, d, "documents"))),
 
+    // E108: cluster profile — every vector assigned to its trained
+    // k-means centroid (native argmin kernel), per-cluster size/dominant
+    // label/purity: the inspection stage of cluster-based curation.
+    "cl1_cluster_profile" -> ((s, d) =>
+      Similarity.clusterProfile(Sources.table(s, d, "embeddings"))),
+
     // E107: DSIR-style targeted selection — hashed-bigram target-vs-raw
     // counts score every raw doc's target affinity (integer-exact
     // posterior, the lm1 discipline), top-k kept.
@@ -1587,6 +1593,7 @@ object SparkEntry {
     "t15_bm25" -> TextAnalysis.bm25TopKRetrievalSql(),
     "rrf1_hybrid_fusion" -> TextAnalysis.hybridRrfSql(),
     "imp1_dsir_select" -> TextAnalysis.dsirSelectSql(),
+    "cl1_cluster_profile" -> Similarity.clusterProfileSql,
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

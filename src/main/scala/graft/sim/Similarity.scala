@@ -750,13 +750,14 @@ object Similarity {
     rankTopKAgg(joined, k)
   }
 
-  /** Oracle for [[ivfTrainedTopK]]: the SAME deterministic Lloyd run,
-    * unrolled as [[TrainIters]] CTE stages. Per-dim means are explicit
-    * sequential folds over `list(... ORDER BY vec_id)` (NOT `avg`, whose
-    * summation order is engine-internal) so every centroid double is
-    * bitwise-equal to the Scala fold. */
-  def ivfTrainedTopKSql(numQueries: Int, k: Int,
-      nprobe: Int = NumProbes): String = {
+  /** Shared oracle prefix (n5 trained-IVF, cl1 cluster profile): the SAME
+    * deterministic Lloyd run unrolled as [[TrainIters]] CTE stages, ending
+    * in `ranked_cells` — every vector's cells ranked by d2 (ties to the
+    * lower cell id). Per-dim means are explicit sequential folds over
+    * `list(... ORDER BY vec_id)` (NOT `avg`, whose summation order is
+    * engine-internal) so every centroid double is bitwise-equal to the
+    * Scala fold. */
+  private def trainedRankedCellsCtesSql: String = {
     def foldDot(v: String, c: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE,
          |  list_transform(range(1, len($v) + 1),
@@ -815,7 +816,13 @@ object Similarity {
       SELECT vec_id, cell_id, d2,
         row_number() OVER (PARTITION BY vec_id
           ORDER BY d2 ASC, cell_id ASC) AS cell_rank
-      FROM dists),
+      FROM dists)"""
+  }
+
+  def ivfTrainedTopKSql(numQueries: Int, k: Int,
+      nprobe: Int = NumProbes): String = {
+    s"""
+    $trainedRankedCellsCtesSql,
     assigned AS (
       SELECT e.vec_id, e.embedding,
         ${norm2Sql("e.embedding")} AS n2, rc.cell_id AS cell
@@ -1636,6 +1643,73 @@ object Similarity {
       count(*)::BIGINT AS n_partners
     FROM pairs GROUP BY 1"""
   }
+
+  // ---- E108 (CL1): cluster profile (k-means corpus organization) ----------
+
+  /** E108: corpus organization by trained k-means — assign EVERY vector
+    * to its [[trainCentroids]] centroid (n5's quantizer, d12's native
+    * argmin kernel) and profile each cluster: size, dominant label,
+    * label purity, label spread. This is the inspection/balance stage of
+    * cluster-based curation (SemDeDup's cells, cluster-balanced sampling,
+    * topic discovery): purity tells you whether the embedding space's
+    * cells mean anything before you let them drive dedup or mixing.
+    *
+    * Determinism: assignment is the shared d2-argmin arithmetic (ties to
+    * the lower cell id) against bitwise-reproducible Lloyd centroids;
+    * the profile is exact integer counts and one ratio-of-longs per
+    * cluster; dominant-label ties break to the lower label — all
+    * mirrored in the oracle via [[trainedRankedCellsCtesSql]].
+    *
+    * Scale: one narrow codegen'd assign pass (constant-size plan at any
+    * cell count — the [[org.apache.spark.sql.graft.PqEncode]] rationale)
+    * plus two cells×labels-bounded aggregates; nothing scales with the
+    * corpus but the scan. */
+  def clusterProfile(emb: DataFrame): DataFrame = {
+    val cents = trainCentroids(emb)
+    val codebook = Seq(cents.map(_.toSeq).toSeq)
+    val assigned = emb.select(col("vec_id"), col("label"),
+      element_at(org.apache.spark.sql.graft.VectorExpressions
+        .pqEncode(col("embedding"), codebook), 1)
+        .cast("long").as("cluster"))
+    val byLab = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("dominant_n"))
+    val tot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("n_labels"))
+    val dom = byLab.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("dominant_n").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("dominant_label"),
+        col("dominant_n"))
+    tot.join(dom, Seq("cluster"))
+      .select(col("cluster"), col("n"), col("dominant_label"),
+        col("dominant_n"), col("n_labels"),
+        (col("dominant_n").cast("double") / col("n").cast("double"))
+          .as("purity"))
+  }
+
+  def clusterProfileSql: String = s"""
+    $trainedRankedCellsCtesSql,
+    assigned AS (
+      SELECT e.vec_id, e.label, rc.cell_id AS cluster
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+    bylab AS (
+      SELECT cluster, label, count(*)::BIGINT AS dominant_n
+      FROM assigned GROUP BY 1, 2),
+    tot AS (
+      SELECT cluster, count(*)::BIGINT AS n,
+        count(DISTINCT label)::BIGINT AS n_labels
+      FROM assigned GROUP BY 1),
+    dom AS (
+      SELECT cluster, label AS dominant_label, dominant_n,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY dominant_n DESC, label ASC) AS rn
+      FROM bylab)
+    SELECT t.cluster, t.n, d.dominant_label, d.dominant_n, t.n_labels,
+      d.dominant_n::DOUBLE / t.n::DOUBLE AS purity
+    FROM tot t JOIN dom d ON d.cluster = t.cluster AND d.rn = 1"""
 
   // ---- E103 (KNN1): k-NN label propagation --------------------------------
 
