@@ -519,13 +519,21 @@ object TextAnalysis {
       numQueries: Int = Bm25Queries, k: Int = Bm25TopK): DataFrame = {
     val k1 = Bm25K1
     val tok = docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
-    val stats = tok.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(col("th")).cast("long")), lit(0L)).as("tot_dl"))
+    // ONE corpus tokenization: postings persist (the d7 convention —
+    // released by the runner's per-query cache clear) and serve all four
+    // consumers (df table, corpus stats, candidate join); N/avgdl are
+    // defined over TOKENIZED docs (empty docs are unmatchable and carry
+    // no length mass — the IR convention), so stats derive from the
+    // postings instead of a second corpus scan.
     val tf = tok
       .select(col("doc_id"), size(col("th")).cast("long").as("dl"),
         explode(col("th")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val q = tok.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("query_id"),
@@ -564,15 +572,16 @@ object TextAnalysis {
     WITH t AS (
       SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
       FROM documents),
-    stats AS (
-      SELECT count(*)::BIGINT AS n_docs,
-        coalesce(sum(len(th)), 0)::BIGINT AS tot_dl
-      FROM t),
     tf AS (
       SELECT doc_id, dl, term, count(*)::BIGINT AS tf
       FROM (SELECT doc_id, len(th)::BIGINT AS dl, unnest(th) AS term
             FROM t)
       GROUP BY 1, 2, 3),
+    stats AS (
+      -- over TOKENIZED docs (docs with ≥1 token), mirroring the engine
+      SELECT count(*)::BIGINT AS n_docs,
+        coalesce(sum(dl), 0)::BIGINT AS tot_dl
+      FROM (SELECT DISTINCT doc_id, dl FROM tf)),
     dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
     q AS (
       SELECT doc_id AS query_id, unnest(list_distinct(th)) AS term
