@@ -107,7 +107,17 @@ object ScaleSweep {
     // bigram stream — still ≤ linear end to end, now without the
     // fixed-vocab crutch; path1's matrix is |types|² whatever the log
     // size — both should be ≤ linear with flat job structure
-    "lm1_bigram_lm", "path1_event_transitions")
+    "lm1_bigram_lm", "path1_event_transitions",
+    // round-9 continuation: d14 rides d7's df-capped pair relation with
+    // asymmetric normalization (same linear-candidate argument, planted
+    // quote band at +20 M stays above any fanned id); t15's postings and
+    // df tables grow with corpus+vocabulary against a fixed broadcast
+    // query set (expect linear, like t10); imp1's bucket table is FIXED
+    // 1024 rows at any scale (the t14/jc1 bounded-state shape) with a
+    // linear bigram stream; knn1 is n1's broadcast scoring pass + a
+    // queries×labels-bounded vote — expect linear like n6
+    "d14_containment", "t15_bm25", "imp1_dsir_select",
+    "knn1_knn_classify")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -168,6 +168,32 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("knn1: scoring rides the native dot + bounded aggregator, vote is tiny") {
+    val p = planOf("knn1_knn_classify")
+    assert(p.contains("fvec_dot"), p.take(2000))
+    assert(!p.contains("ArrayAggregate"), "interpreted HOF fold on hot path")
+    // the broadcast query side makes the candidate pass a nested-loop
+    // against the pool, never a shuffle of the pool
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("t15: one postings base; query and stats sides broadcast") {
+    spark.catalog.clearCache()
+    val p = planOf("t15_bm25")
+    // the persisted tf relation serves stats/df/candidates — the corpus
+    // is tokenized once, every other consumer reads the cache
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("cl1: assignment is the native argmin kernel, constant-size plan") {
+    val p = planOf("cl1_cluster_profile")
+    assert(p.contains("pq_encode"), p.take(2000))
+    assert(!p.contains("ArrayAggregate"), "interpreted fold in assignment")
+  }
+
   test("metadata-only media query prunes the payload column") {
     // another suite may have cached the media corpus; a cached relation's
     // stored plan contains the payload expression regardless of pruning
