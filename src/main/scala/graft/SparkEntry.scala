@@ -770,6 +770,12 @@ object SparkEntry {
     "cl1_cluster_profile" -> ((s, d) =>
       Similarity.clusterProfile(Sources.table(s, d, "embeddings"))),
 
+    // E109: cluster-balanced sampling — a fixed per-cluster quota over
+    // the trained quantizer (uniform embedding-space coverage, the
+    // anti-mode-collapse subset), content-stable pick order.
+    "cb1_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(Sources.table(s, d, "embeddings"))),
+
     // E107: DSIR-style targeted selection — hashed-bigram target-vs-raw
     // counts score every raw doc's target affinity (integer-exact
     // posterior, the lm1 discipline), top-k kept.
@@ -1594,6 +1600,7 @@ object SparkEntry {
     "rrf1_hybrid_fusion" -> TextAnalysis.hybridRrfSql(),
     "imp1_dsir_select" -> TextAnalysis.dsirSelectSql(),
     "cl1_cluster_profile" -> Similarity.clusterProfileSql,
+    "cb1_cluster_sample" -> Similarity.clusterBalancedSampleSql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

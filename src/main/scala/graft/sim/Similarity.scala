@@ -1711,6 +1711,63 @@ object Similarity {
       d.dominant_n::DOUBLE / t.n::DOUBLE AS purity
     FROM tot t JOIN dom d ON d.cluster = t.cluster AND d.rn = 1"""
 
+  // ---- E109 (CB1): cluster-balanced sampling ------------------------------
+
+  val CbPerCluster = 8
+
+  /** E109: cluster-balanced sampling — keep a FIXED QUOTA per trained
+    * cluster instead of a global rate: uniform coverage of the embedding
+    * space (the anti-mode-collapse subset — a global hash sample keeps
+    * dense regions dense; the quota form keeps every region represented,
+    * the SemDeDup-family's "per-cluster keep" selection).
+    *
+    * Assignment is cl1's shared quantizer (native argmin kernel against
+    * the [[trainCentroids]] centroids); the within-cluster pick order is
+    * the CONTENT-STABLE hash convention shared with s1/t5/mix1
+    * ([[graft.functions.TextFunctions.docIdHash]] — rerun/retry-stable,
+    * no rand(), id tie-break), so the sample is deterministic end to end
+    * and mirrored value-for-value in the oracle.
+    *
+    * Scale: one narrow assign pass + one bounded per-cluster window
+    * (rows per group ≤ cluster size; the shuffle key is the cluster id).
+    * With size-derived cell counts (d12's rule) the quota form holds at
+    * any corpus size — quotas bound the OUTPUT while cells track the
+    * data. */
+  def clusterBalancedSample(emb: DataFrame,
+      perCluster: Int = CbPerCluster): DataFrame = {
+    import graft.functions.TextFunctions.docIdHash
+    val cents = trainCentroids(emb)
+    val codebook = Seq(cents.map(_.toSeq).toSeq)
+    val assigned = emb.select(col("vec_id"), col("label"),
+      element_at(org.apache.spark.sql.graft.VectorExpressions
+        .pqEncode(col("embedding"), codebook), 1)
+        .cast("long").as("cluster"))
+    assigned.withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(docIdHash(col("vec_id")).asc, col("vec_id").asc)))
+      .filter(col("pick_rank") <= perCluster)
+      .select(col("cluster"), col("pick_rank").cast("long").as("pick_rank"),
+        col("vec_id"), col("label"))
+  }
+
+  def clusterBalancedSampleSql(perCluster: Int = CbPerCluster): String = {
+    import graft.functions.TextFunctions.docIdHashSql
+    s"""
+    $trainedRankedCellsCtesSql,
+    assigned AS (
+      SELECT e.vec_id, e.label, rc.cell_id AS cluster
+      FROM embeddings e
+      JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.cell_rank = 1),
+    picked AS (
+      SELECT cluster, vec_id, label,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY ${docIdHashSql("vec_id")} ASC, vec_id ASC)
+          AS pick_rank
+      FROM assigned)
+    SELECT cluster, pick_rank::BIGINT AS pick_rank, vec_id, label
+    FROM picked WHERE pick_rank <= $perCluster"""
+  }
+
   // ---- E103 (KNN1): k-NN label propagation --------------------------------
 
   /** Query count / vote size for the driver's `knn1` query. */

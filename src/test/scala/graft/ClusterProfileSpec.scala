@@ -29,6 +29,28 @@ class ClusterProfileSpec extends SparkSpec {
     }
   }
 
+  test("cb1: quota per cluster, full coverage, deterministic pick order") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val profile = Similarity.clusterProfile(emb).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    val out = Similarity.clusterBalancedSample(emb).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.keySet === profile.keySet,
+      "every non-empty cluster is represented — the balance property")
+    byCluster.foreach { case (c, rows) =>
+      val expect = math.min(Similarity.CbPerCluster.toLong, profile(c))
+      assert(rows.length.toLong === expect,
+        s"cluster $c: quota is min(perCluster, cluster size)")
+      assert(rows.map(_.getAs[Long]("pick_rank")).sorted.toSeq ===
+        (1L to expect))
+    }
+    // rerun-stable: the content-hash order makes the pick a function of
+    // the data, not the scheduler
+    val again = Similarity.clusterBalancedSample(emb).collect()
+    assert(out.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("cl1: a separable fixture profiles at purity 1.0 per cluster") {
     // 256 vectors (the dense TrainSample prefix the trainer requires):
     // 16 exact one-hot directions, 16 copies each, label = direction.
