@@ -273,6 +273,21 @@ object SparkEntry {
       Dedup.ngramJaccardDfCapped(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
+    // E110: INCREMENTAL near-dup — a new batch vs the accumulated
+    // MinHash signature store (the production form of d3: only the batch
+    // pays the signature pass, the store is never re-read).
+    "d15_incremental_lsh" -> ((s, d) => {
+      val docs = Sources.table(s, d, "documents")
+      val store = Dedup.minhashSigStore(
+        docs.filter(col("doc_id") % 2 === 0))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + Dedup.ReCrawlOffset).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text")))
+      Dedup.incrementalLshDedup(batch, store)
+    }),
+
     // E104: CONTAINMENT near-dup — the asymmetric twin of d7: directional
     // |A∩B|/|A| catches quote/subset pairs (planted first-12-token quote
     // twins) that Jaccard's union normalizer suppresses on long docs.
@@ -1574,6 +1589,8 @@ object SparkEntry {
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d14_containment" ->
       Dedup.containmentPairsSql(Dedup.withContainedDupsSql("documents")),
+    "d15_incremental_lsh" ->
+      Dedup.incrementalLshDedupSql("SELECT doc_id, text FROM documents"),
     "d4_simhash" ->
       Dedup.simhashSignaturesSql(Dedup.withNearDupsSql("documents")),
     "d5_simhash_pairs" ->

@@ -620,12 +620,12 @@ object Dedup {
     val (a, b) = perm(i)
     s"min((h * $a + $b) % $HashP) AS mh_$i"
   }.mkString(",\n        ")
-  private def lshBandRowsSql: String = {
+  private def lshBandRowsSql(from: String = "sig"): String = {
     val r = NumHashes / NumBands
     (0 until NumBands).map { b =>
       val key = (0 until r).map(rr => s"mh_${b * r + rr}::VARCHAR")
         .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $b AS band, $key AS key FROM $from"
     }.mkString("\n      UNION ALL ")
   }
   private def lshEstSql: String = (0 until NumHashes)
@@ -634,7 +634,7 @@ object Dedup {
 
   def minhashLshPairsSql(corpus: String): String = {
     val minCols = lshMinColsSql
-    val bandRows = lshBandRowsSql
+    val bandRows = lshBandRowsSql()
     val estExpr = lshEstSql
     s"""
     WITH corpus AS ($corpus),
@@ -691,7 +691,7 @@ object Dedup {
 
   def crossCorpusNearDupsSql(corpus: String): String = {
     val minCols = lshMinColsSql
-    val bandRows = lshBandRowsSql
+    val bandRows = lshBandRowsSql()
     val estExpr = lshEstSql
     s"""
     WITH corpus AS ($corpus),
@@ -713,6 +713,93 @@ object Dedup {
     JOIN sig a ON cand.doc_id = a.doc_id
     JOIN sig b ON cand.eval_doc_id = b.doc_id
     WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold"""
+  }
+
+  // ---- D15: incremental near-dup vs the signature store --------------------
+
+  /** Re-crawl id band for the d15 driver corpus — above the near-dup
+    * (+10 M) and quote (+20 M) twin bands. */
+  val ReCrawlOffset = 30000000L
+
+  /** The signature STORE's row shape: (doc_id, sig[NumHashes]) — what a
+    * caller persists after each batch (NumHashes longs per doc; the text
+    * is never needed again). Public face of the shared d3/c3 signature
+    * aggregate. */
+  def minhashSigStore(docs: DataFrame): DataFrame = lshSigArray(docs)
+
+  /** D15 (E110): INCREMENTAL near-dup — the production form of d3, and
+    * d8's philosophy one rung up the ladder: a new batch is checked
+    * against the accumulated SIGNATURE store instead of the whole corpus
+    * against itself. Only the batch pays the shingle+signature pass; the
+    * store contributes stored signatures (its docs are never re-read, let
+    * alone re-shingled), the band join touches only matching buckets, and
+    * survivors' signatures are what the caller appends to the store —
+    * per-batch cost, exactly the `upsertStore`/d8 incremental contract.
+    *
+    * Same banding and agreement-estimate definitions as d3/c3 (ONE copy:
+    * [[lshBanded]]/[[lshEst]] — the scheme can never fork between batch
+    * and store sides). Output is the drop list with provenance per batch
+    * doc (keeper = lowest-id store match, best estimate, match count —
+    * the d12 shape). */
+  def incrementalLshDedup(batch: DataFrame, storeSigs: DataFrame)
+      : DataFrame = {
+    val bb = lshBanded(lshSigArray(batch))
+    val sb = lshBanded(storeSigs)
+    bb.as("x")
+      .join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+        lshEst.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= MinhashEstThreshold)
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("keeper_id"),
+        max(col("est_jaccard")).as("best_est"),
+        count(lit(1)).as("n_matches"))
+  }
+
+  /** d15 oracle: evens are the stored history; the batch = odds + a
+    * near-dup re-crawl of the evens (one appended token, +30 M ids) —
+    * every re-crawl must match its original in the store. */
+  def incrementalLshDedupSql(corpus: String): String = {
+    val minCols = lshMinColsSql
+    val estExpr = lshEstSql
+    s"""
+    WITH corpus AS ($corpus),
+    store_docs AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0),
+    batch_docs AS (
+      SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + $ReCrawlOffset AS doc_id, text || ' spark' AS text
+      FROM corpus WHERE doc_id % 2 = 0),
+    sh_s AS (${shingleSetSql("store_docs")}),
+    sig_s AS (
+      SELECT doc_id,
+        $minCols
+      FROM sh_s GROUP BY doc_id),
+    sh_b AS (${shingleSetSql("batch_docs")}),
+    sig_b AS (
+      SELECT doc_id,
+        $minCols
+      FROM sh_b GROUP BY doc_id),
+    banded_s AS (
+      ${lshBandRowsSql("sig_s")}),
+    banded_b AS (
+      ${lshBandRowsSql("sig_b")}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+      FROM banded_b x JOIN banded_s y
+        ON x.band = y.band AND x.key = y.key),
+    scored AS (
+      SELECT cand.doc_id, cand.dup_of,
+        ($estExpr)::DOUBLE / $NumHashes AS est_jaccard
+      FROM cand
+      JOIN sig_b a ON cand.doc_id = a.doc_id
+      JOIN sig_s b ON cand.dup_of = b.doc_id
+      WHERE ($estExpr)::DOUBLE / $NumHashes >= $MinhashEstThreshold)
+    SELECT doc_id, min(dup_of) AS keeper_id, max(est_jaccard) AS best_est,
+      count(*)::BIGINT AS n_matches
+    FROM scored GROUP BY 1"""
   }
 
   // ---- S3: split-leakage audit ---------------------------------------------

@@ -278,6 +278,32 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Double]("containment_b") === 1.0))
   }
 
+  test("d15: re-crawled near-dups match their stored originals; clean batch passes") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val d = docs(
+      (1L, "an entirely fresh body of text with no stored counterpart at all"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again daily"),
+      (4L, "pack my box with five dozen liquor jugs said the mad sphinx twice"))
+      .select(col("doc_id"), col("text"))
+    val store = Dedup.minhashSigStore(d.filter(col("doc_id") % 2 === 0))
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + Dedup.ReCrawlOffset).as("doc_id"),
+          concat(col("text"), lit(" spark")).as("text")))
+    val out = Dedup.incrementalLshDedup(batch, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Double]("best_est")))
+      .toMap
+    assert(out.keySet ===
+      Set(2L + Dedup.ReCrawlOffset, 4L + Dedup.ReCrawlOffset),
+      s"exactly the re-crawls are flagged, the fresh doc passes: $out")
+    assert(out(2L + Dedup.ReCrawlOffset)._1 === 2L)
+    assert(out(4L + Dedup.ReCrawlOffset)._1 === 4L)
+    out.values.foreach { case (_, est) =>
+      assert(est >= Dedup.MinhashEstThreshold)
+    }
+  }
+
   test("langId picks the marker-richest language deterministically") {
     val d = docs(
       (1L, "the cat is of the house and it is a thing"),
