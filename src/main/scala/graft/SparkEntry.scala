@@ -846,6 +846,12 @@ object SparkEntry {
     // decode stub, frame sampling. The stub's byte-stat features follow
     // the repo determinism convention, so the DuckDB oracle
     // (Multimodal.mediaSummarySql) hash-verifies the whole summary.
+    // E111: frame-level dedup — repeated frames (static intros/padding)
+    // hide inside distinct media objects; dedup at the sampled-frame
+    // grain, d1's one-shuffle plan over the frame generator.
+    "mm2_frame_dedup" -> ((s, d) =>
+      Multimodal.frameDedup(s, Sources.table(s, d, "documents"))),
+
     "mm1_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(s, Sources.table(s, d, "documents"))),
 
@@ -1749,6 +1755,7 @@ object SparkEntry {
       GROUP BY 1, 2""",
 
     "mm1_media_summary" -> Multimodal.mediaSummarySql,
+    "mm2_frame_dedup" -> Multimodal.frameDedupSql,
 
     "w2_fifo_next" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

@@ -184,6 +184,59 @@ object Multimodal {
         col("meta_frames"), col("sampled_frames"), col("distinct_frames"))
   }
 
+  /** MM2 query (E111): FRAME-level dedup — the video-pipeline shape the
+    * doc-level ladder can't see: repeated frames (static intros, logo
+    * cards, padding) hide inside distinct media objects, so the dedup
+    * grain is the sampled frame, not the document. Every frame
+    * (stride 1) is fingerprinted ([[sampleFrames]]'s hex-md5 convention)
+    * and grouped: fingerprints occurring more than once come back as the
+    * drop list with provenance — copy count, distinct carrying docs, and
+    * the lowest (doc, frame) keeper, packed as `doc·1024 + frame_no`
+    * (frame counts are payload-bounded ≪ 1024) so the arg-min is one
+    * engine-neutral integer MIN.
+    *
+    * Scale: the frame stream is a generator over the payload column (no
+    * shuffle until the fingerprint groupBy — exactly d1's one-shuffle
+    * dedup plan at frame grain); with real codecs the fingerprint would
+    * be a perceptual hash from [[MediaCodec]], same plan. */
+  def frameDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val frames = sampleFrames(mediaCorpus(docs), stride = 1)
+    frames
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1024L + col("frame_no")).as("keeper_key"))
+      .filter(col("n_copies") >= 2)
+      .select(col("frame_md5"), col("n_copies"), col("n_docs"),
+        // long/long is TRUE division in the Column DSL — floor it back
+        floor(col("keeper_key") / 1024L).cast("long").as("keeper_doc"),
+        pmod(col("keeper_key"), lit(1024L)).as("keeper_frame"))
+  }
+
+  def frameDedupSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, repeat(md5(text), 8) AS h,
+        (doc_id % 97 + 32)::BIGINT AS byte_len
+      FROM documents),
+    b2 AS (
+      SELECT doc_id,
+        substr(h, 1, (2 * byte_len)::INT) AS ph,
+        (byte_len + ${FrameSize - 1}) // $FrameSize AS nf
+      FROM base),
+    fr AS (
+      SELECT doc_id, unnest(range(0, nf)) AS frame_no, ph FROM b2),
+    fp AS (
+      SELECT doc_id, frame_no,
+        md5(upper(substr(ph, (frame_no * ${2 * FrameSize} + 1)::INT,
+          ${2 * FrameSize}))) AS frame_md5
+      FROM fr)
+    SELECT frame_md5, count(*)::BIGINT AS n_copies,
+      count(DISTINCT doc_id)::BIGINT AS n_docs,
+      (min(doc_id * 1024 + frame_no) // 1024)::BIGINT AS keeper_doc,
+      (min(doc_id * 1024 + frame_no) % 1024)::BIGINT AS keeper_frame
+    FROM fp GROUP BY 1
+    HAVING count(*) >= 2"""
+
   /** DuckDB twin of [[mediaSummary]]: payload synthesis (md5/repeat/
     * truncate), byte statistics, rolling hash, and frame fingerprints all
     * recomputed from the md5 HEX string — bytes are recovered by folding

@@ -68,6 +68,30 @@ class MultimodalSpec extends SparkSpec
     assert(nos.zipWithIndex.forall { case (n, i) => n == 2L * i })
   }
 
+  test("mm2: frame dedup finds the synthesized payloads' repeated frames") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.frameDedup(spark, docs).collect()
+    assert(out.nonEmpty, "the repeat(md5) payloads guarantee intra-doc dups")
+    // verify one group exhaustively against the raw frame stream
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .collect().map(r => (r.getAs[String]("frame_md5"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")))
+    val byFp = frames.groupBy(_._1)
+    out.foreach { r =>
+      val g = byFp(r.getAs[String]("frame_md5"))
+      assert(r.getAs[Long]("n_copies") === g.length.toLong)
+      assert(r.getAs[Long]("n_docs") === g.map(_._2).distinct.length.toLong)
+      val (_, kd, kf) = g.minBy(x => x._2 * 1024 + x._3)
+      assert(r.getAs[Long]("keeper_doc") === kd)
+      assert(r.getAs[Long]("keeper_frame") === kf)
+    }
+    // completeness: every fingerprint with >= 2 occurrences is reported
+    val expected = byFp.count(_._2.length >= 2)
+    assert(out.length === expected)
+    // singletons never appear
+    assert(out.forall(_.getAs[Long]("n_copies") >= 2L))
+  }
+
   test("mediaSummary joins decode + frames + pruned metadata") {
     val out = Multimodal.mediaSummary(spark, docs)
     assert(out.count() === docs.count())
