@@ -842,16 +842,16 @@ object SparkEntry {
           col("click_ts").as("click_ts_us"))
     }),
 
-    // E13: multimodal binary plumbing — synth payloads, partition-wise
-    // decode stub, frame sampling. The stub's byte-stat features follow
-    // the repo determinism convention, so the DuckDB oracle
-    // (Multimodal.mediaSummarySql) hash-verifies the whole summary.
     // E111: frame-level dedup — repeated frames (static intros/padding)
     // hide inside distinct media objects; dedup at the sampled-frame
     // grain, d1's one-shuffle plan over the frame generator.
     "mm2_frame_dedup" -> ((s, d) =>
       Multimodal.frameDedup(s, Sources.table(s, d, "documents"))),
 
+    // E13: multimodal binary plumbing — synth payloads, partition-wise
+    // decode stub, frame sampling. The stub's byte-stat features follow
+    // the repo determinism convention, so the DuckDB oracle
+    // (Multimodal.mediaSummarySql) hash-verifies the whole summary.
     "mm1_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(s, Sources.table(s, d, "documents"))),
 

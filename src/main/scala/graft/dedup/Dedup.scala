@@ -214,6 +214,22 @@ object Dedup {
     // vocabulary-width; persisted like `sh` below, released by the
     // caller's cache clear (the existing d7 persist convention) so the
     // execution-time `rare` branch reuses it instead of re-exploding sh0
+    val dfs = guardedShingleDfs(sh0, maxDf, "df-capped Jaccard")
+    dfCappedPairScores(sh0, dfs, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** ONE definition of the df-relation build + fail-loud collapse guard
+    * for the df-capped family (d7 Jaccard, d14 containment): builds the
+    * persisted vocabulary-width DF relation (released by the caller's
+    * cache clear — the d7 persist convention; the `rare` branch reuses it
+    * instead of re-exploding sh0), measures the drop fraction, and throws
+    * on total collapse so a vacuous prefix filter can never read as "no
+    * duplicates". The stderr dropFrac line is the measurement signal for
+    * the documented recovery (catch, raise maxDf, retry). */
+  private def guardedShingleDfs(sh0: DataFrame, maxDf: Int,
+      what: String): DataFrame = {
     val dfs = sh0.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -223,7 +239,7 @@ object Dedup {
         .as("kept")).head()
     val (total, kept) = (m.getLong(0), m.getLong(1))
     System.err.println(
-      s"[graft.d7] shingle mass total=$total kept=$kept " +
+      s"[graft.dfcap] $what: shingle mass total=$total kept=$kept " +
         f"dropFrac=${if (total == 0) 0.0 else 1.0 - kept.toDouble / total}%.3f")
     if (total > 0 && kept == 0) {
       // release the cached DF relation on the fail-loud path — the
@@ -231,15 +247,13 @@ object Dedup {
       // persisted relation per attempt
       dfs.unpersist()
       throw new IllegalStateException(
-        s"df-capped Jaccard: every shingle exceeds maxDf=$maxDf " +
+        s"$what: every shingle exceeds maxDf=$maxDf " +
           "(bounded shingle space?) — the prefix filter dropped 100% of " +
           "shingle mass, so the method carries no signal here; raise " +
           "maxDf or use the MinHash path (d3), which has no DF " +
           "precondition")
     }
-    dfCappedPairScores(sh0, dfs, maxDf)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    dfs
   }
 
   /** Shared body of the df-capped similarity family (d7 Jaccard, d14
@@ -301,19 +315,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, maxDf: Int = MaxShingleDf,
       minContainment: Double = ContainmentThreshold): DataFrame = {
     val sh0 = shingleSet(docs)
-    val dfs = sh0.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = dfs.agg(
-      coalesce(sum(col("df")), lit(0L)).as("total"),
-      coalesce(sum(when(col("df") <= maxDf, col("df"))), lit(0L))
-        .as("kept")).head()
-    if (m.getLong(0) > 0 && m.getLong(1) == 0) {
-      dfs.unpersist()
-      throw new IllegalStateException(
-        s"containment pairs: every shingle exceeds maxDf=$maxDf — the " +
-          "prefix filter dropped 100% of shingle mass (see d7's contract)")
-    }
+    val dfs = guardedShingleDfs(sh0, maxDf, "containment pairs")
     dfCappedPairScores(sh0, dfs, maxDf)
       .filter(greatest(col("containment_a"), col("containment_b"))
         >= minContainment)

@@ -213,18 +213,27 @@ object Multimodal {
         pmod(col("keeper_key"), lit(1024L)).as("keeper_frame"))
   }
 
-  def frameDedupSql: String = s"""
-    WITH base AS (
+  /** ONE definition of the payload-synthesis oracle base (the E13 stub
+    * formula: repeat(md5(text), 8) hex stream truncated to
+    * doc_id%97+32 bytes) — shared by [[mediaSummarySql]] and
+    * [[frameDedupSql]] so the synthesized-corpus contract can never fork
+    * between the two oracles. `ph` = the payload's hex form; `nf` = its
+    * frame count at [[FrameSize]]. */
+  private def payloadBaseCtesSql: String = s"""
+    base AS (
       SELECT doc_id, repeat(md5(text), 8) AS h,
         (doc_id % 97 + 32)::BIGINT AS byte_len
       FROM documents),
-    b2 AS (
-      SELECT doc_id,
+    pbase AS (
+      SELECT doc_id, byte_len, h,
         substr(h, 1, (2 * byte_len)::INT) AS ph,
         (byte_len + ${FrameSize - 1}) // $FrameSize AS nf
-      FROM base),
+      FROM base)"""
+
+  def frameDedupSql: String = s"""
+    WITH $payloadBaseCtesSql,
     fr AS (
-      SELECT doc_id, unnest(range(0, nf)) AS frame_no, ph FROM b2),
+      SELECT doc_id, unnest(range(0, nf)) AS frame_no, ph FROM pbase),
     fp AS (
       SELECT doc_id, frame_no,
         md5(upper(substr(ph, (frame_no * ${2 * FrameSize} + 1)::INT,
@@ -243,18 +252,14 @@ object Multimodal {
     * hex-digit pairs, frames are md5s of UPPER hex slices (≙ Spark
     * `md5(hex(frame_bytes))`, since `hex` upper-cases in both engines). */
   def mediaSummarySql: String = s"""
-    WITH base AS (
-      SELECT doc_id, repeat(md5(text), 8) AS h,
-        (doc_id % 97 + 32)::BIGINT AS byte_len
-      FROM documents),
+    WITH $payloadBaseCtesSql,
     b2 AS (
-      SELECT doc_id, byte_len, h,
-        substr(h, 1, (2 * byte_len)::INT) AS ph,
+      SELECT doc_id, byte_len, ph,
         list_transform(range(1, (byte_len + 1)::INT),
           i -> (strpos('0123456789abcdef', substr(h, (2*i-1)::INT, 1)) - 1) * 16
              + strpos('0123456789abcdef', substr(h, (2*i)::INT, 1)) - 1) AS bytes,
-        (byte_len + ${FrameSize - 1}) // $FrameSize AS nf
-      FROM base),
+        nf
+      FROM pbase),
     b3 AS (
       SELECT doc_id, byte_len, bytes, nf,
         list_transform(range(0, nf, 2),

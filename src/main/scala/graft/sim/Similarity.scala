@@ -1664,18 +1664,28 @@ object Similarity {
     * cell count — the [[org.apache.spark.sql.graft.PqEncode]] rationale)
     * plus two cells×labels-bounded aggregates; nothing scales with the
     * corpus but the scan. */
-  def clusterProfile(emb: DataFrame): DataFrame = {
+  /** ONE definition of the trained-quantizer assignment (cl1 profile,
+    * cb1 quota sample): every vector → (vec_id, label, cluster) through
+    * the native argmin kernel against the [[trainCentroids]] centroids.
+    * The two consumers can never fork cluster conventions. */
+  private def assignClusters(emb: DataFrame): DataFrame = {
     val cents = trainCentroids(emb)
     val codebook = Seq(cents.map(_.toSeq).toSeq)
-    val assigned = emb.select(col("vec_id"), col("label"),
+    emb.select(col("vec_id"), col("label"),
       element_at(org.apache.spark.sql.graft.VectorExpressions
         .pqEncode(col("embedding"), codebook), 1)
         .cast("long").as("cluster"))
-    val byLab = assigned.groupBy(col("cluster"), col("label"))
+  }
+
+  def clusterProfile(emb: DataFrame): DataFrame = {
+    // ONE corpus-width pass: the (cluster, label) aggregate is the only
+    // consumer of the assignment; totals and label spread derive from
+    // the cells×labels-bounded byLab relation, not a second scan
+    val byLab = assignClusters(emb).groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("dominant_n"))
-    val tot = assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("label")).as("n_labels"))
+    val tot = byLab.groupBy(col("cluster"))
+      .agg(sum(col("dominant_n")).as("n"),
+        count(lit(1)).as("n_labels"))
     val dom = byLab.withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(col("dominant_n").desc, col("label").asc)))
@@ -1736,13 +1746,7 @@ object Similarity {
   def clusterBalancedSample(emb: DataFrame,
       perCluster: Int = CbPerCluster): DataFrame = {
     import graft.functions.TextFunctions.docIdHash
-    val cents = trainCentroids(emb)
-    val codebook = Seq(cents.map(_.toSeq).toSeq)
-    val assigned = emb.select(col("vec_id"), col("label"),
-      element_at(org.apache.spark.sql.graft.VectorExpressions
-        .pqEncode(col("embedding"), codebook), 1)
-        .cast("long").as("cluster"))
-    assigned.withColumn("pick_rank", row_number().over(
+    assignClusters(emb).withColumn("pick_rank", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(docIdHash(col("vec_id")).asc, col("vec_id").asc)))
       .filter(col("pick_rank") <= perCluster)

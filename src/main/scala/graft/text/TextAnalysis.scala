@@ -652,10 +652,14 @@ object TextAnalysis {
       k: Int = DsirTopK): DataFrame = {
     val tok = docs.select(col("doc_id"), col("source"),
       tokenHashes(toksCol).as("th"))
+    // ONE corpus tokenize+hash pass: both consumers (the bucket counts
+    // and the raw-side scoring join) read the persisted bigram stream —
+    // the t15 postings convention, released by the runner's cache clear
     val bg = tok.select(col("doc_id"), col("source"),
       explode(spanHashesFromTh(col("th"), 2)).as("h2"))
       .select(col("doc_id"), col("source"),
         pmod(col("h2"), lit(DsirBuckets)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isT = col("source").isin(targetSources: _*)
     val counts = bg.groupBy(col("b")).agg(
       sum(when(isT, lit(1L)).otherwise(lit(0L))).as("ct"),

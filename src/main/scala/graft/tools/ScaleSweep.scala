@@ -117,7 +117,13 @@ object ScaleSweep {
     // linear bigram stream; knn1 is n1's broadcast scoring pass + a
     // queries×labels-bounded vote — expect linear like n6
     "d14_containment", "t15_bm25", "imp1_dsir_select",
-    "knn1_knn_classify")
+    "knn1_knn_classify",
+    // d15's claim IS a scale claim — per-batch cost: the store half is
+    // signatures only, the batch half pays shingling; both halves grow
+    // ×N here so expect linear with flat structure (the interesting
+    // number is the band-join's candidate volume staying ~linear);
+    // mm2's frame stream is payload-bounded (generator → one groupBy)
+    "d15_incremental_lsh", "mm2_frame_dedup")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
