@@ -785,6 +785,12 @@ object SparkEntry {
     "cl1_cluster_profile" -> ((s, d) =>
       Similarity.clusterProfile(Sources.table(s, d, "embeddings"))),
 
+    // E112: hard-negative mining — per anchor, nearest same-label
+    // positive + nearest cross-label hard negative with the margin
+    // signal (contrastive-pair prep for embedding training).
+    "hn1_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Sources.table(s, d, "embeddings"))),
+
     // E109: cluster-balanced sampling — a fixed per-cluster quota over
     // the trained quantizer (uniform embedding-space coverage, the
     // anti-mode-collapse subset), content-stable pick order.
@@ -1624,6 +1630,7 @@ object SparkEntry {
     "imp1_dsir_select" -> TextAnalysis.dsirSelectSql(),
     "cl1_cluster_profile" -> Similarity.clusterProfileSql,
     "cb1_cluster_sample" -> Similarity.clusterBalancedSampleSql(),
+    "hn1_hard_negatives" -> Similarity.hardNegativesSql(),
 
     "x7_running_revenue" -> s"""$ctes,
       daily AS (

@@ -1721,6 +1721,86 @@ object Similarity {
       d.dominant_n::DOUBLE / t.n::DOUBLE AS purity
     FROM tot t JOIN dom d ON d.cluster = t.cluster AND d.rn = 1"""
 
+  // ---- E112 (HN1): hard-negative mining -----------------------------------
+
+  val HnQueries = 20
+
+  /** E112: hard-negative mining — the contrastive-pair prep of an
+    * embedding-training pipeline: for each anchor, the nearest SAME-label
+    * vector (the positive) and the nearest OTHER-label vector (the hard
+    * negative — the pair that actually teaches a contrastive loss), with
+    * `margin = pos_cosine − neg_cosine` as the difficulty signal
+    * (negative margin = the negative sits closer than the positive: the
+    * anchors worth mining).
+    *
+    * Shape: one n1-style broadcast scoring pass (native [[dot]]), labels
+    * joined from the pool, then ONE window partitioned by
+    * (anchor, same-label?) picks both rank-1 rows, pivoted to columns by
+    * a 2-row-per-anchor aggregate. A missing side (an anchor whose label
+    * no pool vector shares) surfaces as NULL, never a dropped anchor.
+    * Determinism: cosine ties break on neighbor id; margin is one IEEE
+    * subtraction of two exact fold results. */
+  def hardNegatives(emb: DataFrame, numQueries: Int = HnQueries)
+      : DataFrame = {
+    val withN = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm2(col("embedding")).as("n2"))
+      .filter(col("n2") > 0.0)
+    val q = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("n2").as("qn"), col("label").as("anchor_label"))
+    val pool = withN.filter(col("vec_id") >= numQueries)
+    val scored = broadcast(q)
+      .join(pool.as("c"), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("anchor_label"),
+        col("c.vec_id").as("neighbor_id"), col("c.label").as("nl"),
+        (dot(col("qv"), col("c.embedding")) /
+          (col("qn") * col("c.n2"))).as("cosine"),
+        (col("c.label") === col("anchor_label")).as("same"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("same"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rn") === 1)
+    best.groupBy(col("query_id"), col("anchor_label"))
+      .agg(
+        max(when(col("same"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("same"), col("cosine"))).as("pos_cosine"),
+        max(when(!col("same"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("same"), col("cosine"))).as("neg_cosine"))
+      .select(col("query_id"), col("anchor_label"), col("pos_id"),
+        col("pos_cosine"), col("neg_id"), col("neg_cosine"),
+        (col("pos_cosine") - col("neg_cosine")).as("margin"))
+  }
+
+  def hardNegativesSql(numQueries: Int = HnQueries): String = s"""
+    WITH withn AS (
+      SELECT vec_id, embedding, label, ${norm2Sql("embedding")} AS n2
+      FROM embeddings),
+    live AS (SELECT * FROM withn WHERE n2 > 0),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn,
+        label AS anchor_label
+      FROM live WHERE vec_id < $numQueries),
+    pool AS (SELECT * FROM live WHERE vec_id >= $numQueries),
+    scored AS (
+      SELECT query_id, anchor_label, c.vec_id AS neighbor_id,
+        ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine,
+        c.label = anchor_label AS same
+      FROM q JOIN pool c ON c.vec_id <> query_id),
+    best AS (
+      SELECT * FROM (
+        SELECT query_id, anchor_label, neighbor_id, cosine, same,
+          row_number() OVER (PARTITION BY query_id, same
+            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT query_id, anchor_label,
+      max(CASE WHEN same THEN neighbor_id END) AS pos_id,
+      max(CASE WHEN same THEN cosine END) AS pos_cosine,
+      max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+      max(CASE WHEN NOT same THEN cosine END) AS neg_cosine,
+      max(CASE WHEN same THEN cosine END)
+        - max(CASE WHEN NOT same THEN cosine END) AS margin
+    FROM best GROUP BY 1, 2"""
+
   // ---- E109 (CB1): cluster-balanced sampling ------------------------------
 
   val CbPerCluster = 8

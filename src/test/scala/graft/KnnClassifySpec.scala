@@ -74,6 +74,41 @@ class KnnClassifySpec extends SparkSpec {
     assert(out.head.getAs[Int]("pred_label") === 8)
   }
 
+  test("hn1: picks nearest same-label positive and cross-label negative") {
+    // anchor label 5 at (1,0): same-label pool twin at cos≈0.995, but a
+    // DIFFERENT-label vector sits exactly on the anchor — the hard
+    // negative, so the margin must come out negative.
+    val df = emb(Seq(
+      (0L, Seq(1f, 0f), 5),
+      (2L, Seq(0.9f, 0.1f), 5), // positive
+      (3L, Seq(1f, 0f), 7), // hard negative, cosine 1.0
+      (4L, Seq(0f, 1f), 7),
+      (5L, Seq(0.5f, 0.5f), 5)))
+    val out = Similarity.hardNegatives(df, numQueries = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("pos_id") === 2L)
+    assert(r.getAs[Long]("neg_id") === 3L)
+    assert(r.getAs[Double]("neg_cosine") === 1.0)
+    assert(r.getAs[Double]("margin") ===
+      r.getAs[Double]("pos_cosine") - r.getAs[Double]("neg_cosine"))
+    assert(r.getAs[Double]("margin") < 0.0,
+      "the planted negative is closer than any positive")
+  }
+
+  test("hn1: an anchor with no same-label pool keeps a NULL positive") {
+    val df = emb(Seq(
+      (0L, Seq(1f, 0f), 9), // label 9 exists nowhere in the pool
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0f, 1f), 2)))
+    val out = Similarity.hardNegatives(df, numQueries = 1).collect()
+    assert(out.length === 1, "missing side must not drop the anchor")
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("pos_id")))
+    assert(r.isNullAt(r.fieldIndex("margin")))
+    assert(r.getAs[Long]("neg_id") === 2L)
+  }
+
   test("knn1: zero-norm queries and pool vectors are excluded") {
     val df = emb(Seq(
       (0L, Seq(0f, 0f), 1), // zero-norm query: undefined cosine, no row
