@@ -337,6 +337,12 @@ object SparkEntry {
       TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
     }),
 
+    // E113: per-source contamination report — c1/c2/c3 joined to the
+    // one-row-per-source dashboard a curation run publishes (each signal
+    // keeps its operator's own convention; signals join, not re-derive).
+    "rep1_contamination_report" -> ((s, d) =>
+      TextAnalysis.contaminationReport(Sources.table(s, d, "documents"))),
+
     // E92 (B1): bloom-filter membership pruning — the set-membership
     // sketch (fixed 64×32-bit words, bit_or-mergeable): per-doc
     // maybe/definitely-not against the eval block list with no corpus
@@ -1485,6 +1491,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
+    "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,

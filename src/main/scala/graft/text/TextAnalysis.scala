@@ -618,6 +618,77 @@ object TextAnalysis {
     FROM ranked WHERE rank <= $k"""
   }
 
+  // ---- REP1 (E113): per-source contamination report -----------------------
+
+  /** REP1 (E113): the decontamination DASHBOARD — the three contamination
+    * grains the pipeline already computes (c1 exact fingerprints, c2
+    * shared word-5-grams, c3 MinHash near-dups), joined to one per-source
+    * report with a single `flagged` verdict. This is the artifact a
+    * curation run actually publishes: one row per source, every signal's
+    * own convention preserved (c1 counts all docs incl. the eval rows
+    * themselves; c2/c3 count training-side docs against the eval set —
+    * the report JOINS the operators' outputs, it does not re-derive
+    * them, so each column stays hash-identical to its standalone query).
+    *
+    * Scale: three already-scoped passes (each broadcast-joins the tiny
+    * eval side and aggregates to source grain) + a \|sources\|-row join.
+    * Nothing new shuffles wider than the source key. */
+  def contaminationReport(docs: DataFrame): DataFrame = {
+    val exact = contaminationBySource(docs, evalSetFps(docs))
+      .select(col("source"), col("n_docs"),
+        col("n_contaminated").as("exact_contaminated"),
+        col("contamination_rate").as("exact_rate"))
+    val ngram = ngramContamination(docs)
+      .select(col("source"),
+        col("n_contaminated").as("ngram_contaminated"),
+        col("max_overlap").as("ngram_max_overlap"))
+    val near = graft.dedup.Dedup.crossCorpusNearDups(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("neardup_docs"))
+    // exact covers every source (it counts ALL docs), so it anchors the
+    // left joins; absent signals coalesce to 0, never drop a source
+    exact.join(ngram, Seq("source"), "left")
+      .join(near, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("exact_contaminated"),
+        col("exact_rate"),
+        coalesce(col("ngram_contaminated"), lit(0L))
+          .as("ngram_contaminated"),
+        coalesce(col("ngram_max_overlap"), lit(0L))
+          .as("ngram_max_overlap"),
+        coalesce(col("neardup_docs"), lit(0L)).as("neardup_docs"),
+        (col("exact_contaminated") +
+          coalesce(col("ngram_contaminated"), lit(0L)) +
+          coalesce(col("neardup_docs"), lit(0L)) > 0).as("flagged"))
+  }
+
+  def contaminationReportSql: String = {
+    val corpus = "SELECT doc_id, source, text FROM documents"
+    s"""
+    WITH exact AS (
+      SELECT source, n_docs, n_contaminated AS exact_contaminated,
+        contamination_rate AS exact_rate
+      FROM ($contaminationBySourceSql)),
+    ngram AS (
+      SELECT source, n_contaminated AS ngram_contaminated,
+        max_overlap AS ngram_max_overlap
+      FROM (${ngramContaminationSql(corpus)})),
+    near AS (
+      SELECT d.source, count(DISTINCT n.doc_id)::BIGINT AS neardup_docs
+      FROM (${graft.dedup.Dedup.crossCorpusNearDupsSql(corpus)}) n
+      JOIN documents d ON d.doc_id = n.doc_id
+      GROUP BY 1)
+    SELECT e.source, e.n_docs, e.exact_contaminated, e.exact_rate,
+      coalesce(g.ngram_contaminated, 0)::BIGINT AS ngram_contaminated,
+      coalesce(g.ngram_max_overlap, 0)::BIGINT AS ngram_max_overlap,
+      coalesce(r.neardup_docs, 0)::BIGINT AS neardup_docs,
+      e.exact_contaminated + coalesce(g.ngram_contaminated, 0)
+        + coalesce(r.neardup_docs, 0) > 0 AS flagged
+    FROM exact e
+    LEFT JOIN ngram g ON g.source = e.source
+    LEFT JOIN near r ON r.source = e.source"""
+  }
+
   // ---- IMP1 (E107): DSIR-style targeted data selection --------------------
 
   /** Hashed-bigram feature space (the DSIR paper's hashed n-gram model). */

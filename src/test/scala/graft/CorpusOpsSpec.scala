@@ -290,6 +290,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("rep1: report columns equal the standalone signals (join, not re-derive)") {
+    val rep = TextAnalysis.contaminationReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val c1 = TextAnalysis
+      .contaminationBySource(docs, TextAnalysis.evalSetFps(docs)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    val c2 = TextAnalysis.ngramContamination(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_contaminated")).toMap
+    assert(rep.keySet === c1.keySet, "one row per source, none dropped")
+    rep.foreach { case (src, r) =>
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("exact_contaminated"))
+        === c1(src), s"$src: c1 columns must be the standalone values")
+      assert(r.getAs[Long]("ngram_contaminated") === c2.getOrElse(src, 0L))
+      assert(r.getAs[Boolean]("flagged") ===
+        (r.getAs[Long]("exact_contaminated") +
+          r.getAs[Long]("ngram_contaminated") +
+          r.getAs[Long]("neardup_docs") > 0))
+    }
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
