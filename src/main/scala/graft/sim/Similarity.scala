@@ -1760,12 +1760,17 @@ object Similarity {
         Window.partitionBy(col("query_id"), col("same"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .filter(col("rn") === 1)
-    best.groupBy(col("query_id"), col("anchor_label"))
+    val pivoted = best.groupBy(col("query_id"))
       .agg(
         max(when(col("same"), col("neighbor_id"))).as("pos_id"),
         max(when(col("same"), col("cosine"))).as("pos_cosine"),
         max(when(!col("same"), col("neighbor_id"))).as("neg_id"),
         max(when(!col("same"), col("cosine"))).as("neg_cosine"))
+    // every anchor anchors its own row — an EMPTY pool (both sides
+    // missing, e.g. all pool vectors zero-norm) still surfaces the
+    // anchor with NULL columns, never drops it
+    q.select(col("query_id"), col("anchor_label"))
+      .join(pivoted, Seq("query_id"), "left")
       .select(col("query_id"), col("anchor_label"), col("pos_id"),
         col("pos_cosine"), col("neg_id"), col("neg_cosine"),
         (col("pos_cosine") - col("neg_cosine")).as("margin"))
@@ -1788,18 +1793,20 @@ object Similarity {
       FROM q JOIN pool c ON c.vec_id <> query_id),
     best AS (
       SELECT * FROM (
-        SELECT query_id, anchor_label, neighbor_id, cosine, same,
+        SELECT query_id, neighbor_id, cosine, same,
           row_number() OVER (PARTITION BY query_id, same
             ORDER BY cosine DESC, neighbor_id ASC) AS rn
-        FROM scored) WHERE rn = 1)
-    SELECT query_id, anchor_label,
-      max(CASE WHEN same THEN neighbor_id END) AS pos_id,
-      max(CASE WHEN same THEN cosine END) AS pos_cosine,
-      max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
-      max(CASE WHEN NOT same THEN cosine END) AS neg_cosine,
-      max(CASE WHEN same THEN cosine END)
-        - max(CASE WHEN NOT same THEN cosine END) AS margin
-    FROM best GROUP BY 1, 2"""
+        FROM scored) WHERE rn = 1),
+    pivoted AS (
+      SELECT query_id,
+        max(CASE WHEN same THEN neighbor_id END) AS pos_id,
+        max(CASE WHEN same THEN cosine END) AS pos_cosine,
+        max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+        max(CASE WHEN NOT same THEN cosine END) AS neg_cosine
+      FROM best GROUP BY 1)
+    SELECT q.query_id, q.anchor_label, p.pos_id, p.pos_cosine,
+      p.neg_id, p.neg_cosine, p.pos_cosine - p.neg_cosine AS margin
+    FROM q LEFT JOIN pivoted p ON p.query_id = q.query_id"""
 
   // ---- E109 (CB1): cluster-balanced sampling ------------------------------
 

@@ -14,54 +14,82 @@ import graft.dedup.Dedup
   * signatures only, never re-reads text), and the survivors' signatures
   * become the store's next increment.
   *
-  * Exactly-once contract WITHOUT a state store: both writes (survivor
-  * docs and signature increment) land in per-`batchId` directories with
-  * `overwrite` mode — Structured Streaming replays a failed batch under
-  * the SAME id, so a crashed/retried batch overwrites its own partial
-  * output instead of duplicating it (the same idempotence rationale as
-  * the epoch-manifest store's per-partition swap). The signature store
-  * is thus append-only at batch grain and a restart reconstructs it by
-  * reading every committed `batch=*` directory.
+  * Exactly-once contract WITHOUT a state store:
+  *  - both writes (survivor docs and signature increment) land in
+  *    per-`batchId` directories with `overwrite` mode, and the store
+  *    view for batch N reads STRICTLY batches < N — a replayed id
+  *    overwrites its own partial output and can never meet its own
+  *    first attempt's increment as "store state";
+  *  - each committed increment carries an explicit `_graft_committed`
+  *    marker (the store-protocol convention — `_SUCCESS` is config-
+  *    dependent on object stores), written AFTER the parquet lands;
+  *    [[readStore]] only admits marked directories, so a crash mid-write
+  *    leaves an invisible partial, not silent half-state;
+  *  - the replay discipline requires the engine to REUSE batch ids
+  *    across restarts, which only holds with a durable checkpoint —
+  *    [[start]] therefore takes `checkpointDir` as a required argument.
   *
-  * Scale: per-batch cost is the batch's own signature pass plus a band
-  * join against store signatures (NumHashes longs per stored doc).
-  * Unlike the exact E53 path (bounded watermark state inside the
+  * Cost: ONE signature pass per micro-batch (shingle+MinHash over the
+  * batch docs, persisted), reused by the self-join, the store band join,
+  * and the store increment; the survivor-doc write is the only pass
+  * over the text itself.
+  *
+  * Scale: unlike the exact E53 path (bounded watermark state inside the
   * streaming engine), near-dup state must span the whole corpus — which
   * is exactly why it lives in a parquet store the cluster can partition,
   * not in executor state-store memory. */
 object StreamNearDedup {
+
+  private val Marker = "_graft_committed"
 
   /** One micro-batch: within-batch dedup → store check → idempotent
     * per-batch writes. Public so batch callers (and the spec's replay
     * check) can drive it without a streaming query. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       outDir: String): Unit = {
+    val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
-    // within-batch: a doc near-duplicating a LOWER-id batch doc loses
-    val losers = Dedup.minhashLshPairs(docs)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val inBatch = docs.join(losers, Seq("doc_id"), "left_anti")
-    // vs the accumulated store — STRICTLY batches before this one: a
-    // replayed batch id would otherwise meet its own first attempt's
-    // increment in the store and drop every one of its docs as a
-    // "duplicate" of itself (and increments from batches ≥ this id can
-    // only exist as crashed partials, never as committed history)
-    val survivors = readStore(batch.sparkSession, storeDir,
-        beforeBatch = Some(batchId)) match {
-      case Some(store) =>
-        val dups = Dedup.incrementalLshDedup(inBatch, store)
-          .select(col("doc_id"))
-        inBatch.join(dups, Seq("doc_id"), "left_anti")
-      case None => inBatch
-    }
-    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    Dedup.minhashSigStore(survivors).write.mode("overwrite")
-      .parquet(s"$storeDir/batch=$batchId")
+    // the batch's ONE signature pass — every consumer below reuses it
+    val sigs = Dedup.minhashSigStore(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // within-batch: a doc near-duplicating a LOWER-id batch doc loses
+      val losers = Dedup.minhashLshPairsFromSigs(sigs)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val inBatchSigs = sigs.join(losers, Seq("doc_id"), "left_anti")
+      // vs the accumulated store — STRICTLY batches before this one: a
+      // replayed batch id would otherwise meet its own first attempt's
+      // increment and drop every doc as a "duplicate" of itself
+      val liveSigs = readStore(spark, storeDir,
+          beforeBatch = Some(batchId)) match {
+        case Some(store) =>
+          val dups = Dedup.incrementalLshDedupFromSigs(inBatchSigs, store)
+            .select(col("doc_id"))
+          inBatchSigs.join(dups, Seq("doc_id"), "left_anti")
+        case None => inBatchSigs
+      }
+      val survivors = docs.join(liveSigs.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      liveSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      // markers LAST: overwrite wiped any prior marker with the dir, so
+      // a replay re-commits atomically-enough (marker exists ⇒ parquet
+      // before it is complete)
+      touch(spark, s"$outDir/batch=$batchId/$Marker")
+      touch(spark, s"$storeDir/batch=$batchId/$Marker")
+    } finally sigs.unpersist()
   }
 
-  /** The committed signature store: every batch increment (optionally
-    * only those strictly before `beforeBatch` — the replay-safe view),
-    * or None when empty. */
+  private def touch(spark: SparkSession, path: String): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** The COMMITTED signature store: every marked batch increment
+    * (optionally only those strictly before `beforeBatch` — the
+    * replay-safe view), or None when empty. Unmarked (crashed-partial)
+    * and non-numeric directories are skipped, never read. */
   def readStore(spark: SparkSession, storeDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
     val p = new HPath(storeDir)
@@ -69,17 +97,25 @@ object StreamNearDedup {
     if (!fs.exists(p)) return None
     val dirs = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .filter(_.stripPrefix("batch=").forall(_.isDigit))
       .filter(n => beforeBatch.forall(b =>
         n.stripPrefix("batch=").toLong < b))
+      .filter(n => fs.exists(new HPath(s"$storeDir/$n/$Marker")))
       .map(n => s"$storeDir/$n")
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
   }
 
-  /** Streaming entry: drive [[processBatch]] from a doc stream. */
+  /** Streaming entry: drive [[processBatch]] from a doc stream.
+    * `checkpointDir` is REQUIRED — without a durable checkpoint a
+    * restarted query renumbers batches from 0 and the per-batch-id
+    * idempotence contract breaks (a fresh numbering would overwrite
+    * committed history while leaving stale higher batches in place). */
   def start(docs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(100L)): StreamingQuery =
     docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, storeDir, outDir)
       }

@@ -638,12 +638,17 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"),
         col("n_contaminated").as("exact_contaminated"),
         col("contamination_rate").as("exact_rate"))
-    val ngram = ngramContamination(docs)
+    // c2/c3 run over the SAME corpus their standalone queries use (the
+    // sourced-twin convention, which plants the positives) — the report
+    // joins the operators' outputs, so the inputs must be the
+    // operators' inputs or the hash-identity claim is vacuous
+    val twinned = withSourcedTwins(docs)
+    val ngram = ngramContamination(twinned)
       .select(col("source"),
         col("n_contaminated").as("ngram_contaminated"),
         col("max_overlap").as("ngram_max_overlap"))
-    val near = graft.dedup.Dedup.crossCorpusNearDups(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val near = graft.dedup.Dedup.crossCorpusNearDups(twinned)
+      .join(twinned.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("neardup_docs"))
     // exact covers every source (it counts ALL docs), so it anchors the
@@ -663,7 +668,8 @@ object TextAnalysis {
   }
 
   def contaminationReportSql: String = {
-    val corpus = "SELECT doc_id, source, text FROM documents"
+    // the standalone c2/c3 corpus (sourced twins), exactly as registered
+    val corpus = withSourcedTwinsSql("documents")
     s"""
     WITH exact AS (
       SELECT source, n_docs, n_contaminated AS exact_contaminated,
@@ -676,7 +682,7 @@ object TextAnalysis {
     near AS (
       SELECT d.source, count(DISTINCT n.doc_id)::BIGINT AS neardup_docs
       FROM (${graft.dedup.Dedup.crossCorpusNearDupsSql(corpus)}) n
-      JOIN documents d ON d.doc_id = n.doc_id
+      JOIN ($corpus) d ON d.doc_id = n.doc_id
       GROUP BY 1)
     SELECT e.source, e.n_docs, e.exact_contaminated, e.exact_rate,
       coalesce(g.ngram_contaminated, 0)::BIGINT AS ngram_contaminated,

@@ -297,14 +297,33 @@ class CorpusOpsSpec extends SparkSpec {
       .contaminationBySource(docs, TextAnalysis.evalSetFps(docs)).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"))).toMap
-    val c2 = TextAnalysis.ngramContamination(docs).collect()
+    // the report must consume the STANDALONE queries' own corpora — c2
+    // and c3 run over the sourced-twin convention, where the planted
+    // positives live
+    val twinned = TextAnalysis.withSourcedTwins(docs)
+    val c2 = TextAnalysis.ngramContamination(twinned).collect()
       .map(r => r.getAs[String]("source") ->
         r.getAs[Long]("n_contaminated")).toMap
+    val c3 = {
+      import graft.dedup.Dedup
+      Dedup.crossCorpusNearDups(twinned)
+        .join(twinned.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(org.apache.spark.sql.functions
+          .countDistinct(col("doc_id")).as("n"))
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Long]("n")).toMap
+    }
     assert(rep.keySet === c1.keySet, "one row per source, none dropped")
+    assert(rep.values.map(_.getAs[Long]("neardup_docs")).sum > 0,
+      "the twinned corpus plants near-dups — a dead c3 column means the " +
+        "report is not reading the standalone corpus")
     rep.foreach { case (src, r) =>
       assert((r.getAs[Long]("n_docs"), r.getAs[Long]("exact_contaminated"))
         === c1(src), s"$src: c1 columns must be the standalone values")
       assert(r.getAs[Long]("ngram_contaminated") === c2.getOrElse(src, 0L))
+      assert(r.getAs[Long]("neardup_docs") === c3.getOrElse(src, 0L),
+        s"$src: c3 column must be the standalone per-source count")
       assert(r.getAs[Boolean]("flagged") ===
         (r.getAs[Long]("exact_contaminated") +
           r.getAs[Long]("ngram_contaminated") +

@@ -75,12 +75,13 @@ class StreamNearDedupSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft-snd-in").toString
     val store = Files.createTempDirectory("graft-snd-store4").toString
     val out = Files.createTempDirectory("graft-snd-out4").toString
+    val ckpt = Files.createTempDirectory("graft-snd-ckpt").toString
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING")
     docs((1L, a), (2L, a + " spark")).coalesce(1)
       .write.parquet(s"$in/f1")
     val q = StreamNearDedup.start(
-      spark.readStream.schema(schema).parquet(s"$in/*"), store, out)
+      spark.readStream.schema(schema).parquet(s"$in/*"), store, out, ckpt)
     try {
       q.processAllAvailable()
       val survivors = spark.read.parquet(s"$out/batch=*")
@@ -88,5 +89,35 @@ class StreamNearDedupSpec extends SparkSpec {
       assert(survivors === Set(1L))
       assert(StreamNearDedup.readStore(spark, store).get.count() === 1L)
     } finally q.stop()
+    // RESTART against the same checkpoint: batch ids continue instead of
+    // renumbering from 0, so committed history is never overwritten
+    docs((9L, c)).coalesce(1).write.parquet(s"$in/f2")
+    val q2 = StreamNearDedup.start(
+      spark.readStream.schema(schema).parquet(s"$in/*"), store, out, ckpt)
+    try {
+      q2.processAllAvailable()
+      val stored = StreamNearDedup.readStore(spark, store).get
+        .select("doc_id").as[Long].collect().toSet
+      assert(stored === Set(1L, 9L),
+        "restart must extend the store, not renumber over batch 0")
+    } finally q2.stop()
+  }
+
+  test("an unmarked (crashed-partial) increment is invisible to readStore") {
+    val store = Files.createTempDirectory("graft-snd-store5").toString
+    val out = Files.createTempDirectory("graft-snd-out5").toString
+    StreamNearDedup.processBatch(docs((1L, a)), 0L, store, out)
+    // simulate a crash mid-write of batch 1: parquet exists, marker not
+    graft.dedup.Dedup.minhashSigStore(docs((2L, b)))
+      .write.parquet(s"$store/batch=1")
+    // plus junk the listing must skip, not throw on
+    Files.createDirectory(java.nio.file.Paths.get(store, "batch=tmp"))
+    val visible = StreamNearDedup.readStore(spark, store).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(visible === Set(1L),
+      "only marker-committed increments may count as store state")
+    // and the crashed batch id replays cleanly over its partial
+    StreamNearDedup.processBatch(docs((2L, b)), 1L, store, out)
+    assert(StreamNearDedup.readStore(spark, store).get.count() === 2L)
   }
 }
