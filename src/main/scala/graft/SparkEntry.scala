@@ -337,6 +337,12 @@ object SparkEntry {
       TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
     }),
 
+    // E115: retrieval-prep capstone — redact → chunk → stub-embed →
+    // cross-doc chunk top-k: the RAG twin of pipe1's cleaning chain
+    // (deterministic md5-derived embedding, real plumbing end to end).
+    "pipe2_retrieval_prep" -> ((s, d) =>
+      TextAnalysis.retrievalPrep(Sources.table(s, d, "documents"))),
+
     // E113: per-source contamination report — c1/c2/c3 joined to the
     // one-row-per-source dashboard a curation run publishes (each signal
     // keeps its operator's own convention; signals join, not re-derive).
@@ -1492,6 +1498,7 @@ object SparkEntry {
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
+    "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,

@@ -1563,9 +1563,10 @@ object TextAnalysis {
         md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5")): _*)
   }
 
-  def chunkOverlapSql(w: Int = ChunkSize, s: Int = ChunkStride): String = s"""
+  def chunkOverlapSql(w: Int = ChunkSize, s: Int = ChunkStride,
+      from: String = "documents"): String = s"""
     WITH t AS (
-      SELECT doc_id, ${tokensSql(normSql("text"))} AS toks FROM documents),
+      SELECT doc_id, ${tokensSql(normSql("text"))} AS toks FROM $from),
     n AS (
       SELECT doc_id, toks,
         CASE WHEN len(toks) = 0 THEN 0
@@ -1581,6 +1582,124 @@ object TextAnalysis {
         list_slice(toks, chunk_no * $s + 1, chunk_no * $s + $w), ' '))
         AS chunk_md5
     FROM c"""
+
+  // ---- PIPE2 (E115): retrieval-corpus prep capstone -----------------------
+
+  val Pipe2QueryDocs = 2
+  val Pipe2K = 3
+  val StubDims = 16
+
+  /** PIPE2 (E115): the RETRIEVAL twin of pipe1's cleaning capstone — the
+    * end-to-end corpus prep a RAG stack runs, composed from stages that
+    * each carry their own oracle: PII-redact (E51's staged rules) →
+    * overlapping chunking (E52's windows, chunk identity = window md5) →
+    * per-chunk embedding → cross-doc top-k retrieval for the query docs'
+    * chunks (the n1 broadcast/rank shape over chunk grain).
+    *
+    * The EMBEDDING IS A STUB — no embedding model exists in this
+    * container — derived deterministically from the chunk's own md5 (hex
+    * pair d → byte → [-0.5, 0.5), the multimodal-codec convention:
+    * deterministic fake, real plumbing). The semantics that survive the
+    * stub are exactly the ones worth verifying: identical chunks embed
+    * identically (cosine 1.0 — duplicate-chunk retrieval works end to
+    * end), every stage's schema/fan-out/rank plumbing is real, and a
+    * real encoder plugs in by replacing ONE projection.
+    *
+    * Scale: redact+chunk+embed is one narrow chain (no shuffle until
+    * ranking); the query side broadcasts; ranking is per-query-chunk
+    * bounded. */
+  def retrievalPrep(docs: DataFrame, numQueryDocs: Int = Pipe2QueryDocs,
+      k: Int = Pipe2K): DataFrame = {
+    import graft.sim.Similarity.{dot, norm2}
+    val clean = docs.select(col("doc_id"), redactedTextExpr.as("text"))
+    val chunks = chunkOverlap(clean)
+    // float32 stub vectors (the embeddings-table element type), so the
+    // native fvec_dot kernel scores them like every other ANN path;
+    // DuckDB mirrors the float rounding with ::REAL
+    val vec = array((0 until StubDims).map { d =>
+      (conv(substring(col("chunk_md5"), d * 2 + 1, 2), 16, 10)
+        .cast("double") / lit(255.0) - lit(0.5)).cast("float")
+    }: _*)
+    // Persist BEFORE any expression consumes `v`: CollapseProject
+    // inlines the 16-dim array constructor into every reference — the
+    // norm's fvec_dot(v, v) alone would re-evaluate the whole
+    // redact→chunk→md5→conv chain ~32× per row (measured 0.5 s → 25 s
+    // on the sf0.1 chunk relation). The cache is the plan barrier: v is
+    // computed once per chunk, and the norm, both join sides, and the
+    // scoring dot all read the tiny cached relation (chunks × 16
+    // floats).
+    val wc = chunks.select(col("doc_id"), col("chunk_no"), vec.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("n2", norm2(col("v")))
+      .filter(col("n2") > 0.0)
+    val q = wc.filter(col("doc_id") < numQueryDocs)
+      .select(col("doc_id").as("query_doc"),
+        col("chunk_no").as("query_chunk"),
+        col("v").as("qv"), col("n2").as("qn"))
+    val cand = wc.filter(col("doc_id") >= numQueryDocs)
+    val scored = broadcast(q)
+      .join(cand.as("c"), col("c.doc_id") =!= col("query_doc"))
+      .select(col("query_doc"), col("query_chunk"),
+        col("c.doc_id").as("doc_id"), col("c.chunk_no").as("chunk_no"),
+        (dot(col("qv"), col("c.v")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_doc"), col("query_chunk"))
+          .orderBy(col("cosine").desc, col("doc_id").asc,
+            col("chunk_no").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("query_chunk"),
+        col("rank").cast("long").as("rank"), col("doc_id"),
+        col("chunk_no"), col("cosine"))
+  }
+
+  def retrievalPrepSql(numQueryDocs: Int = Pipe2QueryDocs,
+      k: Int = Pipe2K): String = {
+    val cleanCorpus = s"""
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g'),
+          '$IpRe', '<IP>', 'g') AS text
+      FROM documents"""
+    val vecExpr = (0 until StubDims).map { d =>
+      s"""(((strpos('0123456789abcdef',
+         |    substr(chunk_md5, ${d * 2 + 1}, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef',
+         |      substr(chunk_md5, ${d * 2 + 2}, 1)) - 1)::DOUBLE
+         |  / 255.0::DOUBLE - 0.5::DOUBLE)::REAL""".stripMargin
+    }.mkString("[", ",\n        ", "]")
+    val dotQ = graft.sim.Similarity.dotSql("qv", "c.v")
+    s"""
+    WITH chunks AS (
+      ${chunkOverlapSql(from = s"($cleanCorpus)")}),
+    wc AS (
+      SELECT doc_id, chunk_no, $vecExpr AS v
+      FROM chunks),
+    wc2 AS (
+      SELECT doc_id, chunk_no, v,
+        sqrt(${graft.sim.Similarity.dotSql("v", "v")}) AS n2
+      FROM wc),
+    live AS (SELECT * FROM wc2 WHERE n2 > 0),
+    q AS (
+      SELECT doc_id AS query_doc, chunk_no AS query_chunk, v AS qv,
+        n2 AS qn
+      FROM live WHERE doc_id < $numQueryDocs),
+    cand AS (SELECT * FROM live WHERE doc_id >= $numQueryDocs),
+    scored AS (
+      SELECT query_doc, query_chunk, c.doc_id, c.chunk_no,
+        $dotQ / (qn * c.n2) AS cosine
+      FROM q JOIN cand c ON c.doc_id <> query_doc),
+    ranked AS (
+      SELECT query_doc, query_chunk, doc_id, chunk_no, cosine,
+        row_number() OVER (PARTITION BY query_doc, query_chunk
+          ORDER BY cosine DESC, doc_id ASC, chunk_no ASC) AS rank
+      FROM scored)
+    SELECT query_doc, query_chunk, rank::BIGINT AS rank, doc_id,
+      chunk_no, cosine
+    FROM ranked WHERE rank <= $k"""
+  }
 
   /** Fixed merge-iteration count for [[bpeMerges]] — bounded like the CC
     * loop's round cap and n5's Lloyd iterations, and the unroll depth of

@@ -107,6 +107,39 @@ class Bm25Spec extends SparkSpec {
       "doc 4 is in neither top list and must not appear")
   }
 
+  test("pipe2: a doc repeating the query's window retrieves at cosine 1.0") {
+    // doc 5 contains doc 0's text verbatim as its own first window — the
+    // chunk md5s (and so the stub embeddings) coincide exactly
+    val w = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (0L, w),
+      (5L, w),
+      (6L, (100 to 140).map(i => s"zz$i").mkString(" ")))
+    val out = TextAnalysis.retrievalPrep(d, numQueryDocs = 1, k = 2)
+      .collect().sortBy(r => (r.getAs[Long]("query_chunk"),
+        r.getAs[Long]("rank")))
+    val top = out.head
+    assert(top.getAs[Long]("doc_id") === 5L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12,
+      "identical windows must embed identically end to end")
+  }
+
+  test("pipe2: redaction runs BEFORE chunking — PII variants converge") {
+    // two docs identical except the concrete email address: after the
+    // E51 redaction both read '<EMAIL>', so their chunks coincide and
+    // retrieval scores them as exact duplicates
+    val base = (1 to 31).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (0L, s"alice@example.com $base"),
+      (7L, s"bob@other.org $base"),
+      (8L, (200 to 240).map(i => s"qq$i").mkString(" ")))
+    val out = TextAnalysis.retrievalPrep(d, numQueryDocs = 1, k = 1)
+      .collect()
+    assert(out.head.getAs[Long]("doc_id") === 7L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12,
+      "distinct PII must redact to identical chunks")
+  }
+
   test("bm25: n_terms counts matched distinct query terms only") {
     val d = docs(
       (0L, "one two three"),
