@@ -337,6 +337,12 @@ object SparkEntry {
       TextAnalysis.contaminationBySource(docs, TextAnalysis.evalSetFps(docs))
     }),
 
+    // E116: tokenizer fertility audit — subword tokens per word and
+    // chars per subword, per source (the vocabulary-quality number an
+    // LLM data card reports), over t8's trained merges.
+    "t16_fertility" -> ((s, d) =>
+      TextAnalysis.fertilityAudit(Sources.table(s, d, "documents"))),
+
     // E115: retrieval-prep capstone — redact → chunk → stub-embed →
     // cross-doc chunk top-k: the RAG twin of pipe1's cleaning chain
     // (deterministic md5-derived embedding, real plumbing end to end).
@@ -1499,6 +1505,7 @@ object SparkEntry {
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
+    "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,

@@ -1922,6 +1922,62 @@ object TextAnalysis {
     FROM tok JOIN words$iters w USING (word)
     GROUP BY 1"""
 
+  // ---- T16 (E116): tokenizer fertility audit -------------------------------
+
+  /** T16 (E116): tokenizer FERTILITY audit — the tokenizer-quality
+    * number every LLM data card reports: subword tokens per word and
+    * characters per subword token, per source. High fertility on a
+    * source means the trained vocabulary serves it badly (its text
+    * fragments into many pieces — the signal that drives vocabulary
+    * rebalancing or per-source token budgeting, since training cost is
+    * paid in SUBWORD tokens while content is measured in words).
+    *
+    * Rides t8/t9's machinery unchanged: the trained merge table applies
+    * per DISTINCT WORD (vocabulary grain, broadcast back — never
+    * per-occurrence), and both metrics are ratios of exact long sums
+    * (the lm1 discipline). Char mass is the words' own characters
+    * (whitespace excluded — the per-word grain the merges operate on). */
+  def fertilityAudit(docs: DataFrame, iters: Int = BpeMergeIters)
+      : DataFrame = {
+    val merges = bpeMerges(docs, iters).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val vocabSyms = merges.foldLeft(
+      docs.select(explode(toksCol).as("word")).distinct()
+        .withColumn("syms",
+          regexp_extract_all(col("word"), lit("."), lit(0)))) {
+      case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
+    }.select(col("word"), length(col("word")).cast("long").as("n_chars"),
+      size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
+      .join(broadcast(vocabSyms), Seq("word"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double")).as("chars_per_token"))
+  }
+
+  def fertilityAuditSql(iters: Int = BpeMergeIters): String = s"""
+    WITH ${bpeStagesSql(iters)},
+    tok AS (
+      SELECT doc_id, source, unnest(${tokensSql(normSql("text"))}) AS word
+      FROM documents)
+    SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      count(*)::BIGINT AS n_words,
+      sum(len(word))::BIGINT AS n_chars,
+      sum(len(w.syms))::BIGINT AS n_bpe_tokens,
+      sum(len(w.syms))::DOUBLE / count(*)::DOUBLE AS fertility,
+      sum(len(word))::DOUBLE / sum(len(w.syms))::DOUBLE
+        AS chars_per_token
+    FROM tok JOIN words$iters w USING (word)
+    GROUP BY 1"""
+
   /** PIPE1 (E61): the cleaning tier composed END-TO-END as one DataFrame
     * chain — PII redaction → repetition collapse → quality filter
     * (keep medium+) → exact dedup (min doc_id per content fingerprint) →

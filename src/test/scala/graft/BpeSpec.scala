@@ -136,4 +136,29 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got.exists { case (id, _, nb) =>
       nb < texts.toMap.apply(id).replaceAll("\\s+", "").length })
   }
+
+  test("t16: fertility audit is consistent with the per-doc t9 apply") {
+    import graft.io.Sources
+    val docs = Sources.table(spark, sf0001, "documents")
+    val rows = TextAnalysis.fertilityAudit(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, nb) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))
+      val (fert, cpt) = (r.getAs[Double]("fertility"),
+        r.getAs[Double]("chars_per_token"))
+      assert(fert === nb.toDouble / nw.toDouble)
+      assert(cpt === nc.toDouble / nb.toDouble)
+      // each word ≥ 1 subword; each subword ≥ 1 char; merges compress
+      assert(nb >= nw && nc >= nb,
+        s"fertility bounds violated: $r")
+      assert(cpt > 1.0,
+        "trained merges must compress at least somewhere per source")
+    }
+    // corpus-level cross-check against t9's per-doc counts
+    val t9sum = TextAnalysis.bpeTokenize(docs).agg(
+      org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum === t9sum,
+      "the audit's source totals must re-aggregate t9's doc totals")
+  }
 }
