@@ -1211,6 +1211,50 @@ object SparkEntry {
     // timestamp (user-keyed equi join over monotonically SHRINKING
     // frames), takes a conditional min. Left joins assemble the per-user
     // funnel row; depth counts completed stages.
+    // E117 (F15): LAST-TOUCH attribution — each purchase credits the
+    // most recent view/click by the same user within a 7-day lookback;
+    // no touch in window ⇒ 'direct'. The product-analytics op between
+    // f14 (fixed funnel) and as1 (as-of join): attribution IS an as-of
+    // pick, here per purchase with a bounded lookback, aggregated to
+    // the channel report. Value rides the e2 decimal-sum discipline;
+    // share is a whole-frame window over the 3-row aggregate (the mix2
+    // convention). Ties (same touch ts) break to the higher event id —
+    // deterministic, mirrored in the oracle.
+    "f15_attribution" -> ((s, d) => {
+      val ev0 = Sources.table(s, d, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), Sources.epochUs(ev0).as("ts_us"))
+      val lookbackUs = 7L * 24 * 3600 * 1000000L
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("value").as("p_value"), col("ts_us").as("p_ts"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"),
+          col("event_type").as("touch_type"),
+          col("ts_us").as("t_ts"), col("event_id").as("t_id"))
+      val joined = p.join(t,
+        col("t_user") === col("user_id") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - lookbackUs, "left")
+      val last = joined.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+            .orderBy(col("t_ts").desc_nulls_last,
+              col("t_id").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_value"),
+          coalesce(col("touch_type"), lit("direct")).as("channel"))
+      val agg = last.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("p_value").cast(DecimalType(18, 6))).cast("double")
+            .as("attributed_value"))
+      agg.select(col("channel"), col("n_purchases"),
+        col("attributed_value"),
+        (col("n_purchases").cast("double") /
+          sum(col("n_purchases")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double")).as("share"))
+    }),
+
     "f14_funnel" -> ((s, d) => {
       val ev0 = Sources.table(s, d, "events")
       val ev = ev0.select(col("user_id"), col("event_type"),
@@ -1702,6 +1746,37 @@ object SparkEntry {
       FROM uw JOIN cohorts c USING (user_id)
       WHERE uw.wk >= c.cohort_week
       GROUP BY 1, 2""",
+
+    "f15_attribution" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id AS p_id, user_id, value AS p_value, ts_us AS p_ts
+        FROM ev WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id AS t_user, event_type AS touch_type,
+          ts_us AS t_ts, event_id AS t_id
+        FROM ev WHERE event_type IN ('view', 'click')),
+      last AS (
+        SELECT p_id, p_value, coalesce(touch_type, 'direct') AS channel
+        FROM (
+          SELECT p.p_id, p.p_value, t.touch_type,
+            row_number() OVER (PARTITION BY p.p_id
+              ORDER BY t.t_ts DESC NULLS LAST, t.t_id DESC NULLS LAST)
+              AS rn
+          FROM p LEFT JOIN t
+            ON t.t_user = p.user_id AND t.t_ts <= p.p_ts
+              AND t.t_ts > p.p_ts - ${7L * 24 * 3600 * 1000000L})
+        WHERE rn = 1),
+      agg AS (
+        SELECT channel, count(*)::BIGINT AS n_purchases,
+          CAST(sum(CAST(p_value AS DECIMAL(18,6))) AS DOUBLE)
+            AS attributed_value
+        FROM last GROUP BY 1)
+      SELECT channel, n_purchases, attributed_value,
+        n_purchases::DOUBLE / (sum(n_purchases) OVER ())::DOUBLE AS share
+      FROM agg""",
 
     "f14_funnel" -> """
       WITH ev AS (
