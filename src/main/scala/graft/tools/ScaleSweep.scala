@@ -123,7 +123,16 @@ object ScaleSweep {
     // ×N here so expect linear with flat structure (the interesting
     // number is the band-join's candidate volume staying ~linear);
     // mm2's frame stream is payload-bounded (generator → one groupBy)
-    "d15_incremental_lsh", "mm2_frame_dedup")
+    "d15_incremental_lsh", "mm2_frame_dedup",
+    // continuation tail: pipe2's chunk relation grows ×N against a fixed
+    // query-doc set (expect linear like t15); t16's merge loop runs at
+    // VOCABULARY grain — under the open-vocab fan-out the vocabulary
+    // itself grows ×N, the honest worst case; rep1 is three broadcast
+    // passes over a ×N corpus; hn1/cl1/cb1 ride the embeddings fan-out
+    // (broadcast scoring / native argmin assign — expect ~linear, flat)
+    "pipe2_retrieval_prep", "t16_fertility", "rep1_contamination_report",
+    "hn1_hard_negatives", "cl1_cluster_profile", "cb1_cluster_sample",
+    "f15_attribution")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
