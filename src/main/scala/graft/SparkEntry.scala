@@ -1255,6 +1255,104 @@ object SparkEntry {
             .cast("double")).as("share"))
     }),
 
+    // E118 (F16): RFM segmentation — the CRM scoring every e-commerce
+    // stack derives from its orders table: per customer, Recency (days
+    // since last order vs the corpus anchor), Frequency (order count),
+    // Monetary (decimal-summed spend), each quintiled to a 1–5 score
+    // (ntile over a DETERMINISTIC total order — metric then user_id, so
+    // both engines tile identically), plus the named segment the scores
+    // imply. One fact-width shuffle (the user-grain aggregate); the
+    // three ntile sorts run over the CUSTOMER-grain frame (dimension
+    // cardinality — the x7 "window over the aggregated frame, never the
+    // fact" shape), and the 100-TB swap is the t13x convention: approx-
+    // quantile score thresholds + a narrow filter instead of global
+    // sorts. Recency arithmetic stays in exact epoch-micros longs
+    // (anchor − last) DIV day — both operands nonnegative so truncation
+    // IS floor, no calendar library in the answer. The anchor is a
+    // whole-frame window max over the CUSTOMER frame (not a second fact
+    // scan and not a broadcast join — the frame already pays three
+    // global window sorts, a fourth unpartitioned window is free).
+    "f16_rfm" -> ((s, d) => {
+      val ord0 = Sources.table(s, d, "orders")
+      val perUser = ord0.select(col("o_custkey").as("user_id"),
+          Sources.epochUs(ord0, "o_orderdate").as("ts_us"),
+          col("o_totalprice"))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("mon_dec"))
+      val W = org.apache.spark.sql.expressions.Window
+      val r = ntile(5).over(
+        W.orderBy(col("recency_days").desc, col("user_id").desc))
+      val f = ntile(5).over(
+        W.orderBy(col("frequency").asc, col("user_id").asc))
+      val m = ntile(5).over(
+        W.orderBy(col("mon_dec").asc, col("user_id").asc))
+      perUser
+        .withColumn("anchor_us", max(col("last_us")).over(W.partitionBy()))
+        .withColumn("recency_days",
+          expr("(anchor_us - last_us) DIV 86400000000"))
+        .withColumn("r_score", r.cast("long"))
+        .withColumn("f_score", f.cast("long"))
+        .withColumn("m_score", m.cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("mon_dec").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          when(col("r_score") >= 4 && col("f_score") >= 4 &&
+            col("m_score") >= 4, "champion")
+            .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 1 && col("f_score") <= 2, "lost")
+            .otherwise("regular").as("segment"))
+    }),
+
+    // E119 (MB1): market-basket affinity — support / confidence / lift
+    // over within-order product pairs, the association-rule primitive
+    // behind "frequently bought together". Baskets form in ONE fact-width
+    // shuffle (groupBy order → sorted distinct-part array); ordered pairs
+    // explode WITHIN each array (element i × every later element — no
+    // self-join, so the fact never meets itself in a shuffle), bounded by
+    // basket size squared per order, linear in orders. The min-pair-count
+    // filter (the d7 DF-cap discipline) prunes the pair relation BEFORE
+    // the per-item join-backs, which AQE sizes (lm1 convention); the
+    // basket total rides a broadcast 1-row bounds frame. Every output
+    // ratio is ONE double division of exact long products (pair·N and
+    // cnt_a·cnt_b stay far inside int64 at any real catalog), so both
+    // engines agree bitwise. The basket relation feeds THREE consumers
+    // (pairs, item counts, the total) — persisted so the fact is scanned
+    // and shuffled once, not once per consumer (the pipe2 barrier rule;
+    // Verify/Bench clearCache after each query).
+    "mb1_basket_lift" -> ((s, d) => {
+      val baskets = Sources.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .persist()
+      val pairs = baskets.select(explode(flatten(transform(col("parts"),
+          (x, i) => transform(
+            slice(col("parts"), i + lit(2), size(col("parts"))),
+            y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+        .select(col("pr.part_a"), col("pr.part_b"))
+      val pairCnt = pairs.groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= 2)
+      val ic = baskets.select(explode(col("parts")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val bounds = baskets.agg(count(lit(1)).as("n_orders"))
+      pairCnt
+        .join(ic.select(col("p").as("part_a"), col("c").as("cnt_a")),
+          Seq("part_a"))
+        .join(ic.select(col("p").as("part_b"), col("c").as("cnt_b")),
+          Seq("part_b"))
+        .crossJoin(broadcast(bounds))
+        .select(col("part_a"), col("part_b"), col("pair_count"),
+          (col("pair_count").cast("double") /
+            col("n_orders").cast("double")).as("support"),
+          (col("pair_count").cast("double") /
+            col("cnt_a").cast("double")).as("confidence"),
+          ((col("pair_count") * col("n_orders")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+    }),
+
     "f14_funnel" -> ((s, d) => {
       val ev0 = Sources.table(s, d, "events")
       val ev = ev0.select(col("user_id"), col("event_type"),
@@ -1777,6 +1875,51 @@ object SparkEntry {
       SELECT channel, n_purchases, attributed_value,
         n_purchases::DOUBLE / (sum(n_purchases) OVER ())::DOUBLE AS share
       FROM agg""",
+
+    "f16_rfm" -> """
+      WITH pu AS (
+        SELECT o_custkey AS user_id, max(epoch_us(o_orderdate)) AS last_us,
+          count(*)::BIGINT AS frequency,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+        FROM orders GROUP BY 1),
+      an AS (SELECT *, max(last_us) OVER () AS anchor_us FROM pu),
+      sc AS (
+        SELECT user_id,
+          (anchor_us - last_us) // 86400000000 AS recency_days,
+          frequency, mon_dec,
+          ntile(5) OVER (ORDER BY (anchor_us - last_us) // 86400000000
+            DESC, user_id DESC)::BIGINT AS r_score,
+          ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)::BIGINT
+            AS f_score,
+          ntile(5) OVER (ORDER BY mon_dec ASC, user_id ASC)::BIGINT
+            AS m_score
+        FROM an)
+      SELECT user_id, recency_days, frequency,
+        CAST(mon_dec AS DOUBLE) AS monetary, r_score, f_score, m_score,
+        CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score <= 1 AND f_score <= 2 THEN 'lost'
+             ELSE 'regular' END AS segment
+      FROM sc""",
+
+    "mb1_basket_lift" -> """
+      WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM b),
+      ic AS (SELECT p, count(*)::BIGINT AS c FROM b GROUP BY 1),
+      pc AS (
+        SELECT x.p AS part_a, y.p AS part_b, count(*)::BIGINT AS pair_count
+        FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pc.part_a, pc.part_b, pc.pair_count,
+        pc.pair_count::DOUBLE / n.n_orders::DOUBLE AS support,
+        pc.pair_count::DOUBLE / ia.c::DOUBLE AS confidence,
+        (pc.pair_count * n.n_orders)::DOUBLE / (ia.c * ib.c)::DOUBLE AS lift
+      FROM pc CROSS JOIN n
+        JOIN ic ia ON ia.p = pc.part_a
+        JOIN ic ib ON ib.p = pc.part_b""",
 
     "f14_funnel" -> """
       WITH ev AS (
