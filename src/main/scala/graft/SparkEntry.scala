@@ -836,6 +836,14 @@ object SparkEntry {
     "knn1_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(Sources.table(s, d, "embeddings"))),
 
+    // E120: label-noise audit — knn1's leave-one-out twin over the
+    // labeled set itself: audited vectors whose k-NN neighborhood
+    // out-votes their own label are flagged (the mislabeled-example
+    // detector run BEFORE labels drive selection/eval). Audit set
+    // bounded by design; scoring swaps for any ANN tier.
+    "ln1_label_noise" -> ((s, d) =>
+      Similarity.labelNoiseAudit(Sources.table(s, d, "embeddings"))),
+
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
     // a reporting layer runs over the store.
@@ -1202,6 +1210,52 @@ object SparkEntry {
           col("ma7"))
     }),
 
+    // E122 (X11): trailing-window anomaly detection — the alerting stage
+    // over the gap-filled daily series (x9→x10→this): each day scored
+    // against the TRAILING 28 days' mean and sample stddev (current day
+    // excluded — the day under test must not contaminate its own
+    // baseline), |z| > 3 flags. Missing days are genuine zero-revenue
+    // days (coalesce before the window — a gap is a signal here, not a
+    // hole). The frame state is EXACT INTEGER CENTS (rev0·100 as long):
+    // a decimal sum-of-squares runs to 17+ significant digits, and the
+    // two engines round the decimal→double cast differently at that
+    // width (measured: 16,595 ulp-forked rows at sf0.1) — whereas long
+    // sums are exact and int64→double is one correctly-rounded
+    // conversion everywhere. Mean/variance/sqrt are then a fixed double
+    // expression over exact integers, mirrored textually in the oracle;
+    // z scores in cents space (scale cancels), the currency columns
+    // divide by 100 at the boundary. Warm-up rows (fewer than 28
+    // trailing days) emit NULL z. Window grain is brand×day — calendar-
+    // bounded, the x9 scale argument. Cents bounds: day ≤ 1e8 cents,
+    // square 1e16, 28-frame sum 2.8e17 — inside int64; the squared
+    // frame-sum term is computed in DOUBLE to stay inside it.
+    "x11_anomaly" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w28 = W.partitionBy(col("brand")).orderBy(col("d"))
+        .rowsBetween(-28, -1)
+      val series = gapFilledDaily(s, d)
+        .withColumn("rev0", coalesce(col("rev_dec"), lit(0).cast(money)))
+        .withColumn("cents", (col("rev0") * lit(100)).cast("long"))
+      val n = count(col("cents")).over(w28)
+      val sumC = sum(col("cents")).over(w28).cast("double")
+      val sumSq = sum(col("cents") * col("cents")).over(w28).cast("double")
+      val nD = n.cast("double")
+      val meanC = sumC / nD
+      val varC = (sumSq - sumC * sumC / nD) / (nD - lit(1.0))
+      series
+        .withColumn("n28", n)
+        .withColumn("mean_c", when(col("n28") === 28, meanC))
+        .withColumn("sd_c", when(col("n28") === 28, sqrt(varC)))
+        .withColumn("z", when(col("sd_c") > 0.0,
+          (col("cents").cast("double") - col("mean_c")) / col("sd_c")))
+        .select(col("brand"),
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          col("rev0").cast("double").as("revenue"),
+          (col("mean_c") / lit(100.0)).as("mean28"),
+          (col("sd_c") / lit(100.0)).as("sd28"), col("z"),
+          (col("z").isNotNull && abs(col("z")) > 3.0).as("is_anomaly"))
+    }),
+
     // E85 (F14): ordered-event funnel — view → click → purchase with
     // strict temporal ordering (first view, first click AFTER it, first
     // purchase after THAT): the conversion query every event pipeline
@@ -1351,6 +1405,66 @@ object SparkEntry {
             col("cnt_a").cast("double")).as("confidence"),
           ((col("pair_count") * col("n_orders")).cast("double") /
             (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+    }),
+
+    // E121 (AB1): A/B experiment lift — the two-proportion experiment
+    // readout product analytics runs on every feature flag: users split
+    // into control/treatment by the deterministic md5-prefix rule (the
+    // splitOf convention — rerun-stable, any worker re-derives any
+    // user's arm), conversion = a purchase within 7 days of the user's
+    // FIRST view (a windowed binary outcome with real variance — "ever
+    // purchased" is degenerate on this corpus), plus per-arm revenue in
+    // the window (decimal sums) and the pooled two-proportion z-score.
+    // Two user-grain aggregates + one 1-row report; every rate is an
+    // ANSI-safe ratio of exact longs and the z arithmetic is a fixed
+    // left-associative double expression mirrored textually in the
+    // oracle (sqrt is IEEE correctly-rounded in both engines).
+    "ab1_experiment_lift" -> ((s, d) => {
+      val ev0 = Sources.table(s, d, "events")
+      val ev = ev0.select(col("user_id"), col("event_type"), col("value"),
+        Sources.epochUs(ev0).as("us"))
+      val winUs = 604800000000L
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val inWin = col("event_type") === "purchase" &&
+        col("us") >= col("v_us") && col("us") < col("v_us") + winUs
+      val u = ev.join(fv, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(when(inWin, 1L).otherwise(0L)).as("converted"),
+          sum(when(inWin, col("value")).cast(DecimalType(18, 6)))
+            .as("rev_dec"))
+        .withColumn("variant",
+          when(substring(graft.functions.TextFunctions
+            .docIdHash(col("user_id")), 1, 1) < "8", "control")
+            .otherwise("treatment"))
+      val r = u.agg(
+        count(when(col("variant") === "control", 1)).as("n_control"),
+        count(when(col("variant") === "treatment", 1)).as("n_treatment"),
+        coalesce(sum(when(col("variant") === "control", col("converted"))),
+          lit(0L)).as("conv_control"),
+        coalesce(sum(when(col("variant") === "treatment", col("converted"))),
+          lit(0L)).as("conv_treatment"),
+        sum(when(col("variant") === "control", col("rev_dec")))
+          .cast("double").as("rev_control"),
+        sum(when(col("variant") === "treatment", col("rev_dec")))
+          .cast("double").as("rev_treatment"))
+      val rateC = Kpi.ratio(col("conv_control").cast("double"),
+        col("n_control").cast("double"))
+      val rateT = Kpi.ratio(col("conv_treatment").cast("double"),
+        col("n_treatment").cast("double"))
+      val pPool = (col("conv_control") + col("conv_treatment"))
+        .cast("double") /
+        (col("n_control") + col("n_treatment")).cast("double")
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_control").cast("double") +
+          lit(1.0) / col("n_treatment").cast("double")))
+      r.select(col("n_control"), col("n_treatment"),
+        col("conv_control"), col("conv_treatment"),
+        rateC.as("rate_control"), rateT.as("rate_treatment"),
+        (rateT - rateC).as("abs_lift"),
+        col("rev_control"), col("rev_treatment"),
+        when(se > 0.0, (rateT - rateC) / se)
+          .otherwise(lit(null).cast("double")).as("z_score"))
     }),
 
     "f14_funnel" -> ((s, d) => {
@@ -1830,6 +1944,89 @@ object SparkEntry {
       FROM ff
       WINDOW w7 AS (PARTITION BY brand ORDER BY d
         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "ln1_label_noise" -> Similarity.labelNoiseAuditSql(),
+
+    "ab1_experiment_lift" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events),
+      fv AS (SELECT user_id, min(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      u AS (
+        SELECT e.user_id,
+          max(CASE WHEN e.event_type = 'purchase' AND e.us >= fv.v_us
+            AND e.us < fv.v_us + 604800000000
+            THEN 1 ELSE 0 END)::BIGINT AS converted,
+          sum(CASE WHEN e.event_type = 'purchase' AND e.us >= fv.v_us
+            AND e.us < fv.v_us + 604800000000
+            THEN CAST(e.value AS DECIMAL(18,6)) END) AS rev_dec
+        FROM ev e JOIN fv USING (user_id) GROUP BY 1),
+      uv AS (
+        SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+          THEN 'control' ELSE 'treatment' END AS variant
+        FROM u),
+      agg AS (
+        SELECT
+          count(*) FILTER (WHERE variant = 'control')::BIGINT AS n_control,
+          count(*) FILTER (WHERE variant = 'treatment')::BIGINT
+            AS n_treatment,
+          coalesce(sum(converted) FILTER (WHERE variant = 'control'),
+            0)::BIGINT AS conv_control,
+          coalesce(sum(converted) FILTER (WHERE variant = 'treatment'),
+            0)::BIGINT AS conv_treatment,
+          CAST(sum(rev_dec) FILTER (WHERE variant = 'control') AS DOUBLE)
+            AS rev_control,
+          CAST(sum(rev_dec) FILTER (WHERE variant = 'treatment') AS DOUBLE)
+            AS rev_treatment
+        FROM uv),
+      sc AS (
+        SELECT *,
+          conv_control::DOUBLE / NULLIF(n_control::DOUBLE, 0)
+            AS rate_control,
+          conv_treatment::DOUBLE / NULLIF(n_treatment::DOUBLE, 0)
+            AS rate_treatment,
+          (conv_control + conv_treatment)::DOUBLE
+            / (n_control + n_treatment)::DOUBLE AS p
+        FROM agg),
+      sce AS (
+        SELECT *, sqrt(p * (1.0::DOUBLE - p) * (1.0::DOUBLE
+          / n_control::DOUBLE + 1.0::DOUBLE / n_treatment::DOUBLE)) AS se
+        FROM sc)
+      SELECT n_control, n_treatment, conv_control, conv_treatment,
+        rate_control, rate_treatment,
+        rate_treatment - rate_control AS abs_lift,
+        rev_control, rev_treatment,
+        CASE WHEN se > 0 THEN (rate_treatment - rate_control) / se
+          END AS z_score
+      FROM sce""",
+
+    "x11_anomaly" -> s"""$ctes,
+      $gapFillCtes,
+      s0 AS (SELECT brand, d,
+        coalesce(rev_dec, CAST(0 AS DECIMAL(18,2))) AS rev0 FROM ff),
+      c0 AS (SELECT brand, d, rev0,
+        CAST(rev0 * 100 AS BIGINT) AS cents FROM s0),
+      w AS (SELECT brand, d, rev0, cents,
+        count(cents) OVER tw AS n28,
+        (sum(cents) OVER tw)::DOUBLE AS sum_c,
+        (sum(cents * cents) OVER tw)::DOUBLE AS sum_sq
+        FROM c0
+        WINDOW tw AS (PARTITION BY brand ORDER BY d
+          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      st AS (SELECT brand, d, rev0, cents,
+        CASE WHEN n28 = 28 THEN sum_c / n28::DOUBLE END AS mean_c,
+        CASE WHEN n28 = 28 THEN
+          sqrt((sum_sq - sum_c * sum_c / n28::DOUBLE)
+            / (n28::DOUBLE - 1.0::DOUBLE)) END AS sd_c
+        FROM w),
+      zc AS (SELECT *, CASE WHEN sd_c > 0
+          THEN (cents::DOUBLE - mean_c) / sd_c END AS z
+        FROM st)
+      SELECT brand, strftime(d, '%Y-%m-%d') AS order_date,
+        CAST(rev0 AS DOUBLE) AS revenue,
+        mean_c / 100.0::DOUBLE AS mean28, sd_c / 100.0::DOUBLE AS sd28, z,
+        (z IS NOT NULL AND abs(z) > 3.0::DOUBLE) AS is_anomaly
+      FROM zc""",
 
     "coh1_retention" -> """
       WITH ev AS (

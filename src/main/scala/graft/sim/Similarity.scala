@@ -1950,4 +1950,85 @@ object Similarity {
       b.label = q.true_label AS correct
     FROM best b JOIN q ON q.query_id = b.query_id
     WHERE vr = 1"""
+
+  // ---- E120 (LN1): label-noise audit ---------------------------------------
+
+  /** Audit-sample size for the driver's `ln1` query. */
+  val NoiseAudit = 200
+
+  /** E120: label-NOISE audit — the mislabeled-example detector (the
+    * Confident-Learning-family check a labeled training set runs BEFORE
+    * the labels drive selection or evaluation): each audited vector takes
+    * a leave-one-out k-NN vote over the FULL labeled pool (itself
+    * excluded by vec_id — unlike [[knnClassify]], the audited rows stay
+    * in the pool for each other), and a vector whose neighborhood
+    * disagrees with its own label is flagged `is_noisy`.
+    *
+    * Shape is knn1's: audited rows broadcast, one codegen'd [[dot]] per
+    * (audit, pool) pair, bounded [[TopKAggregator]] ranking, a tiny
+    * (audit × labels) vote. The audit SET is the bounded side by design —
+    * at 100 TB you audit a deterministic sample (or shard the audit over
+    * batches), and the scoring pass swaps for any ANN tier (the
+    * n1-vs-ladder contract). Vote tie-break: votes DESC, best rank ASC,
+    * label ASC — the knn1 convention, mirrored in the oracle. */
+  def labelNoiseAudit(emb: DataFrame, numAudit: Int = NoiseAudit,
+      k: Int = KnnK): DataFrame = {
+    val withN = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm2(col("embedding")).as("n2"))
+      .filter(col("n2") > 0.0)
+    val q = withN.filter(col("vec_id") < numAudit)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("n2").as("qn"), col("label").as("own_label"))
+    val scored = broadcast(q.select(col("query_id"), col("qv"), col("qn")))
+      .join(withN.as("c"), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("c.embedding")) /
+          (col("qn") * col("c.n2"))).as("cosine"))
+    val ranked = rankTopKAgg(scored, k)
+    val votes = ranked
+      .join(withN.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
+    votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .join(q.select(col("query_id"), col("own_label")), Seq("query_id"))
+      .select(col("query_id"), col("own_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") =!= col("own_label")).as("is_noisy"))
+  }
+
+  def labelNoiseAuditSql(numAudit: Int = NoiseAudit, k: Int = KnnK)
+      : String = s"""
+    WITH withn AS (
+      SELECT vec_id, embedding, label, ${norm2Sql("embedding")} AS n2
+      FROM embeddings),
+    live AS (SELECT * FROM withn WHERE n2 > 0),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, n2 AS qn,
+        label AS own_label
+      FROM live WHERE vec_id < $numAudit),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label,
+        ${dotSql("qv", "c.embedding")} / (qn * c.n2) AS cosine
+      FROM q JOIN live c ON c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, label,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS votes,
+        min(rank) AS best_rank
+      FROM ranked WHERE rank <= $k GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, label, votes,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY votes DESC, best_rank ASC, label ASC) AS vr
+      FROM votes)
+    SELECT b.query_id, q.own_label, b.label AS pred_label, b.votes,
+      b.label <> q.own_label AS is_noisy
+    FROM best b JOIN q ON q.query_id = b.query_id
+    WHERE vr = 1"""
 }

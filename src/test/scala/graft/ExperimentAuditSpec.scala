@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.sim.Similarity
+
+/** E120 label-noise audit, E121 A/B lift, E122 trailing anomaly: the
+  * structural invariants on the driver corpus (the oracle verifies the
+  * values; this pins the properties a data change must not break). */
+class ExperimentAuditSpec extends SparkSpec {
+
+  test("ln1: one verdict per audited vector; flag consistent; votes bounded") {
+    val out = SparkEntry.queries("ln1_label_noise")(spark, sf0001).collect()
+    val audited = Sources.table(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < Similarity.NoiseAudit).count()
+    assert(out.length.toLong === audited, "every audited vector gets a verdict")
+    assert(out.map(_.getAs[Long]("query_id")).distinct.length === out.length)
+    out.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= Similarity.KnnK.toLong)
+      assert(r.getAs[Boolean]("is_noisy") ===
+        (r.getAs[Int]("pred_label") != r.getAs[Int]("own_label")))
+    }
+  }
+
+  test("ab1: arms partition the exposed users; z sign matches the lift") {
+    val out = SparkEntry.queries("ab1_experiment_lift")(spark, sf0001).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val exposed = Sources.table(spark, sf0001, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    val (nc, nt) = (r.getAs[Long]("n_control"), r.getAs[Long]("n_treatment"))
+    assert(nc + nt === exposed, "arms partition the users with a view")
+    assert(nc > 0 && nt > 0, "the md5 split left neither arm empty")
+    assert(r.getAs[Long]("conv_control") <= nc)
+    assert(r.getAs[Long]("conv_treatment") <= nt)
+    for (c <- Seq("rate_control", "rate_treatment")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    val lift = r.getAs[Double]("abs_lift")
+    assert(lift === r.getAs[Double]("rate_treatment") -
+      r.getAs[Double]("rate_control"))
+    if (!r.isNullAt(r.fieldIndex("z_score")))
+      assert(math.signum(r.getAs[Double]("z_score")) === math.signum(lift))
+  }
+
+  test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
+    val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
+    val byBrand = out.groupBy(_.getAs[String]("brand"))
+    // every brand covers the same full calendar spine (the x9 contract)
+    assert(byBrand.values.map(_.length).toSet.size === 1)
+    byBrand.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[String]("order_date"))
+      // the first 28 days have no full trailing window → null stats
+      sorted.take(28).foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("mean28")))
+        assert(!r.getAs[Boolean]("is_anomaly"))
+      }
+      sorted.drop(28).foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("mean28")))
+        assert(r.getAs[Double]("sd28") >= 0.0)
+      }
+    }
+    out.foreach { r =>
+      val flagged = r.getAs[Boolean]("is_anomaly")
+      if (flagged) assert(math.abs(r.getAs[Double]("z")) > 3.0)
+      if (!r.isNullAt(r.fieldIndex("z")))
+        assert(flagged === (math.abs(r.getAs[Double]("z")) > 3.0))
+    }
+  }
+}
