@@ -411,6 +411,14 @@ object SparkEntry {
     "t12_quality_classifier" -> ((s, d) =>
       TextAnalysis.classifierScore(Sources.table(s, d, "documents"))),
 
+    // E123 (T17): per-source quality calibration — t12's score percent-
+    // ranked WITHIN each source so a global cut can't starve a source
+    // (the FineWeb-style fairness normalization); `selected` keeps the
+    // top half of every source, the fairness-adjusted alternative to
+    // sel1's global budget cut.
+    "t17_source_calibrated" -> ((s, d) =>
+      TextAnalysis.sourceCalibratedQuality(Sources.table(s, d, "documents"))),
+
     // E98 (LM1): bigram LM quality scoring — the CCNet/KenLM curation
     // stage: corpus-trained conditional-frequency table scores each
     // doc's token transitions; integer-deterministic (ratio of exact
@@ -1467,6 +1475,33 @@ object SparkEntry {
           .otherwise(lit(null).cast("double")).as("z_score"))
     }),
 
+    // E124 (F17): repeat-purchase interval distribution — the retention
+    // statistic behind CLV / churn models: the gap in whole days between
+    // each user's CONSECUTIVE purchases (one user-grain window pass, lag
+    // over (ts, event_id) — the path1 shape at purchase grain),
+    // aggregated to the gap histogram with a share column (whole-frame
+    // window over the |distinct gaps|-row aggregate — the mix2/f15
+    // convention). Gap arithmetic is exact epoch-micros longs; the
+    // histogram is bounded by the calendar span whatever the log size.
+    "f17_repurchase_intervals" -> ((s, d) => {
+      val ev0 = Sources.table(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = ev0.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          Sources.epochUs(ev0).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(expr("(us - prev_us) DIV 86400000000").as("gap_days"))
+      gaps.groupBy(col("gap_days"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .withColumn("share", col("n_gaps").cast("double") /
+          sum(col("n_gaps")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"))
+    }),
+
     "f14_funnel" -> ((s, d) => {
       val ev0 = Sources.table(s, d, "events")
       val ev = ev0.select(col("user_id"), col("event_type"),
@@ -1946,6 +1981,22 @@ object SparkEntry {
         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
     "ln1_label_noise" -> Similarity.labelNoiseAuditSql(),
+
+    "t17_source_calibrated" -> TextAnalysis.sourceCalibratedQualitySql,
+
+    "f17_repurchase_intervals" -> """
+      WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'purchase'),
+      g AS (
+        SELECT (us - lag(us) OVER (PARTITION BY user_id
+          ORDER BY us, event_id)) // 86400000000 AS gap_days
+        FROM p),
+      h AS (SELECT gap_days, count(*)::BIGINT AS n_gaps FROM g
+        WHERE gap_days IS NOT NULL GROUP BY 1)
+      SELECT gap_days, n_gaps,
+        n_gaps::DOUBLE / (sum(n_gaps) OVER ())::DOUBLE AS share
+      FROM h""",
 
     "ab1_experiment_lift" -> """
       WITH ev AS (

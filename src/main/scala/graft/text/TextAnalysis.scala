@@ -380,19 +380,72 @@ object TextAnalysis {
     * no shuffle, no join, column-pruned to (doc_id, text); at 100 TB this
     * runs at scan speed exactly like t1–t4. Margin is an exact integer;
     * the only double is the final per-doc normalization. */
-  def classifierScore(docs: DataFrame): DataFrame = {
+  def classifierScore(docs: DataFrame, carry: Seq[String] = Nil)
+      : DataFrame = {
     val wts = typedlit(ClfWeights)
-    docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
-      .select(col("doc_id"),
-        size(col("th")).cast("long").as("n_tokens"),
+    val keep = carry.map(col)
+    docs.select(col("doc_id") +: keep :+ tokenHashes(toksCol).as("th"): _*)
+      .select(col("doc_id") +: keep :+
+        size(col("th")).cast("long").as("n_tokens") :+
         aggregate(col("th"), lit(0L),
           (a, h) => a + element_at(wts,
             pmod(h, lit(ClfBuckets.toLong)).cast("int") + 1))
-          .as("margin"))
-      .select(col("doc_id"), col("n_tokens"), col("margin"),
+          .as("margin"): _*)
+      .select(col("doc_id") +: keep :+ col("n_tokens") :+ col("margin") :+
         (col("margin").cast("double") /
-          greatest(col("n_tokens"), lit(1L)).cast("double")).as("score"),
-        (col("margin") > 0).as("keep"))
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("score") :+
+        (col("margin") > 0).as("keep"): _*)
+  }
+
+  /** E123 (T17): per-source quality CALIBRATION — the classifier score is
+    * source-biased by construction (vocabulary and register differ per
+    * source), so a single global threshold systematically starves some
+    * sources (the failure mode FineWeb-style pipelines fix by normalizing
+    * within source before the cut). Each doc's score becomes its
+    * percent_rank WITHIN its source (deterministic total order: score,
+    * then doc_id — both engines rank identically; percent_rank is
+    * (rank−1)/(n−1), a ratio of exact longs), and `selected` keeps the
+    * top half of EVERY source — contrast sel1's global budget cut, which
+    * this op is the fairness-adjusted alternative to.
+    *
+    * One scan (the t12 codegen'd fold) + one window shuffle keyed on
+    * source. Source grain can be skewed at 100 TB (one dominant source =
+    * one huge window partition) — the documented swap is the t13x
+    * convention per source: approx per-source score quantiles broadcast
+    * back as thresholds, no sort. */
+  def sourceCalibratedQuality(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    classifierScore(docs, Seq("source"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("score"), col("pct_rank"),
+        (col("pct_rank") >= 0.5).as("selected"))
+  }
+
+  def sourceCalibratedQualitySql: String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM t, (SELECT $wlit::BIGINT[] AS wts) w),
+    sc AS (
+      SELECT doc_id, source,
+        CAST(margin AS DOUBLE) / greatest(n_tokens, 1) AS score
+      FROM m)
+    SELECT doc_id, source, score,
+      percent_rank() OVER (PARTITION BY source
+        ORDER BY score ASC, doc_id ASC) AS pct_rank,
+      percent_rank() OVER (PARTITION BY source
+        ORDER BY score ASC, doc_id ASC) >= 0.5 AS selected
+    FROM sc"""
   }
 
   def classifierScoreSql: String = {

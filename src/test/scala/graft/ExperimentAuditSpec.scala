@@ -47,6 +47,38 @@ class ExperimentAuditSpec extends SparkSpec {
       assert(math.signum(r.getAs[Double]("z_score")) === math.signum(lift))
   }
 
+  test("t17: every source keeps its top half; pct_rank spans [0,1]") {
+    val out = SparkEntry.queries("t17_source_calibrated")(spark, sf0001)
+      .collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size > 1, "calibration needs multiple sources")
+    bySource.foreach { case (_, rows) =>
+      val sel = rows.count(_.getAs[Boolean]("selected"))
+      // percent_rank >= 0.5 keeps the top half (±1 on odd counts, and the
+      // whole singleton source: its only rank is 0)
+      assert(sel >= rows.length / 2 - 1 && sel <= rows.length / 2 + 2,
+        s"selected $sel of ${rows.length}")
+      rows.foreach { r =>
+        val pr = r.getAs[Double]("pct_rank")
+        assert(pr >= 0.0 && pr <= 1.0)
+        assert(r.getAs[Boolean]("selected") === (pr >= 0.5))
+      }
+    }
+  }
+
+  test("f17: gap histogram counts every consecutive purchase pair") {
+    val out = SparkEntry.queries("f17_repurchase_intervals")(spark, sf0001)
+      .collect()
+    val ev = Sources.table(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+    val purchases = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_gaps")).sum === purchases - users,
+      "every user contributes (purchases − 1) gaps")
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    out.foreach(r => assert(r.getAs[Long]("gap_days") >= 0L))
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
