@@ -419,6 +419,14 @@ object SparkEntry {
     "t17_source_calibrated" -> ((s, d) =>
       TextAnalysis.sourceCalibratedQuality(Sources.table(s, d, "documents"))),
 
+    // E125 (PP1): preference-pair construction — the reward-model/DPO
+    // prep stage: per source, the k best t12-scored docs pair with the
+    // k worst (best-1 ↔ worst-1, …), margin = score gap, degenerate
+    // pairs dropped. One ranking window per source; bottom ranks derive
+    // from the SAME sort (n−top+1).
+    "pp1_preference_pairs" -> ((s, d) =>
+      TextAnalysis.preferencePairs(Sources.table(s, d, "documents"))),
+
     // E98 (LM1): bigram LM quality scoring — the CCNet/KenLM curation
     // stage: corpus-trained conditional-frequency table scores each
     // doc's token transitions; integer-deterministic (ratio of exact
@@ -1983,6 +1991,8 @@ object SparkEntry {
     "ln1_label_noise" -> Similarity.labelNoiseAuditSql(),
 
     "t17_source_calibrated" -> TextAnalysis.sourceCalibratedQualitySql,
+
+    "pp1_preference_pairs" -> TextAnalysis.preferencePairsSql(),
 
     "f17_repurchase_intervals" -> """
       WITH p AS (

@@ -423,6 +423,83 @@ object TextAnalysis {
         (col("pct_rank") >= 0.5).as("selected"))
   }
 
+  /** Pairs per source for the driver's `pp1` query. */
+  val PrefPairsK = 5
+
+  /** E125 (PP1): preference-PAIR construction — the reward-model /
+    * DPO data-prep stage: within each group (source = the prompt-group
+    * proxy here), the k best-scoring docs pair with the k worst
+    * (best-1 ↔ worst-1, …), margin = score gap, degenerate pairs
+    * (no actual gap) dropped. ONE ranking window per source — the
+    * bottom rank derives as n−top+1 from the same sort (the reversed
+    * order's tiebreak is the exact mirror, so a second sort pass would
+    * buy nothing), and the pair assembly is a self-join of two
+    * k-bounded slices on (source, pair_rank). Margin is a difference
+    * of two deterministic ratios of exact longs — bitwise
+    * cross-engine. Scales like t17: one t12 scan + one source-keyed
+    * window; output is ≤ k rows per source whatever the corpus size. */
+  def preferencePairs(docs: DataFrame, k: Int = PrefPairsK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wTop = W.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = classifierScore(docs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .withColumn("top_r", row_number().over(wTop).cast("long"))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("source"))))
+    val chosen = ranked.filter(col("top_r") <= k)
+      .select(col("source"), col("top_r").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val rejected = ranked
+      .withColumn("pair_rank", col("n") - col("top_r") + 1)
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("source", "pair_rank"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .select(col("source"), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  def preferencePairsSql(k: Int = PrefPairsK): String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM t, (SELECT $wlit::BIGINT[] AS wts) w),
+    sc AS (
+      SELECT doc_id, source,
+        CAST(margin AS DOUBLE) / greatest(n_tokens, 1) AS score
+      FROM m),
+    r AS (
+      SELECT doc_id, source, score,
+        row_number() OVER (PARTITION BY source
+          ORDER BY score DESC, doc_id ASC)::BIGINT AS top_r,
+        count(*) OVER (PARTITION BY source)::BIGINT AS n
+      FROM sc),
+    ch AS (
+      SELECT source, top_r AS pair_rank, doc_id AS chosen_id,
+        score AS chosen_score
+      FROM r WHERE top_r <= $k),
+    rj AS (
+      SELECT source, n - top_r + 1 AS pair_rank, doc_id AS rejected_id,
+        score AS rejected_score
+      FROM r WHERE n - top_r + 1 <= $k)
+    SELECT ch.source, ch.pair_rank, chosen_id, rejected_id,
+      chosen_score, rejected_score,
+      chosen_score - rejected_score AS margin
+    FROM ch JOIN rj ON ch.source = rj.source
+      AND ch.pair_rank = rj.pair_rank
+    WHERE chosen_score > rejected_score"""
+  }
+
   def sourceCalibratedQualitySql: String = {
     val wlit = ClfWeights.mkString("[", ", ", "]")
     s"""

@@ -132,7 +132,16 @@ object ScaleSweep {
     // (broadcast scoring / native argmin assign — expect ~linear, flat)
     "pipe2_retrieval_prep", "t16_fertility", "rep1_contamination_report",
     "hn1_hard_negatives", "cl1_cluster_profile", "cb1_cluster_sample",
-    "f15_attribution")
+    "f15_attribution",
+    // round-9 close: t17 is one t12 scan + a source-keyed window over a
+    // ×N corpus (expect linear, flat); ln1's fixed audit set broadcasts
+    // against a ×N pool (the n6 shape — linear); ab1 is two user-grain
+    // aggregates over ×N history (new users per copy — linear, flat);
+    // f17 is one user-grain lag window + a calendar-bounded histogram.
+    // f16/mb1/x11 ride orders/lineitem, which the sweep does NOT fan
+    // out — their scale arguments are plan-shape ones (see SURVEY).
+    "t17_source_calibrated", "ln1_label_noise", "ab1_experiment_lift",
+    "f17_repurchase_intervals")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -79,6 +79,27 @@ class ExperimentAuditSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("gap_days") >= 0L))
   }
 
+  test("pp1: k pairs per source, positive margins, disjoint sides") {
+    val out = SparkEntry.queries("pp1_preference_pairs")(spark, sf0001)
+      .collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      assert(rows.length <= graft.text.TextAnalysis.PrefPairsK)
+      assert(rows.map(_.getAs[Long]("pair_rank")).distinct.length ===
+        rows.length)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("margin") > 0.0)
+        assert(r.getAs[Double]("margin") ===
+          r.getAs[Double]("chosen_score") - r.getAs[Double]("rejected_score"))
+        assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+      }
+      // the chosen and rejected slices never share a document
+      val ch = rows.map(_.getAs[Long]("chosen_id")).toSet
+      val rj = rows.map(_.getAs[Long]("rejected_id")).toSet
+      assert((ch intersect rj).isEmpty)
+    }
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
