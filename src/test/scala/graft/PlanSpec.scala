@@ -194,6 +194,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ArrayAggregate"), "interpreted fold in assignment")
   }
 
+  test("f16: ONE fact scan — the anchor rides a window, not a second agg") {
+    val p = planOf("f16_rfm")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+    // user-grain aggregate is the only exchange besides the window sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(2000))
+  }
+
+  test("mb1: the basket relation materializes once for its three consumers") {
+    val p = planOf("mb1_basket_lift")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // without the persist barrier the order-grain aggregate would run
+    // once per consumer (measured: 4 fact scans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("t17/pp1: one classifier scan, one source-keyed window exchange") {
+    for (q <- Seq("t17_source_calibrated", "pp1_preference_pairs")) {
+      val p = planOf(q)
+      assert("Scan parquet".r.findAllIn(p).size <= 2, s"$q: ${p.take(1500)}")
+      // the ranking runs in source-partitioned windows, never a global sort
+      assert(p.contains("hashpartitioning(source"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("ln1: scoring rides the native dot; audit side broadcasts") {
+    val p = planOf("ln1_label_noise")
+    assert(p.contains("fvec_dot"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("metadata-only media query prunes the payload column") {
     // another suite may have cached the media corpus; a cached relation's
     // stored plan contains the payload expression regardless of pruning
