@@ -40,8 +40,6 @@ import graft.dedup.Dedup
   * not in executor state-store memory. */
 object StreamNearDedup {
 
-  private val Marker = "_graft_committed"
-
   /** One micro-batch: within-batch dedup → store check → idempotent
     * per-batch writes. Public so batch callers (and the spec's replay
     * check) can drive it without a streaming query. */
@@ -70,41 +68,17 @@ object StreamNearDedup {
       }
       val survivors = docs.join(liveSigs.select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      liveSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
-      // markers LAST: overwrite wiped any prior marker with the dir, so
-      // a replay re-commits atomically-enough (marker exists ⇒ parquet
-      // before it is complete)
-      touch(spark, s"$outDir/batch=$batchId/$Marker")
-      touch(spark, s"$storeDir/batch=$batchId/$Marker")
+      // per-batch overwrite + marker-last: the [[BatchStore]] protocol
+      BatchStore.writeBatch(survivors, outDir, batchId)
+      BatchStore.writeBatch(liveSigs, storeDir, batchId)
     } finally sigs.unpersist()
   }
 
-  private def touch(spark: SparkSession, path: String): Unit = {
-    val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
-  }
-
-  /** The COMMITTED signature store: every marked batch increment
-    * (optionally only those strictly before `beforeBatch` — the
-    * replay-safe view), or None when empty. Unmarked (crashed-partial)
-    * and non-numeric directories are skipped, never read. */
+  /** The COMMITTED signature store — the [[BatchStore]] read with the
+    * replay-safe strictly-before view. */
   def readStore(spark: SparkSession, storeDir: String,
-      beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val p = new HPath(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val dirs = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .filter(_.stripPrefix("batch=").forall(_.isDigit))
-      .filter(n => beforeBatch.forall(b =>
-        n.stripPrefix("batch=").toLong < b))
-      .filter(n => fs.exists(new HPath(s"$storeDir/$n/$Marker")))
-      .map(n => s"$storeDir/$n")
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
-  }
+      beforeBatch: Option[Long] = None): Option[DataFrame] =
+    BatchStore.read(spark, storeDir, beforeBatch)
 
   /** Streaming entry: drive [[processBatch]] from a doc stream.
     * `checkpointDir` is REQUIRED — without a durable checkpoint a
