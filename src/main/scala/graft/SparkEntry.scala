@@ -355,6 +355,13 @@ object SparkEntry {
     "rep1_contamination_report" -> ((s, d) =>
       TextAnalysis.contaminationReport(Sources.table(s, d, "documents"))),
 
+    // E127: per-source DATA CARD — the datasheet a curation run
+    // publishes: volume, frequency-weighted mean quality, language mode
+    // + share, exact-dup rate; every column reuses its operator's single
+    // definition (the rep1 composition rule).
+    "card1_data_card" -> ((s, d) =>
+      TextAnalysis.dataCard(Sources.table(s, d, "documents"))),
+
     // E92 (B1): bloom-filter membership pruning — the set-membership
     // sketch (fixed 64×32-bit words, bit_or-mergeable): per-doc
     // maybe/definitely-not against the eval block list with no corpus
@@ -1803,6 +1810,8 @@ object SparkEntry {
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
+
+    "card1_data_card" -> TextAnalysis.dataCardSql,
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
     "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,

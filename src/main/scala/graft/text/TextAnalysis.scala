@@ -33,7 +33,7 @@ object TextAnalysis {
   /** T2: language-ID by stopword-marker scoring — count of tokens hitting
     * each language's marker list, argmax with alphabetical tie-break.
     * A classic n-gram/stopword heuristic; deterministic and columnar. */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val toks = toksCol
     val scores = LangMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
@@ -43,7 +43,7 @@ object TextAnalysis {
       case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
     }
     docs.select(
-      col("doc_id") +: col("lang").as("actual_lang") +:
+      col("doc_id") +: carry.map(col) ++: col("lang").as("actual_lang") +:
         scores.map { case (l, s) => s.as(s"score_$l") } :+
         predicted.as("predicted_lang"): _*)
   }
@@ -823,6 +823,113 @@ object TextAnalysis {
     FROM exact e
     LEFT JOIN ngram g ON g.source = e.source
     LEFT JOIN near r ON r.source = e.source"""
+  }
+
+  // ---- CARD1 (E127): per-source data card ----------------------------------
+
+  /** E127 (CARD1): the per-source DATA CARD — the datasheet a curation
+    * run publishes alongside the corpus (the "dataset card" convention):
+    * one row per source with volume (docs, tokens), quality
+    * (frequency-weighted mean t12 classifier score — Σ margin / Σ tokens,
+    * the lm1 ratio-of-exact-sums discipline), language composition (t4's
+    * langId mode with share, deterministic tie-break), and the exact-dup
+    * rate (docs whose d1 fingerprint repeats ANYWHERE in the corpus —
+    * the corpus-wide count rides a window over the fingerprint-grain
+    * aggregate, no self-join). Every column reuses its operator's single
+    * definition (the rep1 composition rule), so each number stays
+    * hash-identical to its standalone query.
+    *
+    * Cost: two scan-shaped passes (classifier fold, lang markers), one
+    * fingerprint-grain aggregate + window, then |sources|-row joins —
+    * nothing shuffles wider than d1 already does. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val q = classifierScore(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_words"),
+        sum(col("margin")).as("sum_margin"))
+    val lt = langId(docs, Seq("source"))
+      .groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(W.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("predicted_lang").asc)))
+      .filter(col("r") === 1)
+    val fg = docs.select(col("source"), docFp(col("text")).as("fp"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("n"))
+    val du = fg
+      .withColumn("tot", sum(col("n")).over(W.partitionBy(col("fp"))))
+      .filter(col("tot") >= 2)
+      .groupBy(col("source")).agg(sum(col("n")).as("n_dup"))
+    q.join(lt.select(col("source"), col("predicted_lang").as("top_lang"),
+        col("c")), Seq("source"))
+      .join(du, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        (col("sum_margin").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
+          .as("mean_quality"),
+        col("top_lang"),
+        (col("c").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+  }
+
+  def dataCardSql: String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    val scoreCols = LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksT, t -> t IN ($list)))::BIGINT AS score_$lang"
+    }.mkString(",\n        ")
+    val best = LangMarkers.map(m => s"score_${m._1}")
+      .mkString("greatest(", ", ", ")")
+    val pick = LangMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString("\n          ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM t, (SELECT $wlit::BIGINT[] AS wts) w),
+    q AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(n_tokens)::BIGINT AS n_words,
+        sum(margin)::BIGINT AS sum_margin
+      FROM m GROUP BY 1),
+    ls AS (
+      SELECT source,
+        $scoreCols
+      FROM documents),
+    lp AS (
+      SELECT source, CASE $pick ELSE 'und' END AS predicted_lang FROM ls),
+    lc AS (
+      SELECT source, predicted_lang, count(*)::BIGINT AS c
+      FROM lp GROUP BY 1, 2),
+    lt AS (
+      SELECT source, predicted_lang, c,
+        row_number() OVER (PARTITION BY source
+          ORDER BY c DESC, predicted_lang ASC) AS r
+      FROM lc),
+    fg AS (
+      SELECT ${docFpSql("text")} AS fp, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2),
+    du AS (
+      SELECT source, sum(n)::BIGINT AS n_dup
+      FROM (SELECT *, sum(n) OVER (PARTITION BY fp) AS tot FROM fg)
+      WHERE tot >= 2 GROUP BY 1)
+    SELECT q.source, q.n_docs, q.n_words,
+      CAST(q.sum_margin AS DOUBLE) / greatest(q.n_words, 1) AS mean_quality,
+      lt.predicted_lang AS top_lang,
+      lt.c::DOUBLE / q.n_docs::DOUBLE AS top_lang_share,
+      coalesce(du.n_dup, 0)::DOUBLE / q.n_docs::DOUBLE AS dup_rate
+    FROM q
+    JOIN lt ON lt.source = q.source AND lt.r = 1
+    LEFT JOIN du ON du.source = q.source"""
   }
 
   // ---- IMP1 (E107): DSIR-style targeted data selection --------------------

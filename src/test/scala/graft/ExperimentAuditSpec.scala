@@ -100,6 +100,33 @@ class ExperimentAuditSpec extends SparkSpec {
     }
   }
 
+  test("card1: columns cross-foot against the standalone operators") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val card = SparkEntry.queries("card1_data_card")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // volume ≡ a plain per-source count
+    val counts = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.keySet === counts.keySet)
+    card.foreach { case (s, r) => assert(r.getAs[Long]("n_docs") === counts(s)) }
+    // mean_quality ≡ Σ margin / Σ n_tokens from the standalone t12 output
+    val t12 = graft.text.TextAnalysis
+      .classifierScore(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("margin")).as("m"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("m").toDouble / math.max(r.getAs[Long]("t"), 1L)
+          .toDouble)).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Double]("mean_quality") === t12(s)) }
+    card.values.foreach { r =>
+      val share = r.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0.0 && dup <= 1.0)
+    }
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
