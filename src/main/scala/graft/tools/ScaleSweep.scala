@@ -141,7 +141,10 @@ object ScaleSweep {
     // f16/mb1/x11 ride orders/lineitem, which the sweep does NOT fan
     // out — their scale arguments are plan-shape ones (see SURVEY).
     "t17_source_calibrated", "ln1_label_noise", "ab1_experiment_lift",
-    "f17_repurchase_intervals")
+    "f17_repurchase_intervals",
+    // card1 composes three scan-shaped passes + the d1-width fingerprint
+    // aggregate over a ×N corpus — expect linear, flat structure
+    "card1_data_card")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
