@@ -1430,6 +1430,39 @@ object SparkEntry {
             (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
     }),
 
+    // E128 (X12): local-supplier revenue by nation — the TPC-H Q5 shape
+    // over the until-now-unused dimension chain (customer → nation →
+    // region, supplier → nation): revenue where the customer and the
+    // line's supplier share a nation, restricted to one region, grouped
+    // by nation. The multi-dim join-planning exercise: four dimension
+    // tables broadcast (AQE decides; the region filter prunes nation
+    // keys BEFORE the fact joins via the runtime bloom/dpp machinery),
+    // the fact shuffles only for its two equi-joins against orders ⋈
+    // customer. Revenue = Σ price·(1−discount) in DECIMAL end to end
+    // (float per-row products would be deterministic but their SUM's
+    // fold order would not be), double only at the boundary.
+    "x12_local_supplier_revenue" -> ((s, d) => {
+      val one = lit(1).cast(money)
+      val rev = col("l_extendedprice").cast(money) *
+        (one - col("l_discount").cast(money))
+      Sources.table(s, d, "orders")
+        .join(Sources.table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Sources.table(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Sources.table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Sources.table(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Sources.table(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey") &&
+            col("r_name") === "ASIA")
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // E121 (AB1): A/B experiment lift — the two-proportion experiment
     // readout product analytics runs on every feature flag: users split
     // into control/treatment by the deterministic md5-prefix rule (the
@@ -2016,6 +2049,20 @@ object SparkEntry {
       SELECT gap_days, n_gaps,
         n_gaps::DOUBLE / (sum(n_gaps) OVER ())::DOUBLE AS share
       FROM h""",
+
+    "x12_local_supplier_revenue" -> """
+      SELECT n_name AS nation,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*)::BIGINT AS n_items
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY 1""",
 
     "ab1_experiment_lift" -> """
       WITH ev AS (

@@ -226,6 +226,16 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("x12: all dimension joins broadcast; one pre-aggregate exchange") {
+    val p = planOf("x12_local_supplier_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 5, p.take(2000))
+    // the fact side never shuffles before the final aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(2000))
+    // the region filter reaches its scan
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(2000))
+  }
+
   test("metadata-only media query prunes the payload column") {
     // another suite may have cached the media corpus; a cached relation's
     // stored plan contains the payload expression regardless of pruning
