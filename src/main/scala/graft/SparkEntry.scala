@@ -601,6 +601,14 @@ object SparkEntry {
       TextAnalysis.ngramContamination(
         TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
 
+    // E129 (C4): SEMANTIC decontamination — the embedding-space tier
+    // completing the contamination ladder (c1 exact → c2 n-gram → c3
+    // lexical near-dup → this): train vectors cosine-matching any eval
+    // vector above the 0.9 floor (planted verbatim eval twins score 1.0,
+    // the corpus noise ceiling is ~0.5), eval side broadcast.
+    "c4_semantic_decon" -> ((s, d) =>
+      Similarity.semanticDecon(Sources.table(s, d, "embeddings"))),
+
     // E93 (C3): near-dup decontamination — the fuzzy tier above c2:
     // training docs that are near-DUPLICATES of an eval doc via
     // MinHash-LSH, eval bands broadcast (no self-join, no band-key
@@ -1845,6 +1853,8 @@ object SparkEntry {
     "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
 
     "card1_data_card" -> TextAnalysis.dataCardSql,
+
+    "c4_semantic_decon" -> Similarity.semanticDeconSql,
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
     "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,

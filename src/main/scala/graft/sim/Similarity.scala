@@ -1328,6 +1328,83 @@ object Similarity {
     UNION ALL
     SELECT vec_id + $VecTwinOffset AS vec_id, embedding FROM embeddings"""
 
+  /** Cosine floor for E129: planted verbatim twins score exactly 1.0
+    * while the measured cross-cosine noise ceiling on this corpus is
+    * ~0.50 (both SFs, BASELINE-checked) — 0.9 separates with margin. */
+  val SemDeconThreshold = 0.9
+
+  /** E129 (C4): SEMANTIC decontamination — the embedding-space tier that
+    * completes the contamination ladder (c1 byte-identical → c2 shared
+    * n-grams → c3 lexical near-dup → this): training vectors whose
+    * cosine to ANY eval vector clears [[SemDeconThreshold]] are flagged
+    * with the best-matching eval id (paraphrased eval leakage that no
+    * lexical tier can see — the reason eval suites decontaminate in
+    * embedding space). Eval side = the c2 id-modulus convention
+    * (vec_id % 97); the train side plants verbatim eval twins at
+    * id+offset (the c3 convention: positives exist at any scale, cosine
+    * exactly 1.0). One n1-shape broadcast scoring pass (eval is small by
+    * nature), the threshold prunes BEFORE the per-train-vector window
+    * (f15's rank-1 + count shape); swaps for any ANN tier at scale (the
+    * n1-vs-ladder contract). */
+  def semanticDecon(embRaw: DataFrame): DataFrame = {
+    val base = embRaw.select(col("vec_id"), col("embedding"))
+    val eval = base.filter(pmod(col("vec_id"), lit(97L)) === 0)
+    val train = base.filter(pmod(col("vec_id"), lit(97L)) =!= 0)
+      .unionByName(eval.select(
+        (col("vec_id") + VecTwinOffset).as("vec_id"), col("embedding")))
+    val e = eval.select(col("vec_id").as("eval_id"),
+        col("embedding").as("ev"), norm2(col("embedding")).as("en"))
+      .filter(col("en") > 0.0)
+    val scored = train
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+      .filter(col("n2") > 0.0)
+      .join(broadcast(e), dot(col("embedding"), col("ev")) /
+        (col("n2") * col("en")) >= SemDeconThreshold)
+      .select(col("vec_id"), col("eval_id"),
+        (dot(col("embedding"), col("ev")) /
+          (col("n2") * col("en"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("eval_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cos").as("best_cos"),
+        col("n_matches"))
+  }
+
+  def semanticDeconSql: String = s"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    ev AS (
+      SELECT vec_id AS eval_id, embedding AS evv,
+        ${norm2Sql("embedding")} AS en
+      FROM base WHERE vec_id % 97 = 0),
+    evl AS (SELECT * FROM ev WHERE en > 0),
+    tr AS (
+      SELECT vec_id, embedding FROM base WHERE vec_id % 97 <> 0
+      UNION ALL
+      SELECT vec_id + $VecTwinOffset AS vec_id, embedding
+      FROM base WHERE vec_id % 97 = 0),
+    trl AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2
+      FROM tr),
+    scored AS (
+      SELECT t.vec_id, e.eval_id,
+        ${dotSql("t.embedding", "e.evv")} / (t.n2 * e.en) AS cos
+      FROM (SELECT * FROM trl WHERE n2 > 0) t
+      JOIN evl e
+        ON ${dotSql("t.embedding", "e.evv")} / (t.n2 * e.en)
+          >= $SemDeconThreshold)
+    SELECT vec_id, eval_id, cos AS best_cos, n_matches
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, eval_id ASC) AS rn,
+        count(*) OVER (PARTITION BY vec_id) AS n_matches
+      FROM scored)
+    WHERE rn = 1"""
+
   /** D6: embedding-cosine near-dup pairs — all pairs above the threshold,
     * LSH-bucket-restricted (same rationale as [[lshTopK]]: near-identical
     * vectors land in the same sign bucket with high probability, so the

@@ -32,7 +32,12 @@ object AnomalyMonitor {
   /** Flag threshold: |z| above this is an anomaly. */
   val ZThreshold = 3.0
 
-  /** Per-key exact integer stats of a frame — the store increment. */
+  /** Per-key exact integer stats of a frame — the store increment.
+    * The ×100 quantization is row-wise on the double value (truncating
+    * cast), so a non-2dp-representable double may land one cent off its
+    * decimal reading — what matters is that the mapping is row-
+    * deterministic and the folded state is exact integers, which makes
+    * merging batching-invariant. */
   def statsOf(events: DataFrame): DataFrame =
     events.select(col("event_type"),
         (col("value") * lit(100.0)).cast("long").as("cents"))

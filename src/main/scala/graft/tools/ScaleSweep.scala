@@ -144,7 +144,11 @@ object ScaleSweep {
     "f17_repurchase_intervals",
     // card1 composes three scan-shaped passes + the d1-width fingerprint
     // aggregate over a ×N corpus — expect linear, flat structure
-    "card1_data_card")
+    "card1_data_card",
+    // c4's eval side grows with the id space (~corpus/97) but stays
+    // broadcast against the ×N train side — the c3 shape in vector
+    // space (expect linear, flat)
+    "c4_semantic_decon")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -127,6 +127,31 @@ class ExperimentAuditSpec extends SparkSpec {
     }
   }
 
+  test("c4: every planted eval twin is flagged at cosine 1.0") {
+    val out = SparkEntry.queries("c4_semantic_decon")(spark, sf0001)
+      .collect()
+    val evalIds = Sources.table(spark, sf0001, "embeddings")
+      .filter(pmod(col("vec_id"), lit(97L)) === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // the planted twin of every eval vector must flag, matched to its own
+    // eval source at exactly 1.0
+    val twins = out.filter(r =>
+      evalIds.contains(r.getAs[Long]("vec_id") -
+        graft.sim.Similarity.VecTwinOffset))
+    assert(twins.length === evalIds.size)
+    twins.foreach { r =>
+      assert(r.getAs[Long]("eval_id") ===
+        r.getAs[Long]("vec_id") - graft.sim.Similarity.VecTwinOffset)
+      // dot(v,v)/‖v‖² lands within an ulp of 1.0 (both engines compute
+      // the SAME bits — the oracle hash is exact; only this spec's
+      // first-principles reading needs the tolerance)
+      assert(math.abs(r.getAs[Double]("best_cos") - 1.0) < 1e-12)
+      assert(r.getAs[Long]("n_matches") >= 1L)
+    }
+    out.foreach(r => assert(r.getAs[Double]("best_cos") >=
+      graft.sim.Similarity.SemDeconThreshold))
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
