@@ -362,6 +362,12 @@ object SparkEntry {
     "card1_data_card" -> ((s, d) =>
       TextAnalysis.dataCard(Sources.table(s, d, "documents"))),
 
+    // E130 (MIX3): data-constrained epoch allocation — sources fill a
+    // token budget in quality order, each capped at 4 repeats; greedy-
+    // with-caps collapses to a prefix sum in exact long arithmetic.
+    "mix3_epoch_alloc" -> ((s, d) =>
+      TextAnalysis.epochAllocation(Sources.table(s, d, "documents"))),
+
     // E92 (B1): bloom-filter membership pruning — the set-membership
     // sketch (fixed 64×32-bit words, bit_or-mergeable): per-doc
     // maybe/definitely-not against the eval block list with no corpus
@@ -1855,6 +1861,8 @@ object SparkEntry {
     "card1_data_card" -> TextAnalysis.dataCardSql,
 
     "c4_semantic_decon" -> Similarity.semanticDeconSql,
+
+    "mix3_epoch_alloc" -> TextAnalysis.epochAllocationSql,
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
     "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,

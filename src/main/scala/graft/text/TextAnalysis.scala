@@ -825,6 +825,94 @@ object TextAnalysis {
     LEFT JOIN near r ON r.source = e.source"""
   }
 
+  // ---- MIX3 (E130): data-constrained epoch allocation ----------------------
+
+  /** Repeat cap (epochs) per source — the data-constrained-scaling
+    * finding that repeating past ~4 epochs stops buying quality. */
+  val MaxEpochs = 4L
+
+  /** Token budget as a ratio of the corpus: 3/2 (kept integer-exact via
+    * DIV — Spark's `/` on longs is true division) — large enough that
+    * good sources repeat, small enough that the tail gets cut, so every
+    * allocation regime is exercised. */
+
+  /** E130 (MIX3): data-constrained EPOCH allocation — given a token
+    * budget, how many times does each source repeat? The
+    * data-constrained-scaling recipe: sources fill the budget in
+    * quality order (t12's frequency-weighted mean, the card1 column),
+    * each capped at [[MaxEpochs]] repeats of its own tokens; when the
+    * budget runs out mid-source that source gets the remainder and
+    * everything after gets zero. Greedy-with-caps collapses to a PREFIX
+    * SUM (allocated = min(want, max(0, B − Σ want before)) — earlier
+    * sources always take their full want until exhaustion), so the
+    * whole allocation is one window pass over the |sources|-row frame
+    * in EXACT LONG arithmetic; `epochs` is the only double (ratio of
+    * exact longs). One t12 scan + a source aggregate feed it. */
+  def epochAllocation(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val src = classifierScore(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"),
+        sum(col("margin")).as("sum_margin"))
+      .select(col("source"), col("tokens"),
+        (col("sum_margin").cast("double") /
+          greatest(col("tokens"), lit(1L)).cast("double"))
+          .as("mean_quality"))
+    val byQuality = W.orderBy(col("mean_quality").desc, col("source").asc)
+    val ranked = src
+      .withColumn("rank", row_number().over(byQuality).cast("long"))
+      .withColumn("want", col("tokens") * MaxEpochs)
+      .withColumn("total3",
+        sum(col("tokens")).over(W.partitionBy()) * lit(3L))
+      .withColumn("budget", expr("(total3 - pmod(total3, 2)) DIV 2"))
+      .withColumn("prefix_want", coalesce(
+        sum(col("want")).over(byQuality
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    ranked.select(col("source"), col("rank"), col("tokens"),
+      col("mean_quality"), col("want"),
+      least(col("want"),
+        greatest(col("budget") - col("prefix_want"), lit(0L)))
+        .as("allocated"))
+      .withColumn("epochs", col("allocated").cast("double") /
+        greatest(col("tokens"), lit(1L)).cast("double"))
+  }
+
+  def epochAllocationSql: String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM t, (SELECT $wlit::BIGINT[] AS wts) w),
+    src AS (
+      SELECT source, sum(n_tokens)::BIGINT AS tokens,
+        CAST(sum(margin) AS DOUBLE)
+          / greatest(sum(n_tokens)::BIGINT, 1) AS mean_quality
+      FROM m GROUP BY 1),
+    ranked AS (
+      SELECT source, tokens, mean_quality,
+        row_number() OVER (ORDER BY mean_quality DESC, source ASC)::BIGINT
+          AS rank,
+        tokens * $MaxEpochs AS want,
+        (sum(tokens) OVER () * 3) // 2 AS budget,
+        coalesce(sum(tokens * $MaxEpochs) OVER (
+          ORDER BY mean_quality DESC, source ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS prefix_want
+      FROM src)
+    SELECT source, rank, tokens, mean_quality, want,
+      least(want, greatest(budget - prefix_want, 0))::BIGINT AS allocated,
+      least(want, greatest(budget - prefix_want, 0))::DOUBLE
+        / greatest(tokens, 1)::DOUBLE AS epochs
+    FROM ranked"""
+  }
+
   // ---- CARD1 (E127): per-source data card ----------------------------------
 
   /** E127 (CARD1): the per-source DATA CARD — the datasheet a curation

@@ -152,6 +152,30 @@ class ExperimentAuditSpec extends SparkSpec {
       graft.sim.Similarity.SemDeconThreshold))
   }
 
+  test("mix3: allocation is a valid greedy fill of the budget") {
+    val out = SparkEntry.queries("mix3_epoch_alloc")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    val total = out.map(_.getAs[Long]("tokens")).sum
+    val budget = total * 3 / 2
+    assert(out.map(_.getAs[Long]("allocated")).sum === budget,
+      "the greedy fill spends exactly the budget (want total exceeds it)")
+    var exhausted = false
+    out.foreach { r =>
+      val (want, alloc) = (r.getAs[Long]("want"), r.getAs[Long]("allocated"))
+      assert(alloc >= 0L && alloc <= want)
+      assert(want === r.getAs[Long]("tokens") *
+        graft.text.TextAnalysis.MaxEpochs)
+      if (exhausted) assert(alloc === 0L, "nothing allocates after exhaustion")
+      if (alloc < want) exhausted = true
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs >= 0.0 &&
+        epochs <= graft.text.TextAnalysis.MaxEpochs.toDouble + 1e-9)
+    }
+    // quality order is descending down the ranks
+    val q = out.map(_.getAs[Double]("mean_quality"))
+    assert(q.zip(q.tail).forall { case (a, b) => a >= b })
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
