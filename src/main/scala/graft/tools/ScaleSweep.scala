@@ -147,8 +147,9 @@ object ScaleSweep {
     "card1_data_card",
     // c4's eval side grows with the id space (~corpus/97) but stays
     // broadcast against the ×N train side — the c3 shape in vector
-    // space (expect linear, flat)
-    "c4_semantic_decon")
+    // space (expect linear, flat); mix3 is t17's scan + a |sources|-row
+    // window (expect flat like t17)
+    "c4_semantic_decon", "mix3_epoch_alloc")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
