@@ -113,6 +113,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("x12 via spark.sql: the 6-way dim chain keeps every broadcast") {
+    val viaSql = assertParity("x12_local_supplier_revenue", """
+      SELECT n_name AS nation,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2))
+             - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(1) AS n_items
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY n_name""")
+    // assertParity executed the query, so the AQE string carries BOTH the
+    // final and the initial plan — count joins in the final section only
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 5, plan.take(2000))
+  }
+
   // tokens-of-normalized-text as SQL text (TextFunctions.norm/tokens mirror)
   private def toksSql(text: String): String = {
     val normed = s"lower(trim(regexp_replace($text, '[\\\\t-\\\\r ]+', ' ')))"
@@ -255,7 +277,8 @@ object SqlSurfaceSpec {
       SparkSession.setActiveSession(base)
     }
   } match { case s =>
-    Seq("orders", "lineitem", "part", "documents", "embeddings").foreach { t =>
+    Seq("orders", "lineitem", "part", "documents", "embeddings",
+      "customer", "supplier", "nation", "region").foreach { t =>
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $t USING parquet
                 OPTIONS (path '/root/testdata/sf0.001/$t.parquet')""")
     }
