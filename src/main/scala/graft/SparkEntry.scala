@@ -368,6 +368,13 @@ object SparkEntry {
     "mix3_epoch_alloc" -> ((s, d) =>
       TextAnalysis.epochAllocation(Sources.table(s, d, "documents"))),
 
+    // E131 (IR1): retrieval evaluation — per-query first-relevant rank,
+    // reciprocal rank, precision@k over t15's BM25 ranking (relevance =
+    // shared source; the pluggable-qrels harness closing the retrieval
+    // family).
+    "ir1_retrieval_metrics" -> ((s, d) =>
+      TextAnalysis.retrievalMetrics(Sources.table(s, d, "documents"))),
+
     // E92 (B1): bloom-filter membership pruning — the set-membership
     // sketch (fixed 64×32-bit words, bit_or-mergeable): per-doc
     // maybe/definitely-not against the eval block list with no corpus
@@ -1863,6 +1870,8 @@ object SparkEntry {
     "c4_semantic_decon" -> Similarity.semanticDeconSql,
 
     "mix3_epoch_alloc" -> TextAnalysis.epochAllocationSql,
+
+    "ir1_retrieval_metrics" -> TextAnalysis.retrievalMetricsSql(),
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),
     "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,

@@ -696,12 +696,12 @@ object TextAnalysis {
   }
 
   def bm25TopKRetrievalSql(numQueries: Int = Bm25Queries,
-      k: Int = Bm25TopK): String = {
+      k: Int = Bm25TopK, corpus: String = "documents"): String = {
     val k1 = Bm25K1
     s"""
     WITH t AS (
       SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
-      FROM documents),
+      FROM $corpus),
     tf AS (
       SELECT doc_id, dl, term, count(*)::BIGINT AS tf
       FROM (SELECT doc_id, len(th)::BIGINT AS dl, unnest(th) AS term
@@ -824,6 +824,64 @@ object TextAnalysis {
     LEFT JOIN ngram g ON g.source = e.source
     LEFT JOIN near r ON r.source = e.source"""
   }
+
+  // ---- IR1 (E131): retrieval evaluation metrics ----------------------------
+
+  /** E131 (IR1): retrieval EVALUATION — the harness that closes the
+    * retrieval family (t15 BM25 / rrf1 fusion / the ANN ladder produce
+    * rankings; this scores one): per query, the rank of the first
+    * relevant hit, reciprocal rank (MRR's per-query term), and
+    * precision@k. Ranking runs over the PLANTED-TWIN corpus (the dedup
+    * convention) and relevance = "is the query's twin" (id mod the twin
+    * offset) — deterministic qrels with a known answer: at sf0.01+ the
+    * full-token-overlap twin is retrieved within k for every query
+    * (oracle-hash-pinned values; MRR reads 0.6 at sf0.01 — rank 1 is
+    * not guaranteed, a competitor matching only the query's RAREST
+    * terms can outscore the twin, exactly the idf behavior the metric
+    * measures; at the 500-doc smoke SF the shared synthetic vocabulary
+    * crowds some twins out, which the metric duly reports — the spec
+    * pins the arithmetic, not a recall the corpus doesn't support);
+    * a real qrels table swaps in as a join
+    * without touching the metric arithmetic. rr for a query with no
+    * relevant hit is 0 (the IR convention); rr and p@k are single
+    * divisions of exact longs (the lm1 discipline — no mean row, so no
+    * cross-row float fold; the caller averages). */
+  def retrievalMetrics(docs: DataFrame, numQueries: Int = Bm25Queries,
+      k: Int = Bm25TopK): DataFrame = {
+    val j = bm25TopKRetrieval(graft.dedup.Dedup.withNearDups(docs),
+        numQueries, k)
+      .withColumn("rel",
+        (pmod(col("doc_id"), lit(graft.dedup.Dedup.TwinOffset)) ===
+          col("query_id")).cast("long"))
+    j.groupBy(col("query_id"))
+      .agg(min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(col("rel")).as("n_rel_at_k"),
+        count(lit(1)).as("n_ranked"))
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+          lit(0.0)).as("rr"),
+        col("n_rel_at_k"), col("n_ranked"),
+        (col("n_rel_at_k").cast("double") /
+          col("n_ranked").cast("double")).as("p_at_k"))
+  }
+
+  def retrievalMetricsSql(numQueries: Int = Bm25Queries,
+      k: Int = Bm25TopK): String = s"""
+    WITH ranked AS (${bm25TopKRetrievalSql(numQueries, k,
+      s"(${graft.dedup.Dedup.withNearDupsSql("documents")})")}),
+    j AS (
+      SELECT query_id, rank,
+        (doc_id % ${graft.dedup.Dedup.TwinOffset} = query_id)::BIGINT
+          AS rel
+      FROM ranked)
+    SELECT query_id,
+      min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+      coalesce(1.0::DOUBLE
+        / min(CASE WHEN rel = 1 THEN rank END)::DOUBLE, 0.0::DOUBLE) AS rr,
+      coalesce(sum(rel), 0)::BIGINT AS n_rel_at_k,
+      count(*)::BIGINT AS n_ranked,
+      coalesce(sum(rel), 0)::DOUBLE / count(*)::DOUBLE AS p_at_k
+    FROM j GROUP BY 1"""
 
   // ---- MIX3 (E130): data-constrained epoch allocation ----------------------
 

@@ -176,6 +176,32 @@ class ExperimentAuditSpec extends SparkSpec {
     assert(q.zip(q.tail).forall { case (a, b) => a >= b })
   }
 
+  test("ir1: metric arithmetic holds; twins are findable at smoke SF") {
+    val out = SparkEntry.queries("ir1_retrieval_metrics")(spark, sf0001)
+      .collect()
+    assert(out.length === graft.text.TextAnalysis.Bm25Queries)
+    // at the 500-doc smoke SF the shared synthetic vocabulary lets
+    // full-overlap competitors crowd twins out of some top-5s (the
+    // sf0.01/sf0.1 oracle gates read every twin retrieved) — pin that
+    // the harness FINDS twins, not a recall floor the tiny corpus
+    // doesn't support
+    assert(out.count(_.getAs[Long]("n_rel_at_k") >= 1L) >= 1,
+      "at least one query must retrieve its planted twin")
+    out.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("first_rel_rank"))) {
+        assert(r.getAs[Double]("rr") === 0.0)
+        assert(r.getAs[Long]("n_rel_at_k") === 0L)
+      } else {
+        val frr = r.getAs[Long]("first_rel_rank")
+        assert(frr >= 1L && frr <= graft.text.TextAnalysis.Bm25TopK.toLong)
+        assert(r.getAs[Double]("rr") === 1.0 / frr.toDouble)
+      }
+      assert(r.getAs[Double]("p_at_k") ===
+        r.getAs[Long]("n_rel_at_k").toDouble /
+          r.getAs[Long]("n_ranked").toDouble)
+    }
+  }
+
   test("x11: spine-complete; warm-up rows null; flags require |z|>3") {
     val out = SparkEntry.queries("x11_anomaly")(spark, sf0001).collect()
     val byBrand = out.groupBy(_.getAs[String]("brand"))
