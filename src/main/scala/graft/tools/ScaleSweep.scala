@@ -149,7 +149,9 @@ object ScaleSweep {
     // broadcast against the ×N train side — the c3 shape in vector
     // space (expect linear, flat); mix3 is t17's scan + a |sources|-row
     // window (expect flat like t17)
-    "c4_semantic_decon", "mix3_epoch_alloc")
+    "c4_semantic_decon", "mix3_epoch_alloc",
+    // ir1 = t15 over the twinned ×N corpus + an O(1) aggregate
+    "ir1_retrieval_metrics")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
