@@ -708,6 +708,15 @@ object SparkEntry {
     "s3_split_leakage" -> ((s, d) =>
       Dedup.splitLeakage(Sources.table(s, d, "documents"))),
 
+    // E133 (S4): leakage-FREE split assignment — the constructive closer
+    // of the split trilogy (s2 audits proportions, s3 measures leakage,
+    // this prevents it): split assigned at the duplicate-cluster grain
+    // via the shared E83 hash rule on the GROUP id, so near-dup pairs
+    // can never straddle splits; unclustered docs keep their s2 split.
+    "s4_cluster_split" -> ((s, d) =>
+      Dedup.clusterSplit(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
     // E37 (D9): duplicate clustering — connected components over the
     // MinHash-LSH pair graph (iterative min-label propagation with
     // per-round localCheckpoint), summarized per duplicate cluster. The
@@ -715,6 +724,15 @@ object SparkEntry {
     // dedup a corpus, clusters with a canonical representative do.
     "d9_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
+        Dedup.withNearDups(Sources.table(s, d, "documents")))),
+
+    // E132 (D16): quality-aware survivor selection — the stage after d9
+    // that actually emits the deduped corpus: each duplicate cluster
+    // elects its best-t12-quality member (tie -> min doc_id), singletons
+    // survive as themselves. The corpus never shuffles: election ranks
+    // only the clustered subset, singletons are a label anti-join.
+    "d16_dedup_survivors" -> ((s, d) =>
+      Dedup.dedupSurvivors(
         Dedup.withNearDups(Sources.table(s, d, "documents")))),
 
     // E72 (D10): duplicate-SPAN detection — verbatim token runs repeated
@@ -1982,6 +2000,10 @@ object SparkEntry {
       Dedup.splitLeakageSql(Dedup.withNearDupsSql("documents")),
     "d9_dup_clusters" ->
       Dedup.dupClustersSql(Dedup.withNearDupsSql("documents")),
+    "d16_dedup_survivors" ->
+      Dedup.dedupSurvivorsSql(Dedup.withNearDupsSql("documents")),
+    "s4_cluster_split" ->
+      Dedup.clusterSplitSql(Dedup.withNearDupsSql("documents")),
     "r2_dup_spans" ->
       Dedup.dupSpansSql(Dedup.withSpanTwinsSql("documents")),
     "r3_dup_span_rate" ->

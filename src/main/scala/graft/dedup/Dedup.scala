@@ -543,6 +543,89 @@ object Dedup {
       s.n_docs - 1 AS n_dupes, k.text AS keeper_text
     FROM summary s JOIN korpus k ON k.doc_id = s.cluster_id"""
 
+  // ---- D16 (E132): quality-aware survivor selection -----------------------
+
+  /** E132 (D16): quality-aware SURVIVOR selection — the stage that turns
+    * clusters into a deduped corpus. d9 keeps the min-id member per
+    * cluster; a production pipeline keeps the BEST member (near-dup
+    * clusters mix a clean original with truncated/boilerplated variants,
+    * and min-id is an accident of crawl order). Each duplicate cluster
+    * (connected components over the MinHash-LSH pair graph) elects the
+    * member with the highest t12 classifier quality score (tie → min
+    * doc_id); every unclustered doc survives as its own singleton. Output
+    * is one row per SURVIVING doc — exactly the relation the next
+    * pipeline stage reads as "the corpus".
+    *
+    * Scale shape: the corpus itself NEVER shuffles. The quality pass is
+    * t12's narrow codegen'd scan; the pair graph + CC loop touch only
+    * docs that collide in a band bucket; the election window runs over
+    * the CLUSTERED subset (|labels| rows — the small relation), and the
+    * singleton side is a left-anti against those labels (AQE broadcasts
+    * the label side when it fits). Window-over-everything on cluster_id —
+    * the obvious one-liner — would hash-shuffle the full corpus at 100 TB
+    * to rank mostly-singleton partitions; splitting clustered from
+    * unclustered keeps the big side shuffle-free.
+    *
+    * Reuse: quality is THE t12 definition ([[TextAnalysis.classifierScore]])
+    * and clustering THE d9 machinery ([[connectedComponents]] over
+    * [[minhashLshPairs]]) — the rep1/card1 composition rule, so every
+    * number here is hash-identical to its standalone query. */
+  def dedupSurvivors(docs: DataFrame): DataFrame = {
+    val scored = graft.text.TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("score"))
+    val labels = connectedComponents(
+      minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val winners = scored.join(labels, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_docs"),
+        (col("n_docs") - 1).cast("long").as("n_removed"), col("score"))
+    val singles = scored.join(labels.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("n_docs"), lit(0L).as("n_removed"), col("score"))
+    winners.unionByName(singles)
+  }
+
+  /** D16 oracle: the d9 recursive-CTE closure for cluster labels, the
+    * t12 scoring CTE over the same corpus, a ranked election on the
+    * clustered subset, and a NOT EXISTS singleton side — the same
+    * split-by-membership shape as the Spark plan. */
+  def dedupSurvivorsSql(corpus: String): String = s"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT doc_a, doc_b FROM (${minhashLshPairsSql(corpus)})),
+    und AS (
+      SELECT doc_a AS x, doc_b AS y FROM edges
+      UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+    reach AS (
+      SELECT x AS node, x AS r FROM und
+      UNION
+      SELECT reach.node, u.y AS r FROM reach JOIN und u ON u.x = reach.r),
+    labels AS (SELECT node AS doc_id, min(r) AS cluster_id
+      FROM reach GROUP BY node),
+    scored AS (
+      SELECT doc_id, score
+      FROM (${graft.text.TextAnalysis.classifierScoreSqlOver(corpus)})),
+    clustered AS (
+      SELECT s.doc_id, l.cluster_id, s.score,
+        row_number() OVER (PARTITION BY l.cluster_id
+          ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+      FROM scored s JOIN labels l ON l.doc_id = s.doc_id)
+    SELECT doc_id, cluster_id, n_docs::BIGINT AS n_docs,
+      (n_docs - 1)::BIGINT AS n_removed, score
+    FROM clustered WHERE rn = 1
+    UNION ALL
+    SELECT s.doc_id, s.doc_id AS cluster_id, 1::BIGINT AS n_docs,
+      0::BIGINT AS n_removed, s.score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.doc_id = s.doc_id)"""
+
   // ---- D3: MinHash + LSH banding ------------------------------------------
 
   val NumHashes = 16
@@ -856,6 +939,63 @@ object Dedup {
       count(*)::BIGINT AS n_pairs,
       least(sa, sb) <> greatest(sa, sb) AS is_leak
     FROM labeled GROUP BY 1, 2"""
+  }
+
+  // ---- S4 (E133): leakage-free split assignment ----------------------------
+
+  /** E133 (S4): leakage-FREE split assignment — the constructive closer
+    * of the split trilogy: s2 audits the hash split's proportions, s3
+    * MEASURES how many near-dup pairs straddle splits, and this operator
+    * makes that number zero BY CONSTRUCTION by assigning splits at the
+    * duplicate-CLUSTER grain ("group split" in eval-hygiene terms): every
+    * doc inherits its cluster's canonical label (the d9 connected
+    * components over d3's LSH pairs; unclustered docs group as
+    * themselves) and the split is the SHARED E83 hash rule applied to
+    * the GROUP id, not the doc id. Two invariants fall out: (a) near-dup
+    * pairs can never straddle splits — both sides hash the same group;
+    * (b) unclustered docs keep exactly their s2 split (`splitOf(doc_id)`
+    * = `splitOf(group_id)` when group = self), so the assignment is a
+    * minimal perturbation of the independent hash split.
+    *
+    * Scale shape: one left join of the corpus ids against the SMALL
+    * label relation (only docs that collided in a band bucket — AQE
+    * broadcasts it when it fits) + a scalar md5; the corpus never
+    * shuffles. Cost beyond the dedup the pipeline already runs is one
+    * scan. */
+  def clusterSplit(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.splitOf
+    val labels = connectedComponents(
+      minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .withColumn("split", splitOf(col("group_id")))
+  }
+
+  /** S4 oracle: the d9 recursive-CTE closure for labels, a left join,
+    * and the shared E83 split rule on the coalesced group id. */
+  def clusterSplitSql(corpus: String): String = {
+    import graft.functions.TextFunctions.splitOfSql
+    s"""
+    WITH RECURSIVE korpus AS ($corpus),
+    edges AS (
+      SELECT doc_a, doc_b FROM (${minhashLshPairsSql(corpus)})),
+    und AS (
+      SELECT doc_a AS x, doc_b AS y FROM edges
+      UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+    reach AS (
+      SELECT x AS node, x AS r FROM und
+      UNION
+      SELECT reach.node, u.y AS r FROM reach JOIN und u ON u.x = reach.r),
+    labels AS (SELECT node AS doc_id, min(r) AS cluster_id
+      FROM reach GROUP BY node),
+    grouped AS (
+      SELECT k.doc_id,
+        coalesce(l.cluster_id, k.doc_id) AS group_id
+      FROM korpus k LEFT JOIN labels l ON l.doc_id = k.doc_id)
+    SELECT doc_id, group_id, ${splitOfSql("group_id")} AS split
+    FROM grouped"""
   }
 
   // ---- D4: SimHash ---------------------------------------------------------

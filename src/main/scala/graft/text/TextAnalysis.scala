@@ -535,12 +535,19 @@ object TextAnalysis {
     FROM sc"""
   }
 
-  def classifierScoreSql: String = {
+  def classifierScoreSql: String =
+    classifierScoreSqlOver("SELECT * FROM documents")
+
+  /** The t12 scoring SQL over an arbitrary corpus subquery — the same
+    * single definition the plain-`documents` twin delegates to, so a
+    * composed consumer (d16's survivor selection over the twinned
+    * corpus) can never fork from the standalone t12 oracle. */
+  def classifierScoreSqlOver(corpus: String): String = {
     val wlit = ClfWeights.mkString("[", ", ", "]")
     s"""
     WITH t AS (
       SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
-      FROM documents),
+      FROM ($corpus)),
     m AS (
       SELECT doc_id, len(th)::BIGINT AS n_tokens,
         list_reduce(list_prepend(0::BIGINT,

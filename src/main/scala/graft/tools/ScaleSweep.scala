@@ -54,6 +54,10 @@ object ScaleSweep {
     "d1_exact_dedup", "d3_minhash_lsh", "d5_simhash_pairs",
     "d5x_simhash60_pairs", "d7_jaccard_dfcap", "d8_incremental_dedup",
     "d9_dup_clusters", "n2_ann_lsh", "n4_ann_ivf", "n5_ann_ivf_trained",
+    // d16 = d9's cluster machinery + t12's scan + a small-side election
+    // window: expect d9's curve plus a linear scan term, flat jobs;
+    // s4 = d9 + one corpus-vs-labels left join (no extra corpus pass)
+    "d16_dedup_survivors", "s4_cluster_split",
     // the BPE tier: the open-vocabulary fan-out grows the token space
     // ×N (round 8 — the suffix carries new char pairs), so the merge
     // loop's pair-count state grows with the VOCABULARY while the

@@ -443,6 +443,74 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.toSeq === Seq(1L))
   }
 
+  test("d16: survivors partition the corpus and each cluster keeps its best") {
+    // withNearDups plants a " spark"-suffixed twin per doc, so every
+    // original/twin pair forms a 2-doc cluster and nothing is a singleton
+    // unless LSH happens to miss it (it doesn't on these texts: twin
+    // shingle sets overlap far past the 0.5 estimate threshold).
+    val base = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet white black grey"))
+    val corpus = Dedup.withNearDups(base)
+    val out = Dedup.dedupSurvivors(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // clusters partition the corpus: sizes sum to |corpus|, one survivor
+    // per cluster, and cluster ids are distinct
+    assert(out.map(_._3).sum === corpus.count())
+    assert(out.map(_._2).distinct.size === out.size)
+    // n_removed is always size-1
+    assert(out.forall(r => r._4 === r._3 - 1))
+    // independent re-derivation of the ELECTION: for each cluster, the
+    // survivor must be the max-score (tie: min doc_id) member per the
+    // t12 score joined to the d9 labels
+    val labels = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(corpus).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = graft.text.TextAnalysis.classifierScore(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expect = scores.keys
+      .groupBy(id => labels.getOrElse(id, id))
+      .map { case (cl, ids) =>
+        cl -> ids.minBy(id => (-scores(id), id)) }
+    assert(out.map(r => r._2 -> r._1).toMap === expect)
+    // singletons (a doc with no planted twin pair) survive as themselves
+    val lone = docs((9L, "utterly disjoint vocabulary here notwithstanding"))
+      .select(col("doc_id"), col("text"))
+    val mixed = corpus.unionByName(lone)
+    val out2 = Dedup.dedupSurvivors(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out2.exists(r => r._1 === 9L && r._2 === 9L && r._3 === 1L))
+  }
+
+  test("s4: cluster split is total, leak-free, and minimal-perturbation") {
+    val base = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet white black grey"))
+    val corpus = Dedup.withNearDups(base).unionByName(
+      docs((9L, "utterly disjoint vocabulary here notwithstanding"))
+        .select(col("doc_id"), col("text")))
+    val assign = Dedup.clusterSplit(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // total: every corpus doc assigned exactly once
+    assert(assign.size.toLong === corpus.count())
+    // leak-free BY CONSTRUCTION: both sides of every near-dup pair get
+    // the same split (the s3 matrix's off-diagonal is empty)
+    val pairs = Dedup.minhashLshPairs(corpus)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => assign(a)._2 === assign(b)._2 })
+    // minimal perturbation: an UNCLUSTERED doc groups as itself and keeps
+    // exactly its independent E83 hash split
+    import graft.functions.TextFunctions.splitOf
+    val s9 = corpus.sparkSession.range(9, 10)
+      .select(splitOf(col("id")).as("s")).head().getString(0)
+    assert(assign(9L) === ((9L, s9)))
+  }
+
   test("incremental dedup drops re-crawled docs, keeps genuinely new ones") {
     val history = docs((1L, "alpha beta gamma"), (2L, "delta epsilon"))
     val incoming = docs(
