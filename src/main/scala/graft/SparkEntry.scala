@@ -244,6 +244,13 @@ object SparkEntry {
     "t1_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Sources.table(s, d, "documents"))),
 
+    // E134 (T18): context-length truncation audit — for each candidate
+    // max_seq_len, how many docs overflow and how much token mass is
+    // lost: the sizing curve a pretraining run reads before fixing L.
+    // One conditional-aggregate corpus pass; |CtxLens| output rows.
+    "t18_truncation_audit" -> ((s, d) =>
+      TextAnalysis.truncationAudit(Sources.table(s, d, "documents"))),
+
     // E2: language-ID by stopword-marker scoring.
     "t2_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Sources.table(s, d, "documents"))),
@@ -590,6 +597,14 @@ object SparkEntry {
         emb.filter(half >= "8" && col("label") =!= 3 &&
           !(col("label") === 5 && element_at(col("embedding"), 1) > 0f)))
     }),
+
+    // E135 (V5): embedding second-moment audit — the exact d×d
+    // mean/covariance the PCA/whitening of an embedding store starts
+    // from (eigensolve is driver-side on the 2080-row output; THIS
+    // one-pass, map-side-combined triangle is the at-scale part).
+    // Fixed-point grid codes make the sums exact in any fold order.
+    "v5_embedding_cov" -> ((s, d) =>
+      Validation.embeddingCovariance(Sources.table(s, d, "embeddings"))),
 
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
@@ -1876,6 +1891,7 @@ object SparkEntry {
     // ---- training-data pipeline extension oracles -------------------------
 
     "t1_token_stats" -> TextAnalysis.tokenStatsSql,
+    "t18_truncation_audit" -> TextAnalysis.truncationAuditSql,
     "t2_lang_id" -> TextAnalysis.langIdSql,
     "t3_quality_score" -> TextAnalysis.qualityScoreSql,
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
@@ -1953,6 +1969,8 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
          AND source <> 'src3'
          AND NOT (source = 'src5' AND n_chars > 250)"""),
+    "v5_embedding_cov" ->
+      Validation.embeddingCovarianceSql("SELECT * FROM embeddings"),
     "v3_vec_drift" -> Validation.vecDriftAuditSql(
       """SELECT * FROM embeddings
          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'""",

@@ -30,6 +30,53 @@ object TextAnalysis {
       (length(regexp_replace(norm(col("text")), " ", "")).cast("double") /
         greatest(size(toksCol), lit(1))).as("mean_word_len"))
 
+  /** Context lengths t18 audits — the ladder a pretraining run sizes
+    * against. A literal constant: the audit is decision support for
+    * choosing max sequence length, not a tunable of the data. */
+  val CtxLens: Seq[Long] = Seq(128L, 256L, 512L, 1024L, 2048L)
+
+  /** E134 (T18): context-length TRUNCATION audit — the sizing question
+    * every pretraining run answers before fixing max_seq_len: at context
+    * length L, how many documents overflow and how much token mass is
+    * lost to truncation? For each candidate L this reports docs_over
+    * (docs longer than L), tokens_lost (Σ max(0, n − L)) and the loss
+    * rate — the curve whose knee picks L (c.f. the truncation-vs-packing
+    * trade pk1 implements once L is chosen).
+    *
+    * ONE conditional-aggregate corpus pass whatever |CtxLens|: the
+    * per-doc BPE-ish token count (t1's `bpe_tokens` definition — the
+    * composition rule, so the count is hash-identical to t1's column)
+    * folds through 2·|CtxLens| conditional sums in a single map-side-
+    * combined aggregate; the |CtxLens|-row output reshapes from the
+    * 1-row frame (an explode over literals — zero corpus cost). All
+    * counts exact longs; loss_rate is the only double, NULL (not a ÷0
+    * abort — the ANSI discipline) on an empty corpus. */
+  def truncationAudit(docs: DataFrame): DataFrame = {
+    val n = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .cast("long")
+    val base = docs.select(n.as("n"))
+    val condAggs = CtxLens.flatMap { l =>
+      Seq(sum(when(col("n") > l, 1L).otherwise(0L)).as(s"docs_over_$l"),
+        sum(greatest(col("n") - lit(l), lit(0L))).as(s"lost_$l"))
+    }
+    val tot = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n")), lit(0L)).as("tokens_total") +: condAggs: _*)
+    tot.select(
+        col("n_docs"), col("tokens_total"),
+        explode(array(CtxLens.map { l =>
+          struct(lit(l).as("ctx_len"),
+            coalesce(col(s"docs_over_$l"), lit(0L)).as("docs_over"),
+            coalesce(col(s"lost_$l"), lit(0L)).as("tokens_lost"))
+        }: _*)).as("r"))
+      .select(col("r.ctx_len").as("ctx_len"), col("n_docs"),
+        col("tokens_total"), col("r.docs_over").as("docs_over"),
+        col("r.tokens_lost").as("tokens_lost"),
+        when(col("tokens_total") === 0L, lit(null).cast("double"))
+          .otherwise(col("r.tokens_lost").cast("double") /
+            col("tokens_total").cast("double")).as("loss_rate"))
+  }
+
   /** T2: language-ID by stopword-marker scoring — count of tokens hitting
     * each language's marker list, argmax with alphabetical tie-break.
     * A classic n-gram/stopword heuristic; deterministic and columnar. */
@@ -2540,6 +2587,33 @@ object TextAnalysis {
       length(replace($normT, ' ', ''))::DOUBLE
         / greatest(len($toksT), 1) AS mean_word_len
     FROM documents"""
+
+  /** T18 oracle: the same single conditional-aggregate pass, reshaped
+    * to rows by a literal UNION ALL (DuckDB's unpivot of a 1-row frame). */
+  val truncationAuditSql: String = {
+    val condCols = CtxLens.map { l =>
+      s"""coalesce(sum(CASE WHEN n > $l THEN 1 ELSE 0 END), 0)::BIGINT
+          AS docs_over_$l,
+        coalesce(sum(greatest(n - $l, 0)), 0)::BIGINT AS lost_$l"""
+    }.mkString(",\n      ")
+    val rows = CtxLens.map { l =>
+      s"""SELECT ${l}::BIGINT AS ctx_len, n_docs, tokens_total,
+        docs_over_$l AS docs_over, lost_$l AS tokens_lost,
+        CASE WHEN tokens_total = 0 THEN NULL
+          ELSE lost_$l::DOUBLE / tokens_total::DOUBLE END AS loss_rate
+      FROM a"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH t AS (
+      SELECT len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n
+      FROM documents),
+    a AS (
+      SELECT count(*)::BIGINT AS n_docs,
+        coalesce(sum(n), 0)::BIGINT AS tokens_total,
+      $condCols
+      FROM t)
+    $rows"""
+  }
 
   val langIdSql: String = {
     val scoreCols = LangMarkers.map { case (lang, words) =>

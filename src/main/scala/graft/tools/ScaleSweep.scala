@@ -58,6 +58,8 @@ object ScaleSweep {
     // window: expect d9's curve plus a linear scan term, flat jobs;
     // s4 = d9 + one corpus-vs-labels left join (no extra corpus pass)
     "d16_dedup_survivors", "s4_cluster_split",
+    // t18 = one conditional-aggregate corpus scan, constant 5-row output
+    "t18_truncation_audit",
     // the BPE tier: the open-vocabulary fan-out grows the token space
     // ×N (round 8 — the suffix carries new char pairs), so the merge
     // loop's pair-count state grows with the VOCABULARY while the
@@ -77,6 +79,9 @@ object ScaleSweep {
     // query broadcast like n6
     "n8_ann_pq", "n9_ann_ivf_pq", "r2_dup_spans", "v2_drift_audit",
     "v3_vec_drift",
+    // v5 = one quantize + triangle-explode + map-side-combined agg over
+    // the fanned vector store: linear wall, constant 2080-row output
+    "v5_embedding_cov",
     // the events tier (round 7): fan-out extends HISTORY (disjoint later
     // time range, new user population per copy — the realistic 100-TB
     // growth model), so per-user recurrences (e1), session/funnel grains

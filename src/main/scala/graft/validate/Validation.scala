@@ -303,6 +303,85 @@ object Validation {
         .otherwise("ok").as("status"))
   }
 
+  /** Fixed-point grid for v5's exact second moments: q = floor(x·4096).
+    * The multiply is EXACT (float widened to double times a power of
+    * two loses nothing) and floor is engine-independent, so the codes —
+    * unlike raw float sums — aggregate to bit-identical totals in any
+    * fold order on any engine. 12 bits on the unit-ish interval keeps
+    * q·q ≤ ~5.6e6 per row; group sums are DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB), overflow-free at any corpus size. */
+  val CovGrid = 4096L
+
+  /** E135 (V5): embedding SECOND-MOMENT audit — the d×d mean/covariance
+    * matrix that PCA/whitening/ZCA of an embedding store starts from
+    * (the eigensolve itself is a driver-side O(d³) on the d×d output —
+    * never a cluster concern; THIS pass is the 100-TB part). Covariance
+    * is computed over fixed-point codes on the [[CovGrid]] grid (v3's
+    * exact-integer discipline extended to second moments: raw float
+    * sums fold nondeterministically, integer sums don't), then scaled
+    * back to raw units at the double boundary; grid quantization noise
+    * is uniform(±2⁻¹³) per component — orders below any real corpus's
+    * eigengaps.
+    *
+    * Shape: one narrow pass — quantize, double posexplode to the upper
+    * triangle (row amplification ×d(d+1)/2 is consumed IN-STAGE by the
+    * map-side-combining (dim_i, dim_j) aggregate; shuffle volume is
+    * 2080 rows per map partition, never the corpus), one tiny final
+    * aggregate. The documented swap at much larger d is a typed
+    * Aggregator carrying the packed triangle as its buffer (the
+    * TopKAggregator pattern); at d = 64 the declarative form wins —
+    * whole-stage codegen, no custom state. */
+  def embeddingCovariance(embs: DataFrame): DataFrame = {
+    val q = embs.select(transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * lit(CovGrid.toDouble)).cast("long"))
+      .as("q"))
+    val tri = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .select((col("i0") + 1).cast("long").as("dim_i"), col("qi"),
+        posexplode(col("q")).as(Seq("j0", "qj")))
+      .select(col("dim_i"), col("qi"),
+        (col("j0") + 1).cast("long").as("dim_j"), col("qj"))
+      .where(col("dim_j") >= col("dim_i"))
+    val g2 = lit(CovGrid.toDouble * CovGrid.toDouble)
+    tri.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi").cast("decimal(38,0)")).as("s_i"),
+        sum(col("qj").cast("decimal(38,0)")).as("s_j"),
+        sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("s_ij"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        (col("s_i").cast(DoubleType) / col("n").cast(DoubleType) /
+          lit(CovGrid.toDouble)).as("mean_i"),
+        (col("s_j").cast(DoubleType) / col("n").cast(DoubleType) /
+          lit(CovGrid.toDouble)).as("mean_j"),
+        ((col("s_ij").cast(DoubleType) / col("n").cast(DoubleType) -
+          (col("s_i").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (col("s_j").cast(DoubleType) / col("n").cast(DoubleType))) / g2)
+          .as("cov"))
+  }
+
+  /** V5 oracle: the same grid codes via list_transform, the same upper
+    * triangle via two range-unnests, HUGEINT sums, and the identical
+    * left-associative double expression at the boundary. */
+  def embeddingCovarianceSql(src: String): String = s"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+        x -> floor(x::DOUBLE * ${CovGrid}.0)::BIGINT) AS q
+      FROM ($src)),
+    a AS (SELECT q, unnest(range(1, len(q) + 1)) AS dim_i FROM q),
+    b AS (SELECT q, dim_i, unnest(range(1, len(q) + 1)) AS dim_j FROM a),
+    f AS (
+      SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j,
+        q[dim_i::INT] AS qi, q[dim_j::INT] AS qj
+      FROM b WHERE dim_j >= dim_i)
+    SELECT dim_i, dim_j, count(*)::BIGINT AS n,
+      sum(qi)::DOUBLE / count(*)::DOUBLE / ${CovGrid}.0 AS mean_i,
+      sum(qj)::DOUBLE / count(*)::DOUBLE / ${CovGrid}.0 AS mean_j,
+      (sum(qi * qj)::DOUBLE / count(*)::DOUBLE
+        - (sum(qi)::DOUBLE / count(*)::DOUBLE)
+          * (sum(qj)::DOUBLE / count(*)::DOUBLE))
+        / (${CovGrid}.0 * ${CovGrid}.0) AS cov
+    FROM f GROUP BY 1, 2"""
+
   def vecDriftAuditSql(refSql: String, batchSql: String,
       tol: Double = 40.0): String = {
     def profile(src: String) = s"""

@@ -170,6 +170,37 @@ class CorpusOpsSpec extends SparkSpec {
     } finally top.unpersist()
   }
 
+  test("t18: truncation audit is the hand-computed overflow curve") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // token counts under the BPE-ish pattern: "a b" = 2, 200 letters-
+    // runs = 200 tokens, 1500 digits = 1500 single-digit tokens
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "a b"),
+      Row(2L, (1 to 200).map(_ => "tok").mkString(" ")),
+      Row(3L, "7" * 1500)), 2), schema)
+    val out = TextAnalysis.truncationAudit(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val total = 2L + 200L + 1500L
+    // L=128: docs 2 (200) and 3 (1500) overflow; lost = 72 + 1372
+    assert(out(128L) === ((3L, total, 2L, 72L + 1372L,
+      (72.0 + 1372.0) / total.toDouble)))
+    // L=256: only doc 3; lost = 1244
+    assert(out(256L) === ((3L, total, 1L, 1244L, 1244.0 / total.toDouble)))
+    // L=2048: nothing overflows, zero loss
+    assert(out(2048L) === ((3L, total, 0L, 0L, 0.0)))
+    assert(out.keySet === TextAnalysis.CtxLens.toSet)
+    // empty corpus: rows still emitted, counts zero, rate NULL not a
+    // divide-by-zero abort
+    val empty = TextAnalysis.truncationAudit(d.limit(0)).collect()
+    assert(empty.length === TextAnalysis.CtxLens.size)
+    assert(empty.forall(r => r.getLong(1) === 0L && r.getLong(2) === 0L
+      && r.isNullAt(5)))
+  }
+
   test("t12: classifier margin is the exact integer fold of hashed weights") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -77,6 +77,51 @@ class ValidationSpec extends SparkSpec {
       Set("a", "b", "c"), Seq("a", "c", "d")) === Set("b"))
   }
 
+  test("v5: embedding covariance equals the exact code-space re-derivation") {
+    val s = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = Seq(
+      Seq(0.5f, -0.25f, 0.125f),
+      Seq(-0.3f, 0.1f, 0.4f),
+      Seq(0.2f, 0.2f, -0.1f),
+      Seq(0.0f, -0.5f, 0.25f))
+    val df = mk(s, vecs.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, v) }: _*)
+    val out = Validation.embeddingCovariance(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // exact independent re-derivation: same grid, BigInt sums, same
+    // left-associative double boundary expression
+    val g = Validation.CovGrid.toDouble
+    val codes = vecs.map(_.map(x => math.floor(x.toDouble * g).toLong))
+    val n = vecs.size.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val si = codes.map(_(i)).sum.toDouble
+      val sj = codes.map(_(j)).sum.toDouble
+      val sij = codes.map(c => c(i) * c(j)).sum.toDouble
+      val (on, mi, mj, cov) = out((i + 1L, j + 1L))
+      assert(on === vecs.size.toLong)
+      assert(mi === si / n / g)
+      assert(mj === sj / n / g)
+      assert(cov === (sij / n - (si / n) * (sj / n)) / (g * g))
+    }
+    // upper triangle only, all pairs present
+    assert(out.size === 6)
+    // diagonal variances are non-negative
+    for (i <- 1L to 3L) assert(out((i, i))._4 >= 0.0)
+    // grid quantization stays within its error bound of the true float
+    // covariance: |cov_q - cov_f| <= ~(2/g)·E|x| + (1/g)² per term; at
+    // these magnitudes 1e-3 is generous
+    val fm = (i: Int) => vecs.map(_(i).toDouble).sum / n
+    for (i <- 0 until 3; j <- i until 3) {
+      val covF = vecs.map(v => v(i).toDouble * v(j).toDouble).sum / n -
+        fm(i) * fm(j)
+      assert(math.abs(out((i + 1L, j + 1L))._4 - covF) < 1e-3)
+    }
+  }
+
   test("vecDriftAudit flags per-dim code drift and label churn") {
     val s = StructType(Seq(
       StructField("label", IntegerType),
