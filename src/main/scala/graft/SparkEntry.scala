@@ -1030,6 +1030,15 @@ object SparkEntry {
       graft.operators.JoinCardinality.ordersEventsJoinCard(
         Sources.table(s, d, "orders"), Sources.table(s, d, "events"))),
 
+    // E136 (ER1): blocked fuzzy entity resolution — candidate pairs
+    // form only inside the (nationkey, mktsegment) block (never
+    // all-pairs), then the codegen'd Levenshtein comparator thresholds
+    // the match. The record-linkage stage before customer-grain
+    // analytics; d9's components cluster this pair graph.
+    "er1_entity_match" -> ((s, d) =>
+      graft.operators.EntityResolution.entityMatchPairs(
+        Sources.table(s, d, "customer"))),
+
     "e3_range_join_incidents" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       val tsSec = Sources.epochSec(ev)
@@ -2441,6 +2450,9 @@ object SparkEntry {
 
     "jc1_join_card_sketch" ->
       graft.operators.JoinCardinality.ordersEventsJoinCardSql,
+
+    "er1_entity_match" ->
+      graft.operators.EntityResolution.entityMatchPairsSql(),
 
     // the binned equi-join must equal this plain containment join exactly
     "e3_range_join_incidents" -> """

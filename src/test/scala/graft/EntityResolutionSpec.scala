@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.operators.EntityResolution
+
+/** ER1: blocked fuzzy matching — pair semantics, threshold, and the
+  * blocking recall trade on a hand-built fixture. */
+class EntityResolutionSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_mktsegment", StringType)))
+
+  private def mk(rows: Row*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("er1: matches within a block at the edit-distance threshold") {
+    val df = mk(
+      Row(1L, "alice smith", 1, "RETAIL"),
+      Row(2L, "alice smyth", 1, "RETAIL"), // dist 1 -> match
+      Row(3L, "alice smthy", 1, "RETAIL"), // dist 2 of #1 -> match
+      Row(4L, "robert jones", 1, "RETAIL"), // far from all -> no pair
+      Row(5L, "alice smith", 2, "RETAIL"), // exact dup, WRONG block
+      Row(6L, "alice smith", 1, "AUTO")) // exact dup, wrong segment
+    val out = EntityResolution.entityMatchPairs(df).collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    // pairs are de-mirrored (a < b) and carry the exact distance
+    assert(out((1L, 2L)) === 1L)
+    assert(out((1L, 3L)) === 2L)
+    // smyth vs smthy: substitution + adjacent slip = 2 -> also a match
+    assert(out((2L, 3L)) === 2L)
+    // the blocking trade, pinned: identical names in another block or
+    // segment are NOT candidates (recall is bought back by unioning
+    // more blocking passes, not by widening this one)
+    assert(!out.contains((1L, 5L)) && !out.contains((1L, 6L)))
+    // nothing matches the distant name
+    assert(out.keySet.flatMap(p => Set(p._1, p._2)) === Set(1L, 2L, 3L))
+  }
+
+  test("er1: threshold is strict and zero-distance dups still pair") {
+    val df = mk(
+      Row(1L, "acme corp", 3, "AUTO"),
+      Row(2L, "acme corp", 3, "AUTO"), // dist 0
+      Row(3L, "acme corpXYZ", 3, "AUTO")) // dist 3 from #1 -> out
+    val out = EntityResolution.entityMatchPairs(df).collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(out === Map((1L, 2L) -> 0L))
+    // widening the threshold admits the distant variant
+    val wide = EntityResolution.entityMatchPairs(df, maxDist = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(wide === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
