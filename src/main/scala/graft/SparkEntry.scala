@@ -330,6 +330,13 @@ object SparkEntry {
             .as("bucket"))
         .filter(col("bucket") < "40")),
 
+    // E137 (S5): quality-weighted Bernoulli sampling — each doc
+    // survives with probability proportional to its own t3 quality
+    // score (soft quality filter; deterministic md5 coin). The
+    // continuous-weight member of the sampling family.
+    "s5_quality_sample" -> ((s, d) =>
+      TextAnalysis.qualitySample(Sources.table(s, d, "documents"))),
+
     // E45 (T6): corpus vocabulary top-k by document frequency — the
     // vocab/stopword-building pass: narrow explode, token-keyed partial
     // aggregate, bounded TakeOrderedAndProject ranking.
@@ -2019,6 +2026,7 @@ object SparkEntry {
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
       FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'""",
+    "s5_quality_sample" -> TextAnalysis.qualitySampleSql(),
     "d2_ngram_jaccard" ->
       Dedup.ngramJaccardPairsSql(Dedup.withNearDupsSql("documents")),
     "d3_minhash_lsh" ->

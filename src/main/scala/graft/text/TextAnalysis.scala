@@ -147,6 +147,62 @@ object TextAnalysis {
         .otherwise("low").as("quality_bucket"))
   }
 
+  /** E137 (S5): quality-WEIGHTED Bernoulli sampling — the soft quality
+    * filter of corpus curation (the CCNet/FineWeb-style alternative to a
+    * hard threshold): each document survives with probability
+    * proportional to its own t3 quality score (p = rate·score/max),
+    * so high-quality docs are kept near-always, low-quality docs are
+    * downweighted but not censored — preserving tail diversity a hard
+    * cutoff destroys. Distinct from the rest of the sampling family:
+    * t5 is uniform, mix1 weights by SOURCE (categorical), s1 is exact-N
+    * stratified, sel1 is deterministic top-k under a budget; s5's
+    * weight is the document's own continuous score.
+    *
+    * Determinism (the house convention): the coin is the first 8 hex
+    * chars of the doc-id md5 mapped to u ∈ [0,1) (an exact dyadic —
+    * /2³²), and p is one mirrored multiply-divide of the t3 score
+    * (composition rule: the score column is hash-identical to t3's).
+    * Rerun/retry-stable, engine-independent, no RNG state.
+    *
+    * Scale: two corpus passes — one aggregate for the score max (a
+    * 1-row bounds frame, broadcast back: the v4x convention) and the
+    * scoring/filter scan. Both narrow; nothing corpus-sized shuffles.
+    * A production run that already knows the score scale (bounded by
+    * construction: t3 ≤ 1) passes it as `scoreMax` and pays ONE pass. */
+  def qualitySample(docs: DataFrame, rate: Double = 0.5,
+      scoreMax: Option[Double] = None): DataFrame = {
+    val q = new QualityParts
+    val scored = docs.select(col("doc_id"), q.score.as("quality_score"))
+    val withMax = scoreMax match {
+      case Some(m) => scored.withColumn("smax", lit(m))
+      case None => scored.crossJoin(
+        broadcast(scored.agg(max(col("quality_score")).as("smax"))))
+    }
+    val u = conv(substring(docIdHash(col("doc_id")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    withMax.select(col("doc_id"), col("quality_score"),
+        u.as("u"),
+        when(col("smax") === 0.0, lit(0.0))
+          .otherwise(lit(rate) * col("quality_score") / col("smax"))
+          .as("p"))
+      .where(col("u") < col("p"))
+  }
+
+  /** S5 oracle: the t3 score via [[qualityScoreSql]] (one definition),
+    * the same dyadic coin and mirrored p. */
+  def qualitySampleSql(rate: Double = 0.5): String = s"""
+    WITH scored AS (
+      SELECT doc_id, quality_score FROM ($qualityScoreSql) qs),
+    m AS (SELECT coalesce(max(quality_score), 0.0) AS smax FROM scored),
+    c AS (
+      SELECT doc_id, quality_score,
+        (('0x' || substr(${docIdHashSql("doc_id")}, 1, 8))::BIGINT)::DOUBLE
+          / 4294967296.0 AS u,
+        CASE WHEN smax = 0.0 THEN 0.0
+          ELSE $rate * quality_score / smax END AS p
+      FROM scored, m)
+    SELECT doc_id, quality_score, u, p FROM c WHERE u < p"""
+
   /** T4: document fingerprinting — md5 content fingerprint plus the rolling
     * char hash (both over normalized text). The md5 keys exact dedup; the
     * rolling hash is the shingle-hash primitive minhash builds on. */

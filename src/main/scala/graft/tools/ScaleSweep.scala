@@ -60,6 +60,9 @@ object ScaleSweep {
     "d16_dedup_survivors", "s4_cluster_split",
     // t18 = one conditional-aggregate corpus scan, constant 5-row output
     "t18_truncation_audit",
+    // s5 = score-max bounds pass + scoring scan; kept rows scale
+    // linearly with the corpus (p is scale-free: score/max ratio)
+    "s5_quality_sample",
     // the BPE tier: the open-vocabulary fan-out grows the token space
     // ×N (round 8 — the suffix carries new char pairs), so the merge
     // loop's pair-count state grows with the VOCABULARY while the

@@ -201,6 +201,42 @@ class CorpusOpsSpec extends SparkSpec {
       && r.isNullAt(5)))
   }
 
+  test("s5: sampling is quality-monotone, deterministic, and rate-scaled") {
+    val out = TextAnalysis.qualitySample(docs).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty, "fixture: sample must be non-empty")
+      // every surviving row really won its coin flip, and p is the
+      // mirrored ratio: p = rate * score / smax <= rate
+      assert(rows.forall(r => r.getDouble(2) < r.getDouble(3)))
+      assert(rows.forall(r => r.getDouble(3) <= 0.5 + 1e-12))
+      // deterministic: a rerun selects the identical id set
+      val again = TextAnalysis.qualitySample(docs).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(again === rows.map(_.getLong(0)).toSet)
+      // quality-monotone in aggregate: the kept docs' mean score
+      // strictly exceeds the corpus mean (the soft filter's point)
+      val keptMean = rows.map(_.getDouble(1)).sum / rows.length
+      val corpusMean = TextAnalysis.qualityScore(docs)
+        .agg(avg("quality_score")).head.getDouble(0)
+      assert(keptMean > corpusMean,
+        s"soft filter should enrich quality: $keptMean <= $corpusMean")
+      // rate scales the kept mass: double the rate, roughly double the
+      // kept count (Bernoulli with p' = min(2p, ...) on the same coins
+      // keeps a strict superset)
+      val wide = TextAnalysis.qualitySample(docs, rate = 1.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet.subsetOf(wide))
+      assert(wide.size > rows.length)
+      // known scale: passing the analytic bound changes p but keeps
+      // the sample deterministic and smaller-or-equal (bound >= max)
+      val bounded = TextAnalysis.qualitySample(docs, rate = 0.5,
+        scoreMax = Some(1.0)).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(bounded.subsetOf(rows.map(_.getLong(0)).toSet))
+    } finally out.unpersist()
+  }
+
   test("t12: classifier margin is the exact integer fold of hashed weights") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
