@@ -340,6 +340,13 @@ object SparkEntry {
     // E45 (T6): corpus vocabulary top-k by document frequency — the
     // vocab/stopword-building pass: narrow explode, token-keyed partial
     // aggregate, bounded TakeOrderedAndProject ranking.
+    // E138 (T19): per-source distinctive terms — top-k tokens by the
+    // Dirichlet-smoothed source-vs-rest rate ratio (the data-card
+    // "characteristic vocabulary" column; log dropped, rank by the
+    // exact rational — the BM25/idf house rule).
+    "t19_distinctive_terms" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Sources.table(s, d, "documents"))),
+
     "t6_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Sources.table(s, d, "documents"))),
 
@@ -1912,6 +1919,7 @@ object SparkEntry {
     "t3_quality_score" -> TextAnalysis.qualityScoreSql,
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "t6_top_tokens" -> TextAnalysis.topTokensSql(),
+    "t19_distinctive_terms" -> TextAnalysis.distinctiveTermsSql(),
     "c1_decontamination" -> TextAnalysis.contaminationBySourceSql,
     "rep1_contamination_report" -> TextAnalysis.contaminationReportSql,
 

@@ -227,6 +227,76 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("token").asc)
       .limit(k)
 
+  /** E138 (T19): per-source DISTINCTIVE terms — the "what makes this
+    * source different" column of a data card (the Monroe et al.
+    * log-odds-with-prior shape): for each source, the top-k tokens by
+    * the Dirichlet-smoothed rate ratio
+    * `((a+1)/(A+V)) / ((b+1)/(B+V))` — occurrences in the source vs
+    * the REST of the corpus, each smoothed by a vocabulary-sized
+    * prior so rare tokens don't dominate on noise. The log is dropped
+    * deliberately (the BM25/idf house rule: log is monotone, libm is
+    * engine-dependent — rank by the exact rational instead).
+    *
+    * ONE corpus pass: the (source, token) occurrence aggregate is the
+    * only corpus-scale job; it persists (cache-lifetime contract: the
+    * caller clearCache()s after materializing — the t14/heavyHitters
+    * convention) and the token-grain totals, source totals, corpus
+    * bounds frame, scoring join, and per-source top-k window all ride
+    * the small vocabulary-grain relation. The ranking filter is
+    * rank ≤ k over a per-source window — WindowGroupLimit keeps it
+    * top-k-shaped, never a full sort. All counts exact longs; the
+    * score is one mirrored product-ratio of exact longs (< 2⁵³ at any
+    * swept scale; a 100-TB corpus upgrades the products to
+    * DECIMAL(38,0) before the double boundary — the v5 discipline). */
+  def distinctiveTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    val st = docs.select(col("source"), explode(toksCol).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+      .persist()
+    val tokTot = st.groupBy(col("token")).agg(sum(col("a")).as("t"))
+    val srcTot = st.groupBy(col("source"))
+      .agg(sum(col("a")).as("src_total"))
+    val bounds = st.agg(sum(col("a")).as("tt"),
+      countDistinct(col("token")).as("v"))
+    val d = (c: Column) => c.cast("double")
+    val scored = st.join(tokTot, Seq("token")).join(srcTot, Seq("source"))
+      .crossJoin(broadcast(bounds))
+      .select(col("source"), col("token"), col("a").as("n_in_source"),
+        (col("t") - col("a")).as("n_rest"),
+        (d(col("a") + 1) * d(col("tt") - col("src_total") + col("v")) /
+          (d(col("t") - col("a") + 1) *
+            d(col("src_total") + col("v")))).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("token").asc)).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** T19 oracle: the identical smoothed rate ratio and window. */
+  def distinctiveTermsSql(k: Int = 10): String = s"""
+    WITH st AS (
+      SELECT source, token, count(*)::BIGINT AS a
+      FROM (SELECT source, unnest($toksT) AS token FROM documents)
+      GROUP BY 1, 2),
+    tok AS (SELECT token, sum(a)::BIGINT AS t FROM st GROUP BY 1),
+    src AS (SELECT source, sum(a)::BIGINT AS src_total FROM st GROUP BY 1),
+    bounds AS (SELECT sum(a)::BIGINT AS tt,
+      count(DISTINCT token)::BIGINT AS v FROM st),
+    scored AS (
+      SELECT st.source, st.token, st.a AS n_in_source,
+        (t - a)::BIGINT AS n_rest,
+        ((a + 1)::DOUBLE * (tt - src_total + v)::DOUBLE) /
+          ((t - a + 1)::DOUBLE * (src_total + v)::DOUBLE) AS score
+      FROM st JOIN tok USING (token) JOIN src USING (source)
+      CROSS JOIN bounds),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY score DESC, token ASC) AS rn
+      FROM scored)
+    SELECT source, token, n_in_source, n_rest, score, rn::BIGINT AS rnk
+    FROM r WHERE rn <= $k"""
+
   def topTokensSql(k: Int = 50): String = s"""
     WITH tok AS (
       SELECT doc_id, unnest(list_distinct(${tokensSql(normSql("text"))}))

@@ -63,6 +63,9 @@ object ScaleSweep {
     // s5 = score-max bounds pass + scoring scan; kept rows scale
     // linearly with the corpus (p is scale-free: score/max ratio)
     "s5_quality_sample",
+    // t19 = one (source, token) corpus aggregate; scoring/ranking ride
+    // the vocabulary grain (open-vocab fan-out grows V with the corpus)
+    "t19_distinctive_terms",
     // the BPE tier: the open-vocabulary fan-out grows the token space
     // ×N (round 8 — the suffix carries new char pairs), so the merge
     // loop's pair-count state grows with the VOCABULARY while the

@@ -237,6 +237,41 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("t19: distinctive terms are the hand-computed smoothed rate ratios") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    // srcA: apple 2, banana 1 (A=3); srcB: cherry 1, banana 1 (B=2)
+    // T=5, V=3
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "srcA", "apple apple banana"),
+      Row(2L, "srcB", "cherry banana")), 2), schema)
+    try {
+      val out = TextAnalysis.distinctiveTerms(d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+        .toMap
+      // srcA/apple: ((2+1)*(2+3)) / ((0+1)*(3+3)) = 15/6
+      assert(out(("srcA", "apple")) ===
+        ((2L, 0L, (3.0 * 5.0) / (1.0 * 6.0), 1L)))
+      // srcA/banana: ((1+1)*(2+3)) / ((1+1)*(3+3)) = 10/12
+      assert(out(("srcA", "banana")) ===
+        ((1L, 1L, (2.0 * 5.0) / (2.0 * 6.0), 2L)))
+      // srcB/cherry beats srcB/banana: 12/5 vs 12/10
+      assert(out(("srcB", "cherry")) ===
+        ((1L, 0L, (2.0 * 6.0) / (1.0 * 5.0), 1L)))
+      assert(out(("srcB", "banana")) ===
+        ((1L, 1L, (2.0 * 6.0) / (2.0 * 5.0), 2L)))
+      // only tokens PRESENT in a source rank for it
+      assert(out.size === 4)
+      // the k cap binds: k=1 keeps exactly the per-source argmax
+      val top1 = TextAnalysis.distinctiveTerms(d, k = 1).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(top1 === Map("srcA" -> "apple", "srcB" -> "cherry"))
+    } finally spark.catalog.clearCache()
+  }
+
   test("t12: classifier margin is the exact integer fold of hashed weights") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
