@@ -620,6 +620,14 @@ object SparkEntry {
     "v5_embedding_cov" -> ((s, d) =>
       Validation.embeddingCovariance(Sources.table(s, d, "embeddings"))),
 
+    // E139 (V6): Benford first-digit audit on order totals — the
+    // forensic data-quality screen: observed first-digit shares vs the
+    // log10(1+1/d) law (expectations injected as shared literals; the
+    // digit comes from integer cents, never floating log).
+    "v6_benford_audit" -> ((s, d) =>
+      Validation.benfordAudit(Sources.table(s, d, "orders"),
+        "o_totalprice")),
+
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
     // (odd/even doc_id); the oracle is the one-shot aggregate, so the
@@ -1995,6 +2003,8 @@ object SparkEntry {
          AND NOT (source = 'src5' AND n_chars > 250)"""),
     "v5_embedding_cov" ->
       Validation.embeddingCovarianceSql("SELECT * FROM embeddings"),
+    "v6_benford_audit" ->
+      Validation.benfordAuditSql("orders", "o_totalprice"),
     "v3_vec_drift" -> Validation.vecDriftAuditSql(
       """SELECT * FROM embeddings
          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'""",

@@ -303,6 +303,89 @@ object Validation {
         .otherwise("ok").as("status"))
   }
 
+  /** First-digit expectations for [[benfordAudit]]: P(d) = log₁₀(1+1/d).
+    * Computed ONCE here and injected into both engines, so the log
+    * never runs inside either engine — the libm rule. The SQL side
+    * injects the EXACT BigDecimal expansion of the double, not its
+    * short toString: JDK 17's Double.toString can emit a string whose
+    * correctly-rounded parse (DuckDB, Python) is the NEIGHBORING
+    * double of the one Java holds (observed on log₁₀(4/3): Java prints
+    * …9993 for the …7802 bit pattern, and …9993 truly rounds to …7801)
+    * — the exact expansion is parser-independent. */
+  val BenfordExpected: Seq[(Long, Double)] =
+    (1L to 9L).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** E139 (V6): BENFORD first-digit audit — the classic forensic
+    * data-quality screen on a monetary column: natural multi-scale
+    * amounts follow log₁₀(1+1/d) first-digit frequencies, and fabricated
+    * or truncated data doesn't. Reports, per digit 1–9, the observed
+    * count/share against the Benford expectation and the deviation —
+    * the column an anomaly review reads (TPC-H-style uniform prices
+    * deviate BY CONSTRUCTION; the audit's job is to say so, with the
+    * exact direction).
+    *
+    * Determinism: the amount is fixed to integer cents (double·100 is
+    * the same IEEE product in both engines, round-half-away agrees for
+    * positive amounts), the digit comes from the integer's decimal
+    * string (never floating log₁₀), and the expectations are
+    * pre-computed literals. Shape: one conditional scan to a 9-row
+    * aggregate; the total re-derives from a whole-frame window over
+    * those 9 rows (the mix2 convention) — nothing corpus-scale
+    * shuffles. Non-positive amounts are excluded (Benford is a
+    * positive-magnitude law); share/deviation are NULL, not a ÷0
+    * abort, on an empty column. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * lit(100.0)).cast("long")
+    val counts = df.select(cents.as("cents"))
+      .where(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = df.sparkSession.range(1)
+      .select(explode(array(BenfordExpected.map { case (d, e) =>
+        struct(lit(d).as("digit"), lit(e).as("expected"))
+      }: _*)).as("r"))
+      .select(col("r.digit").as("digit"), col("r.expected").as("expected"))
+    import org.apache.spark.sql.expressions.Window
+    val total = sum(col("n")).over(Window.partitionBy())
+    val share = when(col("total") === 0L, lit(null).cast("double"))
+      .otherwise(col("n").cast("double") / col("total").cast("double"))
+    expected.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected"))
+      .withColumn("total", total)
+      .select(col("digit"), col("n"), share.as("share"), col("expected"),
+        (share - col("expected")).as("dev"))
+  }
+
+  /** V6 oracle: identical integer-cents digit extraction and the same
+    * injected expectation literals. */
+  def benfordAuditSql(table: String, valueCol: String): String = {
+    val vals = BenfordExpected.map { case (d, e) =>
+      s"(${d}::BIGINT, ${new java.math.BigDecimal(e).toPlainString}::DOUBLE)"
+    }.mkString(", ")
+    s"""
+    WITH c AS (
+      SELECT CAST(round($valueCol * 100.0::DOUBLE) AS BIGINT) AS cents
+      FROM $table),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        count(*)::BIGINT AS n
+      FROM c WHERE cents > 0 GROUP BY 1),
+    e AS (SELECT * FROM (VALUES $vals) AS t(digit, expected)),
+    w AS (
+      SELECT e.digit, coalesce(d.n, 0)::BIGINT AS n, e.expected,
+        sum(coalesce(d.n, 0)) OVER () AS total
+      FROM e LEFT JOIN d USING (digit))
+    SELECT digit, n,
+      CASE WHEN total = 0 THEN NULL
+        ELSE n::DOUBLE / total::DOUBLE END AS share,
+      expected,
+      CASE WHEN total = 0 THEN NULL
+        ELSE n::DOUBLE / total::DOUBLE - expected END AS dev
+    FROM w"""
+  }
+
   /** Fixed-point grid for v5's exact second moments: q = floor(x·4096).
     * The multiply is EXACT (float widened to double times a power of
     * two loses nothing) and floor is engine-independent, so the codes —

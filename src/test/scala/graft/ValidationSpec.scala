@@ -122,6 +122,36 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("v6: Benford audit is the hand-computed digit distribution") {
+    val s = StructType(Seq(StructField("amt", DoubleType)))
+    // first digits (of cents): 1 (123.45 -> 12345), 1 (0.19 -> 19),
+    // 9 (999.99 -> 99999), 2 (25.00 -> 2500); zero and negative excluded
+    val df = mk(s, Row(123.45), Row(0.19), Row(999.99), Row(25.0),
+      Row(0.0), Row(-50.0))
+    val out = Validation.benfordAudit(df, "amt").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // all nine digits always present, counts from the positive rows only
+    assert(out.keySet === (1L to 9L).toSet)
+    assert(out(1L)._1 === 2L && out(2L)._1 === 1L && out(9L)._1 === 1L)
+    assert((3L to 8L).forall(out(_)._1 === 0L))
+    // shares against the 4-row positive total; expectation literal and
+    // the deviation arithmetic mirror the oracle exactly
+    val exp = Validation.BenfordExpected.toMap
+    assert(out(1L)._2 === 0.5 && out(2L)._2 === 0.25)
+    assert(out(1L)._3 === exp(1L))
+    assert(out(1L)._4 === 0.5 - exp(1L))
+    assert(out(5L)._4 === 0.0 - exp(5L))
+    // expectations sum to 1 (the law is a distribution)
+    assert(math.abs(Validation.BenfordExpected.map(_._2).sum - 1.0) < 1e-12)
+    // empty column: 9 rows, zero counts, NULL share/dev (no ANSI abort)
+    val empty = Validation.benfordAudit(df.limit(0), "amt").collect()
+    assert(empty.length === 9)
+    assert(empty.forall(r => r.getLong(1) === 0L && r.isNullAt(2)
+      && r.isNullAt(4)))
+  }
+
   test("vecDriftAudit flags per-dim code drift and label churn") {
     val s = StructType(Seq(
       StructField("label", IntegerType),
