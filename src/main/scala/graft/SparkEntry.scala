@@ -1052,6 +1052,14 @@ object SparkEntry {
       graft.operators.JoinCardinality.ordersEventsJoinCard(
         Sources.table(s, d, "orders"), Sources.table(s, d, "events"))),
 
+    // E140 (G1): deterministic integer PageRank over the product
+    // co-purchase graph — link-analysis centrality (the iterative
+    // sibling of d9's CC): scaled-long ranks, exact floor-division
+    // contributions, 5 fixed join-aggregate rounds.
+    "g1_product_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.productPageRank(
+        Sources.table(s, d, "lineitem"))),
+
     // E136 (ER1): blocked fuzzy entity resolution — candidate pairs
     // form only inside the (nationkey, mktsegment) block (never
     // all-pairs), then the codegen'd Levenshtein comparator thresholds
@@ -2479,6 +2487,9 @@ object SparkEntry {
 
     "er1_entity_match" ->
       graft.operators.EntityResolution.entityMatchPairsSql(),
+
+    "g1_product_pagerank" ->
+      graft.operators.PageRank.productPageRankSql(),
 
     // the binned equi-join must equal this plain containment join exactly
     "e3_range_join_incidents" -> """
