@@ -1556,6 +1556,35 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // E141 (X13): TPC-H Q3-shaped SHIPPING PRIORITY — top-10 unshipped
+    // orders by pending revenue for one segment as of a cutoff date:
+    // the classic "what do we expedite" OLAP probe. Revenue on the
+    // x12 decimal-sum discipline; top-k is TakeOrderedAndProject
+    // (bounded heap per partition, never a full sort) with an orderkey
+    // tie-break; the segment filter prunes the customer build side
+    // BEFORE the join and dates push to the scans.
+    "x13_shipping_priority" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1998-07-01"))
+      val rev = col("l_extendedprice").cast(money) *
+        (lit(1).cast(money) - col("l_discount").cast(money))
+      Sources.table(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .join(Sources.table(s, d, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") < cutoff)
+        .join(Sources.table(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"),
+          substring(col("o_orderdate").cast("string"), 1, 10)
+            .as("order_date"),
+          col("o_orderpriority").as("priority"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // E121 (AB1): A/B experiment lift — the two-proportion experiment
     // readout product analytics runs on every feature flag: users split
     // into control/treatment by the deterministic md5-prefix rule (the
@@ -2173,6 +2202,23 @@ object SparkEntry {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
       GROUP BY 1""",
+
+    "x13_shipping_priority" -> """
+      SELECT l_orderkey,
+        substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS order_date,
+        o_orderpriority AS priority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*)::BIGINT AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+        AND o_orderdate < TIMESTAMP '1998-07-01'
+      JOIN lineitem ON l_orderkey = o_orderkey
+        AND l_shipdate > TIMESTAMP '1998-07-01'
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
 
     "ab1_experiment_lift" -> """
       WITH ev AS (
