@@ -1069,6 +1069,14 @@ object SparkEntry {
       graft.operators.EntityResolution.entityMatchPairs(
         Sources.table(s, d, "customer"))),
 
+    // E142 (ER2): golden-record construction — duplicate-customer
+    // clusters (CC over er1's match graph) elect a master record by
+    // the survivorship rule (max balance, tie -> min key); one row per
+    // multi-member cluster with the decimal-exact combined balance.
+    "er2_golden_records" -> ((s, d) =>
+      graft.operators.EntityResolution.goldenRecords(
+        Sources.table(s, d, "customer"))),
+
     "e3_range_join_incidents" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       val tsSec = Sources.epochSec(ev)
@@ -2536,6 +2544,9 @@ object SparkEntry {
 
     "g1_product_pagerank" ->
       graft.operators.PageRank.productPageRankSql(),
+
+    "er2_golden_records" ->
+      graft.operators.EntityResolution.goldenRecordsSql(),
 
     // the binned equi-join must equal this plain containment join exactly
     "e3_range_join_incidents" -> """

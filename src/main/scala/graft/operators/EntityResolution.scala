@@ -66,6 +66,80 @@ object EntityResolution {
       .where(col("edit_dist") <= maxDist)
   }
 
+  /** E142 (ER2): GOLDEN-RECORD construction — the survivorship stage of
+    * master-data management, composing the ER trilogy exactly as the
+    * dedup family composes (er1 pairs ≡ d3's near-dup pairs, CC ≡ d9's
+    * components, the election ≡ d16's survivor rule, each column its
+    * operator's single definition): duplicate-customer clusters are the
+    * connected components of [[entityMatchPairs]]' match graph, and
+    * each cluster elects its master record by the survivorship rule
+    * "highest account balance, tie → lowest key" — the most-complete-
+    * record heuristic of MDM. One row per multi-member cluster: the
+    * merge-review queue an MDM steward works, with the cluster's
+    * member count and decimal-exact combined balance.
+    *
+    * Scale shape: the customer table never shuffles as a whole — the
+    * pair graph and CC loop touch only matched keys, the election
+    * window ranks only cluster MEMBERS (the small label relation joined
+    * back by key), and the balance sum is DECIMAL(18,2) folded to
+    * DOUBLE only at the boundary. */
+  def goldenRecords(customers: DataFrame,
+      maxDist: Int = ErMaxDist): DataFrame = {
+    val edges = entityMatchPairs(customers, maxDist)
+      .select(col("custkey_a").as("doc_a"), col("custkey_b").as("doc_b"))
+    val members = graft.dedup.Dedup.connectedComponents(edges)
+      .join(customers, col("doc_id") === col("c_custkey"))
+    val summary = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_acctbal"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val golden = members.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("c_custkey").as("golden_custkey"),
+        col("c_name").as("golden_name"),
+        col("c_acctbal").as("golden_acctbal"))
+    summary.join(golden, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("golden_custkey"),
+        col("golden_name"), col("golden_acctbal"), col("total_acctbal"))
+  }
+
+  /** ER2 oracle: the same match graph, min-reachability as a recursive
+    * CTE (the d9 oracle convention — closures stay small because ER
+    * components are block-bounded), and the identical election. */
+  def goldenRecordsSql(maxDist: Int = ErMaxDist): String = s"""
+    WITH RECURSIVE edges AS (
+      SELECT custkey_a AS doc_a, custkey_b AS doc_b
+      FROM (${entityMatchPairsSql(maxDist)})),
+    und AS (
+      SELECT doc_a AS x, doc_b AS y FROM edges
+      UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+    reach AS (
+      SELECT x AS node, x AS r FROM und
+      UNION
+      SELECT reach.node, u.y AS r FROM reach JOIN und u ON u.x = reach.r),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+      SELECT l.cluster_id, c.c_custkey, c.c_name, c.c_acctbal
+      FROM labels l JOIN customer c ON c.c_custkey = l.node),
+    summary AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_members,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM members GROUP BY 1),
+    golden AS (
+      SELECT cluster_id, c_custkey, c_name, c_acctbal,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM members)
+    SELECT s.cluster_id, s.n_members, g.c_custkey AS golden_custkey,
+      g.c_name AS golden_name, g.c_acctbal AS golden_acctbal,
+      s.total_acctbal
+    FROM summary s JOIN golden g
+      ON g.cluster_id = s.cluster_id AND g.rk = 1"""
+
   /** Oracle twin: the identical blocked self-join in ANSI SQL. */
   def entityMatchPairsSql(maxDist: Int = ErMaxDist): String = s"""
     SELECT a.c_nationkey::BIGINT AS nationkey,

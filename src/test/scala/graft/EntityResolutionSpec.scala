@@ -42,6 +42,37 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out.keySet.flatMap(p => Set(p._1, p._2)) === Set(1L, 2L, 3L))
   }
 
+  test("er2: golden records elect max-balance masters per CC cluster") {
+    // chain cluster {1,2,3} via pairwise-close names (1~2 and 2~3 at
+    // dist 2 match; 1~3 at dist 4 does NOT — transitivity must come
+    // from CC, not the comparator); {5,6} a second cluster; 7
+    // unmatched -> excluded
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "alpha aaaa", 1, "RETAIL", 100.0),
+      Row(2L, "alpha aabb", 1, "RETAIL", 300.0),
+      Row(3L, "alpha bbbb", 1, "RETAIL", 200.0),
+      Row(5L, "omega x", 2, "AUTO", -50.0),
+      Row(6L, "omega y", 2, "AUTO", -50.0),
+      Row(7L, "unrelated name", 1, "RETAIL", 999.0)), 2),
+      StructType(Seq(StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType))))
+    try {
+      val out = EntityResolution.goldenRecords(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(4), r.getDouble(5))).toMap
+      // cluster label = min member key (the CC convention)
+      assert(out.keySet === Set(1L, 5L))
+      // {1,2,3}: transitive closure through 2; master = key 2 (300.0)
+      assert(out(1L) === ((3L, 2L, 300.0, 600.0)))
+      // {5,6}: balance tie -> min key wins; decimal sum exact on
+      // negatives
+      assert(out(5L) === ((2L, 5L, -50.0, -100.0)))
+    } finally spark.catalog.clearCache()
+  }
+
   test("er1: threshold is strict and zero-distance dups still pair") {
     val df = mk(
       Row(1L, "acme corp", 3, "AUTO"),
