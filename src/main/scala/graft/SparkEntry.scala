@@ -1593,6 +1593,40 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // E143 (X14): TPC-H Q1-shaped PRICING SUMMARY — the canonical
+    // wide-aggregate scan (4 decimal sums, 3 derived means, a count
+    // per flag/status cell): one pass, map-side-combined, group
+    // cardinality O(flags x statuses). Means are explicit
+    // decimal-sum / count double divisions (never engine avg(), whose
+    // decimal scale rules differ); the date predicate pushes to the
+    // scan.
+    "x14_pricing_summary" -> ((s, d) => {
+      val li = Sources.table(s, d, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      // Narrow factor types so the 3-factor product stays EXACT under
+      // both engines' decimal precision rules (price d(12,2) x rate
+      // d(3,2) x rate d(3,2) -> scale 6, far inside 38): the generic
+      // d(18,2) money type would push Spark past precision 38 on the
+      // triple product and trigger its precision-loss rounding.
+      val rate = DecimalType(3, 2)
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc = price * (lit(1).cast(rate) - col("l_discount").cast(rate))
+      val charged = disc * (lit(1).cast(rate) + col("l_tax").cast(rate))
+      li.groupBy(col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus"))
+        .agg(sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(disc).cast("double").as("sum_disc_price"),
+          sum(charged).cast("double").as("sum_charge"),
+          count(lit(1)).as("n_items"))
+        .select(col("returnflag"), col("linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("n_items").cast("double")).as("avg_qty"),
+          (col("sum_base_price") / col("n_items").cast("double"))
+            .as("avg_price"),
+          col("n_items"))
+    }),
+
     // E121 (AB1): A/B experiment lift — the two-proportion experiment
     // readout product analytics runs on every feature flag: users split
     // into control/treatment by the deterministic md5-prefix rule (the
@@ -2210,6 +2244,31 @@ object SparkEntry {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
       GROUP BY 1""",
+
+    "x14_pricing_summary" -> """
+      WITH a AS (
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+            AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(3,2)))
+            * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+            AS sum_charge,
+          count(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY 1, 2)
+      SELECT returnflag, linestatus, sum_qty, sum_base_price,
+        sum_disc_price, sum_charge,
+        sum_qty / n_items::DOUBLE AS avg_qty,
+        sum_base_price / n_items::DOUBLE AS avg_price,
+        n_items
+      FROM a""",
 
     "x13_shipping_priority" -> """
       SELECT l_orderkey,
