@@ -1380,6 +1380,48 @@ object SparkEntry {
           (col("z").isNotNull && abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // E144 (X15): EWMA trend — the exponential-smoothing member of the
+    // series family (x9 gap-fill → x10 flat MA → x11 z-score → this):
+    // recent days dominate, old days decay geometrically. The recursive
+    // s_t = α·x_t + (1−α)·s_{t−1} is a sequential recurrence no engine
+    // windows natively; the DEFINED operator here is its K-term finite
+    // form with DYADIC α = 1/2, K = 16 (truncation ≤ 2⁻¹⁶ relative —
+    // below output printing precision): weight for lag k is 2^(K−1−k)
+    // AFTER scaling by 2^K, so numerator and denominator are EXACT LONG
+    // sums (x11's integer-cents discipline applied to a weighted
+    // window) and the single num/den double division is correctly
+    // rounded on both engines. Warm-up rows normalize by the weights
+    // actually present (den = 2^K − 2^(K−n), never 0 — lag-0 always
+    // present). The 16 lag terms compile to ONE Window exec (one sort,
+    // one pass — plan-pinned); grain is brand×day, calendar-bounded.
+    // Cents bounds: day ≤ 1e8 cents × 2^15 = 3.3e12, 16-term sum
+    // ≤ 5.3e13 — far inside both long and double-exact (2^53) range.
+    "x15_ewma" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("brand")).orderBy(col("d"))
+      val K = 16
+      val series = gapFilledDaily(s, d)
+        .withColumn("rev0", coalesce(col("rev_dec"), lit(0).cast(money)))
+        .withColumn("cents", (col("rev0") * lit(100)).cast("long"))
+      def lagK(k: Int) =
+        if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      val num = (0 until K).map { k =>
+        val wt = lit(1L << (K - 1 - k))
+        if (k == 0) col("cents") * wt
+        else coalesce(lagK(k) * wt, lit(0L))
+      }.reduce(_ + _)
+      val den = (0 until K).map { k =>
+        val wt = lit(1L << (K - 1 - k))
+        if (k == 0) wt else when(lagK(k).isNotNull, wt).otherwise(lit(0L))
+      }.reduce(_ + _)
+      series
+        .withColumn("ewma_c", num.cast("double") / den.cast("double"))
+        .select(col("brand"),
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          col("rev0").cast("double").as("revenue"),
+          (col("ewma_c") / lit(100.0)).as("ewma16"))
+    }),
+
     // E85 (F14): ordered-event funnel — view → click → purchase with
     // strict temporal ordering (first view, first click AFTER it, first
     // purchase after THAT): the conversion query every event pipeline
@@ -1850,6 +1892,21 @@ object SparkEntry {
 
   /** Shared x9/x10 oracle CTE chain: brand×day spine + forward fill,
     * terminal CTE `ff(brand, d, rev_dec, ffill_dec)`. */
+  /** x15's oracle twin of the 16-term dyadic-weight EWMA fold — generated
+    * from the same (k, 2^(15−k)) table as the Spark side so the two stay
+    * textually mirrored by construction. All-integer terms; the single
+    * num/den division at the boundary is the only float op. */
+  private val ewmaNumSql = (0 until 16).map { k =>
+    val wt = 1L << (15 - k)
+    if (k == 0) s"cents * $wt"
+    else s"coalesce(lag(cents, $k) OVER tw * $wt, 0)"
+  }.mkString(" + ")
+  private val ewmaDenSql = (0 until 16).map { k =>
+    val wt = 1L << (15 - k)
+    if (k == 0) s"$wt"
+    else s"CASE WHEN lag(cents, $k) OVER tw IS NOT NULL THEN $wt ELSE 0 END"
+  }.mkString(" + ")
+
   private val gapFillCtes =
     s"""daily AS (
       |  SELECT p.brand AS brand,
@@ -2367,6 +2424,22 @@ object SparkEntry {
         mean_c / 100.0::DOUBLE AS mean28, sd_c / 100.0::DOUBLE AS sd28, z,
         (z IS NOT NULL AND abs(z) > 3.0::DOUBLE) AS is_anomaly
       FROM zc""",
+
+    "x15_ewma" -> s"""$ctes,
+      $gapFillCtes,
+      s0 AS (SELECT brand, d,
+        coalesce(rev_dec, CAST(0 AS DECIMAL(18,2))) AS rev0 FROM ff),
+      c0 AS (SELECT brand, d, rev0,
+        CAST(rev0 * 100 AS BIGINT) AS cents FROM s0),
+      w AS (SELECT brand, d, rev0,
+        ($ewmaNumSql) AS num,
+        ($ewmaDenSql) AS den
+        FROM c0
+        WINDOW tw AS (PARTITION BY brand ORDER BY d))
+      SELECT brand, strftime(d, '%Y-%m-%d') AS order_date,
+        CAST(rev0 AS DOUBLE) AS revenue,
+        num::DOUBLE / den::DOUBLE / 100.0::DOUBLE AS ewma16
+      FROM w""",
 
     "coh1_retention" -> """
       WITH ev AS (

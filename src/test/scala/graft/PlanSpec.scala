@@ -226,6 +226,16 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("x15: the 16 EWMA lag terms fold into one Window exec") {
+    spark.catalog.clearCache() // gapFilledDaily persists its daily base
+    val p = planOf("x15_ewma")
+    // exactly ONE Window node: the 16 lag expressions share one window
+    // spec (one sort, one pass), and gap-fill's forward-fill window is
+    // column-pruned away entirely (x15 never reads ffill_dec)
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p.take(2500))
+    spark.catalog.clearCache()
+  }
+
   test("x12: all dimension joins broadcast; one pre-aggregate exchange") {
     val p = planOf("x12_local_supplier_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 5, p.take(2000))
