@@ -1060,6 +1060,14 @@ object SparkEntry {
       graft.operators.PageRank.productPageRank(
         Sources.table(s, d, "lineitem"))),
 
+    // E145 (G2): triangle census — degree-ordered wedge closing over
+    // the g1 co-purchase graph (one edge definition for the family);
+    // exact integer corner credits, lcc's guarded division is the one
+    // double boundary. See Triangles.scala for the orientation story.
+    "g2_triangle_count" -> ((s, d) =>
+      graft.operators.Triangles.triangleCensus(
+        Sources.table(s, d, "lineitem"))),
+
     // E136 (ER1): blocked fuzzy entity resolution — candidate pairs
     // form only inside the (nationkey, mktsegment) block (never
     // all-pairs), then the codegen'd Levenshtein comparator thresholds
@@ -2676,6 +2684,9 @@ object SparkEntry {
 
     "g1_product_pagerank" ->
       graft.operators.PageRank.productPageRankSql(),
+
+    "g2_triangle_count" ->
+      graft.operators.Triangles.triangleCensusSql,
 
     "er2_golden_records" ->
       graft.operators.EntityResolution.goldenRecordsSql(),

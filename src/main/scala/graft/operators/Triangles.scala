@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** G2 (E145): TRIANGLE COUNTING + local clustering coefficient over the
+  * product co-purchase graph — the third member of the graph family
+  * (d9 connected components → g1 PageRank → this): how CLIQUEY is each
+  * product's neighborhood? High-triangle products sit in dense "bought
+  * together" communities (bundle candidates); high-degree/low-triangle
+  * products are cross-category hubs. The graph is g1's
+  * [[PageRank.copurchaseEdges]] — ONE edge-relation definition for the
+  * whole family (the composition rule er2 set for ER).
+  *
+  * Algorithm: degree-ordered edge orientation (the node-iterator++ /
+  * compact-forward scheme of Latapy 2008, the standard distributed
+  * formulation per Suri–Vassilvitskii WWW'11 "Counting triangles and
+  * the curse of the last reducer"): orient every undirected edge from
+  * its lower-(degree, id) endpoint to its higher one, so each triangle
+  * appears EXACTLY ONCE as an oriented wedge (u→v, u→w) closed by the
+  * oriented edge (v→w). Orientation is the scale story: out-degree is
+  * bounded by O(√m) amortized, so the wedge self-join is Σ outdeg² —
+  * the hub product that dominates an id-ordered enumeration never
+  * fans out here (its edges all point INTO it). Wedge rows then
+  * semi-close against the oriented edge set on (v, w): two shuffles
+  * on small keys, no row wider than 3 ids.
+  *
+  * Determinism: everything is exact integer counting — edge sets are
+  * distinct id pairs, triangle credit is +1 to each corner, and the
+  * one double at the boundary is lcc = 2·T / (deg·(deg−1)), a
+  * correctly-rounded division of exact longs (< 2⁵³), identical on
+  * both engines; deg < 2 short-circuits to 0.0 (never divides — the
+  * Kpi.ratio ANSI discipline). The oracle counts the SAME triangles
+  * by plain id-ordering (a < b < c): per-node triangle counts are
+  * orientation-invariant, so the exact integers match no matter which
+  * enumeration order each engine uses.
+  */
+object Triangles {
+
+  /** (deg, id) tuple order — the orientation rank. */
+  private def rankLt(dA: Column, iA: Column, dB: Column, iB: Column): Column =
+    (dA < dB) || (dA === dB && iA < iB)
+
+  /** Per-product triangle census: (product_id, degree, triangles, lcc).
+    * One row per node of the co-purchase graph (isolated products are
+    * out of the graph by definition, as in g1).
+    *
+    * The symmetric edge relation persists for its three consumers
+    * (degree, orientation, nothing re-runs the distinct self-join);
+    * cache-lifetime contract as in g1/t14: caller clearCache()s after
+    * materializing. */
+  def triangleCensus(lineitem: DataFrame): DataFrame = {
+    val edges = PageRank.copurchaseEdges(lineitem).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Oriented edges: keep the (lower-rank → higher-rank) direction of
+    // each symmetric pair, carrying both endpoint degrees for the
+    // wedge-side rank comparison.
+    val dSrc = deg.select(col("src"), col("deg").as("dsrc"))
+    val dDst = deg.select(col("src").as("dst"), col("deg").as("ddst"))
+    val oriented = edges
+      .join(dSrc, Seq("src")).join(dDst, Seq("dst"))
+      .where(rankLt(col("dsrc"), col("src"), col("ddst"), col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      .persist()
+    // Wedges (u→v, u→w) with rank(v) < rank(w), closed by oriented
+    // (v→w): each triangle materializes exactly once.
+    val e1 = oriented.select(col("u"), col("v"), col("dv"))
+    val e2 = oriented.select(col("u"), col("v").as("w"),
+      col("dv").as("dw"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tri = e1.join(e2, Seq("u"))
+      .where(rankLt(col("dv"), col("v"), col("dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+      .join(closing, Seq("v", "w"))
+    // +1 credit to each corner, then the census over ALL graph nodes.
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.select(col("src").as("node"), col("deg"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("product_id"),
+        col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          (coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"))
+          .as("lcc"))
+  }
+
+  /** Oracle twin: same graph + degrees; triangles enumerated once by
+    * plain id-ordering a < b < c (orientation-invariant counts), the
+    * same corner-credit union, the same guarded 2T/(deg(deg−1)). */
+  def triangleCensusSql: String =
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+    ce AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c
+      FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+      JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) u
+      GROUP BY 1)
+    SELECT deg.node AS product_id, deg.deg AS degree,
+      coalesce(tn.triangles, 0)::BIGINT AS triangles,
+      CASE WHEN deg.deg < 2 THEN 0.0::DOUBLE
+        ELSE CAST(coalesce(tn.triangles, 0) * 2 AS DOUBLE)
+          / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
+    FROM deg LEFT JOIN tn USING (node)"""
+}
