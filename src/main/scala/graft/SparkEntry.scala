@@ -628,6 +628,13 @@ object SparkEntry {
       Validation.benfordAudit(Sources.table(s, d, "orders"),
         "o_totalprice")),
 
+    // E146 (V7): per-category revenue concentration — rank-form Gini +
+    // top-20% share in exact integer cents (one window pass per
+    // category, two guarded boundary divisions). The Lorenz/Pareto
+    // audit next to v6's Benford; see Validation.revenueGini.
+    "v7_revenue_gini" -> ((s, d) =>
+      Validation.revenueGini(oi(s, d), p(s, d))),
+
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
     // (odd/even doc_id); the oracle is the one-shot aggregate, so the
@@ -2149,6 +2156,10 @@ object SparkEntry {
       Validation.embeddingCovarianceSql("SELECT * FROM embeddings"),
     "v6_benford_audit" ->
       Validation.benfordAuditSql("orders", "o_totalprice"),
+
+    "v7_revenue_gini" -> s"""$ctes,
+      ${Validation.revenueGiniSql}""",
+
     "v3_vec_drift" -> Validation.vecDriftAuditSql(
       """SELECT * FROM embeddings
          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'""",

@@ -2,7 +2,7 @@ package graft.validate
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, StringType}
 
 /** Validation stage (reference SURVEY.md §2.2 P2, §2.4 A6/A7, §2.3 J3/J4).
   *
@@ -385,6 +385,95 @@ object Validation {
         ELSE n::DOUBLE / total::DOUBLE - expected END AS dev
     FROM w"""
   }
+
+  /** E146 (V7): revenue CONCENTRATION audit — per-category Gini
+    * coefficient + top-20% revenue share over per-product revenue: the
+    * Lorenz/Pareto screen next to v6's Benford (is this category a
+    * long-tail market or a winner-take-all one? did concentration jump
+    * batch-over-batch?). Products are ranked ascending by revenue and
+    * the Gini comes from the closed rank form
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) — every sum an EXACT LONG
+    * over integer cents (the x11 discipline), so the two boundary
+    * divisions (gini, top-share) are correctly-rounded long/long
+    * divisions, identical on both engines. Ties in revenue contribute
+    * identically under any rank order (equal xᵢ commute in Σ i·xᵢ), so
+    * the id tie-break is parity hygiene, not a semantic choice.
+    *
+    * Shape: one items⋈products join pre-aggregated to product grain
+    * (map-side combine), then ONE window pass per category partition
+    * (rank + partition count share a sort) into a per-category
+    * aggregate — the fact table never sorts globally. Top-20% cutoff
+    * k = ⌈n/5⌉ via the exact floor-division idiom (g1's idiv). Long
+    * bounds: Σ i·xᵢ < n²·x̄ ≈ 4e15 at sf0.1 — inside long; a 100-TB
+    * catalog upgrades the two product sums to DECIMAL(38,0) (the v5
+    * boundary discipline). Products with no sales are out of frame by
+    * definition (revenue concentration is over the SOLD catalog).
+    * Zero-revenue categories yield NULL gini/share, never a ÷0 abort
+    * (the Kpi.ratio ANSI discipline). */
+  def revenueGini(items: DataFrame, products: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val moneyT = DecimalType(18, 2)
+    val rev = items.select(col("product_id"), col("sale_price"))
+      .join(products.select(col("id"), col("category")),
+        col("product_id") === col("id"))
+      .groupBy(col("category"), col("product_id"))
+      .agg(sum(col("sale_price").cast(moneyT)).as("rev_dec"))
+      .select(col("category"), col("product_id"),
+        (col("rev_dec") * lit(100)).cast("long").as("cents"))
+    val wOrd = Window.partitionBy(col("category"))
+      .orderBy(col("cents"), col("product_id"))
+    val wAll = Window.partitionBy(col("category"))
+    // k = ceil(n/5) as an exact integer: (n+4 − (n+4) mod 5) / 5
+    val n4 = col("n") + lit(4L)
+    val k = ((n4 - pmod(n4, lit(5L))) / lit(5L)).cast("long")
+    val agg = rev
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("category")).agg(
+        count(lit(1)).as("n_products"),
+        sum(col("cents")).as("sx"),
+        sum(col("i") * col("cents")).as("six"),
+        sum(when(col("i") > col("n") - k, col("cents"))
+          .otherwise(lit(0L))).as("topx"))
+    val nullD = lit(null).cast("double")
+    agg.select(col("category"), col("n_products"),
+      (col("sx").cast("double") / lit(100.0)).as("total_revenue"),
+      when(col("sx") === 0L, nullD).otherwise(
+        (lit(2L) * col("six") - (col("n_products") + lit(1L)) * col("sx"))
+          .cast("double") /
+          (col("n_products") * col("sx")).cast("double")).as("gini"),
+      when(col("sx") === 0L, nullD).otherwise(
+        col("topx").cast("double") / col("sx").cast("double"))
+        .as("top20_share"))
+  }
+
+  /** V7 oracle: the same rank form, exact-long sums, floor-division
+    * cutoff, and guarded boundary divisions over the RefShape CTEs. */
+  def revenueGiniSql: String =
+    """
+    rev AS (SELECT p.category AS category, oi.product_id AS product_id,
+      CAST(sum(CAST(oi.sale_price AS DECIMAL(18,2))) * 100 AS BIGINT)
+        AS cents
+      FROM oi JOIN p ON oi.product_id = p.id GROUP BY 1, 2),
+    rk AS (SELECT category, cents,
+      row_number() OVER
+        (PARTITION BY category ORDER BY cents, product_id) AS i,
+      count(*) OVER (PARTITION BY category) AS n
+      FROM rev),
+    a AS (SELECT category, count(*)::BIGINT AS n_products,
+      sum(cents)::BIGINT AS sx,
+      sum(i::BIGINT * cents)::BIGINT AS six,
+      sum(CASE WHEN i > n - CAST((n + 4 - (n + 4) % 5) / 5 AS BIGINT)
+        THEN cents ELSE 0 END)::BIGINT AS topx
+      FROM rk GROUP BY 1)
+    SELECT category, n_products,
+      CAST(sx AS DOUBLE) / 100.0::DOUBLE AS total_revenue,
+      CASE WHEN sx = 0 THEN NULL
+        ELSE CAST(2 * six - (n_products + 1) * sx AS DOUBLE)
+          / CAST(n_products * sx AS DOUBLE) END AS gini,
+      CASE WHEN sx = 0 THEN NULL
+        ELSE CAST(topx AS DOUBLE) / CAST(sx AS DOUBLE) END AS top20_share
+    FROM a"""
 
   /** Fixed-point grid for v5's exact second moments: q = floor(x·4096).
     * The multiply is EXACT (float widened to double times a power of

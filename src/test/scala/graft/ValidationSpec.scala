@@ -230,4 +230,35 @@ class ValidationSpec extends SparkSpec {
     assert(out("b") === ((7.0, 0.0, 1L, 0L)),
       "degenerate MAD=0 group must not flag its own members (strict >)")
   }
+
+  test("v7: Gini + top-20% share — hand-computed, ties, and the sx=0 guard") {
+    val itemS = StructType(Seq(
+      StructField("product_id", LongType),
+      StructField("sale_price", DoubleType)))
+    val prodS = StructType(Seq(
+      StructField("id", LongType), StructField("category", StringType)))
+    // A: revenues [1,2,3,4] over two items for product 2 (1.5+0.5) —
+    //   six = 100+400+900+1600 = 3000, sx = 1000
+    //   gini = (6000−5·1000)/(4·1000) = 0.25; k = ⌈4/5⌉ = 1 → share 0.4
+    // B: one zero-revenue product — sx = 0 → NULL gini/share, not ÷0
+    // C: equal pair [5,5] — perfect equality: gini 0; k = 1 → share 0.5
+    val items = mk(itemS,
+      Row(1L, 1.0), Row(2L, 1.5), Row(2L, 0.5), Row(3L, 3.0), Row(4L, 4.0),
+      Row(5L, 0.0),
+      Row(6L, 5.0), Row(7L, 5.0))
+    val prods = mk(prodS,
+      Row(1L, "A"), Row(2L, "A"), Row(3L, "A"), Row(4L, "A"),
+      Row(5L, "B"), Row(6L, "C"), Row(7L, "C"))
+    val out = Validation.revenueGini(items, prods).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) === 4L && a.getDouble(2) === 10.0)
+    assert(a.getDouble(3) === 0.25 && a.getDouble(4) === 0.4)
+    val b = out("B")
+    assert(b.getLong(1) === 1L && b.getDouble(2) === 0.0)
+    assert(b.isNullAt(3) && b.isNullAt(4), "sx=0 must yield NULL, not ÷0")
+    val c = out("C")
+    assert(c.getDouble(3) === 0.0, "equal revenues = perfect equality")
+    assert(c.getDouble(4) === 0.5)
+  }
 }
