@@ -1588,6 +1588,14 @@ object SparkEntry {
             (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
     }),
 
+    // E147 (REC1): item-item CF recommendations — per-product top-5
+    // co-purchase cosine lists over mb1's basket pair relation (one
+    // fact-width shuffle, within-array pair explode, DF-cap prune,
+    // rank-limited window). See ItemItemCf.scala for the parity story.
+    "rec1_item_item_cf" -> ((s, d) =>
+      graft.operators.ItemItemCf.recommend(
+        Sources.table(s, d, "lineitem"))),
+
     // E128 (X12): local-supplier revenue by nation — the TPC-H Q5 shape
     // over the until-now-unused dimension chain (customer → nation →
     // region, supplier → nation): revenue where the customer and the
@@ -2549,6 +2557,9 @@ object SparkEntry {
       FROM pc CROSS JOIN n
         JOIN ic ia ON ia.p = pc.part_a
         JOIN ic ib ON ib.p = pc.part_b""",
+
+    "rec1_item_item_cf" ->
+      graft.operators.ItemItemCf.recommendSql(),
 
     "f14_funnel" -> """
       WITH ev AS (

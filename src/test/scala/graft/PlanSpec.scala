@@ -226,6 +226,18 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("rec1: top-k is WindowGroupLimit-bounded; the fact never self-joins") {
+    spark.catalog.clearCache() // recommend persists its basket relation
+    val p = planOf("rec1_item_item_cf")
+    // the rank<=k filter pushes into the shuffle as a group limit —
+    // never a full per-partition sort of the whole pair relation
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // pairs explode within basket arrays: no self-join shapes anywhere
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("x15: the 16 EWMA lag terms fold into one Window exec") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x15_ewma")
