@@ -1437,6 +1437,55 @@ object SparkEntry {
           (col("ewma_c") / lit(100.0)).as("ewma16"))
     }),
 
+    // E148 (X16): per-brand OLS TREND FIT — the regression member of
+    // the series family (x9 gap-fill → x10 MA → x11 z-score → x15 EWMA
+    // → this): least-squares slope + intercept of daily revenue vs day
+    // index, the "is this brand growing and how fast" line a forecast
+    // starts from. The gap-filled series is CONTIGUOUS by construction
+    // (t = 0..n−1 per brand), so the centered substitution
+    // u = 2t − (n−1) gives Σu = 0 and the closed forms
+    //   slope = 2·Σuy / Σu²,  Σuy = 2·Σty − (n−1)·Σy,
+    //   Σu²   = n(n²−1)/3
+    // — EVERY sum an exact long over integer cents (the x11
+    // discipline; no per-row mean subtraction, no float accumulation).
+    // slope = 6·(2Σty − (n−1)Σy) / (n(n²−1)) is ONE long/long double
+    // division; intercept (at the series start, t = 0) composes
+    // ȳ − slope·(n−1)/2 from correctly-rounded ops mirrored textually
+    // in the oracle (the benford-dev convention). Long bounds:
+    // Σty ≤ t_max·Σy ≈ 2e13 at sf0.1, ×6 ≈ 1.2e14 — wide margin; a
+    // 100-TB series upgrades the two sums to DECIMAL(38,0) (the v5
+    // boundary discipline; Pearson r is OMITTED here because its Σy²
+    // term crosses 2⁶³ first — the documented wall). Shape: ONE
+    // map-side-combined aggregate over the brand×day frame (no window,
+    // no sort); the day index rides the broadcast 1-row bounds frame.
+    // n=1 degenerates to a zero denominator → NULL slope/intercept,
+    // never a ÷0 abort (the Kpi.ratio ANSI discipline).
+    "x16_ols_trend" -> ((s, d) => {
+      val series = gapFilledDaily(s, d)
+        .withColumn("cents",
+          (coalesce(col("rev_dec"), lit(0).cast(money)) * lit(100))
+            .cast("long"))
+      val d0 = series.agg(min(col("d")).as("d0"))
+      val agg = series.crossJoin(broadcast(d0))
+        .withColumn("t", datediff(col("d"), col("d0")).cast("long"))
+        .groupBy(col("brand")).agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sy"),
+          sum(col("t") * col("cents")).as("sty"))
+      val n = col("n")
+      val num = lit(6L) * (lit(2L) * col("sty") - (n - lit(1L)) * col("sy"))
+      val den = n * (n * n - lit(1L))
+      val slope = num.cast("double") / den.cast("double")
+      val nullD = lit(null).cast("double")
+      agg.select(col("brand"), n.as("n_days"),
+        when(den === 0L, nullD).otherwise(slope)
+          .as("slope_cents_per_day"),
+        when(den === 0L, nullD).otherwise(
+          col("sy").cast("double") / n.cast("double") -
+            slope * ((n - lit(1L)).cast("double") / lit(2.0)))
+          .as("intercept_cents"))
+    }),
+
     // E85 (F14): ordered-event funnel — view → click → purchase with
     // strict temporal ordering (first view, first click AFTER it, first
     // purchase after THAT): the conversion query every event pipeline
@@ -2467,6 +2516,29 @@ object SparkEntry {
         CAST(rev0 AS DOUBLE) AS revenue,
         num::DOUBLE / den::DOUBLE / 100.0::DOUBLE AS ewma16
       FROM w""",
+
+    "x16_ols_trend" -> s"""$ctes,
+      $gapFillCtes,
+      c0 AS (SELECT brand, d,
+        CAST(coalesce(rev_dec, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents FROM ff),
+      b0 AS (SELECT min(d) AS d0 FROM c0),
+      t0 AS (SELECT brand, datediff('day', b0.d0, c0.d)::BIGINT AS t,
+        cents FROM c0 CROSS JOIN b0),
+      a AS (SELECT brand, count(*)::BIGINT AS n,
+        sum(cents)::BIGINT AS sy,
+        sum(t * cents)::BIGINT AS sty
+        FROM t0 GROUP BY 1)
+      SELECT brand, n AS n_days,
+        CASE WHEN n * (n * n - 1) = 0 THEN NULL
+          ELSE CAST(6 * (2 * sty - (n - 1) * sy) AS DOUBLE)
+            / CAST(n * (n * n - 1) AS DOUBLE) END AS slope_cents_per_day,
+        CASE WHEN n * (n * n - 1) = 0 THEN NULL
+          ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(6 * (2 * sty - (n - 1) * sy) AS DOUBLE)
+               / CAST(n * (n * n - 1) AS DOUBLE))
+              * (CAST(n - 1 AS DOUBLE) / 2.0::DOUBLE) END AS intercept_cents
+      FROM a""",
 
     "coh1_retention" -> """
       WITH ev AS (

@@ -238,6 +238,17 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x16: trend fit is a pure aggregate — no window anywhere") {
+    spark.catalog.clearCache() // gapFilledDaily persists its daily base
+    val p = planOf("x16_ols_trend")
+    // the centered closed form needs no rank/lag: zero Window nodes
+    // (gap-fill's unused forward-fill window is pruned away) and the
+    // brand sums are one map-side-combined HashAggregate
+    assert("\\bWindow\\b".r.findAllIn(p).size === 0, p.take(2500))
+    assert(p.contains("HashAggregate"), p.take(2500))
+    spark.catalog.clearCache()
+  }
+
   test("x15: the 16 EWMA lag terms fold into one Window exec") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x15_ewma")
