@@ -1067,6 +1067,14 @@ object SparkEntry {
       graft.operators.PageRank.productPageRank(
         Sources.table(s, d, "lineitem"))),
 
+    // E149 (G3): BFS hop distances from the catalog hub — K fixed
+    // frontier-relaxation rounds over the g1 edge relation, exact
+    // integer min folds, deterministic (deg, id) seed election. See
+    // BfsHops.scala for the diameter-bound story.
+    "g3_hub_hops" -> ((s, d) =>
+      graft.operators.BfsHops.hubHops(
+        Sources.table(s, d, "lineitem"))),
+
     // E145 (G2): triangle census — degree-ordered wedge closing over
     // the g1 co-purchase graph (one edge definition for the family);
     // exact integer corner credits, lcc's guarded division is the one
@@ -2781,6 +2789,9 @@ object SparkEntry {
 
     "g2_triangle_count" ->
       graft.operators.Triangles.triangleCensusSql,
+
+    "g3_hub_hops" ->
+      graft.operators.BfsHops.hubHopsSql(),
 
     "er2_golden_records" ->
       graft.operators.EntityResolution.goldenRecordsSql(),

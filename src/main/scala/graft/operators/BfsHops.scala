@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** G3 (E149): BFS HOP DISTANCES from the catalog hub — the
+  * shortest-path member completing the graph family (d9 connected
+  * components → g1 PageRank → g2 triangles → this): how many
+  * co-purchase hops is every product from the highest-degree product?
+  * The "recommendation reach" probe — hop 1 is the hub's direct
+  * cross-sell set, hop 2 its extended neighborhood, unreached products
+  * (absent rows) are the catalog's isolated corners.
+  *
+  * Algorithm: K fixed rounds of frontier relaxation (the d9/g1
+  * convention — a deterministic number of blocking jobs, never a
+  * float-tolerance or emptiness test that would put runtime state in
+  * the plan): hops ← min(hops ∪ neighbors(hops)+1), each round ONE
+  * join-aggregate shuffled on the node key, map-side-combined min.
+  * Everything is exact integer arithmetic — hop counts, the min fold,
+  * the (degree, id) seed election — so both engines agree bitwise
+  * with zero boundary divisions. The seed is deterministic: max
+  * degree, ties to the smallest id (a bounded 1-row TakeOrdered, the
+  * w2 FIFO shape).
+  *
+  * Scale: the relation carried between rounds is (node, hop) — never
+  * wider; co-purchase graphs are small-diameter (d9's components
+  * close in 3 min-label rounds at every measured scale), so
+  * [[HopIters]] = 4 covers the reachable set while keeping the
+  * round count — and so the job count — a compile-time constant.
+  * Edges persist once for the K probes (t14 cache contract: caller
+  * clearCache()s after materializing). */
+object BfsHops {
+
+  /** Fixed round count — diameter-bound, matching d9's measured
+    * 3-round closure with one round of headroom. */
+  val HopIters = 4
+
+  /** (product_id, hop) for every product within [[HopIters]] hops of
+    * the hub; the hub itself is hop 0. */
+  def hubHops(lineitem: DataFrame, iters: Int = HopIters): DataFrame = {
+    val edges = PageRank.copurchaseEdges(lineitem).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var hops = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0L).as("hop"))
+    for (_ <- 1 to iters) {
+      val expand = hops.join(edges, hops("node") === edges("src"))
+        .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
+      // each round's node-grain frame is consumed TWICE next round
+      // (union + join) — persist it so the CacheManager substitutes
+      // the round-k relation at plan time instead of doubling the
+      // subtree per round (2^K job blowup measured without this);
+      // frames are (node, hop)-narrow, cache-lifetime contract as
+      // everywhere (caller clearCache()s after materializing)
+      hops = hops.unionByName(expand)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .persist()
+    }
+    hops.select(col("node").as("product_id"), col("hop"))
+  }
+
+  /** Oracle twin: the same seed election and K unrolled min-relaxation
+    * rounds as chained CTEs (g1's unrolled-round convention). */
+  def hubHopsSql(iters: Int = HopIters): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""h$k AS (
+      SELECT node, min(hop)::BIGINT AS hop FROM (
+        SELECT node, hop FROM h${k - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.hop + 1 AS hop
+        FROM e JOIN h${k - 1} p ON e.src = p.node) u
+      GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+    h0 AS (SELECT src AS node, 0::BIGINT AS hop FROM deg
+      ORDER BY deg DESC, src LIMIT 1),
+    $rounds
+    SELECT node AS product_id, hop FROM h$iters"""
+  }
+}
