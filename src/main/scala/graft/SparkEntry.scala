@@ -1494,6 +1494,43 @@ object SparkEntry {
           .as("intercept_cents"))
     }),
 
+    // E150 (X17): day-of-week SEASONALITY index — the seasonal member
+    // of the series family (x16 fits the trend; this profiles the
+    // weekly cycle around it): per brand×weekday, mean daily revenue
+    // and its ratio to the brand's all-days mean ("Saturdays run 1.4×").
+    // The index is the fully-RATIONAL form
+    //   (s_dow/n_dow) / (s_all/n_all) = s_dow·n_all / (n_dow·s_all)
+    // — numerator and denominator EXACT LONG products over integer
+    // cents (s·n ≤ 1.3e13 at sf0.1 — wide margin), so the one double
+    // division is correctly rounded on both engines; no intermediate
+    // float means ever meet each other. Shape: one map-side-combined
+    // aggregate to brand×dow grain (≤ 7 rows per brand), brand totals
+    // via a whole-partition window over those 7 rows (the mix2
+    // convention — nothing corpus-scale shuffles twice). Weekday
+    // numbering is Spark's dayofweek (1=Sun..7=Sat); the oracle maps
+    // DuckDB's 0-based dayofweek by +1. Zero-revenue brands yield NULL
+    // index, never ÷0 (Kpi.ratio ANSI discipline); n_dow ≥ 1 always
+    // (the gap-filled calendar covers every weekday).
+    "x17_dow_seasonality" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wb = W.partitionBy(col("brand"))
+      val agg = gapFilledDaily(s, d)
+        .withColumn("cents",
+          (coalesce(col("rev_dec"), lit(0).cast(money)) * lit(100))
+            .cast("long"))
+        .groupBy(col("brand"), dayofweek(col("d")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("s_dow"))
+        .withColumn("n_all", sum(col("n_days")).over(wb))
+        .withColumn("s_all", sum(col("s_dow")).over(wb))
+      agg.select(col("brand"), col("dow"), col("n_days"),
+        (col("s_dow").cast("double") / col("n_days").cast("double") /
+          lit(100.0)).as("mean_rev"),
+        when(col("s_all") === 0L, lit(null).cast("double")).otherwise(
+          (col("s_dow") * col("n_all")).cast("double") /
+            (col("n_days") * col("s_all")).cast("double"))
+          .as("seasonal_index"))
+    }),
+
     // E85 (F14): ordered-event funnel — view → click → purchase with
     // strict temporal ordering (first view, first click AFTER it, first
     // purchase after THAT): the conversion query every event pipeline
@@ -2547,6 +2584,26 @@ object SparkEntry {
                / CAST(n * (n * n - 1) AS DOUBLE))
               * (CAST(n - 1 AS DOUBLE) / 2.0::DOUBLE) END AS intercept_cents
       FROM a""",
+
+    "x17_dow_seasonality" -> s"""$ctes,
+      $gapFillCtes,
+      c0 AS (SELECT brand, d,
+        CAST(coalesce(rev_dec, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents FROM ff),
+      a AS (SELECT brand, (dayofweek(d) + 1)::BIGINT AS dow,
+        count(*)::BIGINT AS n_days, sum(cents)::BIGINT AS s_dow
+        FROM c0 GROUP BY 1, 2),
+      w AS (SELECT brand, dow, n_days, s_dow,
+        sum(n_days) OVER (PARTITION BY brand) AS n_all,
+        sum(s_dow) OVER (PARTITION BY brand) AS s_all
+        FROM a)
+      SELECT brand, dow, n_days,
+        CAST(s_dow AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0::DOUBLE
+          AS mean_rev,
+        CASE WHEN s_all = 0 THEN NULL
+          ELSE CAST(s_dow * n_all AS DOUBLE)
+            / CAST(n_days * s_all AS DOUBLE) END AS seasonal_index
+      FROM w""",
 
     "coh1_retention" -> """
       WITH ev AS (

@@ -249,6 +249,17 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x17: one aggregate, one window over the 7-rows-per-brand grain") {
+    spark.catalog.clearCache() // gapFilledDaily persists its daily base
+    val p = planOf("x17_dow_seasonality")
+    // the brand totals ride ONE whole-partition window over the tiny
+    // brand×dow aggregate (mix2 convention); gap-fill's unused
+    // forward-fill window is pruned, so exactly one Window node total
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p.take(2500))
+    assert(p.contains("HashAggregate"), p.take(2500))
+    spark.catalog.clearCache()
+  }
+
   test("x15: the 16 EWMA lag terms fold into one Window exec") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x15_ewma")
