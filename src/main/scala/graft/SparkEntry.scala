@@ -347,6 +347,13 @@ object SparkEntry {
     "t19_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Sources.table(s, d, "documents"))),
 
+    // E151 (T20): corpus collocations — top-k adjacent bigrams by the
+    // rational PMI-exponential lift n_ab·N/(n_a·n_b) (Manning–Schütze
+    // phrase mining, log-free by the libm rule); DF-cap prune, AQE-
+    // sized marginal join-backs, bounded TakeOrdered.
+    "t20_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Sources.table(s, d, "documents"))),
+
     "t6_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(Sources.table(s, d, "documents"))),
 
@@ -2210,6 +2217,8 @@ object SparkEntry {
     "t12_quality_classifier" -> TextAnalysis.classifierScoreSql,
     "sel1_budget_select" -> TextAnalysis.budgetSelectSql(),
     "lm1_bigram_lm" -> TextAnalysis.bigramLmScoreSql,
+
+    "t20_collocations" -> TextAnalysis.collocationsSql(),
 
     "t13x_approx_deciles" -> """
       SELECT 9::BIGINT AS n_bounds, 9::BIGINT AS n_within""",

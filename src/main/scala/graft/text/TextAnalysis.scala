@@ -804,6 +804,73 @@ object TextAnalysis {
     JOIN cleft ON bi.a = cleft.a
     GROUP BY 1"""
 
+  /** T20 (E151): corpus COLLOCATIONS — the Manning–Schütze bigram
+    * association screen: which adjacent token pairs co-occur far more
+    * often than their parts predict ("new york", not "of the")? The
+    * phrase-mining stage a tokenizer-vocabulary or stopword review
+    * reads. Association is the RATIONAL lift
+    * n_ab·N / (n_a··n_·b) — the pointwise-mutual-information
+    * EXPONENTIAL (rank-equivalent to PMI, no log: the libm rule), with
+    * marginals taken over the bigram table itself (left-slot and
+    * right-slot counts, so numerator and denominator sum to the same N
+    * — self-consistent probabilities). All counts are exact longs; the
+    * single division of exact long products is correctly rounded on
+    * both engines (n_ab·N ≤ N², inside int64 at any swept scale).
+    *
+    * Scale shape: ONE narrow pass builds the bigram stream; pair and
+    * marginal tables are vocabulary²-/vocabulary-bounded aggregates
+    * (the lm1 statistics shape, readable tokens instead of hashes —
+    * this op's output is for human review). The min-count filter (d7
+    * DF-cap) prunes the pair table BEFORE the marginal join-backs (no
+    * broadcast hints — AQE sizes them, the lm1 convention); N rides
+    * the broadcast 1-row bounds frame; the top-k is a bounded
+    * TakeOrdered on (lift desc, pair) — never a full sort kept. */
+  def collocations(docs: DataFrame, k: Int = 25,
+      minCount: Long = 5L): DataFrame = {
+    val tok = docs.select(col("doc_id"), toksCol.as("tk"))
+    val emptyPairs = array().cast("array<struct<a:string,b:string>>")
+    val bi = tok.select(
+      explode(when(size(col("tk")) < 2, emptyPairs)
+        .otherwise(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(element_at(col("tk"), i).as("a"),
+            element_at(col("tk"), i + lit(1)).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .persist() // three consumers: pairs + two marginals (mb1 rule)
+    val pairs = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val left = bi.groupBy(col("a")).agg(count(lit(1)).as("n_left"))
+    val right = bi.groupBy(col("b")).agg(count(lit(1)).as("n_right"))
+    val total = bi.agg(count(lit(1)).as("n_total"))
+    pairs.join(left, Seq("a")).join(right, Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a").as("w1"), col("b").as("w2"), col("n_pair"),
+        ((col("n_pair") * col("n_total")).cast("double") /
+          (col("n_left") * col("n_right")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** T20 oracle: same bigram stream, marginals, DF-cap, and the same
+    * deterministic (lift desc, pair) top-k. */
+  def collocationsSql(k: Int = 25, minCount: Long = 5L): String = s"""
+    WITH t AS (
+      SELECT doc_id, ${tokensSql(normSql("text"))} AS tk FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS a,
+        unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS b
+      FROM t WHERE len(tk) >= 2),
+    n AS (SELECT count(*)::BIGINT AS n_total FROM bi),
+    pc AS (SELECT a, b, count(*)::BIGINT AS n_pair FROM bi
+      GROUP BY 1, 2 HAVING count(*) >= $minCount),
+    lf AS (SELECT a, count(*)::BIGINT AS n_left FROM bi GROUP BY 1),
+    rt AS (SELECT b, count(*)::BIGINT AS n_right FROM bi GROUP BY 1)
+    SELECT pc.a AS w1, pc.b AS w2, pc.n_pair,
+      (pc.n_pair * n.n_total)::DOUBLE
+        / (lf.n_left * rt.n_right)::DOUBLE AS lift
+    FROM pc JOIN lf USING (a) JOIN rt USING (b) CROSS JOIN n
+    ORDER BY lift DESC, w1, w2 LIMIT $k"""
+
   // ---- T15 (E105): BM25 ranked retrieval ----------------------------------
 
   val Bm25K1 = 1.2

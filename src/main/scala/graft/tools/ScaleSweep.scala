@@ -166,7 +166,11 @@ object ScaleSweep {
     // window (expect flat like t17)
     "c4_semantic_decon", "mix3_epoch_alloc",
     // ir1 = t15 over the twinned ×N corpus + an O(1) aggregate
-    "ir1_retrieval_metrics")
+    "ir1_retrieval_metrics",
+    // t20's pair/marginal tables ride the vocabulary (×N under the
+    // open-vocab fan-out) with a linear bigram stream and a bounded
+    // top-k — the lm1 shape with readable tokens (expect linear, flat)
+    "t20_collocations")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -39,6 +39,32 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).contains(2L))
   }
 
+  test("t20: collocation lift is the exact hand-computed rational") {
+    // lm1's corpus: bigrams (a,b) (b,a) (a,b) | (a,c) — N = 4
+    // pairs: (a,b)=2 (b,a)=1 (a,c)=1; left: a=3 b=1; right: b=2 a=1 c=1
+    // lift(a,b) = 2·4/(3·2) = 4/3; lift(b,a) = 4/(1·1) = 4
+    // lift(a,c) = 4/(3·1) = 4/3 — ties with (a,b), broken by the pair
+    val corpus = docs((1L, "a b a b"), (2L, "a c"))
+    val out = TextAnalysis.collocations(corpus, k = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(out.toSeq === Seq(
+      ("b", "a", 1L, 4.0),
+      ("a", "b", 2L, 4.0 / 3.0),
+      ("a", "c", 1L, 4.0 / 3.0)))
+    // the k cut respects the (lift desc, pair) order
+    val top2 = TextAnalysis.collocations(corpus, k = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    spark.catalog.clearCache()
+    assert(top2.toSeq === Seq(("b", "a"), ("a", "b")))
+    // the DF cap prunes singleton pairs before ranking
+    val capped = TextAnalysis.collocations(corpus, k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    spark.catalog.clearCache()
+    assert(capped.toSeq === Seq(("a", "b")))
+  }
+
   test("charHash: deterministic rolling fold, whitespace-normalized input") {
     val out = docs((1L, "ab")).select(
       TextFunctions.charHash(col("text"))).head().getLong(0)
