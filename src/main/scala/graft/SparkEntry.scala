@@ -1657,22 +1657,16 @@ object SparkEntry {
     // engines agree bitwise. The basket relation feeds THREE consumers
     // (pairs, item counts, the total) — persisted so the fact is scanned
     // and shuffled once, not once per consumer (the pipe2 barrier rule;
-    // Verify/Bench clearCache after each query).
+    // Verify/Bench clearCache after each query). The basket/pair/count
+    // relations are the SHARED Baskets definitions rec1 also composes.
     "mb1_basket_lift" -> ((s, d) => {
-      val baskets = Sources.table(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .persist()
-      val pairs = baskets.select(explode(flatten(transform(col("parts"),
-          (x, i) => transform(
-            slice(col("parts"), i + lit(2), size(col("parts"))),
-            y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
-        .select(col("pr.part_a"), col("pr.part_b"))
-      val pairCnt = pairs.groupBy(col("part_a"), col("part_b"))
+      import graft.operators.Baskets
+      val baskets = Baskets.baskets(Sources.table(s, d, "lineitem"))
+      val pairCnt = Baskets.canonicalPairs(baskets)
+        .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("pair_count"))
         .filter(col("pair_count") >= 2)
-      val ic = baskets.select(explode(col("parts")).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val ic = Baskets.itemCounts(baskets)
       val bounds = baskets.agg(count(lit(1)).as("n_orders"))
       pairCnt
         .join(ic.select(col("p").as("part_a"), col("c").as("cnt_a")),
@@ -2014,8 +2008,6 @@ object SparkEntry {
     """FROM o JOIN oi ON o.order_id = oi.order_id
       |JOIN p ON oi.product_id = p.id""".stripMargin
 
-  /** Shared x9/x10 oracle CTE chain: brand×day spine + forward fill,
-    * terminal CTE `ff(brand, d, rev_dec, ffill_dec)`. */
   /** x15's oracle twin of the 16-term dyadic-weight EWMA fold — generated
     * from the same (k, 2^(15−k)) table as the Spark side so the two stay
     * textually mirrored by construction. All-integer terms; the single
@@ -2031,6 +2023,8 @@ object SparkEntry {
     else s"CASE WHEN lag(cents, $k) OVER tw IS NOT NULL THEN $wt ELSE 0 END"
   }.mkString(" + ")
 
+  /** Shared x9/x10 oracle CTE chain: brand×day spine + forward fill,
+    * terminal CTE `ff(brand, d, rev_dec, ffill_dec)`. */
   private val gapFillCtes =
     s"""daily AS (
       |  SELECT p.brand AS brand,

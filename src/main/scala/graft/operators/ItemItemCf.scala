@@ -39,15 +39,9 @@ object ItemItemCf {
     * counts) — persisted; Verify/Bench clearCache after each query. */
   def recommend(lineitem: DataFrame, k: Int = 5,
       minCo: Long = 2L): DataFrame = {
-    val baskets = lineitem.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .persist()
-    val pairs = baskets.select(explode(flatten(transform(col("parts"),
-        (x, i) => transform(
-          slice(col("parts"), i + lit(2), size(col("parts"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
-    val pairCnt = pairs.groupBy(col("part_a"), col("part_b"))
+    val baskets = Baskets.baskets(lineitem)
+    val pairCnt = Baskets.canonicalPairs(baskets)
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
     // A recommendation list is per-SOURCE, so the canonical (a<b) pair
@@ -56,8 +50,7 @@ object ItemItemCf {
         col("part_b").as("rec"), col("co"))
       .unionByName(pairCnt.select(col("part_b").as("src"),
         col("part_a").as("rec"), col("co")))
-    val ic = baskets.select(explode(col("parts")).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val ic = Baskets.itemCounts(baskets)
     val scored = sym
       .join(ic.select(col("p").as("src"), col("c").as("cnt_s")),
         Seq("src"))

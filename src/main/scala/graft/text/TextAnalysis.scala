@@ -835,7 +835,7 @@ object TextAnalysis {
           struct(element_at(col("tk"), i).as("a"),
             element_at(col("tk"), i + lit(1)).as("b"))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .persist() // three consumers: pairs + two marginals (mb1 rule)
+      .persist() // four consumers: pairs, two marginals, total (mb1 rule)
     val pairs = bi.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
