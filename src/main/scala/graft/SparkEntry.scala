@@ -642,6 +642,51 @@ object SparkEntry {
     "v7_revenue_gini" -> ((s, d) =>
       Validation.revenueGini(oi(s, d), p(s, d))),
 
+    // E152 (ABC1): ABC inventory classification — the operational
+    // Pareto cut beside v7's Gini (v7 MEASURES concentration; this
+    // ACTS on it): products ranked by revenue, class A = the head
+    // covering 80% of cumulative revenue, B = to 95%, C = the tail;
+    // reported as the 3-row class summary a stock-policy review reads.
+    // Class boundaries are EXACT INTEGER comparisons — cum·10 ≤ tot·8
+    // and cum·20 ≤ tot·19 over integer cents (no float ever enters the
+    // classification; cum·20 ≤ 1.4e11 at sf0.1, wide margin) — so the
+    // only doubles are the two reporting divisions at the boundary
+    // (guarded NULL on zero total, the Kpi.ratio ANSI discipline).
+    // Rank ties break by product id (v7's parity hygiene — here the
+    // tie order IS visible: it decides which of two equal-revenue
+    // products straddles a boundary). Shape: product-grain aggregate,
+    // ONE ordered window for rank+cumsum (rank and running sum share
+    // the sort), total on the broadcast 1-row bounds frame, 3-row
+    // summary. The global window is the sel1 documented-single-sort
+    // baseline — at 100 TB the swap is t13x approx revenue quantiles
+    // broadcast as class thresholds, no sort.
+    "abc1_abc_classes" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = oi(s, d).groupBy(col("product_id"))
+        .agg(sum(col("sale_price").cast(money)).as("rev_dec"))
+        .select(col("product_id"),
+          (col("rev_dec") * lit(100)).cast("long").as("cents"))
+      val w = W.orderBy(col("cents").desc, col("product_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val total = rev.agg(sum(col("cents")).as("tot"))
+      val classed = rev
+        .withColumn("cum", sum(col("cents")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("abc_class",
+          when(col("cum") * 10 <= col("tot") * 8, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C"))
+      classed.groupBy(col("abc_class")).agg(
+          count(lit(1)).as("n_products"),
+          sum(col("cents")).as("class_cents"),
+          max(col("tot")).as("tot"))
+        .select(col("abc_class"), col("n_products"),
+          (col("class_cents").cast("double") / lit(100.0)).as("revenue"),
+          when(col("tot") === 0L, lit(null).cast("double")).otherwise(
+            col("class_cents").cast("double") / col("tot").cast("double"))
+            .as("rev_share"))
+    }),
+
     // E69 (T11): incremental DF-store maintenance under the hash gate —
     // the query FOLDS the corpus through the store in two batches
     // (odd/even doc_id); the oracle is the one-shot aggregate, so the
@@ -2264,6 +2309,29 @@ object SparkEntry {
 
     "v7_revenue_gini" -> s"""$ctes,
       ${Validation.revenueGiniSql}""",
+
+    "abc1_abc_classes" -> s"""$ctes,
+      rev AS (SELECT product_id,
+        CAST(sum(CAST(sale_price AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents
+        FROM oi GROUP BY 1),
+      tot AS (SELECT sum(cents)::BIGINT AS tot FROM rev),
+      cumr AS (SELECT product_id, cents,
+        sum(cents) OVER (ORDER BY cents DESC, product_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev),
+      cl AS (SELECT
+        CASE WHEN cum * 10 <= tot.tot * 8 THEN 'A'
+          WHEN cum * 20 <= tot.tot * 19 THEN 'B'
+          ELSE 'C' END AS abc_class,
+        cents, tot.tot AS tot
+        FROM cumr CROSS JOIN tot)
+      SELECT abc_class, count(*)::BIGINT AS n_products,
+        CAST(sum(cents) AS DOUBLE) / 100.0::DOUBLE AS revenue,
+        CASE WHEN max(tot) = 0 THEN NULL
+          ELSE CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+        END AS rev_share
+      FROM cl GROUP BY 1""",
 
     "v3_vec_drift" -> Validation.vecDriftAuditSql(
       """SELECT * FROM embeddings

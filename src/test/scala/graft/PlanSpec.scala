@@ -238,6 +238,15 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("abc1: one ordered window; the total rides a broadcast bounds frame") {
+    val p = planOf("abc1_abc_classes")
+    // rank+cumsum share ONE sorted window over the product grain; the
+    // grand total joins back as a broadcast 1-row frame, never a second
+    // pass over the fact
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p.take(2500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
   test("x16: trend fit is a pure aggregate — no window anywhere") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x16_ols_trend")
