@@ -1098,6 +1098,32 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // E153 (E6): daily TRENDING KEYS — tumbling-window top-k: per
+    // 1-day window, the 3 hottest `props.k` items by event count (the
+    // "trending now" panel every event platform serves; the batch twin
+    // of a streaming windowed-top-k — window semantics identical to a
+    // readStream + window() + rank sink). Composes e2's epoch-us
+    // tumbling-window convention (integer day bucketing, no TZ
+    // semantics in the answer) with f13's JSON extraction and the
+    // rec1 rank discipline: exact integer counts, deterministic
+    // (n desc, k) tie-break, WindowGroupLimit bounding the per-window
+    // sort at k (plan-pinned — the rank never sorts a full day's key
+    // set at scale).
+    "e6_daily_top_keys" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Sources.table(s, d, "events")
+      val agg = ev.select(timestamp_micros(Sources.epochUs(ev)).as("t"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(window(col("t"), "1 day"), col("k"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("day_start_us"),
+          col("k"), col("n_events"))
+      val w = W.partitionBy(col("day_start_us"))
+        .orderBy(col("n_events").desc, col("k"))
+      agg.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // E28: range (interval) join with NO equi-key — purchases × incident
     // windows ([error ts, +30 min], errors with value > 90). Binned to an
     // equi-join (graft.operators.RangeJoin) instead of the O(n·m)
@@ -2989,6 +3015,20 @@ object SparkEntry {
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2""",
+
+    "e6_daily_top_keys" -> """
+      WITH a AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT day_start_us, k, n_events,
+          row_number() OVER (PARTITION BY day_start_us
+            ORDER BY n_events DESC, k) AS rank
+        FROM a)
+      SELECT day_start_us, k, n_events, rank::BIGINT AS rank
+      FROM r WHERE rank <= 3""",
 
     "e5_segment_kpi" -> """
       SELECT c.c_mktsegment AS segment, count(*) AS n_events,

@@ -170,7 +170,11 @@ object ScaleSweep {
     // t20's pair/marginal tables ride the vocabulary (×N under the
     // open-vocab fan-out) with a linear bigram stream and a bounded
     // top-k — the lm1 shape with readable tokens (expect linear, flat)
-    "t20_collocations")
+    "t20_collocations",
+    // e6's day×key grain grows with the events HISTORY fan-out (new
+    // later days per copy); the rank is WindowGroupLimit-bounded at 3
+    // per day — expect linear scan, flat jobs, 3-per-day output
+    "e6_daily_top_keys")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -247,6 +247,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
   }
 
+  test("e6: the per-day top-3 rank is WindowGroupLimit-bounded") {
+    val p = planOf("e6_daily_top_keys")
+    // the rank<=3 filter pushes into the day-keyed window as a group
+    // limit — a day's full key set never sorts
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("x16: trend fit is a pure aggregate — no window anywhere") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x16_ols_trend")
