@@ -1609,6 +1609,47 @@ object SparkEntry {
           .as("seasonal_index"))
     }),
 
+    // E154 (X18): week-over-week GROWTH — the comparison member closing
+    // the series family (gap-fill → MA → z-score → EWMA → trend →
+    // seasonality → this): weekly revenue per brand and its WoW change,
+    // the first row of every revenue dashboard. Weeks are exact integer
+    // buckets off the series start (week = ⌊t/7⌋ via g1's idiv idiom —
+    // no ISO-week/engine-calendar semantics in the answer, the e2
+    // epoch-bucket discipline applied to days); weekly sums are exact
+    // long cents, and growth = (cur−prev)/prev is ONE correctly-rounded
+    // long/long division, NULL on a zero or absent base week (Kpi.ratio
+    // ANSI discipline — a dashboard shows "—", it doesn't abort).
+    // Shape: the day index rides the broadcast 1-row bounds frame (x16
+    // convention), one map-side-combined aggregate to brand×week grain,
+    // ONE lag window over that tiny grain. Trailing partial weeks are
+    // kept and flagged (n_days < 7) — silently dropping them would make
+    // the newest point disappear, the wrong default for a dashboard;
+    // the flag lets the reader discount it (no silent caps).
+    "x18_wow_growth" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val series = gapFilledDaily(s, d)
+        .withColumn("cents",
+          (coalesce(col("rev_dec"), lit(0).cast(money)) * lit(100))
+            .cast("long"))
+      val d0 = series.agg(min(col("d")).as("d0"))
+      val t = datediff(col("d"), col("d0")).cast("long")
+      val weekly = series.crossJoin(broadcast(d0))
+        .withColumn("week_idx", ((t - pmod(t, lit(7L))) / lit(7L))
+          .cast("long"))
+        .groupBy(col("brand"), col("week_idx"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("wk_cents"))
+      val w = W.partitionBy(col("brand")).orderBy(col("week_idx"))
+      val prev = lag(col("wk_cents"), 1).over(w)
+      weekly
+        .withColumn("prev_cents", prev)
+        .select(col("brand"), col("week_idx"), col("n_days"),
+          (col("wk_cents").cast("double") / lit(100.0)).as("revenue"),
+          when(col("prev_cents").isNull || col("prev_cents") === 0L,
+            lit(null).cast("double"))
+            .otherwise((col("wk_cents") - col("prev_cents")).cast("double") /
+              col("prev_cents").cast("double")).as("wow_growth"))
+    }),
+
     // E85 (F14): ordered-event funnel — view → click → purchase with
     // strict temporal ordering (first view, first click AFTER it, first
     // purchase after THAT): the conversion query every event pipeline
@@ -2681,6 +2722,30 @@ object SparkEntry {
                / CAST(n * (n * n - 1) AS DOUBLE))
               * (CAST(n - 1 AS DOUBLE) / 2.0::DOUBLE) END AS intercept_cents
       FROM a""",
+
+    "x18_wow_growth" -> s"""$ctes,
+      $gapFillCtes,
+      c0 AS (SELECT brand, d,
+        CAST(coalesce(rev_dec, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents FROM ff),
+      b0 AS (SELECT min(d) AS d0 FROM c0),
+      t0 AS (SELECT brand,
+        datediff('day', b0.d0, c0.d)::BIGINT AS t, cents
+        FROM c0 CROSS JOIN b0),
+      wk AS (SELECT brand,
+        CAST((t - t % 7) / 7 AS BIGINT) AS week_idx,
+        count(*)::BIGINT AS n_days, sum(cents)::BIGINT AS wk_cents
+        FROM t0 GROUP BY 1, 2),
+      lg AS (SELECT brand, week_idx, n_days, wk_cents,
+        lag(wk_cents) OVER (PARTITION BY brand ORDER BY week_idx)
+          AS prev_cents
+        FROM wk)
+      SELECT brand, week_idx, n_days,
+        CAST(wk_cents AS DOUBLE) / 100.0::DOUBLE AS revenue,
+        CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+          ELSE CAST(wk_cents - prev_cents AS DOUBLE)
+            / CAST(prev_cents AS DOUBLE) END AS wow_growth
+      FROM lg""",
 
     "x17_dow_seasonality" -> s"""$ctes,
       $gapFillCtes,

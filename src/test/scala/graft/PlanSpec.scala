@@ -254,6 +254,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("x18: one lag window over the brand-week grain") {
+    spark.catalog.clearCache() // gapFilledDaily persists its daily base
+    val p = planOf("x18_wow_growth")
+    // the lag rides the tiny brand-week aggregate; gap-fill's unused
+    // forward-fill window is pruned, so exactly one Window node total
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p.take(2500))
+    spark.catalog.clearCache()
+  }
+
   test("x16: trend fit is a pure aggregate — no window anywhere") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x16_ols_trend")
