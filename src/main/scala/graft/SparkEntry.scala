@@ -1814,6 +1814,48 @@ object SparkEntry {
     // customer. Revenue = Σ price·(1−discount) in DECIMAL end to end
     // (float per-row products would be deterministic but their SUM's
     // fold order would not be), double only at the boundary.
+    // E155 (SUP1): supplier CONCENTRATION audit — per-nation
+    // Herfindahl-Hirschman index + top-supplier share over supplier
+    // revenue: the supply-chain risk screen ("nation X routes 40% of
+    // its volume through one supplier") on the dimension chain x12
+    // opened. HHI = Σsᵢ²/(Σsᵢ)² with the squares in DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB) — cents² ≈ 5e19 crosses int64, the v5
+    // boundary discipline, exact in any fold order — and the
+    // denominator square taken in DOUBLE on BOTH engines (an integer
+    // (Σs)² ≈ 3e22 would overflow DuckDB's BIGINT: the mirrored-ops
+    // rule decides the representation, not each engine's headroom).
+    // Both reporting ratios NULL-guard zero revenue (Kpi.ratio).
+    // Shape: fact⋈supplier shuffles once to supplier grain (map-side
+    // combined), nation grain is a ≤25-row re-aggregate, the nation
+    // name broadcasts.
+    "sup1_supplier_hhi" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val rev = Sources.table(s, d, "lineitem")
+        .join(Sources.table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(money)).as("rev_dec"))
+        .select(col("s_nationkey"),
+          (col("rev_dec") * lit(100)).cast("long").as("cents"))
+      val agg = rev.groupBy(col("s_nationkey")).agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("sx"),
+        sum(col("cents").cast(dec38) * col("cents")).as("sq"),
+        max(col("cents")).as("mx"))
+      val nullD = lit(null).cast("double")
+      agg.join(broadcast(Sources.table(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"),
+          (col("sx").cast("double") / lit(100.0)).as("revenue"),
+          when(col("sx") === 0L, nullD).otherwise(
+            col("sq").cast("double") /
+              (col("sx").cast("double") * col("sx").cast("double")))
+            .as("hhi"),
+          when(col("sx") === 0L, nullD).otherwise(
+            col("mx").cast("double") / col("sx").cast("double"))
+            .as("top_share"))
+    }),
+
     "x12_local_supplier_revenue" -> ((s, d) => {
       val one = lit(1).cast(money)
       val rev = col("l_extendedprice").cast(money) *
@@ -2546,6 +2588,29 @@ object SparkEntry {
       SELECT gap_days, n_gaps,
         n_gaps::DOUBLE / (sum(n_gaps) OVER ())::DOUBLE AS share
       FROM h""",
+
+    "sup1_supplier_hhi" -> """
+      WITH rev AS (
+        SELECT s.s_nationkey,
+          CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+            AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, s.s_suppkey),
+      a AS (
+        SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+          sum(cents)::BIGINT AS sx,
+          sum(cents::HUGEINT * cents) AS sq,
+          max(cents)::BIGINT AS mx
+        FROM rev GROUP BY 1)
+      SELECT n.n_name AS nation, a.n_suppliers,
+        CAST(a.sx AS DOUBLE) / 100.0::DOUBLE AS revenue,
+        CASE WHEN a.sx = 0 THEN NULL
+          ELSE CAST(a.sq AS DOUBLE)
+            / (CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)) END AS hhi,
+        CASE WHEN a.sx = 0 THEN NULL
+          ELSE CAST(a.mx AS DOUBLE) / CAST(a.sx AS DOUBLE) END
+          AS top_share
+      FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey""",
 
     "x12_local_supplier_revenue" -> """
       SELECT n_name AS nation,

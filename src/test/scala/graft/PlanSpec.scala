@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sup1: the nation name broadcasts; no window anywhere") {
+    val p = planOf("sup1_supplier_hhi")
+    // fact joins supplier once (shuffle), the 25-row nation dim
+    // broadcasts; the HHI is pure aggregation — zero Window nodes
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("\\bWindow\\b".r.findAllIn(p).size === 0, p.take(2000))
+  }
+
   test("x16: trend fit is a pure aggregate — no window anywhere") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x16_ols_trend")
