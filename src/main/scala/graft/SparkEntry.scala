@@ -2009,6 +2009,32 @@ object SparkEntry {
     // window over the |distinct gaps|-row aggregate — the mix2/f15
     // convention). Gap arithmetic is exact epoch-micros longs; the
     // histogram is bounded by the calendar span whatever the log size.
+    // E156 (F18): order-to-SHIP LATENCY distribution — the fulfillment
+    // SLA histogram (how many days from order to each line shipping;
+    // the ops twin of f17's customer-side repurchase gaps): per exact
+    // integer day-gap, item count and share. Gaps are engine-exact
+    // DATE subtraction (no timestamps, no TZ); the share rides a
+    // whole-frame window over the gap grain — bounded by the latency
+    // DOMAIN in days (~5k values here), never fact-wide (mix2 rule) —
+    // one fact-width join + map-side-combined aggregate, nothing
+    // corpus-scale shuffles twice. The orders side joins on the key
+    // only (AQE picks the side to broadcast at real scale).
+    "f18_ship_latency" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val gaps = Sources.table(s, d, "lineitem")
+        .join(Sources.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long").as("latency_days"))
+        .groupBy(col("latency_days")).agg(count(lit(1)).as("n_items"))
+      val total = sum(col("n_items")).over(W.partitionBy())
+      gaps.withColumn("tot", total)
+        .select(col("latency_days"), col("n_items"),
+          when(col("tot") === 0L, lit(null).cast("double")).otherwise(
+            col("n_items").cast("double") / col("tot").cast("double"))
+            .as("share"))
+    }),
+
     "f17_repurchase_intervals" -> ((s, d) => {
       val ev0 = Sources.table(s, d, "events")
       val w = org.apache.spark.sql.expressions.Window
@@ -2574,6 +2600,20 @@ object SparkEntry {
     "t17_source_calibrated" -> TextAnalysis.sourceCalibratedQualitySql,
 
     "pp1_preference_pairs" -> TextAnalysis.preferencePairsSql(),
+
+    "f18_ship_latency" -> """
+      WITH g AS (
+        SELECT datediff('day', o.o_orderdate, l.l_shipdate)::BIGINT
+          AS latency_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a AS (SELECT latency_days, count(*)::BIGINT AS n_items
+        FROM g GROUP BY 1),
+      w AS (SELECT latency_days, n_items,
+        sum(n_items) OVER () AS tot FROM a)
+      SELECT latency_days, n_items,
+        CASE WHEN tot = 0 THEN NULL
+          ELSE CAST(n_items AS DOUBLE) / CAST(tot AS DOUBLE) END AS share
+      FROM w""",
 
     "f17_repurchase_intervals" -> """
       WITH p AS (

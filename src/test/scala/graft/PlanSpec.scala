@@ -271,6 +271,14 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size === 0, p.take(2000))
   }
 
+  test("f18: the share window rides the gap grain, not the fact") {
+    val p = planOf("f18_ship_latency")
+    // one whole-frame Window above the day-gap aggregate — the fact is
+    // consumed once by the join+aggregate, never re-sorted for shares
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p.take(2500))
+    assert(p.contains("HashAggregate"), p.take(2500))
+  }
+
   test("x16: trend fit is a pure aggregate — no window anywhere") {
     spark.catalog.clearCache() // gapFilledDaily persists its daily base
     val p = planOf("x16_ols_trend")
