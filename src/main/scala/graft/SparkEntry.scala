@@ -647,11 +647,17 @@ object SparkEntry {
     // ACTS on it): products ranked by revenue, class A = the head
     // covering 80% of cumulative revenue, B = to 95%, C = the tail;
     // reported as the 3-row class summary a stock-policy review reads.
-    // Class boundaries are EXACT INTEGER comparisons — cum·10 ≤ tot·8
-    // and cum·20 ≤ tot·19 over integer cents (no float ever enters the
-    // classification; cum·20 ≤ 1.4e11 at sf0.1, wide margin) — so the
-    // only doubles are the two reporting divisions at the boundary
-    // (guarded NULL on zero total, the Kpi.ratio ANSI discipline).
+    // The cut is the CONVENTIONAL one (round-9 advice): a product is A
+    // when the cumulative revenue BEFORE it is still under the 80%
+    // line — i.e. the boundary-crossing product lands in A ("the first
+    // k products covering 80%"), so class A is non-empty whenever
+    // revenue is (even one product holding >80% of revenue is A).
+    // Class boundaries are EXACT INTEGER comparisons —
+    // (cum−cents)·10 < tot·8 and (cum−cents)·20 < tot·19 over integer
+    // cents (no float ever enters the classification; cum·20 ≤ 1.4e11
+    // at sf0.1, wide margin) — so the only doubles are the two
+    // reporting divisions at the boundary (guarded NULL on zero total,
+    // the Kpi.ratio ANSI discipline).
     // Rank ties break by product id (v7's parity hygiene — here the
     // tie order IS visible: it decides which of two equal-revenue
     // products straddles a boundary). Shape: product-grain aggregate,
@@ -673,8 +679,8 @@ object SparkEntry {
         .withColumn("cum", sum(col("cents")).over(w))
         .crossJoin(broadcast(total))
         .withColumn("abc_class",
-          when(col("cum") * 10 <= col("tot") * 8, "A")
-            .when(col("cum") * 20 <= col("tot") * 19, "B")
+          when((col("cum") - col("cents")) * 10 < col("tot") * 8, "A")
+            .when((col("cum") - col("cents")) * 20 < col("tot") * 19, "B")
             .otherwise("C"))
       classed.groupBy(col("abc_class")).agg(
           count(lit(1)).as("n_products"),
@@ -2456,8 +2462,8 @@ object SparkEntry {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM rev),
       cl AS (SELECT
-        CASE WHEN cum * 10 <= tot.tot * 8 THEN 'A'
-          WHEN cum * 20 <= tot.tot * 19 THEN 'B'
+        CASE WHEN (cum - cents) * 10 < tot.tot * 8 THEN 'A'
+          WHEN (cum - cents) * 20 < tot.tot * 19 THEN 'B'
           ELSE 'C' END AS abc_class,
         cents, tot.tot AS tot
         FROM cumr CROSS JOIN tot)

@@ -27,8 +27,18 @@ import org.apache.spark.sql.functions._
   * close in 3 min-label rounds at every measured scale), so
   * [[HopIters]] = 4 covers the reachable set while keeping the
   * round count — and so the job count — a compile-time constant.
-  * Edges persist once for the K probes (t14 cache contract: caller
-  * clearCache()s after materializing). */
+  *
+  * Lifecycle (round-10, the d9 alignment): each round materializes
+  * EAGERLY via localCheckpoint — the round-k frame is consumed twice
+  * next round (union + join), and checkpointing truncates the lineage
+  * so the subtree never doubles (2^K job blowup measured without
+  * this). Unlike the previous per-round persist, checkpointed RDDs
+  * are plain references: when the loop reassigns `hops`, the old
+  * round's blocks become unreachable and the ContextCleaner reclaims
+  * them — a long-lived driver holds NOTHING after the call (the
+  * edge cache is released in-method too; no caller clearCache
+  * contract). Cluster caveat as in Kpi.computeKpis: checkpoint
+  * blocks are executor-local, unrecoverable on executor loss. */
 object BfsHops {
 
   /** Fixed round count — diameter-bound, matching d9's measured
@@ -39,23 +49,25 @@ object BfsHops {
     * the hub; the hub itself is hop 0. */
   def hubHops(lineitem: DataFrame, iters: Int = HopIters): DataFrame = {
     val edges = PageRank.copurchaseEdges(lineitem).persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var hops = deg.orderBy(col("deg").desc, col("src")).limit(1)
-      .select(col("src").as("node"), lit(0L).as("hop"))
-    for (_ <- 1 to iters) {
-      val expand = hops.join(edges, hops("node") === edges("src"))
-        .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
-      // each round's node-grain frame is consumed TWICE next round
-      // (union + join) — persist it so the CacheManager substitutes
-      // the round-k relation at plan time instead of doubling the
-      // subtree per round (2^K job blowup measured without this);
-      // frames are (node, hop)-narrow, cache-lifetime contract as
-      // everywhere (caller clearCache()s after materializing)
-      hops = hops.unionByName(expand)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-        .persist()
-    }
-    hops.select(col("node").as("product_id"), col("hop"))
+    try {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var hops = deg.orderBy(col("deg").desc, col("src")).limit(1)
+        .select(col("src").as("node"), lit(0L).as("hop"))
+      for (_ <- 1 to iters) {
+        val expand = hops.join(edges, hops("node") === edges("src"))
+          .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
+        // one blocking job per round (the d9 discipline); the (node,
+        // hop)-narrow frame is checkpointed so next round's two
+        // consumers read blocks, not a doubling subtree
+        hops = hops.unionByName(expand)
+          .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+          .localCheckpoint(true)
+      }
+      // the final frame reads only round-K checkpoint blocks — the edge
+      // cache has no remaining consumer and is released here, not by a
+      // caller contract
+      hops.select(col("node").as("product_id"), col("hop"))
+    } finally { edges.unpersist(); () }
   }
 
   /** Oracle twin: the same seed election and K unrolled min-relaxation

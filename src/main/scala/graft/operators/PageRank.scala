@@ -43,11 +43,16 @@ object PageRank {
     * would put the tolerance comparison's float fold in the answer). */
   val PrIters = 5
 
-  /** Exact integer floor-division of non-negative longs, mirrored
-    * verbatim in the oracle: (a − a mod b) is exactly divisible, and
-    * the double division of exactly-divisible longs < 2⁵³ is exact. */
+  /** Exact integer division of non-negative longs — Spark's native
+    * `DIV` (IntegralDivide: pure long arithmetic, no float boundary),
+    * mirrored by DuckDB's `//` in the oracle. The earlier
+    * (a − a mod b) / b form routed through a DOUBLE division, exact
+    * only while the numerator stays < 2⁵³ (~9.0e15); hub ranks at the
+    * PrScale grid reach ~8.5e15·85 of headroom-eating mass, so a hotter
+    * hub could silently cross the boundary and fork the engines by one
+    * unit per contribution. DIV holds to 2⁶³ — the full grid design. */
   private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    org.apache.spark.sql.graft.TextExpressions.longDiv(a, b)
 
   /** Distinct undirected co-purchase edges, symmetrized (both
     * directions present): products sharing at least one order. */
@@ -100,8 +105,7 @@ object PageRank {
       SELECT n.node, ($base + coalesce(s.s, 0))::BIGINT AS r
       FROM nodes n LEFT JOIN (
         SELECT ed.dst AS node,
-          sum(((p.r * 85 - (p.r * 85) % (ed.deg * 100))
-            / (ed.deg * 100))::BIGINT)::BIGINT AS s
+          sum((p.r * 85) // (ed.deg * 100))::BIGINT AS s
         FROM ed JOIN r${k - 1} p ON ed.src = p.node
         GROUP BY 1) s USING (node))"""
     }.mkString(",\n    ")

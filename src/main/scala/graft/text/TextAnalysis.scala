@@ -1609,43 +1609,48 @@ object TextAnalysis {
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cell_n")).as("cell_n"))
 
-  /** CACHE-LIFETIME CONTRACT: the returned plan reads a persisted
-    * token-grain relation (the shared base both consumers scan — the
-    * one-pass property PlanSpec pins). The handle is method-local, so the
-    * caller releases it with `spark.catalog.clearCache()` after
-    * materializing the k-row result; Verify and Bench already do, but a
-    * long-lived consumer that skips it retains one cached corpus-scale
-    * relation per call. (An eager collect-and-unpersist here would break
-    * the shared-base plan shape this function exists to provide.) */
+  /** EAGER (the Kpi.computeKpis lifecycle, round-9 verdict): both
+    * consumers of the shared token-grain base are BOUNDED (the cell
+    * table is ≤ CmsRows×CmsWidth rows, the top list k rows), so they
+    * are materialized off the cache at call time and the corpus-scale
+    * persist is released before this returns — no caller contract, no
+    * leaked cached relation on a long-lived driver. Cluster caveat as
+    * in computeKpis: localCheckpoint blocks live only on executors, so
+    * an executor loss after this call makes the frames unrecoverable;
+    * acceptable for bounded reporting frames a caller can re-run. */
   def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
     // ONE corpus pass (the T14 docstring's claim, kept true): the
     // token-grain (token, h, n_exact) aggregate is the shared base for
     // BOTH consumers — the cell table re-derives from it by summing
     // occurrence counts per (r, bucket), which reproduces [[cmsCells]]'
     // occurrence-grain counts exactly because h is functionally
-    // determined by token. Persisted because two consumers of an
-    // unpersisted subtree would re-run the corpus scan (the m1/t11
-    // lifetime convention: Verify/Bench clearCache after each query).
+    // determined by token. Persisted so the second consumer's
+    // materialization reads the cache instead of re-running the scan;
+    // the first eager checkpoint below is what fills it.
     val counts = docs.select(explode(toksCol).as("token"))
       .select(col("token"), charHash(col("token")).as("h"))
       .groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("n_exact"))
       .persist()
     def rbs(h: Column) = cmsRowBuckets(h)
-    val cells = counts
-      .select(col("n_exact"), cmsRowBuckets(col("h")).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(sum(col("n_exact")).as("cell_n"))
-    val top = counts.select(col("token"), col("n_exact"), col("h"))
-      .orderBy(col("n_exact").desc, col("token").asc).limit(k)
-    top.select(col("token"), col("n_exact"), rbs(col("h")).as("rb"))
-      .select(col("token"), col("n_exact"),
-        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .join(broadcast(cells), Seq("r", "bucket"))
-      .groupBy(col("token"), col("n_exact"))
-      .agg(min(col("cell_n")).as("n_est"))
-      .select(col("token"), col("n_exact"), col("n_est"),
-        (col("n_est") - col("n_exact")).as("overestimate"))
+    try {
+      val cells = counts
+        .select(col("n_exact"), cmsRowBuckets(col("h")).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(sum(col("n_exact")).as("cell_n"))
+        .localCheckpoint(true)
+      val top = counts.select(col("token"), col("n_exact"), col("h"))
+        .orderBy(col("n_exact").desc, col("token").asc).limit(k)
+        .localCheckpoint(true)
+      top.select(col("token"), col("n_exact"), rbs(col("h")).as("rb"))
+        .select(col("token"), col("n_exact"),
+          col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("token"), col("n_exact"))
+        .agg(min(col("cell_n")).as("n_est"))
+        .select(col("token"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overestimate"))
+    } finally { counts.unpersist(); () }
   }
 
   def heavyHittersSql(k: Int = 20): String = {

@@ -368,6 +368,16 @@ case class SpanHashes(child: Expression, n: Int)
 }
 
 object TextExpressions {
+  /** Spark's native integral division (the SQL `DIV`): pure long
+    * arithmetic end to end, exact to 2⁶³ — unlike any form routed
+    * through a double division, which silently loses exactness past
+    * 2⁵³. Exposed here because IntegralDivide's Column wrapper lives
+    * behind `private[sql]` (same altitude as the codegen shims). */
+  def longDiv(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Codegen'd rolling-hash column — drop-in for the HOF fold. */
   def rollHash(c: Column): Column =
     ExpressionUtils.column(StringRollHash(ExpressionUtils.expression(c)))

@@ -39,6 +39,18 @@ class BfsHopsSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g3: no cached residue without any caller clearCache (round-10 lifecycle)") {
+    spark.catalog.clearCache()
+    val out = BfsHops.hubHops(path)
+    assert(out.count() === 5L)
+    // the d9-aligned lifecycle: per-round eager localCheckpoint (blocks
+    // reclaimed by the ContextCleaner once unreferenced) + in-method
+    // edge unpersist — a long-lived driver calling this in a loop must
+    // not accumulate CacheManager entries
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "hubHops must not leave cached relations behind")
+  }
+
   test("g3: a strictly higher-degree node takes the seed from the tie") {
     // add order {3,6}: node 3 now has degree 3 and wins the election
     val li = path.union(mk((5L, 3L), (5L, 6L)))
