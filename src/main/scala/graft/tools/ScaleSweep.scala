@@ -3,7 +3,7 @@ package graft.tools
 
 
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -174,7 +174,43 @@ object ScaleSweep {
     // e6's day×key grain grows with the events HISTORY fan-out (new
     // later days per copy); the rank is WindowGroupLimit-bounded at 3
     // per day — expect linear scan, flat jobs, 3-per-day output
-    "e6_daily_top_keys")
+    "e6_daily_top_keys",
+    // ---- round 10: the FACT tier (orders/lineitem/customer/supplier/
+    // part now fan out too — the round-9 verdict's evidence gap). Copy k
+    // is a disjoint marketplace replica: every key space shifts by a
+    // per-table stride, so per-copy joins/baskets/graphs are EXACT
+    // replicas of the source and copies share nothing but the tiny
+    // nation/region dims. Expectations:
+    // g1/g3: the co-purchase graph grows as N disjoint components
+    // (nodes ×N, edges ×N, same degree distribution); each of the K
+    // fixed join-agg rounds is one shuffle over a ×N relation — linear,
+    // flat jobs. g2: compact-forward wedges ride per-copy degrees
+    // (unchanged), so wedge volume ×N — linear, NOT the densified-graph
+    // quadratic (which would be degree growth, a different growth model
+    // than catalog expansion).
+    "g1_product_pagerank", "g2_triangle_count", "g3_hub_hops",
+    // er2: the HONEST WALL candidate — blocking keys (nation, segment)
+    // do NOT grow with the fan-out (25 nations is reality), so block
+    // sizes grow ×N and the blocked comparator pays ×N² candidate
+    // pairs. Cross-copy MATCHES are pinned to zero by the per-copy name
+    // suffix (pairwise edit distance 6 > ErMaxDist), so the quadratic
+    // term is pure candidate volume — exactly the curve to measure and
+    // document (the production fix is a second blocking key; see
+    // EntityResolution scaladoc).
+    "er2_golden_records",
+    // rec1/mb1: baskets form in one fact-width shuffle (basket sizes
+    // preserved per copy), pairs explode within arrays — linear; the
+    // pair relation grows ×N (disjoint part spaces), DF-cap prunes as
+    // at ×1. f16: user grain ×N; the three ntile windows are the
+    // documented global single-sort baseline — expect the sort's
+    // n·log n, flat jobs. v7: product grain ×N under the same
+    // single-sort shape. x13: dims broadcast, fact shuffles once —
+    // linear; x14: pure one-pass scan aggregate, fixed 6-cell output.
+    // sup1: per-nation supplier count ×N, window over supplier grain —
+    // linear. f18: order-grain join + gap-grain share window — linear.
+    "rec1_item_item_cf", "mb1_basket_lift", "f16_rfm", "v7_revenue_gini",
+    "x13_shipping_priority", "x14_pricing_summary", "sup1_supplier_hhi",
+    "f18_ship_latency")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
@@ -260,6 +296,81 @@ object ScaleSweep {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-copy customer-name suffix with PAIRWISE edit distance 6:
+    * two base-26 digits of k, each repeated 3× — any two distinct
+    * copies differ in at least one digit, i.e. in ≥3 positions, and
+    * distinct positions of a repeated-letter block can't be bridged
+    * by fewer edits than their count. 6 > 2·ErMaxDist, so a cross-copy
+    * pair can NEVER match even when the base names are identical —
+    * the er-tier analogue of the documents' disjoint token spaces
+    * (candidate pairs still form: blocking ignores names, which is
+    * exactly the quadratic the sweep exists to measure). Within-copy
+    * pairs share the suffix, so their edit distances — and the per-copy
+    * match graph — are preserved. */
+  private def copySuffix(k: Int): String = {
+    val c1 = ('a' + k % 26).toChar
+    val c2 = ('a' + (k / 26) % 26).toChar
+    s" $c1$c1$c1$c2$c2$c2"
+  }
+
+  /** Fan the star-schema FACT tier out ×N as disjoint marketplace
+    * replicas (round-10: the verdict's missing evidence tier): copy k
+    * shifts every key space — order, customer, part, supplier — by a
+    * per-table stride computed over BOTH sides of each FK (fact and
+    * dimension), so referential integrity and every per-copy join,
+    * basket, and co-purchase edge replicate the source EXACTLY, while
+    * copies share nothing but the unscaled nation/region dims. Dates
+    * are NOT shifted: growth is "more volume in the same era" (the
+    * model under which f16's recency anchor, x13's cutoff and f18's
+    * calendar keep their source semantics), unlike the events tier,
+    * whose per-user recurrences need disjoint HISTORY instead.
+    * Returns (orders, lineitem, customer, supplier, part). */
+  def scaleFacts(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, supplier: DataFrame, part: DataFrame,
+      factor: Int): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val r = orders.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+    val rl = lineitem.agg(max(col("l_orderkey")), max(col("l_partkey")),
+      max(col("l_suppkey"))).head()
+    val rc = customer.agg(max(col("c_custkey"))).head()
+    val rs = supplier.agg(max(col("s_suppkey"))).head()
+    val rp = part.agg(max(col("p_partkey"))).head()
+    val orderStride = math.max(r.getLong(0), rl.getLong(0)) + 1
+    val custStride = math.max(r.getLong(1), rc.getLong(0)) + 1
+    val partStride = math.max(rl.getLong(1), rp.getLong(0)) + 1
+    val suppStride = math.max(rl.getLong(2), rs.getLong(0)) + 1
+    def fan(df: DataFrame)(cols: Int => Seq[Column]): DataFrame =
+      (0 until factor).map(k => df.select(cols(k): _*))
+        .reduce(_ unionByName _)
+    val o = fan(orders)(k => Seq(
+      (col("o_orderkey") + lit(k * orderStride)).as("o_orderkey"),
+      (col("o_custkey") + lit(k * custStride)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+    val li = fan(lineitem)(k => Seq(
+      (col("l_orderkey") + lit(k * orderStride)).as("l_orderkey"),
+      (col("l_partkey") + lit(k * partStride)).as("l_partkey"),
+      (col("l_suppkey") + lit(k * suppStride)).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+    val c = fan(customer)(k => Seq(
+      (col("c_custkey") + lit(k * custStride)).as("c_custkey"),
+      (if (k == 0) col("c_name")
+       else concat(col("c_name"), lit(copySuffix(k)))).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    val s = fan(supplier)(k => Seq(
+      (col("s_suppkey") + lit(k * suppStride)).as("s_suppkey"),
+      (if (k == 0) col("s_name")
+       else concat(col("s_name"), lit(copySuffix(k)))).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")))
+    val p = fan(part)(k => Seq(
+      (col("p_partkey") + lit(k * partStride)).as("p_partkey"),
+      (if (k == 0) col("p_name")
+       else concat(col("p_name"), lit(copySuffix(k)))).as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")))
+    (o, li, c, s, p)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, workDir, factorsCsv) = args
     val factors = factorsCsv.split(",").map(_.trim.toInt).toSeq
@@ -298,10 +409,28 @@ object ScaleSweep {
         scaleEvents(spark.read.parquet(s"$srcDir/events.parquet"), f)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
-        // pass-through (UNscaled) tables sweep queries also read — jc1's
-        // orders dimension: the sweep isolates the events-side growth
-        spark.read.parquet(s"$srcDir/orders.parquet")
+        // round 10: the fact tier fans out too (it was a pass-through
+        // before — jc1's curve now sees BOTH sides grow, the more honest
+        // form of its claim)
+        val (o, li, c, su, pa) = scaleFacts(
+          spark.read.parquet(s"$srcDir/orders.parquet"),
+          spark.read.parquet(s"$srcDir/lineitem.parquet"),
+          spark.read.parquet(s"$srcDir/customer.parquet"),
+          spark.read.parquet(s"$srcDir/supplier.parquet"),
+          spark.read.parquet(s"$srcDir/part.parquet"), f)
+        o.repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        li.repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        c.coalesce(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+        su.coalesce(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+        pa.coalesce(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+        // unscaled pass-through dims (25 nations / 5 regions IS reality
+        // at any corpus size — which is exactly why er2's block keys
+        // don't grow and its candidate volume is the curve to watch)
+        for (t <- Seq("nation", "region"))
+          spark.read.parquet(s"$srcDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
         new java.io.FileOutputStream(s"$out/_graft_sweep_complete").close()
         f -> out
       }

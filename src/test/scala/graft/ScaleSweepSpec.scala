@@ -86,4 +86,62 @@ class ScaleSweepSpec extends SparkSpec {
     assert(diff.forall(_ <= 0.051f))
     assert(diff.exists(_ > 0f), "clone must not be a verbatim copy")
   }
+
+  test("fact fan-out: disjoint key spaces, exact RI, per-copy replicas") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "F", 100.0, java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "1-URGENT"),
+      (2L, 11L, "O", 50.0, java.sql.Timestamp.valueOf("1997-02-01 00:00:00"), "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, 100L, 5L, 1, 2.0, 20.0, 0.1, 0.02, "N", "O",
+        java.sql.Timestamp.valueOf("1997-01-05 00:00:00")),
+      (1L, 101L, 6L, 2, 1.0, 30.0, 0.0, 0.05, "R", "F",
+        java.sql.Timestamp.valueOf("1997-01-06 00:00:00")),
+      (2L, 100L, 5L, 1, 3.0, 10.0, 0.2, 0.01, "A", "F",
+        java.sql.Timestamp.valueOf("1997-02-03 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val cust = Seq((10L, "Customer#10", 3, 5.0, "BUILDING"),
+        (11L, "Customer#11", 3, 7.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val supp = Seq((5L, "Supplier#5", 3, 1.0), (6L, "Supplier#6", 4, 2.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq((100L, "part a", "B1", "T1", 4, 9.0),
+        (101L, "part b", "B2", "T2", 5, 8.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val (o, l, c, s, p) = ScaleSweep.scaleFacts(orders, li, cust, supp, part, 3)
+    assert(o.count() === 6L && l.count() === 9L && c.count() === 6L &&
+      s.count() === 6L && p.count() === 6L)
+    // exact referential integrity in EVERY copy: every fact FK resolves
+    assert(l.join(o, l("l_orderkey") === o("o_orderkey")).count() === 9L)
+    assert(l.join(p, l("l_partkey") === p("p_partkey")).count() === 9L)
+    assert(l.join(s, l("l_suppkey") === s("s_suppkey")).count() === 9L)
+    assert(o.join(c, o("o_custkey") === c("c_custkey")).count() === 6L)
+    // key spaces pairwise disjoint (keys dense per copy, stride = max+1)
+    assert(o.select("o_orderkey").distinct().count() === 6L)
+    assert(p.select("p_partkey").distinct().count() === 6L)
+    // per-copy replica exactness: basket-size distribution preserved —
+    // the property the co-purchase graph family's linear claim rests on
+    val sizes = l.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .groupBy(col("n")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(2L -> 3L, 1L -> 3L),
+      "each copy must replicate the source basket-size histogram")
+    // er decorrelation: the per-copy name suffixes keep every cross-copy
+    // name pair above the match threshold even for identical base names
+    val names = c.select(col("c_name")).collect().map(_.getString(0))
+    val sameBase = names.filter(_.startsWith("Customer#10"))
+    assert(sameBase.length === 3)
+    for (a <- sameBase; b <- sameBase if a < b) {
+      val dist = spark.sql(
+        s"SELECT levenshtein('$a', '$b') AS d").head().getInt(0)
+      assert(dist > graft.operators.EntityResolution.ErMaxDist,
+        s"cross-copy clones of one customer must never er-match: '$a' vs '$b'")
+    }
+  }
 }
