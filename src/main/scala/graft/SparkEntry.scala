@@ -396,6 +396,22 @@ object SparkEntry {
     "mix3_epoch_alloc" -> ((s, d) =>
       TextAnalysis.epochAllocation(Sources.table(s, d, "documents"))),
 
+    // E158 (MIX4): DEDUP-AWARE epoch allocation — "repeat unique data,
+    // not duplicates": mix3's budget fill over each source's UNIQUE
+    // token mass (d16's quality-elected survivor per near-dup cluster,
+    // over the twin-planted corpus), raw mass reported alongside so the
+    // dup discount is visible. Composes d16 and mix3 by their single
+    // definitions.
+    "mix4_unique_epoch_alloc" -> ((s, d) =>
+      TextAnalysis.uniqueEpochAllocation(Sources.table(s, d, "documents"))),
+
+    // E159 (T21): tokenizer ROUND-TRIP validation — per-source
+    // encode→decode identity rate + char-level edit rate; the BPE layer
+    // is round-trip-exact by construction (spec-verified), so the
+    // measured loss is exactly the normalization stage's.
+    "t21_roundtrip" -> ((s, d) =>
+      TextAnalysis.tokenizerRoundTrip(Sources.table(s, d, "documents"))),
+
     // E131 (IR1): retrieval evaluation — per-query first-relevant rank,
     // reciprocal rank, precision@k over t15's BM25 ranking (relevance =
     // shared source; the pluggable-qrels harness closing the retrieval
@@ -1107,8 +1123,9 @@ object SparkEntry {
     // E153 (E6): daily TRENDING KEYS — tumbling-window top-k: per
     // 1-day window, the 3 hottest `props.k` items by event count (the
     // "trending now" panel every event platform serves; the batch twin
-    // of a streaming windowed-top-k — window semantics identical to a
-    // readStream + window() + rank sink). Composes e2's epoch-us
+    // of the STREAMING windowed top-k, streaming/StreamTopK.scala —
+    // whose snapshot is spec-pinned bitwise-equal to this query on the
+    // same events, restart continuation included). Composes e2's epoch-us
     // tumbling-window convention (integer day bucketing, no TZ
     // semantics in the answer) with f13's JSON extraction and the
     // rec1 rank discipline: exact integer counts, deterministic
@@ -2376,6 +2393,8 @@ object SparkEntry {
     "c4_semantic_decon" -> Similarity.semanticDeconSql,
 
     "mix3_epoch_alloc" -> TextAnalysis.epochAllocationSql,
+    "mix4_unique_epoch_alloc" -> TextAnalysis.uniqueEpochAllocationSql,
+    "t21_roundtrip" -> TextAnalysis.tokenizerRoundTripSql,
 
     "ir1_retrieval_metrics" -> TextAnalysis.retrievalMetricsSql(),
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),

@@ -570,11 +570,19 @@ object Dedup {
     * and clustering THE d9 machinery ([[connectedComponents]] over
     * [[minhashLshPairs]]) — the rep1/card1 composition rule, so every
     * number here is hash-identical to its standalone query. */
-  def dedupSurvivors(docs: DataFrame): DataFrame = {
+  def dedupSurvivors(docs: DataFrame): DataFrame =
+    dedupSurvivorsFromLabels(docs, connectedComponents(
+      minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))))
+
+  /** The label-parameterized form: a pipeline that already ran the
+    * pair+CC stage (d9) feeds its `(doc_id, cluster_id)` relation to
+    * EVERY cluster-grain consumer (this, [[clusterSplitFromLabels]])
+    * instead of re-deriving it per query — the round-10 shared-pair-
+    * graph measurement (BASELINE) quantifies the saving at ×30. */
+  def dedupSurvivorsFromLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
     val scored = graft.text.TextAnalysis.classifierScore(docs)
       .select(col("doc_id"), col("score"))
-    val labels = connectedComponents(
-      minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
     val winners = scored.join(labels, "doc_id")
@@ -962,10 +970,14 @@ object Dedup {
     * broadcasts it when it fits) + a scalar md5; the corpus never
     * shuffles. Cost beyond the dedup the pipeline already runs is one
     * scan. */
-  def clusterSplit(docs: DataFrame): DataFrame = {
+  def clusterSplit(docs: DataFrame): DataFrame =
+    clusterSplitFromLabels(docs, connectedComponents(
+      minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))))
+
+  /** Label-parameterized form — see [[dedupSurvivorsFromLabels]]. */
+  def clusterSplitFromLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.splitOf
-    val labels = connectedComponents(
-      minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -1164,7 +1164,6 @@ object TextAnalysis {
     * in EXACT LONG arithmetic; `epochs` is the only double (ratio of
     * exact longs). One t12 scan + a source aggregate feed it. */
   def epochAllocation(docs: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val src = classifierScore(docs, Seq("source"))
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tokens"),
@@ -1173,8 +1172,19 @@ object TextAnalysis {
         (col("sum_margin").cast("double") /
           greatest(col("tokens"), lit(1L)).cast("double"))
           .as("mean_quality"))
+    allocate(src).select(col("source"), col("rank"), col("tokens"),
+      col("mean_quality"), col("want"), col("allocated"), col("epochs"))
+  }
+
+  /** The prefix-sum allocation core mix3 and mix4 share (ONE definition
+    * — the rep1 composition rule): input is a per-source stats frame
+    * with (`source`, `tokens`, `mean_quality`); appends rank / want /
+    * allocated / epochs via the exact-long greedy-with-caps collapse
+    * documented on [[epochAllocation]]. Passthrough columns survive. */
+  private def allocate(src: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val byQuality = W.orderBy(col("mean_quality").desc, col("source").asc)
-    val ranked = src
+    src
       .withColumn("rank", row_number().over(byQuality).cast("long"))
       .withColumn("want", col("tokens") * MaxEpochs)
       .withColumn("total3",
@@ -1183,13 +1193,109 @@ object TextAnalysis {
       .withColumn("prefix_want", coalesce(
         sum(col("want")).over(byQuality
           .rowsBetween(Long.MinValue, -1)), lit(0L)))
-    ranked.select(col("source"), col("rank"), col("tokens"),
-      col("mean_quality"), col("want"),
-      least(col("want"),
-        greatest(col("budget") - col("prefix_want"), lit(0L)))
-        .as("allocated"))
+      .withColumn("allocated", least(col("want"),
+        greatest(col("budget") - col("prefix_want"), lit(0L))))
       .withColumn("epochs", col("allocated").cast("double") /
         greatest(col("tokens"), lit(1L)).cast("double"))
+  }
+
+  /** MIX4 (E158): DEDUP-AWARE epoch allocation — "repeat unique data,
+    * not duplicates" (the data-constrained-scaling refinement of mix3):
+    * a source's claim on the token budget is its UNIQUE mass — each
+    * near-dup cluster counted once, through its quality-elected
+    * survivor — not its raw volume, so a source that is 80% boilerplate
+    * copies can't buy 80% more epochs with them. Composes two existing
+    * tiers by their single definitions: the deduped corpus is EXACTLY
+    * d16's survivor relation ([[graft.dedup.Dedup.dedupSurvivors]] over
+    * the twin-planted corpus — quality-elected per d9 cluster,
+    * singletons pass), and the allocation is mix3's [[allocate]] core
+    * over the survivor-grain stats; `raw_tokens` reports the undeduped
+    * mass so the dup discount is visible per source.
+    *
+    * Scale shape: the corpus never shuffles whole (d16's split-election
+    * property); the two stats passes are narrow codegen scans; the
+    * allocation is a |sources|-row window. Dup mass being source-LOCAL
+    * here (the twins plant same-source) doesn't narrow the operator:
+    * keeper attribution is by the SURVIVOR's source, so cross-source
+    * duplicates shift mass exactly as they should. */
+  def uniqueEpochAllocation(docs: DataFrame): DataFrame = {
+    val corpus = withSourcedTwins(docs)
+    val survivors = graft.dedup.Dedup.dedupSurvivors(corpus)
+      .select(col("doc_id"))
+    val unique = corpus.join(survivors, Seq("doc_id"), "left_semi")
+    val raw = corpus
+      .select(col("source"), size(toksCol).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("raw_tokens"))
+    val uniq = classifierScore(unique, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"),
+        sum(col("margin")).as("sum_margin"))
+      .select(col("source"), col("tokens"),
+        (col("sum_margin").cast("double") /
+          greatest(col("tokens"), lit(1L)).cast("double"))
+          .as("mean_quality"))
+    // a source may be ENTIRELY duplicates of other sources' docs (zero
+    // survivors — no uniq row): it still appears, wants nothing, gets
+    // nothing; quality pins to 0.0 for a deterministic rank
+    val src = raw.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("raw_tokens"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("mean_quality"), lit(0.0)).as("mean_quality"))
+    allocate(src).select(col("source"), col("rank"), col("raw_tokens"),
+      col("tokens"), col("mean_quality"), col("want"), col("allocated"),
+      col("epochs"))
+  }
+
+  /** mix4 oracle: the d16 survivor pipeline (recursive-CTE CC + the
+    * identical election) over the twinned corpus, then mix3's inline
+    * margin/allocation arithmetic over survivor-grain stats. */
+  def uniqueEpochAllocationSql: String = {
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    val korpus = withSourcedTwinsSql("documents")
+    s"""
+    WITH korpus AS ($korpus),
+    survivors AS (
+      SELECT doc_id FROM (${graft.dedup.Dedup.dedupSurvivorsSql(korpus)})),
+    raw AS (
+      SELECT source,
+        sum(len(${tokensSql(normSql("text"))}))::BIGINT AS raw_tokens
+      FROM korpus GROUP BY 1),
+    ud AS (
+      SELECT k.source, ${tokenHashesSql(tokensSql(normSql("k.text")))} AS th
+      FROM korpus k JOIN survivors s USING (doc_id)),
+    um AS (
+      SELECT source, len(th)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(th, h -> w.wts[(h % $ClfBuckets)::INT + 1])),
+          (a, x) -> a + x) AS margin
+      FROM ud, (SELECT $wlit::BIGINT[] AS wts) w),
+    uniq AS (
+      SELECT source, sum(n_tokens)::BIGINT AS tokens,
+        CAST(sum(margin) AS DOUBLE)
+          / greatest(sum(n_tokens)::BIGINT, 1) AS mean_quality
+      FROM um GROUP BY 1),
+    src AS (
+      SELECT r.source, r.raw_tokens,
+        coalesce(u.tokens, 0)::BIGINT AS tokens,
+        coalesce(u.mean_quality, 0.0::DOUBLE) AS mean_quality
+      FROM raw r LEFT JOIN uniq u USING (source)),
+    ranked AS (
+      SELECT source, raw_tokens, tokens, mean_quality,
+        row_number() OVER (ORDER BY mean_quality DESC, source ASC)::BIGINT
+          AS rank,
+        tokens * $MaxEpochs AS want,
+        (sum(tokens) OVER () * 3) // 2 AS budget,
+        coalesce(sum(tokens * $MaxEpochs) OVER (
+          ORDER BY mean_quality DESC, source ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS prefix_want
+      FROM src)
+    SELECT source, rank, raw_tokens, tokens, mean_quality, want,
+      least(want, greatest(budget - prefix_want, 0))::BIGINT AS allocated,
+      least(want, greatest(budget - prefix_want, 0))::DOUBLE
+        / greatest(tokens, 1)::DOUBLE AS epochs
+    FROM ranked"""
   }
 
   def epochAllocationSql: String = {
@@ -2628,6 +2734,67 @@ object TextAnalysis {
         AS chars_per_token
     FROM tok JOIN words$iters w USING (word)
     GROUP BY 1"""
+
+  // ---- T21 (E159): tokenizer round-trip validation -------------------------
+
+  /** T21 (E159): tokenizer ROUND-TRIP validation — the data-card column
+    * t8/t9/t16 don't cover: what share of each source survives
+    * encode→decode IDENTICALLY, and how many characters per document
+    * the tokenizer stack loses where it doesn't? The lossy stage is
+    * pinned analytically: the BPE layer is round-trip-exact BY
+    * CONSTRUCTION (every merge concatenates adjacent symbols, so the
+    * symbol sequence always concatenates back to its word —
+    * BpeSpec/TokenizerRoundTripSpec verify the invariant on the trained
+    * vocabulary), so decode(encode(text)) collapses to
+    * `array_join(tokens(norm(text)), " ")` = norm(text), and the
+    * identity rate measures exactly what normalization (case folding,
+    * whitespace collapse, trim) destroys — the number that decides
+    * whether a source can be regenerated from its tokens or must keep
+    * raw bytes alongside.
+    *
+    * Per source: docs, exact round-trips, identity rate, and the
+    * char-level edit rate (Σ levenshtein(text, decoded) / Σ chars — the
+    * graded loss; exact long sums, ANSI-guarded double boundary;
+    * levenshtein is unit-cost Wagner–Fischer in BOTH engines, the er1
+    * parity precedent). One narrow codegen scan + a |sources|-row
+    * aggregate — linear at any corpus size. */
+  def tokenizerRoundTrip(docs: DataFrame): DataFrame = {
+    val decoded = array_join(toksCol, " ")
+    docs.select(col("source"),
+        when(decoded === col("text"), lit(1L)).otherwise(lit(0L)).as("ok"),
+        levenshtein(col("text"), decoded).cast("long").as("edits"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ok")).as("n_roundtrip"),
+        sum(col("edits")).as("sum_edits"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_roundtrip"),
+        (col("n_roundtrip").cast("double") / col("n_docs").cast("double"))
+          .as("roundtrip_rate"),
+        when(col("sum_chars") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_edits").cast("double") /
+            col("sum_chars").cast("double"))
+          .as("char_edit_rate"))
+  }
+
+  def tokenizerRoundTripSql: String = s"""
+    WITH d AS (
+      SELECT source, text,
+        array_to_string(${tokensSql(normSql("text"))}, ' ') AS decoded
+      FROM documents),
+    a AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN decoded = text THEN 1 ELSE 0 END)::BIGINT
+          AS n_roundtrip,
+        sum(levenshtein(text, decoded))::BIGINT AS sum_edits,
+        sum(len(text))::BIGINT AS sum_chars
+      FROM d GROUP BY 1)
+    SELECT source, n_docs, n_roundtrip,
+      n_roundtrip::DOUBLE / n_docs::DOUBLE AS roundtrip_rate,
+      CASE WHEN sum_chars = 0 THEN NULL
+        ELSE sum_edits::DOUBLE / sum_chars::DOUBLE END AS char_edit_rate
+    FROM a"""
 
   /** PIPE1 (E61): the cleaning tier composed END-TO-END as one DataFrame
     * chain — PII redaction → repetition collapse → quality filter

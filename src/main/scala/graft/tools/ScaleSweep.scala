@@ -210,7 +210,12 @@ object ScaleSweep {
     // linear. f18: order-grain join + gap-grain share window — linear.
     "rec1_item_item_cf", "mb1_basket_lift", "f16_rfm", "v7_revenue_gini",
     "x13_shipping_priority", "x14_pricing_summary", "sup1_supplier_hhi",
-    "f18_ship_latency")
+    "f18_ship_latency",
+    // mix4 rides the d16 pipeline (pairs+CC+election) + two narrow stat
+    // scans + a |sources|-row window — expect d16's curve plus a linear
+    // term, flat jobs; t21 is ONE narrow codegen scan (levenshtein per
+    // row) into a |sources|-row aggregate — expect linear, flat
+    "mix4_unique_epoch_alloc", "t21_roundtrip")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -176,6 +176,95 @@ class ExperimentAuditSpec extends SparkSpec {
     assert(q.zip(q.tail).forall { case (a, b) => a >= b })
   }
 
+  test("mix4: unique mass never exceeds raw; fill is a valid greedy") {
+    val out = SparkEntry.queries("mix4_unique_epoch_alloc")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    // the twin-planted corpus guarantees every source carries dup mass:
+    // unique < raw strictly, and the budget rides the UNIQUE total
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens") < r.getAs[Long]("raw_tokens"),
+        s"${r.getAs[String]("source")}: dedup must discount the twins")
+    }
+    val budget = out.map(_.getAs[Long]("tokens")).sum * 3 / 2
+    assert(out.map(_.getAs[Long]("allocated")).sum === budget)
+    var exhausted = false
+    out.foreach { r =>
+      val (want, alloc) = (r.getAs[Long]("want"), r.getAs[Long]("allocated"))
+      assert(want === r.getAs[Long]("tokens") *
+        graft.text.TextAnalysis.MaxEpochs)
+      assert(alloc >= 0L && alloc <= want)
+      if (exhausted) assert(alloc === 0L)
+      if (alloc < want) exhausted = true
+    }
+    spark.catalog.clearCache() // the CC loop's edge relation
+  }
+
+  test("mix4: an all-duplicates source appears with zero unique mass") {
+    import spark.implicits._
+    // source b verbatim-copies source a's docs at higher ids: every
+    // cluster's survivor ties on score (identical text) and the min-id
+    // tie-break keeps a — b must still appear, wanting nothing
+    val a = (0L until 4L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel text $i", "a"))
+    val b = (0L until 4L).map(i =>
+      (100L + i, s"alpha bravo charlie delta echo foxtrot golf hotel text $i", "b"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val out = graft.text.TextAnalysis.uniqueEpochAllocation(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === Set("a", "b"), "no source may vanish")
+    assert(out("b").getAs[Long]("tokens") === 0L)
+    assert(out("b").getAs[Long]("want") === 0L)
+    assert(out("b").getAs[Long]("allocated") === 0L)
+    assert(out("b").getAs[Double]("epochs") === 0.0)
+    assert(out("b").getAs[Long]("raw_tokens") ===
+      out("a").getAs[Long]("raw_tokens"),
+      "raw mass is undeduped — the copies still count there")
+    assert(out("a").getAs[Long]("tokens") > 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("t21: BPE decode is exact by construction on the trained vocabulary") {
+    import graft.text.TextAnalysis
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = TextAnalysis.bpeMerges(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.norm(col("text")))).as("word"))
+      .distinct()
+      .withColumn("syms",
+        regexp_extract_all(col("word"), lit("."), lit(0)))
+    val merged = merges.foldLeft(vocab) { case (v, (l, r)) =>
+      v.withColumn("syms", TextAnalysis.mergePair(col("syms"), l, r))
+    }
+    val broken =
+      merged.where(array_join(col("syms"), "") =!= col("word")).count()
+    assert(broken === 0L,
+      "every trained subword sequence must concatenate back to its word")
+    spark.catalog.clearCache()
+  }
+
+  test("t21: identity and edit rates are the hand-computed values") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "already clean text", "a"),  // round-trips exactly
+      (1L, "Mixed  CASE text", "a"),    // folds + collapses: not identical
+      (2L, " padded ", "b"))            // trim loss only
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.TextAnalysis.tokenizerRoundTrip(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") === 2L)
+    assert(out("a").getAs[Long]("n_roundtrip") === 1L)
+    assert(out("a").getAs[Double]("roundtrip_rate") === 0.5)
+    // doc 1 decodes to "mixed case text": 5 case substitutions + 1
+    // collapsed space = 6 edits over 18+16 chars of source a
+    assert(out("a").getAs[Double]("char_edit_rate") === 6.0 / 34.0)
+    // " padded " decodes to "padded": 2 edits / 8 chars
+    assert(out("b").getAs[Long]("n_roundtrip") === 0L)
+    assert(out("b").getAs[Double]("char_edit_rate") === 2.0 / 8.0)
+  }
+
   test("ir1: metric arithmetic holds; twins are findable at smoke SF") {
     val out = SparkEntry.queries("ir1_retrieval_metrics")(spark, sf0001)
       .collect()
