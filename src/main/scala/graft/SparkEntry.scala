@@ -1193,6 +1193,16 @@ object SparkEntry {
       graft.operators.EntityResolution.entityMatchPairs(
         Sources.table(s, d, "customer"))),
 
+    // E160 (ER3): multi-pass sorted-neighborhood matching — the
+    // LINEAR-candidate record-linkage method (merge/purge): two sorted
+    // passes (name, reversed name), each comparing a record against
+    // only its 5 rank-successors; the executable scale path past
+    // er1/er2's fixed-block-vocabulary wall (BASELINE: blocked
+    // candidates go xN^2 under the fan-out, SNM's stay passes·w·n).
+    "er3_sorted_neighborhood" -> ((s, d) =>
+      graft.operators.EntityResolution.sortedNeighborhoodPairs(
+        Sources.table(s, d, "customer"))),
+
     // E142 (ER2): golden-record construction — duplicate-customer
     // clusters (CC over er1's match graph) elect a master record by
     // the survivorship rule (max balance, tie -> min key); one row per
@@ -3132,6 +3142,9 @@ object SparkEntry {
 
     "er1_entity_match" ->
       graft.operators.EntityResolution.entityMatchPairsSql(),
+
+    "er3_sorted_neighborhood" ->
+      graft.operators.EntityResolution.sortedNeighborhoodPairsSql(),
 
     "g1_product_pagerank" ->
       graft.operators.PageRank.productPageRankSql(),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ER1 (E136): blocked fuzzy entity resolution — the record-linkage
@@ -151,4 +151,82 @@ object EntityResolution {
       AND a.c_mktsegment = b.c_mktsegment
       AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= $maxDist"""
+
+  // ---- ER3 (E160): multi-pass sorted-neighborhood matching -----------------
+
+  /** Sliding-window width per pass — the published SNM default range
+    * (Hernández–Stolfo use 2–10); each record compares against the next
+    * `SnmWindow` records in sort order, so candidates are exactly
+    * `passes · window · n` — LINEAR where blocked ER at fixed block
+    * cardinality is quadratic (the er2 wall BASELINE measured: ×3→×10
+    * went 6.3× as the ~90M-candidate comparator took over). */
+  val SnmWindow = 5
+
+  /** ER3 (E160): multi-pass SORTED-NEIGHBORHOOD matching — the
+    * linear-candidate record-linkage method (Hernández–Stolfo's
+    * merge/purge): sort the records by a key, compare each record only
+    * against its `window` successors, and run MULTIPLE passes with
+    * independent sort keys unioned so a single key's sort-order blind
+    * spot (a typo in the leading character sorts the pair far apart)
+    * doesn't cost recall. Passes here: the name itself and the REVERSED
+    * name (leading-typo pairs sort adjacent in pass 2). The executable
+    * SCALE PATH past er1/er2's fixed-block-vocabulary wall.
+    *
+    * Scale shape: each pass is one global sort (range-partitioned by
+    * Spark — the documented single-sort baseline, n·log n) and ONE
+    * equi-join on the dense rank (each record explodes `window` probe
+    * ranks — candidates are n·window rows, never a block square);
+    * the union dedups on the pair key with a grouped min. Determinism:
+    * the sort key is (key, custkey) — total order — and edit distance
+    * is integer-exact, so the candidate set and every distance are
+    * engine-independent. Window-local recall is the documented
+    * tradeoff: a matching pair more than `window` apart in BOTH sort
+    * orders is missed (the published fix is more passes — composition
+    * of this same shape). */
+  def sortedNeighborhoodPairs(customers: DataFrame,
+      window: Int = SnmWindow, maxDist: Int = ErMaxDist): DataFrame = {
+    def pass(sortKey: Column): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val s = customers
+        .select(col("c_custkey"), col("c_name"), sortKey.as("sk"))
+        .withColumn("rn", row_number()
+          .over(W.orderBy(col("sk"), col("c_custkey"))).cast("long"))
+      val probes = s.select(col("c_custkey").as("ka"),
+          col("c_name").as("na"),
+          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+      probes.join(s.select(col("rn"), col("c_custkey").as("kb"),
+          col("c_name").as("nb")), Seq("rn"))
+        .select(least(col("ka"), col("kb")).as("custkey_a"),
+          greatest(col("ka"), col("kb")).as("custkey_b"),
+          levenshtein(col("na"), col("nb")).cast("long").as("edit_dist"))
+        .where(col("edit_dist") <= maxDist)
+    }
+    pass(col("c_name"))
+      .unionByName(pass(reverse(col("c_name"))))
+      .groupBy(col("custkey_a"), col("custkey_b"))
+      // distance is a function of the pair — min() is dedup, not choice
+      .agg(min(col("edit_dist")).as("edit_dist"))
+  }
+
+  /** ER3 oracle: the identical two sorted passes (rank range join),
+    * unioned and pair-deduped. */
+  def sortedNeighborhoodPairsSql(window: Int = SnmWindow,
+      maxDist: Int = ErMaxDist): String = {
+    def pass(key: String): String = s"""
+      SELECT least(a.c_custkey, b.c_custkey) AS custkey_a,
+        greatest(a.c_custkey, b.c_custkey) AS custkey_b,
+        levenshtein(a.c_name, b.c_name)::BIGINT AS edit_dist
+      FROM (SELECT c_custkey, c_name,
+              row_number() OVER (ORDER BY $key, c_custkey) AS rn
+            FROM customer) a
+      JOIN (SELECT c_custkey, c_name,
+              row_number() OVER (ORDER BY $key, c_custkey) AS rn
+            FROM customer) b
+        ON b.rn > a.rn AND b.rn <= a.rn + $window
+      WHERE levenshtein(a.c_name, b.c_name) <= $maxDist"""
+    s"""
+    SELECT custkey_a, custkey_b, min(edit_dist)::BIGINT AS edit_dist
+    FROM (${pass("c_name")} UNION ALL ${pass("reverse(c_name)")})
+    GROUP BY 1, 2"""
+  }
 }

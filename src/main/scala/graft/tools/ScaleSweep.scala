@@ -198,6 +198,10 @@ object ScaleSweep {
     // document (the production fix is a second blocking key; see
     // EntityResolution scaladoc).
     "er2_golden_records",
+    // er3: the SNM scale path — two range-partitionable sorts + rank
+    // equi-joins; candidates exactly 2·w·n, so expect LINEAR where er2
+    // goes quadratic (same fan-out, same decorrelated names)
+    "er3_sorted_neighborhood",
     // rec1/mb1: baskets form in one fact-width shuffle (basket sizes
     // preserved per copy), pairs explode within arrays — linear; the
     // pair relation grows ×N (disjoint part spaces), DF-cap prunes as

@@ -86,4 +86,45 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
     assert(wide === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("er3: matches pair exactly once across passes; blocks play no role") {
+    val df = mk(
+      Row(1L, "alice smith", 1, "RETAIL"),
+      Row(2L, "alice smyth", 2, "AUTO"),   // dist 1, sorts adjacent — pass 1
+      Row(3L, "blice smith", 3, "MACH"),   // LEADING typo of #1: far in
+                                           // name order, adjacent reversed
+      Row(4L, "robert jones", 1, "RETAIL"),
+      Row(5L, "zz unrelated", 2, "AUTO"))
+    val out = EntityResolution.sortedNeighborhoodPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // blocking keys play no role (2/3 are in other nations/segments);
+    // each matched pair appears EXACTLY once despite two passes
+    assert(out === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+  }
+
+  test("er3: a single-pass sort misses the leading typo the window can't reach") {
+    // 6 filler names sort between "alice..." and "blice...": with
+    // window 5 the name-order pass can't bridge them, so the pair is
+    // the REVERSED pass's catch alone — the multi-pass recall argument
+    val filler = (0 until 6).map(i =>
+      Row(10L + i, s"am filler $i", 1, "RETAIL"))
+    val df = mk(Row(1L, "alice smith", 1, "RETAIL") +:
+      Row(2L, "blice smith", 2, "AUTO") +: filler: _*)
+    val out = EntityResolution.sortedNeighborhoodPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)),
+      "the reversed-name pass must catch the leading-typo pair")
+  }
+
+  test("er3: candidate volume is bounded by passes x window x n (linear)") {
+    // output pairs are a subset of the probe relation, which is exactly
+    // `window` exploded ranks per record per pass — never a block
+    // square (40 same-ish names all in 3 blocks would give er1 ~260
+    // candidate pairs; SNM's bound here is 2*5*40 regardless of blocks)
+    val df = mk((1 to 40).map(i =>
+      Row(i.toLong, f"name-$i%03d-${"x" * i}", i % 3, "SEG")): _*)
+    val probes = 2L * EntityResolution.SnmWindow * 40L
+    val out = EntityResolution.sortedNeighborhoodPairs(df)
+    assert(out.count() <= probes, "candidates are bounded by passes*w*n")
+  }
 }
