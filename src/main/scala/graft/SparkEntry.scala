@@ -1918,6 +1918,67 @@ object SparkEntry {
     // (bounded heap per partition, never a full sort) with an orderkey
     // tie-break; the segment filter prunes the customer build side
     // BEFORE the join and dates push to the scans.
+    // E161 (X19): LARGE-VOLUME ORDERS — the TPC-H Q18 shape, the one
+    // aggregate-HAVING-semi-join pattern the x-tier lacked: orders
+    // whose total line quantity clears a threshold (bulk/wholesale
+    // screening), decorated with customer and order facts. The shape's
+    // point is WHERE the predicate runs: quantity sums at ORDER grain
+    // with a map-side-combined aggregate and the HAVING prunes there —
+    // the big fact relation never carries non-qualifying orders into
+    // the join-backs (a filter-after-join would); the surviving key
+    // set is tiny, so AQE broadcasts it into both decorations. Exact
+    // decimal quantity sums, double at the boundary; deterministic
+    // (qty desc, orderkey) top-100 via TakeOrderedAndProject.
+    "x19_large_orders" -> ((s, d) => {
+      val qualifying = Sources.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(money)).as("qty_dec"))
+        .filter(col("qty_dec") > lit(95).cast(money))
+      qualifying
+        .join(Sources.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Sources.table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("o_orderkey").as("orderkey"),
+          substring(col("o_orderdate").cast("string"), 1, 10)
+            .as("order_date"),
+          col("o_totalprice").as("total_price"),
+          col("qty_dec").cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("orderkey").asc)
+        .limit(100)
+    }),
+
+    // E162 (X20): IDLE-CAPITAL screen — the TPC-H Q22 shape completing
+    // the correlated-subquery family: customers with above-average
+    // account balance and no order since the recency cutoff (capital
+    // parked by LAPSED accounts), summarized per nation. Two classic
+    // pieces: the global positive-balance mean as a 1-row broadcast
+    // bounds frame (never a per-row recompute; decimal-sum and count
+    // BOTH cast double before the one division — decimal÷decimal scale
+    // rules differ per engine, double÷double is IEEE-identical), and
+    // NOT EXISTS as a LEFT ANTI against the date-filtered orders key
+    // projection (the p3/j3 discipline — the cutoff pushes into the
+    // scan BEFORE the distinct, so the anti build side is recent keys
+    // only). Balance sums in DECIMAL, double at the boundary; the
+    // result rides the ≤25-nation grain.
+    "x20_idle_capital" -> ((s, d) => {
+      val cust = Sources.table(s, d, "customer")
+      val bounds = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(money)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      cust
+        .crossJoin(broadcast(bounds))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(Sources.table(s, d, "orders")
+            .where(col("o_orderdate") >= to_timestamp(lit("2000-06-01")))
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(money)).cast("double").as("idle_balance"))
+    }),
+
     "x13_shipping_priority" -> ((s, d) => {
       val cutoff = to_timestamp(lit("1998-07-01"))
       val rev = col("l_extendedprice").cast(money) *
@@ -2725,6 +2786,39 @@ object SparkEntry {
         sum_base_price / n_items::DOUBLE AS avg_price,
         n_items
       FROM a""",
+
+    "x19_large_orders" -> """
+      WITH q AS (
+        SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 95)
+      SELECT c.c_custkey AS custkey, c.c_name AS name,
+        o.o_orderkey AS orderkey,
+        substr(CAST(o.o_orderdate AS VARCHAR), 1, 10) AS order_date,
+        o.o_totalprice AS total_price,
+        CAST(q.qty_dec AS DOUBLE) AS total_qty
+      FROM q
+      JOIN orders o ON q.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY total_qty DESC, orderkey ASC
+      LIMIT 100""",
+
+    "x20_idle_capital" -> """
+      WITH b AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          / count(*)::DOUBLE AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c.c_nationkey::BIGINT AS nationkey,
+        count(*)::BIGINT AS n_customers,
+        CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS idle_balance
+      FROM customer c, b
+      WHERE c.c_acctbal > b.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      GROUP BY 1""",
 
     "x13_shipping_priority" -> """
       SELECT l_orderkey,

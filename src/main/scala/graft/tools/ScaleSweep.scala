@@ -219,7 +219,12 @@ object ScaleSweep {
     // scans + a |sources|-row window — expect d16's curve plus a linear
     // term, flat jobs; t21 is ONE narrow codegen scan (levenshtein per
     // row) into a |sources|-row aggregate — expect linear, flat
-    "mix4_unique_epoch_alloc", "t21_roundtrip")
+    "mix4_unique_epoch_alloc", "t21_roundtrip",
+    // x19 = one order-grain map-side-combined aggregate (HAVING at the
+    // agg) + two broadcast join-backs + bounded top-100 — expect linear
+    // scan, flat jobs, constant output; x20 = one bounds pass + a
+    // date-pruned anti join + ≤25-row rollup — linear, flat
+    "x19_large_orders", "x20_idle_capital")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("x19: HAVING prunes at the aggregate; qualifying keys broadcast; bounded top-k") {
+    val p = planOf("x19_large_orders")
+    // the quantity threshold is a Filter over the aggregate output —
+    // upstream of both join-backs, so non-qualifying orders never join
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("x20: the mean rides a broadcast bounds frame; NOT EXISTS is a left anti") {
+    val p = planOf("x20_idle_capital")
+    assert(p.contains("LeftAnti"), p.take(2500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    // the recency cutoff pushes into the orders scan (before distinct)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), p.take(3000))
+  }
+
   test("t9: the vocabulary join-back is a broadcast join, never a shuffle") {
     // the small side is vocabulary-sized by construction (it fed the merge
     // loop) — if a refactor drops the broadcast hint, the corpus-width
