@@ -1964,9 +1964,13 @@ object SparkEntry {
     // result rides the ≤25-nation grain.
     "x20_idle_capital" -> ((s, d) => {
       val cust = Sources.table(s, d, "customer")
+      // greatest(count,1) guards the zero-positive-balance degenerate:
+      // Spark 4 ANSI throws on /0 even for doubles (the Kpi.ratio
+      // rationale); with the guard the NULL sum propagates and both
+      // engines return the same empty result
       val bounds = cust.where(col("c_acctbal") > 0.0)
         .agg((sum(col("c_acctbal").cast(money)).cast("double") /
-          count(lit(1)).cast("double")).as("avg_bal"))
+          greatest(count(lit(1)), lit(1L)).cast("double")).as("avg_bal"))
       cust
         .crossJoin(broadcast(bounds))
         .where(col("c_acctbal") > col("avg_bal"))
@@ -2807,7 +2811,7 @@ object SparkEntry {
     "x20_idle_capital" -> """
       WITH b AS (
         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-          / count(*)::DOUBLE AS avg_bal
+          / greatest(count(*), 1)::DOUBLE AS avg_bal
         FROM customer WHERE c_acctbal > 0.0)
       SELECT c.c_nationkey::BIGINT AS nationkey,
         count(*)::BIGINT AS n_customers,

@@ -112,10 +112,10 @@ object ScaleSweep {
     // dots per row (structure: same jobs as d12 plus the driver-side
     // seed bucketing's one collect)
     "d13_semdedup_hier",
-    // jc1: the orders side is NOT fanned out (the sweep scales
-    // documents/embeddings/events), so the curve isolates the events-side
-    // sketch build — expect linear scan cost, constant ≤3×8192 state,
-    // flat jobs; s3 rides d3's pair pass + a 6-row aggregate
+    // jc1: round 10 fans BOTH sides (facts-v3 shared user stride keeps
+    // copy-k orders aligned with copy-k events) — expect linear sketch
+    // builds, constant ≤3×8192 state, and an exact join growing ×N;
+    // s3 rides d3's pair pass + a 6-row aggregate
     "jc1_join_card_sketch", "s3_split_leakage",
     // lm1's count tables are vocabulary-bounded; under the open-vocab
     // fan-out the vocabulary (and so the tables) grows ×N alongside the
@@ -153,8 +153,8 @@ object ScaleSweep {
     // against a ×N pool (the n6 shape — linear); ab1 is two user-grain
     // aggregates over ×N history (new users per copy — linear, flat);
     // f17 is one user-grain lag window + a calendar-bounded histogram.
-    // f16/mb1/x11 ride orders/lineitem, which the sweep does NOT fan
-    // out — their scale arguments are plan-shape ones (see SURVEY).
+    // (f16/mb1 and the rest of the fact tier fan out since round 10 —
+    // their measured rows are in the round-10 block below.)
     "t17_source_calibrated", "ln1_label_noise", "ab1_experiment_lift",
     "f17_repurchase_intervals",
     // card1 composes three scan-shaped passes + the d1-width fingerprint
@@ -293,14 +293,17 @@ object ScaleSweep {
     * week alignment keeps coh1's epoch-week arithmetic exact across the
     * shift. Output `ts` uses the epoch-nanos long shape — the second
     * fixture contract [[graft.io.Sources.epochUs]] supports. */
-  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+  def scaleEvents(ev: DataFrame, factor: Int,
+      sharedUserStride: Option[Long] = None): DataFrame = {
     val tsUs = graft.io.Sources.epochUs(ev)
     val r = ev.agg(min(tsUs), max(tsUs), max(col("event_id")),
       max(col("user_id"))).head()
     val weekUs = 604800000000L
     val spanWeeks = (r.getLong(1) - r.getLong(0)) / weekUs + 2
     val idStride = r.getLong(2) + 1
-    val userStride = r.getLong(3) + 1
+    // see scaleFacts' sharedCustStride: the user/customer id space is
+    // ONE space across the two tiers (jc1 joins them)
+    val userStride = sharedUserStride.getOrElse(r.getLong(3) + 1)
     (0 until factor).map { k =>
       ev.select(
         (col("event_id") + lit(k * idStride)).as("event_id"),
@@ -310,18 +313,23 @@ object ScaleSweep {
     }.reduce(_ unionByName _)
   }
 
-  /** Per-copy customer-name suffix with PAIRWISE edit distance 6:
-    * two base-26 digits of k, each repeated 3× — any two distinct
-    * copies differ in at least one digit, i.e. in ≥3 positions, and
-    * distinct positions of a repeated-letter block can't be bridged
-    * by fewer edits than their count. 6 > 2·ErMaxDist, so a cross-copy
-    * pair can NEVER match even when the base names are identical —
-    * the er-tier analogue of the documents' disjoint token spaces
-    * (candidate pairs still form: blocking ignores names, which is
-    * exactly the quadratic the sweep exists to measure). Within-copy
-    * pairs share the suffix, so their edit distances — and the per-copy
-    * match graph — are preserved. */
+  /** Per-copy name suffix: two base-26 digits of k, each repeated 3×.
+    * Any two DISTINCT copies differ in at least one digit, i.e. one
+    * whole repeated-letter block — suffix edit distance ≥ 3 >
+    * ErMaxDist = 2 (the review-corrected claim: pairs sharing the
+    * second digit differ in exactly 3 positions, not 6), so identical
+    * base names can never er-match across copies; near-identical bases
+    * (within-copy match distance ≤ 2) keep a ≥1 margin, and the
+    * measured er2 outputs — EXACTLY ×N at every swept factor — confirm
+    * zero cross-copy matches empirically (BASELINE). The er-tier
+    * analogue of the documents' disjoint token spaces: candidate pairs
+    * still form (blocking ignores names), which is exactly the
+    * quadratic the sweep exists to measure. Within-copy pairs share
+    * the suffix, so the per-copy match graph is preserved. Injective
+    * only below 26² — guarded, not silently wrapped. */
   private def copySuffix(k: Int): String = {
+    require(k < 26 * 26,
+      s"copySuffix is injective only below ${26 * 26} copies, got $k")
     val c1 = ('a' + k % 26).toChar
     val c2 = ('a' + (k / 26) % 26).toChar
     s" $c1$c1$c1$c2$c2$c2"
@@ -338,10 +346,18 @@ object ScaleSweep {
     * model under which f16's recency anchor, x13's cutoff and f18's
     * calendar keep their source semantics), unlike the events tier,
     * whose per-user recurrences need disjoint HISTORY instead.
+    * `sharedCustStride` coordinates the customer-id shift with
+    * [[scaleEvents]]' user shift: orders.o_custkey joins
+    * events.user_id (jc1), so when BOTH tiers fan out the two id
+    * spaces must shift by the SAME stride or copy-k orders customers
+    * stop aligning with copy-k event users and cross-copy join pairs
+    * form by accident (the review-caught artifact). main() passes the
+    * max over all three tables; standalone callers may omit it.
     * Returns (orders, lineitem, customer, supplier, part). */
   def scaleFacts(orders: DataFrame, lineitem: DataFrame,
       customer: DataFrame, supplier: DataFrame, part: DataFrame,
-      factor: Int): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      factor: Int, sharedCustStride: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val r = orders.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
     val rl = lineitem.agg(max(col("l_orderkey")), max(col("l_partkey")),
       max(col("l_suppkey"))).head()
@@ -349,7 +365,8 @@ object ScaleSweep {
     val rs = supplier.agg(max(col("s_suppkey"))).head()
     val rp = part.agg(max(col("p_partkey"))).head()
     val orderStride = math.max(r.getLong(0), rl.getLong(0)) + 1
-    val custStride = math.max(r.getLong(1), rc.getLong(0)) + 1
+    val custStride = sharedCustStride.getOrElse(
+      math.max(r.getLong(1), rc.getLong(0)) + 1)
     val partStride = math.max(rl.getLong(1), rp.getLong(0)) + 1
     val suppStride = math.max(rl.getLong(2), rs.getLong(0)) + 1
     def fan(df: DataFrame)(cols: Int => Seq[Column]): DataFrame =
@@ -401,10 +418,23 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the tier-layout version the completion marker must CONTAIN (not
+    // just exist as): a work dir generated by an older layout — the
+    // pre-round-10 one had an UNSCALED pass-through orders table and no
+    // other facts — must regenerate, never silently serve x1 fact data
+    // labeled xN (the review-caught reuse hazard)
+    val tierVersion = "facts-v3-shared-user-stride"
+    def markerOk(path: String): Boolean = {
+      val fl = new java.io.File(path)
+      fl.exists() && {
+        val src = scala.io.Source.fromFile(fl)
+        try src.mkString.trim == tierVersion finally src.close()
+      }
+    }
     val dirs = factors.map { f =>
       if (f == 1) f -> srcDir
       else if (sys.env.contains("SPARK_GRAFT_SWEEP_REUSE") &&
-          new java.io.File(s"$workDir/x$f/_graft_sweep_complete").exists()) {
+          markerOk(s"$workDir/x$f/_graft_sweep_complete")) {
         // reuse a previously generated fan-out. The gate is the sweep's
         // OWN tier-completion marker — written only after every table of
         // the tier landed, and deleted FIRST on regeneration, so an
@@ -420,18 +450,30 @@ object ScaleSweep {
         scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), f)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-        scaleEvents(spark.read.parquet(s"$srcDir/events.parquet"), f)
+        // the user/customer id space is ONE space across the events and
+        // fact tiers (jc1 joins o_custkey to user_id): both shift by the
+        // same stride so copy-k orders meet copy-k events exactly as at
+        // source, and copies share NOTHING across the boundary
+        val ev0 = spark.read.parquet(s"$srcDir/events.parquet")
+        val ord0 = spark.read.parquet(s"$srcDir/orders.parquet")
+        val cust0 = spark.read.parquet(s"$srcDir/customer.parquet")
+        val sharedStride = Seq(
+          ev0.agg(max(col("user_id"))).head().getLong(0),
+          ord0.agg(max(col("o_custkey"))).head().getLong(0),
+          cust0.agg(max(col("c_custkey"))).head().getLong(0)).max + 1
+        scaleEvents(ev0, f, Some(sharedStride))
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
         // round 10: the fact tier fans out too (it was a pass-through
         // before — jc1's curve now sees BOTH sides grow, the more honest
         // form of its claim)
         val (o, li, c, su, pa) = scaleFacts(
-          spark.read.parquet(s"$srcDir/orders.parquet"),
+          ord0,
           spark.read.parquet(s"$srcDir/lineitem.parquet"),
-          spark.read.parquet(s"$srcDir/customer.parquet"),
+          cust0,
           spark.read.parquet(s"$srcDir/supplier.parquet"),
-          spark.read.parquet(s"$srcDir/part.parquet"), f)
+          spark.read.parquet(s"$srcDir/part.parquet"), f,
+          Some(sharedStride))
         o.repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
         li.repartition(cpus.toInt)
@@ -445,7 +487,8 @@ object ScaleSweep {
         for (t <- Seq("nation", "region"))
           spark.read.parquet(s"$srcDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$out/$t.parquet")
-        new java.io.FileOutputStream(s"$out/_graft_sweep_complete").close()
+        val fw = new java.io.FileWriter(s"$out/_graft_sweep_complete")
+        try fw.write(tierVersion) finally fw.close()
         f -> out
       }
     }

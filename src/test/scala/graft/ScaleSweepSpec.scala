@@ -144,4 +144,38 @@ class ScaleSweepSpec extends SparkSpec {
         s"cross-copy clones of one customer must never er-match: '$a' vs '$b'")
     }
   }
+
+  test("fact+events fan-out: one shared user stride keeps the cross-tier join per-copy") {
+    import spark.implicits._
+    // user 10 has events AND orders; user 99 exists only in events —
+    // the maxima of the two id spaces DIFFER, which is exactly the case
+    // where uncoordinated strides would misalign copies (review-caught)
+    val orders = Seq(
+      (1L, 10L, "F", 100.0, java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 100L, 5L, 1, 2.0, 20.0, 0.1, 0.02, "N", "O",
+        java.sql.Timestamp.valueOf("1997-01-05 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val cust = Seq((10L, "Customer#10", 3, 5.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val supp = Seq((5L, "Supplier#5", 3, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq((100L, "part a", "B1", "T1", 4, 9.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("1997-01-02 00:00:00"), 10L, "purchase", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("1997-01-03 00:00:00"), 99L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val shared = Some(100L) // > both maxima, as main() derives
+    val evF = ScaleSweep.scaleEvents(ev, 3, shared)
+    val (oF, _, _, _, _) =
+      ScaleSweep.scaleFacts(orders, li, cust, supp, part, 3, shared)
+    val joined = oF.join(evF, oF("o_custkey") === evF("user_id")).count()
+    assert(joined === 3L,
+      "each copy's orders must meet exactly its own copy's events")
+  }
 }
