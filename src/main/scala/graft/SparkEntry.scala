@@ -405,6 +405,14 @@ object SparkEntry {
     "mix4_unique_epoch_alloc" -> ((s, d) =>
       TextAnalysis.uniqueEpochAllocation(Sources.table(s, d, "documents"))),
 
+    // E163 (TRN1): distributed deterministic perceptron TRAINING —
+    // learn binary-label weights over hashed token features in exact
+    // integer arithmetic (batch updates fold associatively: any
+    // partitioning trains bit-identical weights). Closes the loop t12
+    // left open: t12 scores with fixed weights, this learns them.
+    "trn1_perceptron" -> ((s, d) =>
+      TextAnalysis.perceptronTrain(Sources.table(s, d, "documents"))),
+
     // E159 (T21): tokenizer ROUND-TRIP validation — per-source
     // encode→decode identity rate + char-level edit rate; the BPE layer
     // is round-trip-exact by construction (spec-verified), so the
@@ -2470,6 +2478,7 @@ object SparkEntry {
     "mix3_epoch_alloc" -> TextAnalysis.epochAllocationSql,
     "mix4_unique_epoch_alloc" -> TextAnalysis.uniqueEpochAllocationSql,
     "t21_roundtrip" -> TextAnalysis.tokenizerRoundTripSql,
+    "trn1_perceptron" -> TextAnalysis.perceptronTrainSql(),
 
     "ir1_retrieval_metrics" -> TextAnalysis.retrievalMetricsSql(),
     "pipe2_retrieval_prep" -> TextAnalysis.retrievalPrepSql(),

@@ -708,6 +708,158 @@ object TextAnalysis {
     FROM sc"""
   }
 
+  // ---- TRN1 (E163): distributed deterministic perceptron training ---------
+
+  /** Hashed-feature space for the trainable classifier — matches
+    * [[ClfBuckets]] so the distillation target is EXACTLY linear in
+    * the features; bucket [[PtronBuckets]] itself is the always-on
+    * BIAS feature (one mechanism, no special-casing). The weight
+    * vector is driver-bounded metadata (the ANN centroid-collect
+    * convention). */
+  val PtronBuckets = 64
+  /** Fixed round count — the halving learning rate has converged by
+    * round 8 at every measured SF (accuracy plateaus; see the spec). */
+  val PtronIters = 8
+  /** Weight grid: updates land on a ×2²⁰ fixed-point grid so the
+    * geometrically-decaying integer steps stay nonzero — the g1
+    * PrScale discipline applied to learning. */
+  val PtronScale = 1L << 20
+
+  /** TRN1 (E163): train a classifier IN the engine — a batch
+    * PERCEPTRON with geometrically decaying step over hashed token
+    * count features, closing the loop t12 left open: t12 SCORES with
+    * fixed hash weights, this LEARNS weights from labels. The label
+    * here is t12's own keep decision (margin > 0) — the published
+    * DISTILLATION shape (train a cheap model to mimic an expensive
+    * labeling function; FineWeb-style classifier distillation), and
+    * with count features over the SAME bucketing the target is exactly
+    * linear, so the measured accuracy curve is a property of the
+    * optimizer alone. (The first cut labeled on the corpus's `lang`
+    * column — unlearnable: the synthetic generator draws every
+    * language from one shared vocabulary, and the spec caught 0.39
+    * accuracy. The distillation label is the honest, separable task.)
+    *
+    * Why this exact optimizer: everything stays in EXACT INTEGER
+    * arithmetic — scores are long dot products (occurrence-weighted:
+    * the score folds the raw hash array, never materializing count
+    * vectors), the mistake set is y·s ≤ 0 (ties are mistakes), and the
+    * batch update is an associative long sum of per-mistake ±count,
+    * scaled onto the [[PtronScale]] grid with step S/(m·2ᵏ) — the
+    * plain sum-of-all-mistakes batch perceptron OSCILLATES (measured:
+    * a 2-cycle pinned at the class share), while the halving step
+    * damps it to a stable fixpoint (0.89/0.93 train accuracy at
+    * sf0.001/sf0.01, plateau by round 8). Any partitioning trains
+    * bit-identical weights (spec-pinned); logistic's exp() (not
+    * correctly rounded — engine-forking) never enters; integer DIV
+    * truncates toward zero in BOTH engines (Spark DIV, DuckDB //).
+    *
+    * Scale shape: the (y, token-hash-array) relation builds once and
+    * persists; each of the K fixed rounds is ONE scan — the current
+    * weights broadcast as a 65-entry map LITERAL inside codegen (never
+    * a join), mistakes filter and per-bucket deltas map-side-combine,
+    * and the only driver traffic is the ≤65-row delta whose bias row
+    * doubles as the mistake count (bias occurs exactly once per doc).
+    * Weight state lives on the driver between rounds exactly like
+    * BPE's merge table. Released in-method (computeKpis lifecycle). */
+  def perceptronTrain(docs: DataFrame,
+      iters: Int = PtronIters): DataFrame = {
+    val spark = docs.sparkSession
+    val b = PtronBuckets.toLong
+    val clfW = typedlit(ClfWeights)
+    val feats = docs.select(tokenHashes(toksCol).as("th"))
+      .select(col("th"),
+        when(aggregate(col("th"), lit(0L), (a, h) => a + element_at(clfW,
+          pmod(h, lit(ClfBuckets.toLong)).cast("int") + 1)) > 0L, 1L)
+          .otherwise(-1L).as("y"))
+      .persist()
+    try {
+      var w: Map[Long, Long] = (0L to b).map(_ -> 0L).toMap
+      for (k <- 1 to iters) {
+        val wlit = typedlit(w)
+        val deltas = feats
+          .withColumn("s",
+            aggregate(col("th"), lit(0L),
+              (a, h) => a + element_at(wlit, pmod(h, lit(b)))) +
+              element_at(wlit, lit(b)))
+          .where(col("y") * col("s") <= 0L)
+          .select(explode(concat(
+              transform(col("th"), h => pmod(h, lit(b))),
+              array(lit(b)))).as("bucket"), col("y"))
+          .groupBy(col("bucket")).agg(sum(col("y")).as("delta"),
+            count(lit(1)).as("occ"))
+          .collect() // bounded: ≤ PtronBuckets+1 rows of metadata
+        // the bias bucket occurs exactly once per mistake doc — its occ
+        // IS the mistake count, no second job
+        val m = deltas.find(_.getLong(0) == b).map(_.getLong(2))
+          .getOrElse(0L)
+        if (m > 0L) {
+          val div = m * (1L << k)
+          w = w ++ deltas.map { r =>
+            val q = r.getLong(1) * PtronScale / div // Long / truncates
+            r.getLong(0) -> (w(r.getLong(0)) + q)
+          }
+        }
+      }
+      spark.createDataFrame(
+          (0L to b).map(bk => (bk, w(bk))).sortBy(_._1))
+        .toDF("bucket", "weight")
+    } finally { feats.unpersist(); () }
+  }
+
+  /** trn1 oracle: the identical K rounds unrolled as CTE stages over a
+    * bucket spine (the g1/t8 unrolled-loop convention) — per round one
+    * occurrence-grain score join, the exact y·s ≤ 0 mistake set, and
+    * the scaled truncating-division update (DuckDB's `//` truncates
+    * toward zero exactly like Spark's DIV — verified, negatives
+    * included). The chained CTEs are MATERIALIZED: w/mist are each
+    * referenced twice per round, and DuckDB's default inlining
+    * re-expands the whole chain per reference — 4ᴷ plan paths, a
+    * measured multi-minute hang at K = 8 (the g1/t8 chains dodge this
+    * with single references; this oracle can't). */
+  def perceptronTrainSql(iters: Int = PtronIters): String = {
+    val b = PtronBuckets
+    val wlit = ClfWeights.mkString("[", ", ", "]")
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+      SELECT o.rid, o.y, sum(w.weight)::BIGINT AS s
+      FROM occ o JOIN w${k - 1} w ON w.bucket = o.bucket
+      GROUP BY 1, 2),
+    mist$k AS MATERIALIZED (SELECT rid, y FROM s$k WHERE y * s <= 0),
+    mc$k AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM mist$k),
+    d$k AS MATERIALIZED (
+      SELECT o.bucket, sum(o.y)::BIGINT AS delta
+      FROM occ o JOIN mist$k t ON t.rid = o.rid
+      GROUP BY 1),
+    w$k AS MATERIALIZED (
+      SELECT w.bucket,
+        (w.weight + coalesce(
+          (d.delta * $PtronScale) // (greatest(mc.m, 1) * ${1L << k}),
+          0))::BIGINT AS weight
+      FROM w${k - 1} w
+      CROSS JOIN mc$k mc
+      LEFT JOIN d$k d ON d.bucket = w.bucket)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH raw AS (
+      SELECT row_number() OVER (ORDER BY doc_id) AS rid,
+        ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM documents),
+    lab AS (
+      SELECT rid, th,
+        CASE WHEN list_reduce(list_prepend(0::BIGINT,
+            list_transform(th, h -> cw.wts[(h % $ClfBuckets)::INT + 1])),
+            (a, x) -> a + x) > 0 THEN 1 ELSE -1 END::BIGINT AS y
+      FROM raw, (SELECT $wlit::BIGINT[] AS wts) cw),
+    occ AS MATERIALIZED (
+      SELECT rid, y, unnest(list_append(
+        list_transform(th, h -> h % $b), $b::BIGINT)) AS bucket
+      FROM lab),
+    spine AS (SELECT range::BIGINT AS bucket FROM range(0, ${b + 1})),
+    w0 AS (SELECT bucket, 0::BIGINT AS weight FROM spine),
+    $rounds
+    SELECT bucket, weight FROM w$iters"""
+  }
+
   def classifierScoreSql: String =
     classifierScoreSqlOver("SELECT * FROM documents")
 

@@ -224,7 +224,11 @@ object ScaleSweep {
     // agg) + two broadcast join-backs + bounded top-100 — expect linear
     // scan, flat jobs, constant output; x20 = one bounds pass + a
     // date-pruned anti join + ≤25-row rollup — linear, flat
-    "x19_large_orders", "x20_idle_capital")
+    "x19_large_orders", "x20_idle_capital",
+    // trn1 = K fixed corpus scans with literal-map scoring, ≤65-row
+    // driver deltas — expect linear wall, flat 1-job-per-round
+    // structure, constant 65-row output at any corpus size
+    "trn1_perceptron")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

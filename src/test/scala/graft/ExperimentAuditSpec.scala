@@ -265,6 +265,52 @@ class ExperimentAuditSpec extends SparkSpec {
     assert(out("b").getAs[Double]("char_edit_rate") === 2.0 / 8.0)
   }
 
+  test("trn1: trained weights recover the distillation label past the majority class") {
+    import graft.text.TextAnalysis
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = TextAnalysis.perceptronTrain(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size === TextAnalysis.PtronBuckets + 1,
+      "one weight per bucket plus the bias")
+    // score the training set with the learned weights: train accuracy
+    // on the t12 keep label must clear the majority-class baseline by
+    // a wide margin (the target is exactly linear in the features —
+    // the halving-step batch perceptron plateaus ~0.89 here)
+    val wlit = typedlit(w)
+    val b = TextAnalysis.PtronBuckets.toLong
+    val clfW = typedlit(TextAnalysis.ClfWeights)
+    val scored = docs
+      .select(TextFunctions.tokenHashes(TextFunctions.tokens(
+        TextFunctions.norm(col("text")))).as("th"))
+      .select(col("th"),
+        when(aggregate(col("th"), lit(0L), (a, h) => a + element_at(clfW,
+          pmod(h, lit(TextAnalysis.ClfBuckets.toLong)).cast("int") + 1))
+          > 0L, 1L).otherwise(-1L).as("y"))
+      .withColumn("s",
+        aggregate(col("th"), lit(0L),
+          (a, h) => a + element_at(wlit, pmod(h, lit(b)))) +
+          element_at(wlit, lit(b)))
+    val n = scored.count()
+    val correct = scored.where(col("y") * col("s") > 0L).count()
+    val majority = scored.groupBy(col("y")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(correct.toDouble / n > majority.toDouble / n + 0.1,
+      s"accuracy ${correct.toDouble / n} must clear the majority baseline " +
+        s"${majority.toDouble / n}")
+  }
+
+  test("trn1: weights are partition-order invariant (associative batch update)") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = TextAnalysis.perceptronTrain(docs.repartition(1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = TextAnalysis.perceptronTrain(
+        docs.repartition(17, col("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === c, "any partitioning must train bit-identical weights")
+  }
+
   test("ir1: metric arithmetic holds; twins are findable at smoke SF") {
     val out = SparkEntry.queries("ir1_retrieval_metrics")(spark, sf0001)
       .collect()
