@@ -1116,6 +1116,21 @@ object SparkEntry {
             .as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // E164 (E7): stream-stream INTERVAL join, hash-verified — the
+    // WindowedAgg.purchaseClickJoin body (each purchase joined to the
+    // same user's clicks from the preceding 30 min; both watermarks
+    // are no-ops in batch, StreamingAggSpec proves batch ≡ streaming),
+    // previously spec-only, now under the oracle gate. The
+    // attribution-window primitive: at scale the interval bound is
+    // what lets the stream-stream state store evict.
+    "e7_click_purchase_join" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      graft.streaming.WindowedAgg.purchaseClickJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        intervalSec = 1800L, watermark = "1 hour")
+    }),
+
     "e2_windowed_event_agg" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       ev.select(timestamp_micros(Sources.epochUs(ev)).as("t"),
@@ -3351,6 +3366,16 @@ object SparkEntry {
         count(DISTINCT e.user_id) AS n_users
       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1""",
+
+    "e7_click_purchase_join" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id, p.user_id,
+        c.event_id AS click_id, p.t AS p_epoch, c.t AS c_epoch
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.t <= p.t AND c.t >= p.t - 1800""",
 
     "a1c_category_kpi_compat" -> s"""$ctes,
       os AS (SELECT CAST(order_id AS VARCHAR) AS order_id FROM o),

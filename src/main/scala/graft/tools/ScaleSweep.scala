@@ -228,7 +228,11 @@ object ScaleSweep {
     // trn1 = K fixed corpus scans with literal-map scoring, ≤65-row
     // driver deltas — expect linear wall, flat 1-job-per-round
     // structure, constant 65-row output at any corpus size
-    "trn1_perceptron")
+    "trn1_perceptron",
+    // e7 = user-keyed equi-join with an interval residual; the events
+    // fan-out adds new users in disjoint time ranges, so both sides
+    // grow ×N with no cross-copy pairs — expect linear, flat, output ×N
+    "e7_click_purchase_join")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
