@@ -928,6 +928,14 @@ object SparkEntry {
     "n1_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(Sources.table(s, d, "embeddings"), 5, 5)),
 
+    // E165 (N10): MATRYOSHKA truncation audit — per-query overlap@10
+    // between the full-dim and 16-dim-prefix exact rankings (both THE
+    // n1 definition): the number you measure before switching serving
+    // to truncated embeddings. Exact integer overlaps; zero-overlap
+    // queries kept via the spine left-join.
+    "n10_matryoshka_audit" -> ((s, d) =>
+      Similarity.matryoshkaAudit(Sources.table(s, d, "embeddings"))),
+
     // E12: LSH-bucketed approximate top-k (scale path).
     "n2_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Sources.table(s, d, "embeddings"), 5, 5)),
@@ -1757,6 +1765,74 @@ object SparkEntry {
           sum(col("n_purchases")).over(
             org.apache.spark.sql.expressions.Window.partitionBy())
             .cast("double")).as("share"))
+    }),
+
+    // E166 (F19): U-SHAPED MULTI-TOUCH attribution — f15's sibling
+    // completing the attribution pair (f15 credits ONLY the last touch;
+    // position-based multi-touch is what a marketing-mix review actually
+    // reads): every view/click in the purchase's 7-day lookback shares
+    // the credit — 40% first touch, 40% last, 20% split across the
+    // middles (n=1 → 100%, n=2 → 50/50, no touch → 'direct' 100%).
+    // Credits are EXACT INTEGER MILLI-CREDITS (sum = exactly 1000 per
+    // purchase, spec-pinned): the middle share is 200 DIV (n−2) with
+    // the remainder assigned to the EARLIEST middle — deterministic,
+    // no float ever splits a credit (0.4 isn't even dyadic). Same
+    // touch relation as f15 (one definition); the position window
+    // rides the purchase grain (lookback-bounded, never fact-wide);
+    // value attribution = Σ value_dec·milli exact, double boundary.
+    "f19_multi_touch" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev0 = Sources.table(s, d, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), Sources.epochUs(ev0).as("ts_us"))
+      val lookbackUs = 7L * 24 * 3600 * 1000000L
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("value").as("p_value"), col("ts_us").as("p_ts"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"),
+          col("event_type").as("touch_type"),
+          col("ts_us").as("t_ts"), col("event_id").as("t_id"))
+      val joined = p.join(t,
+        col("t_user") === col("user_id") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - lookbackUs, "left")
+      val byPurchase = W.partitionBy(col("p_id"))
+      val pos = joined
+        .withColumn("rn", row_number().over(
+          byPurchase.orderBy(col("t_ts").asc_nulls_last,
+            col("t_id").asc_nulls_last)))
+        .withColumn("n", count(col("t_id")).over(byPurchase))
+      val credited = pos.withColumn("milli",
+          when(col("n") === 0L, 1000L) // the left-join null row: direct
+            .when(col("n") === 1L, 1000L)
+            .when(col("n") === 2L, 500L)
+            .when(col("rn") === 1L, 400L)
+            .when(col("rn") === col("n"), 400L)
+            .otherwise(expr("200 DIV (n - 2)") +
+              when(col("rn") === 2L,
+                lit(200L) - expr("200 DIV (n - 2)") * (col("n") - 2L))
+                .otherwise(0L)))
+        .select(coalesce(col("touch_type"), lit("direct")).as("channel"),
+          col("milli"), col("p_value"))
+      val agg = credited.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("milli")).as("milli"),
+          // milli as DECIMAL(4,0): the (18,6)×(4,0) product stays at
+          // precision 23 — a long operand would type as decimal(20,0)
+          // and push the product past 38, triggering engine-specific
+          // precision-loss rounding
+          sum(col("p_value").cast(DecimalType(18, 6)) *
+            col("milli").cast(DecimalType(4, 0))).as("val_milli_dec"))
+      agg.select(col("channel"), col("n_touches"),
+          (col("milli").cast("double") / lit(1000.0)).as("credit"),
+          (col("val_milli_dec").cast("double") / lit(1000.0))
+            .as("attributed_value"),
+          when(sum(col("milli")).over(W.partitionBy()) === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("milli").cast("double") /
+              sum(col("milli")).over(W.partitionBy()).cast("double"))
+            .as("credit_share"))
     }),
 
     // E118 (F16): RFM segmentation — the CRM scoring every e-commerce
@@ -2666,6 +2742,7 @@ object SparkEntry {
     "d12x_semdedup_cells" -> Similarity.semDedupSql(numCells = 64),
     "d13_semdedup_hier" -> Similarity.semDedupHierSql(),
     "n1_ann_bruteforce" -> Similarity.bruteForceTopKSql(5, 5),
+    "n10_matryoshka_audit" -> Similarity.matryoshkaAuditSql(),
     "n2_ann_lsh" -> Similarity.lshTopKSql(5, 5),
     "n3_ann_topk_agg" -> Similarity.bruteForceTopKSql(5, 5),
     "n4_ann_ivf" -> Similarity.ivfTopKSql(5, 5),
@@ -3072,6 +3149,50 @@ object SparkEntry {
         FROM last GROUP BY 1)
       SELECT channel, n_purchases, attributed_value,
         n_purchases::DOUBLE / (sum(n_purchases) OVER ())::DOUBLE AS share
+      FROM agg""",
+
+    "f19_multi_touch" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id AS p_id, user_id, value AS p_value, ts_us AS p_ts
+        FROM ev WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id AS t_user, event_type AS touch_type,
+          ts_us AS t_ts, event_id AS t_id
+        FROM ev WHERE event_type IN ('view', 'click')),
+      pos AS (
+        SELECT p.p_id, p.p_value, t.touch_type,
+          row_number() OVER (PARTITION BY p.p_id
+            ORDER BY t.t_ts ASC NULLS LAST, t.t_id ASC NULLS LAST) AS rn,
+          count(t.t_id) OVER (PARTITION BY p.p_id) AS n
+        FROM p LEFT JOIN t
+          ON t.t_user = p.user_id AND t.t_ts <= p.p_ts
+            AND t.t_ts > p.p_ts - ${7L * 24 * 3600 * 1000000L}),
+      credited AS (
+        SELECT coalesce(touch_type, 'direct') AS channel, p_value,
+          CASE WHEN n = 0 THEN 1000
+               WHEN n = 1 THEN 1000
+               WHEN n = 2 THEN 500
+               WHEN rn = 1 THEN 400
+               WHEN rn = n THEN 400
+               ELSE 200 // (n - 2) + CASE WHEN rn = 2
+                 THEN 200 - (200 // (n - 2)) * (n - 2) ELSE 0 END
+          END::BIGINT AS milli
+        FROM pos),
+      agg AS (
+        SELECT channel, count(*)::BIGINT AS n_touches,
+          sum(milli)::BIGINT AS milli,
+          sum(CAST(p_value AS DECIMAL(18,6)) * CAST(milli AS DECIMAL(4,0)))
+            AS val_milli_dec
+        FROM credited GROUP BY 1)
+      SELECT channel, n_touches,
+        milli::DOUBLE / 1000.0::DOUBLE AS credit,
+        CAST(val_milli_dec AS DOUBLE) / 1000.0::DOUBLE AS attributed_value,
+        CASE WHEN sum(milli) OVER () = 0 THEN NULL
+          ELSE milli::DOUBLE / (sum(milli) OVER ())::DOUBLE
+        END AS credit_share
       FROM agg""",
 
     "f16_rfm" -> """

@@ -98,10 +98,12 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
-  def bruteForceTopKSql(numQueries: Int, k: Int): String = s"""
+  def bruteForceTopKSql(numQueries: Int, k: Int,
+      corpus: String = "SELECT vec_id, embedding FROM embeddings")
+      : String = s"""
     WITH withn AS (
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2
-      FROM embeddings),
+      FROM ($corpus)),
     live AS (SELECT * FROM withn WHERE n2 > 0),
     q AS (
       SELECT vec_id AS query_id, embedding AS qv, n2 AS qn FROM live
@@ -117,6 +119,73 @@ object Similarity {
       FROM scored)
     SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $k"""
+
+  // ---- N10 (E165): Matryoshka truncation audit -----------------------------
+
+  /** Prefix width for the truncated ranking — a 4× storage/compute cut
+    * (64 → 16 dims), the first Matryoshka tier a serving stack tries. */
+  val MrlPrefixDims = 16
+  val MrlQueries = 32
+  val MrlK = 10
+
+  /** N10 (E165): MATRYOSHKA truncation audit — how much of the
+    * full-dimension nearest-neighbor structure survives when vectors
+    * are truncated to their first [[MrlPrefixDims]] dimensions?
+    * (Matryoshka-representation-learning embeddings are trained so
+    * prefixes remain usable; serving stacks exploit that for 4–16×
+    * cheaper retrieval. Before switching, you MEASURE this number on
+    * your own corpus — this op is that measurement.) Per query:
+    * overlap@k between the full-dim and prefix-dim exact top-k lists
+    * (both EXACTLY [[bruteForceTopK]] — the n1-composition rule, so
+    * ranking semantics, tie-breaks and the zero-norm exclusion are the
+    * single definition; a vector whose PREFIX is zero-norm drops from
+    * the truncated ranking only, exactly as serving would). Overlap is
+    * an exact integer; the fraction is one double boundary. Queries
+    * with zero surviving overlap still appear (spine left-join).
+    *
+    * Scale: two n1-shaped broadcast scoring passes + one k-bounded
+    * semi-join — at real scale each side swaps for its ANN tier
+    * (the n1-vs-ladder contract applies to BOTH rankings). */
+  def matryoshkaAudit(emb: DataFrame, numQueries: Int = MrlQueries,
+      k: Int = MrlK, prefixDims: Int = MrlPrefixDims): DataFrame = {
+    val full = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pref = bruteForceTopK(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDims).as("embedding")),
+        numQueries, k)
+      .select(col("query_id").as("qp"), col("neighbor_id").as("np"))
+    val kept = full.join(pref,
+        col("query_id") === col("qp") && col("neighbor_id") === col("np"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    full.select(col("query_id")).distinct()
+      .join(kept, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("overlap_frac"))
+  }
+
+  def matryoshkaAuditSql(numQueries: Int = MrlQueries, k: Int = MrlK,
+      prefixDims: Int = MrlPrefixDims): String = s"""
+    WITH fullk AS (
+      SELECT query_id, neighbor_id
+      FROM (${bruteForceTopKSql(numQueries, k)})),
+    prefk AS (
+      SELECT query_id, neighbor_id
+      FROM (${bruteForceTopKSql(numQueries, k,
+        s"SELECT vec_id, embedding[1:$prefixDims] AS embedding" +
+          " FROM embeddings")})),
+    kept AS (
+      SELECT f.query_id, count(*)::BIGINT AS n_overlap
+      FROM fullk f JOIN prefk p
+        ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+      GROUP BY 1)
+    SELECT q.query_id, coalesce(k2.n_overlap, 0)::BIGINT AS n_overlap,
+      coalesce(k2.n_overlap, 0)::DOUBLE / ${k}.0::DOUBLE AS overlap_frac
+    FROM (SELECT DISTINCT query_id FROM fullk) q
+    LEFT JOIN kept k2 ON k2.query_id = q.query_id"""
 
   /** Rank scored candidates `(query_id, neighbor_id, cosine)` to per-query
     * top-k via the typed [[TopKAggregator]] — the 100-TB ranking shape: the

@@ -232,7 +232,12 @@ object ScaleSweep {
     // e7 = user-keyed equi-join with an interval residual; the events
     // fan-out adds new users in disjoint time ranges, so both sides
     // grow ×N with no cross-copy pairs — expect linear, flat, output ×N
-    "e7_click_purchase_join")
+    "e7_click_purchase_join",
+    // n10 = two n1-shape broadcast passes (fixed 32-query side) over a
+    // ×N corpus + a k-bounded semi-join — expect linear like n1/n6,
+    // constant 32-row output; f19 = f15's touch join at purchase grain
+    // with a lookback-bounded position window — linear, flat, ≤3 rows
+    "n10_matryoshka_audit", "f19_multi_touch")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

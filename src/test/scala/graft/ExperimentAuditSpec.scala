@@ -311,6 +311,76 @@ class ExperimentAuditSpec extends SparkSpec {
     assert(a === c, "any partitioning must train bit-identical weights")
   }
 
+  test("f19: credits are exact — one full credit per purchase, shares total 1") {
+    val out = SparkEntry.queries("f19_multi_touch")(spark, sf0001).collect()
+    val purchases = Sources.table(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    val totalCredit = out.map(_.getAs[Double]("credit")).sum
+    // milli-credits sum to exactly 1000 per purchase, so the double
+    // boundary is exact at this magnitude
+    assert(totalCredit === purchases.toDouble,
+      s"credits $totalCredit must equal one per purchase ($purchases)")
+    assert(math.abs(out.map(_.getAs[Double]("credit_share")).sum - 1.0)
+      < 1e-12)
+    assert(out.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("view", "click", "direct")))
+  }
+
+  test("f19: the U-shape on a hand-built path — 400/200/400, remainder to the earliest middle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // one purchase at t=10000s with four touches inside the lookback:
+    // first 400, last 400, two middles split 200 -> 100 each; a second
+    // purchase with FIVE touches: middles get 200 DIV 3 = 66 with the
+    // remainder 2 on the earliest middle (68/66/66)
+    def ev(id: Long, user: Long, typ: String, tSec: Long) =
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tSec)),
+        user, typ, 10.0, "{}")
+    val events = (Seq(ev(100L, 1L, "purchase", 10000L)) ++
+      (1L to 4L).map(i => ev(i, 1L, "click", 9000L + i)) ++
+      Seq(ev(200L, 2L, "purchase", 10000L)) ++
+      (11L to 15L).map(i => ev(i, 2L, "view", 9000L + i)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-f19").toString
+    events.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("f19_multi_touch")(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // user 1 (clicks, n=4): 400 + 100 + 100 + 400 = 1000
+    assert(out("click").getAs[Double]("credit") === 1.0)
+    // user 2 (views, n=5): 400 + 68 + 66 + 66 + 400 = 1000
+    assert(out("view").getAs[Double]("credit") === 1.0)
+    assert(out("view").getAs[Long]("n_touches") === 5L)
+    assert(!out.contains("direct"))
+  }
+
+  test("n10: overlap bounds, spine completeness, and a constructed prefix divergence") {
+    import spark.implicits._
+    val out = SparkEntry.queries("n10_matryoshka_audit")(spark, sf0001)
+      .collect()
+    assert(out.length === graft.sim.Similarity.MrlQueries)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= graft.sim.Similarity.MrlK.toLong)
+      assert(r.getAs[Double]("overlap_frac") ===
+        n.toDouble / graft.sim.Similarity.MrlK)
+    }
+    // constructed case: neighbor A matches the query on the PREFIX dims,
+    // neighbor B only on the suffix — full-dim ranking prefers B, the
+    // truncated ranking can't see why, so overlap@1 = 0 for the query
+    def v(pre: Float, suf: Float) =
+      Array.fill(16)(pre) ++ Array.fill(48)(suf)
+    val emb = Seq(
+      (0L, v(1f, 10f), 0),   // query: weak prefix, strong suffix
+      (1L, v(1f, -10f), 0),  // A: prefix twin, opposite suffix
+      (2L, v(-1f, 10f), 0))  // B: suffix twin, opposite prefix
+      .toDF("vec_id", "embedding", "label")
+    val one = graft.sim.Similarity
+      .matryoshkaAudit(emb, numQueries = 1, k = 1).collect()
+    assert(one.length === 1)
+    assert(one(0).getAs[Long]("n_overlap") === 0L,
+      "full-dim picks the suffix twin, the prefix ranking the prefix twin")
+  }
+
   test("ir1: metric arithmetic holds; twins are findable at smoke SF") {
     val out = SparkEntry.queries("ir1_retrieval_metrics")(spark, sf0001)
       .collect()
