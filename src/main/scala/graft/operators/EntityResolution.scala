@@ -175,29 +175,62 @@ object EntityResolution {
     * Scale shape: each pass is one global-rank pass and ONE equi-join
     * on the rank (each record explodes `window` probe ranks —
     * candidates are n·window rows, never a block square); the union
-    * dedups on the pair key with a grouped min. The global
-    * `row_number` is the VERIFIABLE SINGLE-PARTITION-WINDOW BASELINE
-    * (the sel1 single-sort convention): Spark funnels an unpartitioned
-    * window through one task, measured as the ×100 sweep's 7.1×-for-
-    * 3.3×-data step (BASELINE) while the comparator volume stays
-    * exactly linear. The 100-TB form is the same pairs definition over
-    * a range-partitioned sort with `window` boundary rows exchanged
-    * per partition cut (rank never materializes globally) — a
-    * composition, not a different operator. Determinism:
+    * dedups on the pair key with a grouped min. The rank is the
+    * RANGE-PARTITIONED two-level form ([[globalRank]]): the first cut
+    * used a plain `row_number() OVER (ORDER BY …)`, which Spark
+    * funnels through ONE task — the ×100 sweep measured it as a
+    * 7.1×-at-3.3×-data step while comparator volume stayed exactly
+    * linear; the two-level rank removed it (BASELINE records both
+    * numbers), leaving only a P-row offset prefix sum sequential.
+    * Determinism:
     * the sort key is (key, custkey) — total order — and edit distance
     * is integer-exact, so the candidate set and every distance are
     * engine-independent. Window-local recall is the documented
     * tradeoff: a matching pair more than `window` apart in BOTH sort
     * orders is missed (the published fix is more passes — composition
     * of this same shape). */
+  /** Global rank without a global window: range-partition on the sort
+    * key, rank WITHIN each partition in parallel, and add the
+    * broadcast per-partition offset (Σ counts of earlier partitions) —
+    * the two-level rank every distributed sort uses. The round-10 ×100
+    * sweep measured the naive `row_number() OVER (ORDER BY …)` form
+    * serializing through ONE task (Spark's unpartitioned-window
+    * funnel, a 7.1× step at 3.3× data); this form's only sequential
+    * piece is the P-row offset prefix sum. The output rank is the
+    * total-order rank whatever boundaries the range sampler picks
+    * (rank-in-partition + offset telescopes), so results are
+    * bit-identical to the naive form — the oracle pins that. The
+    * partition-id frame is EAGERLY checkpointed: its two consumers
+    * (offset counts, the rank join) must see ONE exchange — without
+    * materialization a non-reused exchange could re-sample different
+    * boundaries per consumer and mis-stitch offsets to partitions
+    * (cluster caveat as in Kpi.computeKpis: checkpoint blocks are
+    * executor-local). */
+  private def globalRank(customers: DataFrame,
+      sortKey: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val s = customers
+      .select(col("c_custkey"), col("c_name"), sortKey.as("sk"))
+    val parts = s.sparkSession.sparkContext.defaultParallelism
+    val staged = s.repartitionByRange(parts, col("sk"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = staged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(W.orderBy(col("pid"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    staged.join(broadcast(offsets), Seq("pid"))
+      .select(col("c_custkey"), col("c_name"),
+        (col("offset") + row_number().over(
+          W.partitionBy(col("pid"))
+            .orderBy(col("sk"), col("c_custkey"))).cast("long")).as("rn"))
+  }
+
   def sortedNeighborhoodPairs(customers: DataFrame,
       window: Int = SnmWindow, maxDist: Int = ErMaxDist): DataFrame = {
     def pass(sortKey: Column): DataFrame = {
-      val W = org.apache.spark.sql.expressions.Window
-      val s = customers
-        .select(col("c_custkey"), col("c_name"), sortKey.as("sk"))
-        .withColumn("rn", row_number()
-          .over(W.orderBy(col("sk"), col("c_custkey"))).cast("long"))
+      val s = globalRank(customers, sortKey)
       val probes = s.select(col("c_custkey").as("ka"),
           col("c_name").as("na"),
           explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
