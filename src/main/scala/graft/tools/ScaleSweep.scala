@@ -237,7 +237,10 @@ object ScaleSweep {
     // ×N corpus + a k-bounded semi-join — expect linear like n1/n6,
     // constant 32-row output; f19 = f15's touch join at purchase grain
     // with a lookback-bounded position window — linear, flat, ≤3 rows
-    "n10_matryoshka_audit", "f19_multi_touch")
+    "n10_matryoshka_audit", "f19_multi_touch",
+    // dq1 = ONE fused conditional aggregate over the fanned orders
+    // (uniqueness = the same pass's exact NDV) — linear, flat, 6 rows
+    "dq1_expectations")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -261,4 +261,58 @@ class ValidationSpec extends SparkSpec {
     assert(c.getDouble(3) === 0.0, "equal revenues = perfect equality")
     assert(c.getDouble(4) === 0.5)
   }
+
+  test("dq1: each rule counts its planted violations; NULL never passes silently") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val rows = Seq(
+      // clean row
+      Row(1L, 1L, "F", 10.0, ts("1997-01-01"), "1-URGENT"),
+      // null price (rule 1; positivity must NOT also fire)
+      Row(2L, 1L, "O", null, ts("1997-01-01"), "2-HIGH"),
+      // non-positive price (rule 2)
+      Row(3L, 1L, "P", -5.0, ts("1997-01-01"), "3-MEDIUM"),
+      // out-of-domain status + NULL status (rule 3: both violate)
+      Row(4L, 1L, "X", 1.0, ts("1997-01-01"), "4-LOW"),
+      Row(5L, 1L, null, 1.0, ts("1997-01-01"), "5-NONE"),
+      // duplicate key (rule 4: one extra row)
+      Row(5L, 1L, "F", 1.0, ts("1997-01-01"), "1-URGENT"),
+      // date out of range + NULL date (rule 5: both violate)
+      Row(6L, 1L, "F", 1.0, ts("1985-01-01"), "1-URGENT"),
+      Row(7L, 1L, "F", 1.0, null, "1-URGENT"),
+      // bad priority format + NULL priority (rule 6: both violate)
+      Row(8L, 1L, "F", 1.0, ts("1997-01-01"), "9-WAT"),
+      Row(9L, 1L, "F", 1.0, ts("1997-01-01"), null))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq1").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("dq1_expectations")(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(out("totalprice_not_null") === ((1L, false)))
+    assert(out("totalprice_positive") === ((1L, false)),
+      "the NULL price belongs to the not-null rule alone")
+    assert(out("status_in_domain") === ((2L, false)),
+      "a NULL status must not silently pass the domain rule")
+    assert(out("orderkey_unique") === ((1L, false)))
+    assert(out("orderdate_in_range") === ((2L, false)))
+    assert(out("priority_format") === ((2L, false)))
+    // and a clean table passes everything
+    val clean = java.nio.file.Files.createTempDirectory("graft-dq1c").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(rows.head), 1), schema)
+      .write.parquet(s"$clean/orders.parquet")
+    val ok = SparkEntry.queries("dq1_expectations")(spark, clean).collect()
+    assert(ok.forall(_.getAs[Boolean]("pass")))
+    assert(ok.length === 6)
+  }
 }
