@@ -1309,17 +1309,12 @@ object SparkEntry {
     // gap at sf0.1). Oracle = gaps-and-islands (lag + running sum). The
     // contrast with e1 is the point: T1's window anchors at the FIRST
     // event; a session window anchors at the LAST.
-    "e4_session_windows" -> ((s, d) => {
-      val ev = Sources.table(s, d, "events")
-      ev.select(col("user_id"),
-          timestamp_seconds(Sources.epochSec(ev)).as("t"))
-        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_seconds(col("session_window.start")).as("session_start"),
-          unix_seconds(col("session_window.end")).as("session_end"),
-          col("n_events"))
-    }),
+    // (round 10: delegated to streaming.WindowedAgg.userSessions — ONE
+    // definition for batch, oracle, and the streaming append form; the
+    // watermark is a no-op here, hash unchanged.)
+    "e4_session_windows" -> ((s, d) =>
+      graft.streaming.WindowedAgg.userSessions(
+        Sources.table(s, d, "events"), "30 minutes", "2 hours")),
 
     // E32: pivot — revenue by category × item status as columns (the
     // reporting shape over the KPI join). Pivot values are declared

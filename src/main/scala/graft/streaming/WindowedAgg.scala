@@ -39,6 +39,26 @@ object WindowedAgg {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** TRUE session windows (gap-based) per user — e4's exact column
+    * logic with the watermark the STREAMING form needs (session state
+    * can only finalize once the watermark passes the gap; in batch the
+    * watermark is a no-op, so the driver query e4 delegates here and
+    * its oracle hash is unchanged). In streaming append mode a session
+    * row emits exactly once, when it can no longer extend — the
+    * semantics StreamingAggSpec pins against the batch run. */
+  def userSessions(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .select(col("user_id"),
+        timestamp_seconds(graft.io.Sources.epochSec(events)).as("t"))
+      .withWatermark("t", watermark)
+      .groupBy(col("user_id"), session_window(col("t"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_seconds(col("session_window.start")).as("session_start"),
+        unix_seconds(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks from the preceding `intervalSec` seconds. Both sides carry a
     * watermark and the join condition bounds the event-time range, so the

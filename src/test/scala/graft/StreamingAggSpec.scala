@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.io.Sources
@@ -119,6 +120,49 @@ class StreamingAggSpec extends SparkSpec {
         .collect().map(_.toString).sorted
       assert(streamOut.nonEmpty)
       assert(streamOut.toSeq === batchOut.toSeq)
+    } finally q.stop()
+  }
+
+  test("session windows: the streaming append form equals the batch run") {
+    val dir = s"$sf0001/events.parquet"
+    val events = Sources.table(spark, sf0001, "events")
+    val batchOut = WindowedAgg.userSessions(events, "30 minutes", "2 hours")
+      .collect().map(_.toString).sorted
+
+    // append mode only emits a session once the WATERMARK passes its
+    // close — a bounded replay would withhold the tail sessions forever,
+    // so a sentinel event far past the real range (its own session,
+    // filtered below) pushes the final watermark; maxFilesPerTrigger=1
+    // makes the sentinel arrive in a LATER micro-batch, after which the
+    // advanced watermark finalizes every real session
+    val stage = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      stage.resolve("a_events.parquet"))
+    val schema = spark.read.parquet(dir).schema
+    // sentinel derived FROM the events frame so its ts type matches the
+    // file's physical timestamp flavor exactly
+    import org.apache.spark.sql.functions.{expr, lit}
+    events.agg(max(col("ts")).as("ts"))
+      .select(lit(-1L).as("event_id"),
+        (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(stage.resolve("b_sentinel").toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*")
+    val q = WindowedAgg.userSessions(stream, "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.sql(
+          "SELECT * FROM sess_out WHERE user_id >= 0")
+        .collect().map(_.toString).sorted
+      assert(streamOut.nonEmpty)
+      assert(streamOut.toSeq === batchOut.toSeq,
+        "append-mode sessions must equal the batch run exactly")
     } finally q.stop()
   }
 
