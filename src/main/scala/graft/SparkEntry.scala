@@ -1276,6 +1276,7 @@ object SparkEntry {
       graft.operators.EntityResolution.sortedNeighborhoodPairs(
         Sources.table(s, d, "customer"))),
 
+
     // E142 (ER2): golden-record construction — duplicate-customer
     // clusters (CC over er1's match graph) elect a master record by
     // the survivorship rule (max balance, tie -> min key); one row per
@@ -3455,6 +3456,7 @@ object SparkEntry {
 
     "er3_sorted_neighborhood" ->
       graft.operators.EntityResolution.sortedNeighborhoodPairsSql(),
+
 
     "g1_product_pagerank" ->
       graft.operators.PageRank.productPageRankSql(),

@@ -84,8 +84,17 @@ object EntityResolution {
     * back by key), and the balance sum is DECIMAL(18,2) folded to
     * DOUBLE only at the boundary. */
   def goldenRecords(customers: DataFrame,
-      maxDist: Int = ErMaxDist): DataFrame = {
-    val edges = entityMatchPairs(customers, maxDist)
+      maxDist: Int = ErMaxDist): DataFrame =
+    goldenRecordsFromPairs(customers, entityMatchPairs(customers, maxDist))
+
+  /** The pairs-parameterized form (the FromLabels convention): any
+    * match-pair relation with `custkey_a`/`custkey_b` drives the same
+    * survivorship — er1's blocked pairs (the default), er3's linear
+    * sorted-neighborhood pairs (`er4`, the all-linear MDM path), or a
+    * pipeline's already-materialized pair graph. */
+  def goldenRecordsFromPairs(customers: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs
       .select(col("custkey_a").as("doc_a"), col("custkey_b").as("doc_b"))
     val members = graft.dedup.Dedup.connectedComponents(edges)
       .join(customers, col("doc_id") === col("c_custkey"))
@@ -109,10 +118,14 @@ object EntityResolution {
   /** ER2 oracle: the same match graph, min-reachability as a recursive
     * CTE (the d9 oracle convention — closures stay small because ER
     * components are block-bounded), and the identical election. */
-  def goldenRecordsSql(maxDist: Int = ErMaxDist): String = s"""
+  def goldenRecordsSql(maxDist: Int = ErMaxDist): String =
+    goldenRecordsFromPairsSql(entityMatchPairsSql(maxDist))
+
+  /** Pairs-parameterized oracle — mirrors [[goldenRecordsFromPairs]]. */
+  def goldenRecordsFromPairsSql(pairsSql: String): String = s"""
     WITH RECURSIVE edges AS (
       SELECT custkey_a AS doc_a, custkey_b AS doc_b
-      FROM (${entityMatchPairsSql(maxDist)})),
+      FROM ($pairsSql)),
     und AS (
       SELECT doc_a AS x, doc_b AS y FROM edges
       UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),

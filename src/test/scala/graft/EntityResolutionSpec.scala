@@ -116,6 +116,46 @@ class EntityResolutionSpec extends SparkSpec {
       "the reversed-name pass must catch the leading-typo pair")
   }
 
+  test("goldenRecordsFromPairs: any pair source drives the same survivorship") {
+    import spark.implicits._
+    val cust = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "a", 1, "R"), Row(2L, "b", 1, "R"),
+      Row(3L, "c", 1, "R"), Row(4L, "d", 1, "R")), 2),
+      StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_mktsegment", StringType))))
+      .withColumn("c_acctbal",
+        org.apache.spark.sql.functions.col("c_custkey") * 10.0)
+    // an external pair relation (no name logic at all): {1,2} and {3,4}
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("custkey_a", "custkey_b")
+    val out = EntityResolution.goldenRecordsFromPairs(cust, pairs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 3L))
+    // survivorship: max balance wins (4 over 3, 2 over 1)
+    assert(out(1L).getAs[Long]("golden_custkey") === 2L)
+    assert(out(3L).getAs[Long]("golden_custkey") === 4L)
+    assert(out(1L).getAs[Double]("total_acctbal") === 30.0)
+    spark.catalog.clearCache()
+  }
+
+  test("er3∘CC chains transitively on digit-structured names (why no er4 query)") {
+    // consecutive numeric names sort adjacent at distance 1: SNM pairs
+    // form a PATH, and connected components close it into one cluster —
+    // the textbook chaining hazard of threshold-ER under transitive
+    // closure (production linkers score pairwise agreement instead)
+    val df = mk((0 until 12).map(i =>
+      Row(i.toLong, f"cust$i%03d", i % 3, "SEG")): _*)
+      .withColumn("c_acctbal",
+        org.apache.spark.sql.functions.col("c_custkey").cast("double"))
+    val out = EntityResolution.goldenRecordsFromPairs(df,
+      EntityResolution.sortedNeighborhoodPairs(df)).collect()
+    assert(out.length === 1, "the path closes into one giant cluster")
+    assert(out(0).getAs[Long]("n_members") === 12L)
+    spark.catalog.clearCache()
+  }
+
   test("er3: candidate volume is bounded by passes x window x n (linear)") {
     // output pairs are a subset of the probe relation, which is exactly
     // `window` exploded ranks per record per pass — never a block
