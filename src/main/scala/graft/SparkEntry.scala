@@ -158,46 +158,21 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
     // E167 (DQ1): declarative EXPECTATION suite — the multi-rule DQ
-    // report (Great-Expectations / dbt-test shape) the validation
-    // family lacked as ONE operator: six rules (not-null, positivity,
-    // domain membership, key uniqueness, range, format regex) checked
-    // in a SINGLE fused scan (the a6/v1 philosophy — one conditional
-    // aggregate, the uniqueness rule riding the same pass's exact NDV),
-    // then stack()ed to the rule-grain report. NULL semantics explicit:
-    // a NULL never silently passes a domain/range/format rule
-    // (coalesce(test, false) — violation unless provably conforming),
-    // while positivity applies only to present values (the not-null
-    // rule owns the missing case). Exact long counts; report is 6
-    // bounded rows at any table size.
-    "dq1_expectations" -> ((s, d) => {
-      val o = Sources.table(s, d, "orders")
-      def conforms(c: Column) = coalesce(c, lit(false))
-      val agg = o.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
-          .as("v_null"),
-        sum(when(col("o_totalprice").isNotNull &&
-          col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_pos"),
-        sum(when(!conforms(col("o_orderstatus").isin("F", "O", "P")),
-          1L).otherwise(0L)).as("v_dom"),
-        countDistinct(col("o_orderkey")).as("n_keys"),
-        sum(when(!conforms(
-          col("o_orderdate") >= to_timestamp(lit("1990-01-01")) &&
-            col("o_orderdate") < to_timestamp(lit("2030-01-01"))),
-          1L).otherwise(0L)).as("v_rng"),
-        sum(when(!conforms(col("o_orderpriority").rlike("^[1-5]-")),
-          1L).otherwise(0L)).as("v_fmt"))
-      agg.select(expr(
-          """stack(6,
-            |  1L, 'totalprice_not_null',   v_null,
-            |  2L, 'totalprice_positive',   v_pos,
-            |  3L, 'status_in_domain',      v_dom,
-            |  4L, 'orderkey_unique',       n_rows - n_keys,
-            |  5L, 'orderdate_in_range',    v_rng,
-            |  6L, 'priority_format',       v_fmt
-            |) AS (rule_id, rule, n_violations)""".stripMargin))
-        .withColumn("pass", col("n_violations") === 0L)
-    }),
+    // report (Great-Expectations / dbt-test shape) as a RULES-AS-DATA
+    // operator (round-10 verdict item): the rule set arrives as values
+    // (Validation.Rule ADT — the config-driven shape those tools parse
+    // from YAML/JSON suites) and the operator GENERATES the fused
+    // conditional aggregate from it (the a6/v1 one-scan philosophy; a
+    // uniqueness rule rides the same pass's exact NDV), stack()ed to
+    // the rule-grain report. NULL semantics live in the rule kinds:
+    // domain/range/format treat NULL as a violation (coalesce(test,
+    // false)), positivity applies only to present values, and
+    // uniqueness counts only NON-NULL duplicate excess — a NULL key
+    // belongs to a not-null rule, not the duplicate count. Exact long
+    // counts; the report is |rules| bounded rows at any table size.
+    "dq1_expectations" -> ((s, d) =>
+      Validation.expectations(Sources.table(s, d, "orders"),
+        Validation.OrdersExpectations)),
 
     // V1's documented 100-TB swap (exact NDV → HLL++ sketch, no Expand),
     // made executable under the hash gate a2x-style: the NDV column
@@ -2733,35 +2708,8 @@ object SparkEntry {
     "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "t9_bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
     "pipe1_corpus_prep" -> TextAnalysis.corpusPrepSql(),
-    "dq1_expectations" -> """
-      WITH a AS (
-        SELECT count(*)::BIGINT AS n_rows,
-          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
-            AS v_null,
-          sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0.0
-            THEN 1 ELSE 0 END)::BIGINT AS v_pos,
-          sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'),
-            FALSE) THEN 1 ELSE 0 END)::BIGINT AS v_dom,
-          count(DISTINCT o_orderkey)::BIGINT AS n_keys,
-          sum(CASE WHEN NOT coalesce(
-            o_orderdate >= TIMESTAMP '1990-01-01 00:00:00' AND
-            o_orderdate < TIMESTAMP '2030-01-01 00:00:00', FALSE)
-            THEN 1 ELSE 0 END)::BIGINT AS v_rng,
-          sum(CASE WHEN NOT coalesce(
-            regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
-            THEN 1 ELSE 0 END)::BIGINT AS v_fmt
-        FROM orders),
-      r AS (
-        SELECT 1::BIGINT AS rule_id, 'totalprice_not_null' AS rule,
-          v_null AS n_violations FROM a
-        UNION ALL SELECT 2, 'totalprice_positive', v_pos FROM a
-        UNION ALL SELECT 3, 'status_in_domain', v_dom FROM a
-        UNION ALL SELECT 4, 'orderkey_unique', n_rows - n_keys FROM a
-        UNION ALL SELECT 5, 'orderdate_in_range', v_rng FROM a
-        UNION ALL SELECT 6, 'priority_format', v_fmt FROM a)
-      SELECT rule_id, rule, n_violations,
-        n_violations = 0 AS pass
-      FROM r""",
+    "dq1_expectations" -> Validation.expectationsSql("orders",
+      Validation.OrdersExpectations),
 
     "v1_table_profile" -> Validation.tableProfileSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),

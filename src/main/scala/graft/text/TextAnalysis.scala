@@ -1372,7 +1372,26 @@ object TextAnalysis {
     * duplicates shift mass exactly as they should. */
   def uniqueEpochAllocation(docs: DataFrame): DataFrame = {
     val corpus = withSourcedTwins(docs)
-    val survivors = graft.dedup.Dedup.dedupSurvivors(corpus)
+    uniqueEpochAllocationFromLabels(corpus,
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(corpus)
+          .select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** The label-parameterized form (the [[graft.dedup.Dedup
+    * .dedupSurvivorsFromLabels]] convention, round-10 verdict item):
+    * a curation run that already ran the pair+CC stage feeds its
+    * `(doc_id, cluster_id)` relation here AND to d16/s4, paying the d3
+    * pair graph and the d9 CC loop ONCE for all three cluster-grain
+    * consumers (the shared-labels measurement in BASELINE.md quantifies
+    * the saving). `corpus` is the already-prepared (twinned) relation —
+    * the same frame the labels were derived from. Hash-identical to
+    * [[uniqueEpochAllocation]] when fed its own self-derived labels
+    * (spec-pinned, ExperimentAuditSpec). */
+  def uniqueEpochAllocationFromLabels(corpus: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val survivors = graft.dedup.Dedup
+      .dedupSurvivorsFromLabels(corpus, labels)
       .select(col("doc_id"))
     val unique = corpus.join(survivors, Seq("doc_id"), "left_semi")
     val raw = corpus

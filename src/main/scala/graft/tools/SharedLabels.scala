@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions.col
 
 import graft.dedup.Dedup
 
-/** Round-10 measurement (verdict item 7): is a SHARED pair-graph worth
-  * it for the cluster-grain consumers? d16 (survivor election) and s4
-  * (leakage-free split) each re-derive `connectedComponents(
-  * minhashLshPairs(corpus))` when run as standalone queries; a real
-  * pipeline would run the pair+CC stage once and feed the label
-  * relation to both. This harness times both shapes on a fanned corpus:
+/** Round-10/11 measurement (verdict items): is a SHARED pair-graph
+  * worth it for the cluster-grain consumers? d16 (survivor election),
+  * s4 (leakage-free split), and mix4 (dedup-aware epoch allocation)
+  * each re-derive `connectedComponents(minhashLshPairs(corpus))` when
+  * run as standalone queries; a real curation pipeline would run the
+  * pair+CC stage once and feed the label relation to all three. This
+  * harness times both shapes on a fanned corpus:
   *
-  *   independent: d16 full, then s4 full (each pays pairs+CC);
+  *   independent: d16 full, s4 full, mix4 full (each pays pairs+CC);
   *   shared:      pairs+CC once (the labels come back localCheckpoint-
-  *                materialized, so both consumers read blocks), then
-  *                d16FromLabels + s4FromLabels.
+  *                materialized, so all consumers read blocks), then
+  *                d16FromLabels + s4FromLabels + mix4FromLabels.
+  *
+  * The shared corpus is [[graft.text.TextAnalysis.withSourcedTwins]]
+  * (withNearDups + the source column mix4 groups by — same doc_id/text
+  * set, so the labels are identical relations either way).
   *
   * Usage: SharedLabels <dir-with-documents.parquet>. Two passes; the
   * second (post-JIT) is the recorded one. Results → BASELINE.md.
@@ -31,8 +36,8 @@ object SharedLabels {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def docs = Dedup.withNearDups(
-      spark.read.parquet(s"$dir/documents.parquet"))
+    def raw = spark.read.parquet(s"$dir/documents.parquet")
+    def docs = graft.text.TextAnalysis.withSourcedTwins(raw)
     def timed(label: String)(op: => Unit): Double = {
       val t0 = System.nanoTime()
       op
@@ -41,10 +46,12 @@ object SharedLabels {
       dt
     }
     for (pass <- 1 to 2) {
-      val indep = timed(s"pass$pass independent (d16 full + s4 full)") {
+      val indep = timed(s"pass$pass independent (d16 + s4 + mix4 full)") {
         Dedup.dedupSurvivors(docs).count()
         spark.catalog.clearCache()
         Dedup.clusterSplit(docs).count()
+        spark.catalog.clearCache()
+        graft.text.TextAnalysis.uniqueEpochAllocation(raw).count()
         spark.catalog.clearCache()
       }
       val shared = timed(s"pass$pass shared (pairs+CC once)") {
@@ -52,6 +59,8 @@ object SharedLabels {
           Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
         Dedup.dedupSurvivorsFromLabels(docs, labels).count()
         Dedup.clusterSplitFromLabels(docs, labels).count()
+        graft.text.TextAnalysis
+          .uniqueEpochAllocationFromLabels(docs, labels).count()
         spark.catalog.clearCache()
       }
       println(f"""{"pass": $pass, "independent_sec": $indep%.2f, """ +

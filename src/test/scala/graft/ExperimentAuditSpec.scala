@@ -199,6 +199,25 @@ class ExperimentAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // the CC loop's edge relation
   }
 
+  test("mix4: the FromLabels form is hash-identical to the self-deriving form") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // the composition shape: ONE pair+CC pass, its labels fed to mix4
+    // (exactly as a curation run sharing them with d16/s4 would)
+    val corpus = TextAnalysis.withSourcedTwins(docs)
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(corpus).select(col("doc_a"), col("doc_b")))
+    val shared = TextAnalysis
+      .uniqueEpochAllocationFromLabels(corpus, labels)
+      .collect().map(_.toString).sorted.toSeq
+    val standalone = TextAnalysis.uniqueEpochAllocation(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared === standalone)
+    spark.catalog.clearCache() // the CC loop's edge relation
+  }
+
   test("mix4: an all-duplicates source appears with zero unique mass") {
     import spark.implicits._
     // source b verbatim-copies source a's docs at higher ids: every

@@ -315,4 +315,51 @@ class ValidationSpec extends SparkSpec {
     assert(ok.forall(_.getAs[Boolean]("pass")))
     assert(ok.length === 6)
   }
+
+  test("dq1 rules-as-data: NULL keys are a not-null violation, never duplicates") {
+    import org.apache.spark.sql.types._
+    import Validation._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    // two NULL keys, one real duplicate pair: uniqueness must report
+    // exactly 1 (the non-null excess), the key's not-null rule exactly 2
+    // — the round-10 `n_rows − NDV` form would have booked 3 duplicates
+    val df = mk(schema,
+      Row(null, 1.0), Row(null, 2.0),
+      Row(7L, 3.0), Row(7L, 4.0), Row(8L, 5.0))
+    val out = expectations(df, Seq(
+        RuleUnique("k_unique", "k"), RuleNotNull("k_not_null", "k")))
+      .collect().map(r => r.getAs[String]("rule") ->
+        r.getAs[Long]("n_violations")).toMap
+    assert(out("k_unique") === 1L)
+    assert(out("k_not_null") === 2L)
+  }
+
+  test("dq1 rules-as-data: subsets and reorderings renumber but agree rule-by-rule") {
+    import Validation._
+    val orders = graft.io.Sources.table(spark, sf0001, "orders")
+    val full = expectations(orders, OrdersExpectations).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    // a reversed 3-rule subset: positions renumber 1..3 in declared
+    // order, every per-rule count matches the full suite's
+    val subset = Seq(OrdersExpectations(4), OrdersExpectations(2),
+      OrdersExpectations.head)
+    val out = expectations(orders, subset).collect()
+      .sortBy(_.getAs[Long]("rule_id"))
+    assert(out.map(_.getAs[Long]("rule_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[String]("rule")).toSeq ===
+      subset.map(_.name))
+    out.foreach { r =>
+      assert((r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))
+        === full(r.getAs[String]("rule")), r.getAs[String]("rule"))
+    }
+    // and the generated ORACLE renders from the same values: spot-pin
+    // the rule names and the per-kind violation SQL fragments
+    val sql = expectationsSql("orders", subset)
+    assert(sql.contains("'orderdate_in_range'"))
+    assert(sql.contains("count(o_orderkey) - count(DISTINCT o_orderkey)")
+      === false, "subset omits the uniqueness rule")
+    assert(sql.contains("CASE WHEN o_totalprice IS NULL"))
+  }
 }
