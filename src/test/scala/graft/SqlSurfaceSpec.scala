@@ -238,6 +238,100 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(usesNative[org.apache.spark.sql.graft.HashedShingles](viaSql))
   }
 
+  test("dq1 via spark.sql: the generated fused-agg + stack shape holds as SQL text") {
+    // the rules-as-data operator's generated plan, hand-rendered as the
+    // SQL a config-driven DQ harness would emit: ONE conditional
+    // aggregate (uniqueness riding the same pass's exact NDV), stack()
+    // to the rule grain, the pass flag on top
+    val viaSql = assertParity("dq1_expectations", """
+      SELECT rule_id, rule, n_violations, n_violations = 0L AS pass
+      FROM (
+        SELECT stack(6,
+            1L, 'totalprice_not_null',  v_0,
+            2L, 'totalprice_positive',  v_1,
+            3L, 'status_in_domain',     v_2,
+            4L, 'orderkey_unique',      v_3,
+            5L, 'orderdate_in_range',   v_4,
+            6L, 'priority_format',      v_5
+          ) AS (rule_id, rule, n_violations)
+        FROM (
+          SELECT
+            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1L ELSE 0L END)
+              AS BIGINT) AS v_0,
+            CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+              AND o_totalprice <= 0.0D THEN 1L ELSE 0L END)
+              AS BIGINT) AS v_1,
+            CAST(sum(CASE WHEN NOT coalesce(
+              o_orderstatus IN ('F', 'O', 'P'), false)
+              THEN 1L ELSE 0L END) AS BIGINT) AS v_2,
+            CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+              AS BIGINT) AS v_3,
+            CAST(sum(CASE WHEN NOT coalesce(
+              o_orderdate >= to_timestamp('1990-01-01 00:00:00') AND
+              o_orderdate < to_timestamp('2030-01-01 00:00:00'), false)
+              THEN 1L ELSE 0L END) AS BIGINT) AS v_4,
+            CAST(sum(CASE WHEN NOT coalesce(
+              o_orderpriority RLIKE '^[1-5]-', false)
+              THEN 1L ELSE 0L END) AS BIGINT) AS v_5
+          FROM orders) fused) stacked""")
+    // the whole suite is ONE scan — a per-rule pass would show here
+    // (assertParity executed the query, so the AQE string carries both
+    // the final and initial plans — count in the final section only)
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
+  test("trn1 via spark.sql: the literal-weight-map training loop runs as SQL text") {
+    import graft.text.TextAnalysis._
+    val b = PtronBuckets.toLong
+    val clfArr = s"array(${ClfWeights.mkString("L, ")}L)"
+    // feats: hashed tokens + the t12-distilled label — token_hashes is
+    // the NATIVE TokenRollHashes expression, resolved via the extensions
+    val featsSql = s"""
+      SELECT th,
+        CASE WHEN aggregate(th, 0L, (a, h) -> a + element_at($clfArr,
+          CAST(pmod(h, ${ClfBuckets}L) AS INT) + 1)) > 0L
+        THEN 1L ELSE -1L END AS y
+      FROM (SELECT token_hashes(${toksSql("text")}) AS th
+            FROM documents) hashed"""
+    assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](
+      ext.sql(s"SELECT * FROM ($featsSql)")))
+    // the SQL-only user's loop: each round inlines the CURRENT weights
+    // as a literal map in the round's mistake-aggregation SQL (exactly
+    // the typedlit map the DataFrame operator builds), updates driver-
+    // side with the identical truncating-division rule, repeats
+    var w: Map[Long, Long] = (0L to b).map(_ -> 0L).toMap
+    for (k <- 1 to PtronIters) {
+      val wlit = s"map(${
+        (0L to b).map(bk => s"${bk}L, ${w(bk)}L").mkString(", ")})"
+      val deltas = ext.sql(s"""
+        SELECT bucket, CAST(sum(y) AS BIGINT) AS delta,
+          count(1) AS occ
+        FROM (
+          SELECT explode(concat(transform(th, h -> pmod(h, ${b}L)),
+            array(${b}L))) AS bucket, y
+          FROM ($featsSql) feats
+          WHERE y * (aggregate(th, 0L,
+              (a, h) -> a + element_at($wlit, pmod(h, ${b}L)))
+            + element_at($wlit, ${b}L)) <= 0L) mistakes
+        GROUP BY bucket""").collect()
+      val m = deltas.find(_.getLong(0) == b).map(_.getLong(2))
+        .getOrElse(0L)
+      if (m > 0L) {
+        val div = m * (1L << k)
+        w = w ++ deltas.map { r =>
+          val q = r.getLong(1) * PtronScale / div
+          r.getLong(0) -> (w(r.getLong(0)) + q)
+        }
+      }
+    }
+    // the SQL loop trains the EXACT weights the DataFrame operator does
+    val api = SparkEntry.queries("trn1_perceptron")(ext, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(api === w)
+  }
+
   test("extensions registry: functions resolve ONLY through GraftExtensions") {
     // the base test session never injected them — proves resolution rides
     // the extension, not some global registry side effect
