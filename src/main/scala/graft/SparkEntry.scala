@@ -1156,6 +1156,22 @@ object SparkEntry {
         intervalSec = 1800L, watermark = "1 hour")
     }),
 
+    // E169 (E8): stream-stream LEFT OUTER interval join — e7's outer
+    // form: EVERY purchase emitted, attributed clicks attached, and the
+    // unmatched purchases (no same-user click in the preceding 30 min —
+    // the organic-conversion rows attribution actually acts on) kept
+    // with NULL click columns. Streaming, an unmatched purchase emits
+    // only when the watermark closes its interval — the same moment its
+    // state evicts (StreamingAggSpec pins the closure parity); batch,
+    // the identical body is a plain left outer join with range bounds.
+    "e8_attribution_outer" -> ((s, d) => {
+      val ev = Sources.table(s, d, "events")
+      graft.streaming.WindowedAgg.purchaseClickJoinOuter(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        intervalSec = 1800L, watermark = "1 hour")
+    }),
+
     "e2_windowed_event_agg" -> ((s, d) => {
       val ev = Sources.table(s, d, "events")
       ev.select(timestamp_micros(Sources.epochUs(ev)).as("t"),
@@ -3513,6 +3529,16 @@ object SparkEntry {
       SELECT p.event_id AS purchase_id, p.user_id,
         c.event_id AS click_id, p.t AS p_epoch, c.t AS c_epoch
       FROM p JOIN c ON c.user_id = p.user_id
+        AND c.t <= p.t AND c.t >= p.t - 1800""",
+
+    "e8_attribution_outer" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id, p.user_id,
+        c.event_id AS click_id, p.t AS p_epoch, c.t AS c_epoch
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
         AND c.t <= p.t AND c.t >= p.t - 1800""",
 
     "a1c_category_kpi_compat" -> s"""$ctes,

@@ -70,7 +70,30 @@ object WindowedAgg {
     * Inputs use the testdata shape: `event_id`, `user_id`, `ts`
     * (timestamp or epoch-nanos long), `event_type`. */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-      intervalSec: Long, watermark: String): DataFrame = {
+      intervalSec: Long, watermark: String): DataFrame =
+    purchaseClickJoinType(purchases, clicks, intervalSec, watermark,
+      "inner")
+
+  /** E169 (E8): the LEFT OUTER form — every purchase emitted, attributed
+    * clicks attached, and purchases with NO prior click in the interval
+    * kept with NULL click columns. Those unmatched rows are the ones a
+    * funnel/attribution pipeline actually acts on (organic conversions,
+    * broken tracking), and the outer form is the remaining stateful
+    * stream-stream join shape Structured Streaming offers: an unmatched
+    * purchase is emitted ONLY once the watermark passes the end of its
+    * interval — no future click could still match — which is exactly
+    * when its state-store row evicts (the null-emission and the
+    * eviction are the same event). Same body in batch (watermarks
+    * no-op, the planner sees a plain left outer join with range
+    * bounds); StreamingAggSpec pins the watermark-closure parity. */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      intervalSec: Long, watermark: String): DataFrame =
+    purchaseClickJoinType(purchases, clicks, intervalSec, watermark,
+      "left_outer")
+
+  private def purchaseClickJoinType(purchases: DataFrame,
+      clicks: DataFrame, intervalSec: Long, watermark: String,
+      joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"),
@@ -84,7 +107,8 @@ object WindowedAgg {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS"),
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("click_id"),
         unix_timestamp(col("p_ts")).as("p_epoch"),

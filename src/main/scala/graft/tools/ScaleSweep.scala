@@ -233,6 +233,9 @@ object ScaleSweep {
     // fan-out adds new users in disjoint time ranges, so both sides
     // grow ×N with no cross-copy pairs — expect linear, flat, output ×N
     "e7_click_purchase_join",
+    // e8 = e7's left outer form: same join, plus the unmatched-purchase
+    // rows (also ×N under the fan-out) — expect e7's curve, output ×N
+    "e8_attribution_outer",
     // n10 = two n1-shape broadcast passes (fixed 32-query side) over a
     // ×N corpus + a k-bounded semi-join — expect linear like n1/n6,
     // constant 32-row output; f19 = f15's touch join at purchase grain

@@ -98,6 +98,58 @@ class StreamingAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: watermark closure emits the unmatched purchase") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft-ssoj")
+    val pDir = stage.resolve("p").toString
+    val cDir = stage.resolve("c").toString
+    def nanos(sec: Long): Long = sec * 1000000000L
+    def mk(rows: Seq[(Long, Long, Long, String)], path: String): Unit =
+      rows.map { case (id, t, u, et) => (id, nanos(t), u, et) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.parquet(path)
+    // user 10's purchase has a click 1000 s earlier (inside the 1800 s
+    // interval) -> matches; user 11's purchase has NO click -> the row
+    // the outer form exists for
+    val purchases = Seq((100L, 2000L, 10L, "purchase"),
+      (101L, 2000L, 11L, "purchase"))
+    val clicks = Seq((200L, 1000L, 10L, "click"))
+    mk(purchases, s"$pDir/a_data")
+    mk(clicks, s"$cDir/a_data")
+    val batchOut = WindowedAgg.purchaseClickJoinOuter(
+        spark.read.parquet(s"$pDir/*"), spark.read.parquet(s"$cDir/*"),
+        intervalSec = 1800L, watermark = "1 hour")
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchOut.exists(_ == "[100,10,200,2000,1000]"),
+      s"matched pair missing: $batchOut")
+    assert(batchOut.exists(_ == "[101,11,null,2000,null]"),
+      s"unmatched purchase missing: $batchOut")
+
+    // streaming: the unmatched purchase may only emit once the GLOBAL
+    // watermark (min across both sides) closes its interval — sentinels
+    // far in the future on BOTH sides, arriving in later micro-batches
+    // (maxFilesPerTrigger=1), advance it; the sentinel purchase's own
+    // interval never closes, so it stays in state and never emits
+    mk(Seq((-2L, 1000000L, -2L, "purchase")), s"$pDir/b_sentinel")
+    mk(Seq((-1L, 1000000L, -1L, "click")), s"$cDir/b_sentinel")
+    val schema = spark.read.parquet(s"$pDir/a_data").schema
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = WindowedAgg.purchaseClickJoinOuter(stream(pDir), stream(cDir),
+        intervalSec = 1800L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.sql("SELECT * FROM ssoj_out")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamOut === batchOut,
+        "watermark closure must emit exactly the batch result " +
+          s"(stream $streamOut vs batch $batchOut)")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg over the events table matches batch") {
     val dir = s"$sf0001/events.parquet"
     val batchOut = WindowedAgg.eventTypeWindows(
