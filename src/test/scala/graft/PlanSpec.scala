@@ -343,6 +343,88 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(r_name,ASIA)"), p.take(2000))
   }
 
+  test("heavy-pack gate: the 10 most expensive queries keep their pinned plan features") {
+    // The round-10 er3 lesson, prevented rather than re-measured: a
+    // refactor must not silently trade away a broadcast, a persist, a
+    // bounded rank, an anti-join split, or lineage truncation on the
+    // queries where those features ARE the 100-TB story. One table, one
+    // row per query from the bench top-10; the failure message names
+    // the query and the lost feature. Plans are the pre-execution AQE
+    // string at sf0.001 — deterministic at fixed SF.
+    def has(tok: String): String => Boolean = _.contains(tok)
+    def lacks(tok: String): String => Boolean = !_.contains(tok)
+    val pins: Seq[(String, Seq[(String, String => Boolean)])] = Seq(
+      "g3_hub_hops" -> Seq(
+        "reads only checkpointed hop relations (Scan ExistingRDD)" ->
+          has("Scan ExistingRDD"),
+        "lineage truncated: no corpus rescan in the final plan" ->
+          lacks("FileScan")),
+      "d2_ngram_jaccard" -> Seq(
+        // the documented quadratic exhibit is quadratic in CANDIDATES,
+        // never a cross join: pairs come from a shingle equi-join
+        "shingle candidates via equi-join, not CartesianProduct" ->
+          lacks("CartesianProduct"),
+        "no nested-loop fallback" -> lacks("BroadcastNestedLoopJoin")),
+      "g1_product_pagerank" -> Seq(
+        "edge relation persisted once (InMemoryTableScan)" ->
+          has("InMemoryTableScan"),
+        "integer rounds never sort globally" ->
+          lacks("Exchange rangepartitioning"),
+        "no cross-join shapes" -> lacks("CartesianProduct")),
+      "d16_dedup_survivors" -> Seq(
+        "singletons split off via label anti-join" -> has("LeftAnti"),
+        "election window partitioned by cluster_id" ->
+          has("windowspecdefinition(cluster_id"),
+        "corpus never globally sorts" ->
+          lacks("Exchange rangepartitioning")),
+      "d7_jaccard_dfcap" -> Seq(
+        "DF-capped join-backs stay broadcast" -> has("BroadcastHashJoin"),
+        "no shuffled join at smoke SF (lost broadcast hint)" ->
+          lacks("SortMergeJoin"),
+        "no cross-join shapes" -> lacks("CartesianProduct")),
+      "mix4_unique_epoch_alloc" -> Seq(
+        "survivor election is WindowGroupLimit-bounded" ->
+          has("WindowGroupLimit"),
+        "singletons split off via label anti-join" -> has("LeftAnti"),
+        "no global range sort (the er3 lesson)" ->
+          lacks("Exchange rangepartitioning")),
+      "ir1_retrieval_metrics" -> Seq(
+        "ranked retrieval is WindowGroupLimit-bounded" ->
+          has("WindowGroupLimit"),
+        "postings base persisted once (InMemoryTableScan)" ->
+          has("InMemoryTableScan"),
+        "query side broadcasts" -> (p =>
+          p.contains("BroadcastHashJoin") ||
+            p.contains("BroadcastNestedLoopJoin"))),
+      "d9_dup_clusters" -> Seq(
+        "labels read from the checkpointed CC output" ->
+          has("Scan ExistingRDD"),
+        "cluster summary join broadcasts" -> has("BroadcastHashJoin"),
+        "no cross-join shapes" -> lacks("CartesianProduct")),
+      "g2_triangle_count" -> Seq(
+        "adjacency persisted once (InMemoryTableScan)" ->
+          has("InMemoryTableScan"),
+        "triangle enumeration stays an equi-join" ->
+          (p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"))),
+      "er2_golden_records" -> Seq(
+        "block-bounded election (WindowGroupLimit)" ->
+          has("WindowGroupLimit"),
+        "labels read from the checkpointed CC output" ->
+          has("Scan ExistingRDD"),
+        "no global range sort (the er3 lesson)" ->
+          lacks("Exchange rangepartitioning")))
+    val failures = pins.flatMap { case (q, feats) =>
+      spark.catalog.clearCache()
+      val p = planOf(q)
+      spark.catalog.clearCache()
+      feats.collect { case (feature, ok) if !ok(p) =>
+        s"$q lost its pinned feature: $feature"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("metadata-only media query prunes the payload column") {
     // another suite may have cached the media corpus; a cached relation's
     // stored plan contains the payload expression regardless of pruning
