@@ -240,8 +240,38 @@ object EntityResolution {
             .orderBy(col("sk"), col("c_custkey"))).cast("long")).as("rn"))
   }
 
+  /** The pass ladder for the recall curve: sort keys in the order a
+    * pipeline would add them (Hernández–Stolfo's multi-pass rule —
+    * keys are built from record FIELDS, and key design dominates window
+    * size). 1 = the name itself; 2 = + the reversed name (leading-typo
+    * pairs sort adjacent); 3 = + the block-prefixed name and 4 = + the
+    * block-prefixed reversed name (the er1-comparable configuration:
+    * er1's ground truth lives inside (nationkey, segment) blocks, and a
+    * sort that doesn't lead with the block fields scatters same-block
+    * pairs ~|corpus|/|blocks| ranks apart — the measured recall wall in
+    * BASELINE.md; a mid-rotation third key was measured adding ZERO
+    * pairs over 1+2 and is recorded there as the negative result). The
+    * default operator runs the first two; BASELINE.md measures 1–4. */
+  def snmKeys(passes: Int): Seq[Column] = {
+    val block = concat(col("c_nationkey").cast("string"), lit("|"),
+      col("c_mktsegment"), lit("|"))
+    Seq(col("c_name"),
+      reverse(col("c_name")),
+      concat(block, col("c_name")),
+      concat(block, reverse(col("c_name")))).take(passes)
+  }
+
   def sortedNeighborhoodPairs(customers: DataFrame,
+      window: Int = SnmWindow, maxDist: Int = ErMaxDist): DataFrame =
+    sortedNeighborhoodPairsKeys(customers, snmKeys(2), window, maxDist)
+
+  /** The keys-parameterized form: any non-empty, independently chosen
+    * sort-key set drives the same pass/union/dedup body — more passes
+    * buy window-local recall at one extra rank+join each (the published
+    * SNM knob; the measured recall curve is in BASELINE.md). */
+  def sortedNeighborhoodPairsKeys(customers: DataFrame, keys: Seq[Column],
       window: Int = SnmWindow, maxDist: Int = ErMaxDist): DataFrame = {
+    require(keys.nonEmpty, "sorted-neighborhood matching needs >= 1 pass")
     def pass(sortKey: Column): DataFrame = {
       val s = globalRank(customers, sortKey)
       val probes = s.select(col("c_custkey").as("ka"),
@@ -254,8 +284,7 @@ object EntityResolution {
           levenshtein(col("na"), col("nb")).cast("long").as("edit_dist"))
         .where(col("edit_dist") <= maxDist)
     }
-    pass(col("c_name"))
-      .unionByName(pass(reverse(col("c_name"))))
+    keys.map(pass).reduce(_ unionByName _)
       .groupBy(col("custkey_a"), col("custkey_b"))
       // distance is a function of the pair — min() is dedup, not choice
       .agg(min(col("edit_dist")).as("edit_dist"))

@@ -156,6 +156,34 @@ class EntityResolutionSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("er3: window-local recall floor vs er1's blocked ground truth") {
+    // the round-10 verdict's measurement, spec-pinned at smoke SF (the
+    // full passes x window curve is in BASELINE.md): counts are exact —
+    // candidates and distances are integer-deterministic, so these are
+    // equalities, not tolerances. The truth count is asserted first so
+    // a fixture regeneration fails loudly rather than silently.
+    import org.apache.spark.sql.functions.col
+    val customers = spark.read.parquet(s"$sf0001/customer.parquet")
+    val truth = EntityResolution.entityMatchPairs(customers)
+      .select(col("custkey_a"), col("custkey_b")).localCheckpoint(true)
+    assert(truth.count() === 58L)
+    def recalled(passes: Int, window: Int): Long =
+      EntityResolution.sortedNeighborhoodPairsKeys(
+          customers, EntityResolution.snmKeys(passes), window)
+        .join(truth, Seq("custkey_a", "custkey_b"), "left_semi").count()
+    // the shipped default (2 block-blind passes, window 5): the
+    // documented window-local tradeoff, quantified — same-block truth
+    // pairs sort ~|corpus|/|blocks| ranks apart, so recall is LOW
+    assert(recalled(2, EntityResolution.SnmWindow) === 10L)
+    // window and passes are both monotone recall knobs
+    assert(recalled(2, 2) === 5L)
+    assert(recalled(2, 10) === 19L)
+    // the block-aware third pass (key DESIGN, the published fix that
+    // dominates window size) closes the blocked truth completely here
+    assert(recalled(3, EntityResolution.SnmWindow) === 58L)
+    spark.catalog.clearCache()
+  }
+
   test("er3: candidate volume is bounded by passes x window x n (linear)") {
     // output pairs are a subset of the probe relation, which is exactly
     // `window` exploded ranks per record per pass — never a block
