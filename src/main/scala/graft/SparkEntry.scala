@@ -29,6 +29,22 @@ object SparkEntry {
 
   // -- reference-shaped inputs (FIXTURES.md §4 mapping) ---------------------
   private def o(s: SparkSession, d: String) = RefShape.orders(s, d)
+
+  /** cdf1/cdc1's shared snapshot pair (ONE definition — the feed and its
+    * apply must diff the same relations): %5==4 withheld from the old
+    * side (inserts), %7==2 from the new side (deletes), %3==0 price-
+    * bumped (update pairs). */
+  private def cdfSnapshots(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ords = o(s, d).select(col("order_id"), col("status"),
+      col("total_price"))
+    val oldS = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
+    val newS = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
+      .withColumn("total_price",
+        when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
+          .otherwise(col("total_price")))
+    (oldS, newS)
+  }
   private def oi(s: SparkSession, d: String) = RefShape.orderItems(s, d)
   private def p(s: SparkSession, d: String) = RefShape.products(s, d)
 
@@ -244,15 +260,26 @@ object SparkEntry {
     // from the old side (inserts), %7==2 from the new side (deletes),
     // %3==0 gets a price bump (update pairs).
     "cdf1_store_changes" -> ((s, d) => {
-      val ords = o(s, d).select(col("order_id"), col("status"),
-        col("total_price"))
-      val oldS = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
-      val newS = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
-        .withColumn("total_price",
-          when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
-            .otherwise(col("total_price")))
+      val (oldS, newS) = cdfSnapshots(s, d)
       ChangeFeed.diff(oldS, newS, Seq("order_id"),
         Seq("status", "total_price"))
+    }),
+
+    // E170 (CDC1): CDC APPLY — the consumer side of cdf1, closing the
+    // feed→apply loop E77/E78 document: the SAME diff(A, B) feed applied
+    // to the SCD2 dimension bootstrapped from snapshot A — postimages +
+    // inserts merge through m2's one definition, deletes CLOSE their
+    // open version. Invariant (spec-pinned): the result's current slice
+    // IS snapshot B row-for-row, and A still resolves as of D0. The
+    // foreachBatch streaming twin (streaming/CdcApply, BatchStore
+    // latest-snapshot protocol) replays disjoint-key chunks to the
+    // identical dimension.
+    "cdc1_apply_feed" -> ((s, d) => {
+      val (oldS, newS) = cdfSnapshots(s, d)
+      val feed = ChangeFeed.diff(oldS, newS, Seq("order_id"),
+        Seq("status", "total_price"))
+      Scd2.applyFeed(Scd2.init(oldS, Scd2.D0), feed,
+        Seq("order_id"), Seq("status", "total_price"), Scd2.D1)
     }),
 
     // ---- training-data pipeline extensions (SURVEY.md §2.11) --------------
@@ -2578,6 +2605,52 @@ object SparkEntry {
       SELECT b.order_id, b.status, b.total_price,
         'update_postimage' AS change_type
       FROM snapb b JOIN upd USING (order_id)""",
+
+    // cdc1 oracle: the applied dimension decomposed as UNION ALL arms
+    // (the m2 oracle convention) — closed updates, reopened updates,
+    // inserts, closed deletes, untouched — over the same snapshot CTEs
+    // as cdf1.
+    "cdc1_apply_feed" -> s"""$ctes,
+      snapa AS (SELECT order_id, status, total_price FROM o
+        WHERE order_id % 5 <> 4),
+      snapb AS (SELECT order_id, status,
+        CASE WHEN order_id % 3 = 0 THEN total_price + 1.0
+             ELSE total_price END AS total_price
+        FROM o WHERE order_id % 7 <> 2),
+      upd AS (SELECT a.order_id FROM snapa a JOIN snapb b USING (order_id)
+        WHERE a.status IS DISTINCT FROM b.status
+           OR a.total_price IS DISTINCT FROM b.total_price),
+      ins AS (SELECT b.order_id FROM snapb b
+        ANTI JOIN snapa a USING (order_id)),
+      del AS (SELECT a.order_id FROM snapa a
+        ANTI JOIN snapb b USING (order_id))
+      SELECT a.order_id, a.status, a.total_price,
+        '${graft.merge.Scd2.D0}' AS valid_from,
+        '${graft.merge.Scd2.D1}' AS valid_to, false AS is_current
+      FROM snapa a JOIN upd USING (order_id)
+      UNION ALL
+      SELECT b.order_id, b.status, b.total_price,
+        '${graft.merge.Scd2.D1}' AS valid_from,
+        CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+      FROM snapb b JOIN upd USING (order_id)
+      UNION ALL
+      SELECT b.order_id, b.status, b.total_price,
+        '${graft.merge.Scd2.D1}' AS valid_from,
+        CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+      FROM snapb b JOIN ins USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price,
+        '${graft.merge.Scd2.D0}' AS valid_from,
+        '${graft.merge.Scd2.D1}' AS valid_to, false AS is_current
+      FROM snapa a JOIN del USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price,
+        '${graft.merge.Scd2.D0}' AS valid_from,
+        CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+      FROM snapa a
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.order_id = a.order_id)
+        AND NOT EXISTS (SELECT 1 FROM del dl
+          WHERE dl.order_id = a.order_id)""",
 
     // ---- training-data pipeline extension oracles -------------------------
 

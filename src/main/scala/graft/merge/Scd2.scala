@@ -91,6 +91,44 @@ object Scd2 {
     history.unionByName(emitted)
   }
 
+  /** E170 (CDC1): apply a CHANGE DATA FEED to the SCD2 dimension — the
+    * consumer side of [[graft.pipeline.ChangeFeed.diff]], closing the
+    * feed→apply loop E77/E78 document: the feed's `insert` and
+    * `update_postimage` rows are the upsert batch (preimages are for
+    * aggregate-reversing consumers, not state re-appliers — dropped
+    * here), merged through [[merge]] unchanged; `delete` rows CLOSE the
+    * key's open version (`valid_to` = batchDate, `is_current` = false) —
+    * the case merge's partial-batch semantics deliberately leave open,
+    * composed here exactly as merge's scaladoc prescribes (a
+    * pre-computed deletion batch). Invariant (spec-pinned): after
+    * applying `diff(A, B)` to an SCD2 table whose current slice is A,
+    * the current slice IS B, row for row — and A is still resolvable
+    * as of the prior date.
+    *
+    * Scale shape: merge's one full-outer join on the key, plus ONE
+    * left join against the delete-key set — which sizes with the
+    * feed's churn, not the table (AQE broadcasts it when it fits).
+    * Disjoint-key feed chunks commute: applying a key-partitioned feed
+    * chunk-by-chunk at one date equals the single apply (what makes
+    * the foreachBatch form exact — streaming/CdcApply). */
+  def applyFeed(dim: DataFrame, feed: DataFrame, keys: Seq[String],
+      tracked: Seq[String], batchDate: String): DataFrame = {
+    val cols = keys ++ tracked
+    val upserts = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select(cols.map(col): _*)
+    val delKeys = feed.filter(col("change_type") === "delete")
+      .select(keys.map(col): _*).withColumn("__del", lit(true))
+    Scd2.merge(dim, upserts, keys, tracked, batchDate)
+      .join(delKeys, keys, "left")
+      .select(cols.map(col) ++ Seq(
+        col("valid_from"),
+        when(coalesce(col("__del"), lit(false)) && col("is_current"),
+          lit(batchDate)).otherwise(col("valid_to")).as("valid_to"),
+        when(coalesce(col("__del"), lit(false)) && col("is_current"),
+          lit(false)).otherwise(col("is_current")).as("is_current")): _*)
+  }
+
   /** Bootstrap an SCD2 table from an initial snapshot: every row opens at
     * `loadDate`. */
   def init(snapshot: DataFrame, loadDate: String): DataFrame =

@@ -167,6 +167,13 @@ object ScaleSweep {
     "c4_semantic_decon", "mix3_epoch_alloc",
     // ir1 = t15 over the twinned ×N corpus + an O(1) aggregate
     "ir1_retrieval_metrics",
+    // rrf1 = one t15 lexical rank + one n1-shape dense rank over the
+    // same fixed query set, fused on (query, doc) — expect the max of
+    // the two components' curves (linear), constant fused top-k output
+    "rrf1_hybrid_fusion",
+    // cdc1 = cdf1's feed + ONE keyed full-outer (the m2 shape) + a
+    // churn-sized delete join — expect cdf1's linear curve, output ~×N
+    "cdc1_apply_feed",
     // t20's pair/marginal tables ride the vocabulary (×N under the
     // open-vocab fan-out) with a linear bigram stream and a bounded
     // top-k — the lm1 shape with readable tokens (expect linear, flat)

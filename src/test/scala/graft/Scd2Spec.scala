@@ -92,4 +92,79 @@ class Scd2Spec extends SparkSpec {
       (col("valid_to").isNull || col("valid_to") > "2024-02-15"))
     assert(asof.count() === 1 && asof.head.getString(1) === "v1")
   }
+
+  test("cdc1: applying diff(A, B) makes the current slice exactly B; A resolves as-of D0") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val applied = SparkEntry.queries("cdc1_apply_feed")(spark, dir)
+      .localCheckpoint(true)
+    // reconstruct snapshot B independently (the cdf1 new side)
+    val ords = graft.io.RefShape.orders(spark, dir)
+      .select(col("order_id"), col("status"), col("total_price"))
+    val snapB = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
+      .withColumn("total_price",
+        when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
+          .otherwise(col("total_price")))
+    val current = applied.filter(col("is_current"))
+      .select(col("order_id"), col("status"), col("total_price"))
+    assert(current.count() === snapB.count())
+    assert(current.exceptAll(snapB).isEmpty &&
+      snapB.exceptAll(current).isEmpty,
+      "the applied dimension's current slice must BE snapshot B")
+    // snapshot A resolves as of D0: one version per A key covers D0
+    val snapA = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
+    val asOfD0 = applied.filter(col("valid_from") <= Scd2.D0 &&
+        (col("valid_to").isNull || col("valid_to") > Scd2.D0))
+      .select(col("order_id"), col("status"), col("total_price"))
+    assert(asOfD0.exceptAll(snapA).isEmpty &&
+      snapA.exceptAll(asOfD0).isEmpty,
+      "snapshot A must still resolve as of D0")
+    // deleted keys: closed at D1, no open version
+    val delKeys = snapA.join(snapB, Seq("order_id"), "left_anti")
+      .select(col("order_id"))
+    val delOpen = applied.join(delKeys, Seq("order_id"), "left_semi")
+      .filter(col("is_current"))
+    assert(delOpen.isEmpty, "deleted keys must hold no open version")
+  }
+
+  test("cdc1 streaming: disjoint-key feed chunks replay to the identical dimension") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcApply
+    val dir = "/root/testdata/sf0.001"
+    val batchApplied = SparkEntry.queries("cdc1_apply_feed")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // the same feed split into two disjoint-KEY chunks (the CDC-source
+    // contract: a key's change record arrives whole), driven through
+    // the foreachBatch body against the BatchStore snapshot protocol
+    val ords = graft.io.RefShape.orders(spark, dir)
+      .select(col("order_id"), col("status"), col("total_price"))
+    val snapA = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
+    val snapB = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
+      .withColumn("total_price",
+        when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
+          .otherwise(col("total_price")))
+    val feed = graft.pipeline.ChangeFeed.diff(snapA, snapB,
+      Seq("order_id"), Seq("status", "total_price")).localCheckpoint(true)
+    val dim0 = Scd2.init(snapA, Scd2.D0)
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-dim").toString
+    val keys = Seq("order_id"); val tracked = Seq("status", "total_price")
+    // both chunks stamp D1 — chunking must not change the result
+    def chunk(par: Int) = feed.filter(pmod(col("order_id"), lit(2)) === par)
+    CdcApply.processBatch(chunk(0), 0L, dimDir, dim0, keys, tracked,
+      _ => Scd2.D1)
+    CdcApply.processBatch(chunk(1), 1L, dimDir, dim0, keys, tracked,
+      _ => Scd2.D1)
+    val streamed = CdcApply.readLatest(spark, dimDir).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batchApplied,
+      "two-chunk foreachBatch apply must equal the single batch apply")
+    // replay: re-running batch 1 overwrites its own output, reads only
+    // batch 0 as prior state — the final dimension is unchanged
+    CdcApply.processBatch(chunk(1), 1L, dimDir, dim0, keys, tracked,
+      _ => Scd2.D1)
+    val replayed = CdcApply.readLatest(spark, dimDir).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed === batchApplied, "replayed batch id must be a no-op")
+  }
 }
