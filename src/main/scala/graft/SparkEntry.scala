@@ -503,6 +503,17 @@ object SparkEntry {
     // stratum-keyed shuffle + per-group sort); when strata are huge and
     // approximate rates suffice, mix1's hash-cutoff is the sort-free
     // scale path — the two bound the accuracy/cost trade.
+    // E171 (S6): WEIGHTED reservoir sampling — fixed-budget PPS-without-
+    // replacement (k docs, selection ~ token mass), the bounded-memory
+    // sibling of the fixed-RATE hash samplers (t5/s1/mix1). The
+    // Efraimidis–Spirakis race run on INTEGER unit draws (weight =
+    // 1 + tokens DIV 64; doc key = min unit hash) — float u^(1/w) keys
+    // would fork the oracle hash on libm-vs-JVM pow, integers cannot.
+    // Selection is TakeOrderedAndProject (plan-pinned): every partition
+    // keeps ≤ k rows — the textbook distributed reservoir.
+    "s6_weighted_reservoir" -> ((s, d) =>
+      TextAnalysis.weightedReservoir(Sources.table(s, d, "documents"))),
+
     "s1_stratified_sample" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
@@ -2678,6 +2689,7 @@ object SparkEntry {
     "t16_fertility" -> TextAnalysis.fertilityAuditSql(),
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
+    "s6_weighted_reservoir" -> TextAnalysis.weightedReservoirSql(),
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
     "s1_stratified_sample" -> """

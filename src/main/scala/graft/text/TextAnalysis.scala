@@ -382,6 +382,73 @@ object TextAnalysis {
         WHEN 1 THEN '40' WHEN 2 THEN '80' WHEN 3 THEN 'c0'
         ELSE 'zz' END)"""
 
+  // ---- S6 (E171): weighted reservoir sampling ------------------------------
+
+  val ReservoirK = 100
+  /** Tokens per weight unit: weight = 1 + n_tokens DIV 64, so a doc's
+    * selection probability is ~proportional to its token mass at unit
+    * granularity while Σweights (the draw volume) stays ~n_docs-scale. */
+  val ReservoirUnit = 64L
+  /** Odd multipliers for the unit-draw hash (Knuth/Fibonacci-style);
+    * arithmetic stays under 2^63: (HashP−1)·RaceA ≈ 1.3e18. */
+  val RaceA = 1315423911L
+  val RaceB = 2654435761L
+
+  /** S6 (E171): WEIGHTED reservoir sampling — probability-proportional-
+    * to-size without replacement, the bounded-memory sibling of the
+    * hash samplers (t5/s1/mix1 sample at fixed RATES; training-data
+    * curation more often needs a fixed BUDGET k with long documents
+    * favored by their token mass). The Efraimidis–Spirakis scheme ranks
+    * items by a weight-tempered random key; its float form
+    * (`u^(1/w)` / exponential clocks via `ln`) would fork the oracle
+    * hash on libm-vs-JVM transcendentals (the t19/t10 rule: no log in
+    * compared output), so the race runs on INTEGER unit draws instead:
+    * weight w = 1 + tokens DIV [[ReservoirUnit]] explodes into w unit
+    * draws, each draw hashes to `(doc_id % P)·A + j·B mod P`, the doc's
+    * race key is its MINIMUM draw, and the k smallest keys win. By
+    * draw-level symmetry P(doc holds the global minimum) = w/Σw
+    * exactly, and ranking by per-doc minima IS the sequential race —
+    * successive-sampling PPS-WOR — up to hash collisions (P = 1e9+7;
+    * ties break on doc_id, both engines).
+    *
+    * Scale shape: the explode is Σw ≈ n_docs·(mean_tokens/64) narrow
+    * integer rows; the min is a map-side-combined doc-grain aggregate;
+    * the selection is top-k by (key, doc_id) — TakeOrderedAndProject
+    * (plan-pinned): every partition keeps at most k rows, the driver
+    * merges P·k — the textbook distributed reservoir, never a global
+    * sort. Deterministic: same inputs, same sample, any partitioning. */
+  def weightedReservoir(docs: DataFrame, k: Int = ReservoirK): DataFrame =
+    docs
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        (lit(1L) + expr(s"n_tokens DIV $ReservoirUnit")).as("weight"))
+      .select(col("doc_id"), col("weight"),
+        explode(sequence(lit(1L), col("weight"))).as("j"))
+      .groupBy(col("doc_id"), col("weight"))
+      .agg(min(pmod(pmod(col("doc_id"), lit(HashP)) * lit(RaceA) +
+        col("j") * lit(RaceB), lit(HashP))).as("race_key"))
+      .orderBy(col("race_key").asc, col("doc_id").asc)
+      .limit(k)
+
+  /** S6 oracle: the identical integer race in DuckDB. */
+  def weightedReservoirSql(k: Int = ReservoirK): String = s"""
+    WITH w AS (
+      SELECT doc_id,
+        1 + len(${tokensSql(normSql("text"))})::BIGINT // $ReservoirUnit
+          AS weight
+      FROM documents),
+    draws AS (
+      SELECT doc_id, weight,
+        unnest(generate_series(1, weight)) AS j
+      FROM w),
+    keys AS (
+      SELECT doc_id, weight,
+        min(((doc_id % $HashP) * $RaceA + j * $RaceB) % $HashP)
+          AS race_key
+      FROM draws GROUP BY 1, 2)
+    SELECT doc_id, weight, race_key
+    FROM keys ORDER BY race_key ASC, doc_id ASC LIMIT $k"""
+
   def weightedSampleAudit(docs: DataFrame): DataFrame = {
     val cut = mixCut
     val bucket = substring(docIdHash(col("doc_id")), 1, 2)

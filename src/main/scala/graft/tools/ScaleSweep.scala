@@ -250,7 +250,11 @@ object ScaleSweep {
     "n10_matryoshka_audit", "f19_multi_touch",
     // dq1 = ONE fused conditional aggregate over the fanned orders
     // (uniqueness = the same pass's exact NDV) — linear, flat, 6 rows
-    "dq1_expectations")
+    "dq1_expectations",
+    // s6 = one narrow integer explode (~n_docs·mean_tokens/64 rows) +
+    // a map-side-combined min + TakeOrderedAndProject — expect linear,
+    // flat 3 jobs, constant k-row output
+    "s6_weighted_reservoir")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

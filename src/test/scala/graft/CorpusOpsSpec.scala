@@ -433,6 +433,48 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s6: the reservoir is the exact bottom-k of the integer race, any partitioning") {
+    import graft.text.TextAnalysis._
+    import graft.functions.TextFunctions.HashP
+    val out = TextAnalysis.weightedReservoir(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === ReservoirK)
+    // independent recompute in plain Scala: same weights, same unit
+    // draws, same min-key ranking — the sample must be bit-identical
+    val expected = docs.select(col("doc_id"),
+        size(expr("""CASE WHEN lower(trim(regexp_replace(text,
+          '[\t-\r ]+', ' '))) = '' THEN CAST(array() AS ARRAY<STRING>)
+          ELSE split(lower(trim(regexp_replace(text, '[\t-\r ]+', ' '))),
+          ' ', -1) END""")).cast("long").as("n"))
+      .collect().map { r =>
+        val (id, n) = (r.getLong(0), r.getLong(1))
+        val w = 1L + n / ReservoirUnit
+        val key = (1L to w).map(j =>
+          ((id % HashP) * RaceA + j * RaceB) % HashP).min
+        (id, w, key)
+      }.sortBy(t => (t._3, t._1)).take(ReservoirK)
+    assert(out.sortBy(t => (t._3, t._1)).toSeq === expected.toSeq)
+    // partition-order invariance: the race is a min-aggregate + top-k
+    val re = TextAnalysis.weightedReservoir(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    assert(re.toSeq === expected.toSeq)
+    // heavier docs are ahead: the sample's mean weight exceeds the
+    // corpus mean (the PPS property, at fixture scale)
+    val allW = docs.select(size(expr("""split(lower(trim(regexp_replace(
+      text, '[\t-\r ]+', ' '))), ' ', -1)""")).cast("long"))
+      .collect().map(r => 1L + r.getLong(0) / ReservoirUnit)
+    assert(out.map(_._2).sum.toDouble / out.length >
+      allW.sum.toDouble / allW.length,
+      "PPS must favor heavier docs")
+    // the selection plans as TakeOrderedAndProject — the distributed
+    // reservoir (each partition keeps <= k), never a global sort
+    val plan = TextAnalysis.weightedReservoir(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
