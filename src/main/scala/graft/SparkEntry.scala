@@ -514,6 +514,14 @@ object SparkEntry {
     "s6_weighted_reservoir" -> ((s, d) =>
       TextAnalysis.weightedReservoir(Sources.table(s, d, "documents"))),
 
+    // E172 (S7): STRATIFIED weighted reservoir — per-source budgets over
+    // the SAME race key (one definition, two consumers): each stratum
+    // keeps its own k smallest keys, so a heavy source can't crowd the
+    // tail out of the sample (s6's global race lets it). The rank is a
+    // source-partitioned WindowGroupLimit, never a full sort.
+    "s7_stratified_reservoir" -> ((s, d) =>
+      TextAnalysis.stratifiedReservoir(Sources.table(s, d, "documents"))),
+
     "s1_stratified_sample" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
@@ -2690,6 +2698,7 @@ object SparkEntry {
     "b1_bloom_prune" -> TextAnalysis.bloomPruneSql,
     "mix1_weighted_sample" -> TextAnalysis.weightedSampleAuditSql,
     "s6_weighted_reservoir" -> TextAnalysis.weightedReservoirSql(),
+    "s7_stratified_reservoir" -> TextAnalysis.stratifiedReservoirSql(),
     "pk1_pack_sequences" -> TextAnalysis.packSequencesSql,
     "r1_collapse_repeats" -> TextAnalysis.collapseRepeatsSql,
     "s1_stratified_sample" -> """

@@ -418,17 +418,76 @@ object TextAnalysis {
     * merges P·k — the textbook distributed reservoir, never a global
     * sort. Deterministic: same inputs, same sample, any partitioning. */
   def weightedReservoir(docs: DataFrame, k: Int = ReservoirK): DataFrame =
-    docs
-      .select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
-      .select(col("doc_id"),
-        (lit(1L) + expr(s"n_tokens DIV $ReservoirUnit")).as("weight"))
-      .select(col("doc_id"), col("weight"),
-        explode(sequence(lit(1L), col("weight"))).as("j"))
-      .groupBy(col("doc_id"), col("weight"))
-      .agg(min(pmod(pmod(col("doc_id"), lit(HashP)) * lit(RaceA) +
-        col("j") * lit(RaceB), lit(HashP))).as("race_key"))
+    raceKeyed(docs)
+      .select(col("doc_id"), col("weight"), col("race_key"))
       .orderBy(col("race_key").asc, col("doc_id").asc)
       .limit(k)
+
+  /** The shared race core (ONE definition for s6/s7): per-doc weight,
+    * unit-draw explode, min-hash race key; `source` carried through for
+    * the stratified consumer. */
+  private def raceKeyed(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toksCol).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("source"),
+        (lit(1L) + expr(s"n_tokens DIV $ReservoirUnit")).as("weight"))
+      .select(col("doc_id"), col("source"), col("weight"),
+        explode(sequence(lit(1L), col("weight"))).as("j"))
+      .groupBy(col("doc_id"), col("source"), col("weight"))
+      .agg(min(pmod(pmod(col("doc_id"), lit(HashP)) * lit(RaceA) +
+        col("j") * lit(RaceB), lit(HashP))).as("race_key"))
+
+  /** S7 (E172): STRATIFIED weighted reservoir — the per-stratum budget
+    * form of [[weightedReservoir]] (one race-key definition, two
+    * consumers): each `source` keeps its own k smallest race keys, so
+    * every stratum lands exactly min(k, |stratum|) docs regardless of
+    * corpus skew — the "cap the giant source, keep the tail sources
+    * whole" primitive of corpus mixing, here as a sample. Within a
+    * stratum the race is the same PPS-WOR; across strata budgets are
+    * independent (that's the point — s6's GLOBAL race lets a heavy
+    * source crowd everyone out, this one doesn't).
+    *
+    * Scale shape: the rank is a source-partitioned window with a
+    * rank ≤ k filter — WindowGroupLimit (plan-pinned): each shuffle
+    * partition pre-truncates to k rows per stratum before the sort,
+    * never a full per-source sort, never a global one. */
+  def stratifiedReservoir(docs: DataFrame,
+      kPerStratum: Int = StratumK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("race_key").asc, col("doc_id").asc)
+    raceKeyed(docs)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kPerStratum)
+      .select(col("source"), col("rk"), col("doc_id"), col("weight"),
+        col("race_key"))
+  }
+
+  val StratumK = 20
+
+  /** S7 oracle: the same race CTEs + a per-source QUALIFY. */
+  def stratifiedReservoirSql(kPerStratum: Int = StratumK): String = s"""
+    WITH w AS (
+      SELECT doc_id, source,
+        1 + len(${tokensSql(normSql("text"))})::BIGINT // $ReservoirUnit
+          AS weight
+      FROM documents),
+    draws AS (
+      SELECT doc_id, source, weight,
+        unnest(generate_series(1, weight)) AS j
+      FROM w),
+    keys AS (
+      SELECT doc_id, source, weight,
+        min(((doc_id % $HashP) * $RaceA + j * $RaceB) % $HashP)
+          AS race_key
+      FROM draws GROUP BY 1, 2, 3)
+    SELECT source, rk, doc_id, weight, race_key FROM (
+      SELECT source, doc_id, weight, race_key,
+        row_number() OVER (PARTITION BY source
+          ORDER BY race_key ASC, doc_id ASC)::BIGINT AS rk
+      FROM keys)
+    WHERE rk <= $kPerStratum"""
 
   /** S6 oracle: the identical integer race in DuckDB. */
   def weightedReservoirSql(k: Int = ReservoirK): String = s"""

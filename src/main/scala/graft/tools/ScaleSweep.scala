@@ -253,8 +253,9 @@ object ScaleSweep {
     "dq1_expectations",
     // s6 = one narrow integer explode (~n_docs·mean_tokens/64 rows) +
     // a map-side-combined min + TakeOrderedAndProject — expect linear,
-    // flat 3 jobs, constant k-row output
-    "s6_weighted_reservoir")
+    // flat 3 jobs, constant k-row output; s7 = the same core with a
+    // source-partitioned WindowGroupLimit — same curve, |sources|·k rows
+    "s6_weighted_reservoir", "s7_stratified_reservoir")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -475,6 +475,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("s7: per-stratum budgets hold; the race key is s6's, WindowGroupLimit bounds the rank") {
+    import graft.text.TextAnalysis._
+    val out = TextAnalysis.stratifiedReservoir(docs).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    // every stratum lands exactly min(k, |stratum|) docs
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length === math.min(StratumK.toLong, sizes(src)),
+        s"stratum $src budget")
+      // ranks are 1..n within the stratum, ordered by (key, doc_id)
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ===
+        (1L to rows.length).toSeq)
+      val keys = sorted.map(r =>
+        (r.getAs[Long]("race_key"), r.getAs[Long]("doc_id")))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq, s"$src order")
+    }
+    // one race-key definition: a doc sampled by BOTH s6 and s7 carries
+    // the identical key
+    val s6 = TextAnalysis.weightedReservoir(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.filter(r => s6.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("race_key") === s6(r.getAs[Long]("doc_id")))
+    }
+    // the per-source rank is WindowGroupLimit-bounded, never a full sort
+    val plan = TextAnalysis.stratifiedReservoir(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("c3: planted near-dup twins of eval docs are flagged") {
     import graft.dedup.Dedup
     val out = Dedup.crossCorpusNearDups(
