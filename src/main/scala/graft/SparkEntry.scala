@@ -1294,6 +1294,16 @@ object SparkEntry {
       graft.operators.Triangles.triangleCensus(
         Sources.table(s, d, "lineitem"))),
 
+    // E173 (G4): label-propagation COMMUNITIES — the graph family's
+    // partitioner (g1 ranks, g2 counts closure, g3 measures reach, this
+    // segments): synchronous Raghavan–Albert–Kumara LPA, K fixed rounds,
+    // exact integer votes, min-label tie-break — deterministic on any
+    // partitioning whether or not the fixpoint exists. One graph, four
+    // consumers (the g1 copurchaseEdges definition).
+    "g4_lpa_communities" -> ((s, d) =>
+      graft.operators.LabelPropagation.communities(
+        Sources.table(s, d, "lineitem"))),
+
     // E136 (ER1): blocked fuzzy entity resolution — candidate pairs
     // form only inside the (nationkey, mktsegment) block (never
     // all-pairs), then the codegen'd Levenshtein comparator thresholds
@@ -3521,6 +3531,9 @@ object SparkEntry {
 
     "g2_triangle_count" ->
       graft.operators.Triangles.triangleCensusSql,
+
+    "g4_lpa_communities" ->
+      graft.operators.LabelPropagation.communitiesSql(),
 
     "g3_hub_hops" ->
       graft.operators.BfsHops.hubHopsSql(),

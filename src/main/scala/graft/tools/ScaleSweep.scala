@@ -196,6 +196,9 @@ object ScaleSweep {
     // quadratic (which would be degree growth, a different growth model
     // than catalog expansion).
     "g1_product_pagerank", "g2_triangle_count", "g3_hub_hops",
+    // g4 rides g1's edge relation with K join-agg vote rounds — expect
+    // g1's linear curve, flat jobs, node-grain output ×N
+    "g4_lpa_communities",
     // er2: the HONEST WALL candidate — blocking keys (nation, segment)
     // do NOT grow with the fan-out (25 nations is reality), so block
     // sizes grow ×N and the blocked comparator pays ×N² candidate
