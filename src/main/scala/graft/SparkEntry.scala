@@ -282,6 +282,24 @@ object SparkEntry {
         Seq("order_id"), Seq("status", "total_price"), Scd2.D1)
     }),
 
+    // E174 (CDC2): incremental AGGREGATE maintenance from the feed —
+    // the consumer that justifies carrying preimages: per-status
+    // count + decimal revenue maintained O(churn) (insert/post = +,
+    // delete/pre = −; key changes move rows between groups because the
+    // preimage subtracts from the OLD group). The invariant IS the
+    // oracle: maintain(agg(A), diff(A, B)) ≡ agg(B), bit for bit — the
+    // driver compares the maintained form against the DIRECT aggregate
+    // of snapshot B, two genuinely different decompositions.
+    "cdc2_incremental_agg" -> ((s, d) => {
+      val (oldS, newS) = cdfSnapshots(s, d)
+      val feed = ChangeFeed.diff(oldS, newS, Seq("order_id"),
+        Seq("status", "total_price"))
+      val base = oldS.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total_price").cast(money)).as("sum_total"))
+      ChangeFeed.maintainAgg(base, feed, "status", "total_price")
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §2.11) --------------
 
     // E1: token statistics (whitespace + BPE-ish subword counts).
@@ -2680,6 +2698,19 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.order_id = a.order_id)
         AND NOT EXISTS (SELECT 1 FROM del dl
           WHERE dl.order_id = a.order_id)""",
+
+    // cdc2 oracle: the DIRECT aggregate of snapshot B — the maintained
+    // form must reproduce it exactly (the strongest oracle shape: the
+    // invariant itself).
+    "cdc2_incremental_agg" -> s"""$ctes,
+      snapb AS (SELECT order_id, status,
+        CASE WHEN order_id % 3 = 0 THEN total_price + 1.0
+             ELSE total_price END AS total_price
+        FROM o WHERE order_id % 7 <> 2)
+      SELECT status, count(*)::BIGINT AS n_orders,
+        CAST(sum(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_total
+      FROM snapb GROUP BY 1""",
 
     // ---- training-data pipeline extension oracles -------------------------
 

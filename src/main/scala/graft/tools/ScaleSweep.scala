@@ -174,6 +174,9 @@ object ScaleSweep {
     // cdc1 = cdf1's feed + ONE keyed full-outer (the m2 shape) + a
     // churn-sized delete join — expect cdf1's linear curve, output ~×N
     "cdc1_apply_feed",
+    // cdc2 = the feed + a churn-sized signed aggregate + a group-grain
+    // full-outer — expect cdf1's curve, constant 3-row output
+    "cdc2_incremental_agg",
     // t20's pair/marginal tables ride the vocabulary (×N under the
     // open-vocab fan-out) with a linear bigram stream and a bounded
     // top-k — the lm1 shape with readable tokens (expect linear, flat)

@@ -49,6 +49,42 @@ class ChangeFeedSpec extends SparkSpec {
       (1L, null, "update_postimage")))
   }
 
+  test("cdc2: maintained aggregates move rows between groups and drop empty groups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val money = DecimalType(18, 2)
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("total_price", DoubleType)))
+    def snapP(rows: (Long, String, Double)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), s2)
+    // A: two 'open' rows, one 'closed'; B: row 2 MOVES open->closed
+    // (key change — the preimage must subtract from 'open'), row 3
+    // (the only 'gone' row) is deleted — its group must drop out,
+    // row 4 inserts into a brand-new group
+    val a = snapP((1L, "open", 10.0), (2L, "open", 20.0),
+      (3L, "gone", 5.0), (5L, "closed", 1.0))
+    val b = snapP((1L, "open", 10.0), (2L, "closed", 20.0),
+      (5L, "closed", 1.0), (4L, "new", 7.0))
+    val fd = ChangeFeed.diff(a, b, Seq("id"), Seq("status", "total_price"))
+    val base = a.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total_price").cast(money)).as("sum_total"))
+    val out = ChangeFeed.maintainAgg(base, fd, "status", "total_price")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val direct = b.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total_price").cast(money)).cast("double").as("sum_total"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === direct, "maintain(agg(A), diff(A,B)) must equal agg(B)")
+    assert(!out.contains("gone"), "an emptied group must drop out")
+    assert(out("closed") === ((2L, 21.0)), "the moved row lands in 'closed'")
+    assert(out("open") === ((1L, 10.0)), "the moved row left 'open'")
+  }
+
   test("betweenEpochs diffs two committed store epochs through readAt") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
