@@ -332,6 +332,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(api === w)
   }
 
+  test("s6 via spark.sql: the integer race keeps its TakeOrderedAndProject reservoir") {
+    import graft.text.TextAnalysis._
+    import graft.functions.TextFunctions.HashP
+    val viaSql = assertParity("s6_weighted_reservoir", s"""
+      SELECT doc_id, weight, race_key FROM (
+        SELECT doc_id, source, weight,
+          min(pmod(pmod(doc_id, ${HashP}L) * ${RaceA}L + j * ${RaceB}L,
+            ${HashP}L)) AS race_key
+        FROM (
+          SELECT doc_id, source, weight,
+            explode(sequence(1L, weight)) AS j
+          FROM (
+            SELECT doc_id, source,
+              1L + (n_tokens DIV $ReservoirUnit) AS weight
+            FROM (
+              SELECT doc_id, source,
+                CAST(size(${toksSql("text")}) AS BIGINT) AS n_tokens
+              FROM documents) t) w) d
+        GROUP BY doc_id, source, weight) keys
+      ORDER BY race_key ASC, doc_id ASC LIMIT $ReservoirK""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the SQL path must keep the distributed-reservoir selection: each
+    // partition retains <= k rows, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("extensions registry: functions resolve ONLY through GraftExtensions") {
     // the base test session never injected them — proves resolution rides
     // the extension, not some global registry side effect
