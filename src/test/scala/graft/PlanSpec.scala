@@ -413,7 +413,14 @@ class PlanSpec extends SparkSpec {
         "labels read from the checkpointed CC output" ->
           has("Scan ExistingRDD"),
         "no global range sort (the er3 lesson)" ->
-          lacks("Exchange rangepartitioning")))
+          lacks("Exchange rangepartitioning")),
+      // round 11: g4 joined the cost class (7.07 s band, #2)
+      "g4_lpa_communities" -> Seq(
+        "final labels read from the checkpointed round state" ->
+          has("Scan ExistingRDD"),
+        "lineage truncated: no corpus rescan in the final plan" ->
+          lacks("FileScan"),
+        "no cross-join shapes" -> lacks("CartesianProduct")))
     val failures = pins.flatMap { case (q, feats) =>
       spark.catalog.clearCache()
       val p = planOf(q)
