@@ -85,6 +85,47 @@ class ChangeFeedSpec extends SparkSpec {
     assert(out("open") === ((1L, 10.0)), "the moved row left 'open'")
   }
 
+  test("cdc2 property: maintain(agg(A), diff(A,B)) == agg(B) on random snapshots") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val money = DecimalType(18, 2)
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("total_price", DoubleType)))
+    // random keyed snapshots over a small id space so inserts, deletes,
+    // group moves, and emptied groups all occur across seeds
+    val genRow: Gen[Row] = for {
+      id <- Gen.choose(1L, 12L)
+      st <- Gen.oneOf("open", "closed", "gone")
+      p <- Gen.choose(0L, 999L)
+    } yield Row(id, st, p.toDouble / 4)
+    def snapOf(rows: List[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.groupBy(_.getLong(0)).values.map(_.head).toSeq, 2), s2)
+    def aggOf(df: org.apache.spark.sql.DataFrame, toDouble: Boolean) = {
+      val sumCol = sum(col("total_price").cast(money))
+      df.groupBy(col("status")).agg(count(lit(1)).as("n_orders"),
+        (if (toDouble) sumCol.cast("double") else sumCol).as("sum_total"))
+    }
+    val gen = Gen.listOfN(8, genRow)
+    (1 to 12).foreach { i =>
+      val a = snapOf(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+      val b = snapOf(gen.pureApply(Gen.Parameters.default,
+        Seed(i.toLong + 5000)))
+      val fd = ChangeFeed.diff(a, b, Seq("id"),
+        Seq("status", "total_price"))
+      val maintained = ChangeFeed
+        .maintainAgg(aggOf(a, toDouble = false), fd, "status",
+          "total_price")
+        .collect().map(_.toString).sorted.toSeq
+      val direct = aggOf(b, toDouble = true)
+        .collect().map(_.toString).sorted.toSeq
+      assert(maintained === direct, s"seed $i")
+    }
+  }
+
   test("betweenEpochs diffs two committed store epochs through readAt") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import spark.implicits._
