@@ -32,6 +32,23 @@ object ErRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val customers = spark.read.parquet(s"$dir/customer.parquet")
+    // SPARK_GRAFT_ER_TIME_ONLY=1: skip the er1 ground truth (quadratic
+    // in block size — the er2 wall; unaffordable on a fanned customer
+    // table) and time the SNM pass ladder alone: the at-scale cost side
+    // of the "more passes are cheap" claim whose recall side the
+    // default mode measures at sf0.1.
+    val timeOnly = sys.env.contains("SPARK_GRAFT_ER_TIME_ONLY")
+    if (timeOnly) {
+      for (passes <- Seq(2, 4); window <- Seq(5, 10); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = EntityResolution.sortedNeighborhoodPairsKeys(
+          customers, EntityResolution.snmKeys(passes), window).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"passes": $passes, "window": $window, """ +
+          f""""jvm_pass": $pass, "pairs": $n, "sec": $dt%.2f}""")
+      }
+      spark.stop(); return
+    }
     val truth = EntityResolution.entityMatchPairs(customers)
       .select(col("custkey_a"), col("custkey_b"))
       .localCheckpoint(true)
