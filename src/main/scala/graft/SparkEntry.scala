@@ -296,6 +296,7 @@ object SparkEntry {
         Seq("status", "total_price"))
       val base = oldS.groupBy(col("status"))
         .agg(count(lit(1)).as("n_orders"),
+          count(col("total_price")).as("n_vals"),
           sum(col("total_price").cast(money)).as("sum_total"))
       ChangeFeed.maintainAgg(base, feed, "status", "total_price")
     }),
@@ -2708,6 +2709,7 @@ object SparkEntry {
              ELSE total_price END AS total_price
         FROM o WHERE order_id % 7 <> 2)
       SELECT status, count(*)::BIGINT AS n_orders,
+        count(total_price)::BIGINT AS n_vals,
         CAST(sum(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE)
           AS sum_total
       FROM snapb GROUP BY 1""",

@@ -117,8 +117,13 @@ object Scd2 {
     val upserts = feed
       .filter(col("change_type").isin("insert", "update_postimage"))
       .select(cols.map(col): _*)
+    // distinct: duplicate delete records for one key are idempotent
+    // deletes, not a conflict (unlike duplicate upserts, which merge
+    // raise_errors on) — without it a replayed delete row would fan the
+    // left join out and duplicate every version of that key
     val delKeys = feed.filter(col("change_type") === "delete")
-      .select(keys.map(col): _*).withColumn("__del", lit(true))
+      .select(keys.map(col): _*).distinct()
+      .withColumn("__del", lit(true))
     Scd2.merge(dim, upserts, keys, tracked, batchDate)
       .join(delKeys, keys, "left")
       .select(cols.map(col) ++ Seq(

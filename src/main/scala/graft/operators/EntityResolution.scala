@@ -253,6 +253,9 @@ object EntityResolution {
     * pairs over 1+2 and is recorded there as the negative result). The
     * default operator runs the first two; BASELINE.md measures 1–4. */
   def snmKeys(passes: Int): Seq[Column] = {
+    require(passes >= 1 && passes <= 4,
+      s"the SNM pass ladder defines 4 keys; passes=$passes would " +
+        "silently truncate and mis-label a sweep cell")
     val block = concat(col("c_nationkey").cast("string"), lit("|"),
       col("c_mktsegment"), lit("|"))
     Seq(col("c_name"),

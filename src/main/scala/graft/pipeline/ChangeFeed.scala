@@ -77,6 +77,17 @@ object ChangeFeed {
     * sized), one map-side-combined group aggregate over it, one keyed
     * full-outer against the base aggregate (group-grain — small). The
     * table itself is never touched: that is the entire point of CDC. */
+  /** Base-state contract: `base` carries (`key`, `n_orders`, `n_vals`,
+    * `sum_total` DECIMAL) — the aggregate state of the OLD snapshot,
+    * where `n_vals` = count(measure), the NON-NULL measure count. The
+    * auxiliary count is what makes NULL-measure semantics maintainable
+    * (the classic AVG-maintenance requirement): `sum` over an all-NULL
+    * group is NULL, and only the non-null count can tell "this group's
+    * last real value was just deleted → NULL" apart from "sums cancel
+    * → 0". Output carries the same four columns (`sum_total` folded to
+    * DOUBLE at the boundary) so it can serve as the NEXT refresh's
+    * base. The output names are this operator's contract (the KPI
+    * convention), not parameters. */
   def maintainAgg(base: DataFrame, feed: DataFrame, key: String,
       measure: String): DataFrame = {
     val money = org.apache.spark.sql.types.DecimalType(18, 2)
@@ -86,16 +97,27 @@ object ChangeFeed {
       .select(col(key), sign.as("sg"), col(measure).cast(money).as("m"))
       .groupBy(col(key))
       .agg(sum(col("sg")).as("d_n"),
+        sum(when(col("m").isNotNull, col("sg")).otherwise(0L))
+          .as("d_vals"),
         sum(col("sg") * col("m")).as("d_sum"))
-    base.join(delta, Seq(key), "full_outer")
-      .select(col(key),
-        (coalesce(col("n_orders"), lit(0L)) +
-          coalesce(col("d_n"), lit(0L))).as("n_orders"),
-        (coalesce(col("sum_total"), lit(0).cast(money)) +
-          coalesce(col("d_sum"), lit(0).cast(money))).as("sum_dec"))
+    // the join must be NULL-SAFE on the group key (a NULL group is a
+    // legal group — sum/count treat it as one; a plain equi-join would
+    // split it into two output rows and break the invariant)
+    val b = base.alias("b"); val d = delta.alias("d")
+    b.join(d, col(s"b.$key") <=> col(s"d.$key"), "full_outer")
+      .select(coalesce(col(s"b.$key"), col(s"d.$key")).as(key),
+        (coalesce(col("b.n_orders"), lit(0L)) +
+          coalesce(col("d.d_n"), lit(0L))).as("n_orders"),
+        (coalesce(col("b.n_vals"), lit(0L)) +
+          coalesce(col("d.d_vals"), lit(0L))).as("n_vals"),
+        (coalesce(col("b.sum_total"), lit(0).cast(money)) +
+          coalesce(col("d.d_sum"), lit(0).cast(money))).as("sum_dec"))
       .where(col("n_orders") > 0L)
-      .select(col(key), col("n_orders"),
-        col("sum_dec").cast("double").as("sum_total"))
+      .select(col(key), col("n_orders"), col("n_vals"),
+        // a group with rows but no non-null measures sums to NULL,
+        // exactly like the direct aggregate
+        when(col("n_vals") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_dec").cast("double")).as("sum_total"))
   }
 
   /** The CDF read path over the manifest store: diff two committed epochs

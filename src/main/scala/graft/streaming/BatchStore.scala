@@ -30,23 +30,37 @@ object BatchStore {
     fs.create(p, true).close()
   }
 
+  /** The ONE committed-batch listing both readers share (union-of-
+    * increments [[read]] and latest-snapshot [[graft.streaming.CdcApply
+    * .readLatest]] — a protocol change lands in one place): marked,
+    * numeric `batch=<id>` directories, optionally strictly before
+    * `beforeBatch`. A bare `batch=` dir (empty id) is junk and is
+    * skipped, never parsed. */
+  def committedIds(spark: SparkSession, storeDir: String,
+      beforeBatch: Option[Long] = None): Seq[Long] = {
+    val p = new HPath(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(id => beforeBatch.forall(id < _))
+      .filter(id => fs.exists(
+        new HPath(s"$storeDir/batch=$id/$Marker")))
+      .toIndexedSeq
+  }
+
   /** The COMMITTED store: every marked batch increment (optionally only
     * those strictly before `beforeBatch`), or None when empty. Unmarked
     * (crashed-partial) and non-numeric directories are skipped, never
     * read. */
   def read(spark: SparkSession, storeDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val p = new HPath(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val dirs = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .filter(_.stripPrefix("batch=").forall(_.isDigit))
-      .filter(n => beforeBatch.forall(b =>
-        n.stripPrefix("batch=").toLong < b))
-      .filter(n => fs.exists(new HPath(s"$storeDir/$n/$Marker")))
-      .map(n => s"$storeDir/$n")
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    val ids = committedIds(spark, storeDir, beforeBatch)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(
+      ids.map(id => s"$storeDir/batch=$id"): _*))
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -49,19 +48,12 @@ object CdcApply {
 
   /** The LATEST committed snapshot strictly before `beforeBatch` (or
     * overall) — the full-state sibling of [[BatchStore.read]]'s
-    * union-of-increments view, same marker discipline. */
+    * union-of-increments view, sharing its ONE listing
+    * ([[BatchStore.committedIds]]) so the marker/naming protocol can't
+    * drift between the two readers. */
   def readLatest(spark: SparkSession, dimDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val p = new HPath(dimDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val ids = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=")).filter(_.forall(_.isDigit))
-      .map(_.toLong)
-      .filter(id => beforeBatch.forall(id < _))
-      .filter(id => fs.exists(
-        new HPath(s"$dimDir/batch=$id/${BatchStore.Marker}")))
+    val ids = BatchStore.committedIds(spark, dimDir, beforeBatch)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$dimDir/batch=${ids.max}"))
   }

@@ -53,6 +53,13 @@ object ErRecall {
       .select(col("custkey_a"), col("custkey_b"))
       .localCheckpoint(true)
     val nTruth = truth.count()
+    // fail loud rather than emit "recall": NaN (invalid JSON) on a
+    // fixture with no planted near-duplicates
+    require(nTruth > 0L,
+      s"no er1 ground-truth pairs in $dir — recall is undefined")
+    // note: "sec" covers the SNM build + the truth semi-join + count —
+    // the measured quantity is the recall CELL's cost, not the ladder
+    // alone (SPARK_GRAFT_ER_TIME_ONLY isolates the ladder)
     for (passes <- 1 to 4; window <- Seq(2, 5, 10)) {
       val t0 = System.nanoTime()
       val snm = EntityResolution.sortedNeighborhoodPairsKeys(

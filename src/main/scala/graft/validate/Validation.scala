@@ -339,8 +339,13 @@ object Validation {
     val aggs = rules.zipWithIndex.map { case (r, i) =>
       violationsOf(r).cast("long").as(s"v_$i") }
     val fused = df.agg(aggs.head, aggs.tail: _*)
+    // Spark string literals escape BOTH backslash and quote (DuckDB's
+    // standard strings only the quote — handled in expectationsSql), so
+    // a backslash in a wire-form rule name must double here or the
+    // parsed literal mangles and forks from the oracle
     val stackArgs = rules.zipWithIndex.map { case (r, i) =>
-      s"${i + 1}L, '${r.name.replace("'", "''")}', v_$i"
+      val nm = r.name.replace("\\", "\\\\").replace("'", "''")
+      s"${i + 1}L, '$nm', v_$i"
     }.mkString(",\n      ")
     fused.select(expr(
         s"""stack(${rules.size},

@@ -70,15 +70,17 @@ class ChangeFeedSpec extends SparkSpec {
     val fd = ChangeFeed.diff(a, b, Seq("id"), Seq("status", "total_price"))
     val base = a.groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"),
+        count(col("total_price")).as("n_vals"),
         sum(col("total_price").cast(money)).as("sum_total"))
     val out = ChangeFeed.maintainAgg(base, fd, "status", "total_price")
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2))).toMap
+        (r.getLong(1), r.getDouble(3))).toMap
     val direct = b.groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"),
+        count(col("total_price")).as("n_vals"),
         sum(col("total_price").cast(money)).cast("double").as("sum_total"))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2))).toMap
+        (r.getLong(1), r.getDouble(3))).toMap
     assert(out === direct, "maintain(agg(A), diff(A,B)) must equal agg(B)")
     assert(!out.contains("gone"), "an emptied group must drop out")
     assert(out("closed") === ((2L, 21.0)), "the moved row lands in 'closed'")
@@ -95,18 +97,22 @@ class ChangeFeedSpec extends SparkSpec {
       StructField("id", LongType), StructField("status", StringType),
       StructField("total_price", DoubleType)))
     // random keyed snapshots over a small id space so inserts, deletes,
-    // group moves, and emptied groups all occur across seeds
+    // group moves, emptied groups, NULL group keys, and NULL measures
+    // (incl. groups whose last non-null measure gets deleted) all occur
     val genRow: Gen[Row] = for {
       id <- Gen.choose(1L, 12L)
-      st <- Gen.oneOf("open", "closed", "gone")
-      p <- Gen.choose(0L, 999L)
-    } yield Row(id, st, p.toDouble / 4)
+      st <- Gen.oneOf("open", "closed", "gone", null: String)
+      p <- Gen.oneOf(Gen.const(null: java.lang.Double),
+        Gen.choose(0L, 999L).map(v =>
+          java.lang.Double.valueOf(v.toDouble / 4)))
+    } yield Row(id, st, p)
     def snapOf(rows: List[Row]) = spark.createDataFrame(
       spark.sparkContext.parallelize(
         rows.groupBy(_.getLong(0)).values.map(_.head).toSeq, 2), s2)
     def aggOf(df: org.apache.spark.sql.DataFrame, toDouble: Boolean) = {
       val sumCol = sum(col("total_price").cast(money))
       df.groupBy(col("status")).agg(count(lit(1)).as("n_orders"),
+        count(col("total_price")).as("n_vals"),
         (if (toDouble) sumCol.cast("double") else sumCol).as("sum_total"))
     }
     val gen = Gen.listOfN(8, genRow)

@@ -127,6 +127,28 @@ class Scd2Spec extends SparkSpec {
     assert(delOpen.isEmpty, "deleted keys must hold no open version")
   }
 
+  test("cdc1: duplicate delete records are idempotent, never a version fan-out") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // a feed where the same delete record landed twice (e.g. a source
+    // file ingested twice): the key's versions must close ONCE, not
+    // duplicate through the delete join
+    val dim = Scd2.init(snap(1L -> "v0", 2L -> "v0"), "2024-01-01")
+    val feed = Seq(
+      (1L, "v0", "delete"), (1L, "v0", "delete"),
+      (2L, "v1", "update_preimage"), (2L, "v1", "update_postimage"))
+      .toDF("id", "v", "change_type")
+      .withColumn("v", org.apache.spark.sql.functions
+        .when($"change_type" === "update_preimage", "v0").otherwise($"v"))
+    val out = Scd2.applyFeed(dim, feed, Seq("id"), Seq("v"), "2024-06-01")
+      .collect()
+    assert(out.count(_.getLong(0) == 1L) === 1,
+      "the deleted key holds exactly one (closed) version")
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[String]("valid_to") === "2024-06-01")
+    assert(!r1.getAs[Boolean]("is_current"))
+  }
+
   test("cdc1 streaming: disjoint-key feed chunks replay to the identical dimension") {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcApply

@@ -361,6 +361,11 @@ class ValidationSpec extends SparkSpec {
     val viaAdt = expectations(orders, OrdersExpectations)
       .collect().map(_.toString).sorted.toSeq
     assert(viaJson === viaAdt)
+    // a wire-form name with a backslash must survive the Spark literal
+    // splice intact (Spark literals backslash-escape; DuckDB's don't)
+    val weird = expectations(orders,
+      Seq(RuleNotNull("""path\basic 'q'""", "o_totalprice"))).collect()
+    assert(weird.head.getAs[String]("rule") === """path\basic 'q'""")
     // silently dropping a bad rule would be a DQ hole — fail loud
     intercept[IllegalArgumentException] {
       rulesFromJson("""[{"kind": "frobnicate", "name": "x", "column": "c"}]""")
