@@ -190,6 +190,28 @@ class Scd2Spec extends SparkSpec {
     assert(replayed === batchApplied, "replayed batch id must be a no-op")
   }
 
+  test("cdc1 streaming: an unmarked (crashed-partial) snapshot is invisible to readLatest") {
+    import graft.streaming.{BatchStore, CdcApply}
+    import java.nio.file.Files
+    val dimDir = Files.createTempDirectory("graft-cdc-crash").toString
+    val committed = snap(1L -> "v0")
+    BatchStore.writeBatch(Scd2.init(committed, "2024-01-01"), dimDir, 0L)
+    // simulate a crash mid-write of snapshot 1: parquet lands, marker not
+    Scd2.init(snap(1L -> "v1"), "2024-06-01")
+      .write.parquet(s"$dimDir/batch=1")
+    // plus junk dirs the listing must skip, not throw on
+    Files.createDirectory(java.nio.file.Paths.get(dimDir, "batch="))
+    Files.createDirectory(java.nio.file.Paths.get(dimDir, "batch=tmp"))
+    val latest = CdcApply.readLatest(spark, dimDir).get
+    assert(latest.collect().map(_.getString(1)).toSet === Set("v0"),
+      "only the marker-committed snapshot may serve as state")
+    // and the crashed id replays cleanly over its partial
+    BatchStore.writeBatch(Scd2.init(snap(1L -> "v1"), "2024-06-01"),
+      dimDir, 1L)
+    assert(CdcApply.readLatest(spark, dimDir).get
+      .collect().map(_.getString(1)).toSet === Set("v1"))
+  }
+
   test("cdc1 streaming: a checkpointed restart continues batch ids over the snapshot store") {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcApply
