@@ -360,6 +360,79 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("cdc2 via spark.sql: the signed maintenance fold and null-safe key join hold as SQL text") {
+    // the incremental-maintenance consumer as the SQL a warehouse job
+    // would ship: the cdf1 feed inlined, the signed churn aggregate,
+    // and the NULL-SAFE (<=>) group-key full outer against the base
+    val snapA = """SELECT o_orderkey AS order_id,
+        o_orderstatus AS status, o_totalprice AS total_price
+      FROM orders WHERE o_orderkey % 5 <> 4"""
+    val snapB = """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0D
+             ELSE o_totalprice END AS total_price
+      FROM orders WHERE o_orderkey % 7 <> 2"""
+    val feed = s"""
+      SELECT b.order_id, b.status, b.total_price,
+        'insert' AS change_type
+      FROM ($snapB) b LEFT ANTI JOIN ($snapA) a USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price,
+        'delete' AS change_type
+      FROM ($snapA) a LEFT ANTI JOIN ($snapB) b USING (order_id)
+      UNION ALL
+      SELECT a.order_id, a.status, a.total_price,
+        'update_preimage' AS change_type
+      FROM ($snapA) a JOIN ($snapB) b USING (order_id)
+      WHERE NOT (a.status <=> b.status)
+         OR NOT (a.total_price <=> b.total_price)
+      UNION ALL
+      SELECT b.order_id, b.status, b.total_price,
+        'update_postimage' AS change_type
+      FROM ($snapA) a JOIN ($snapB) b USING (order_id)
+      WHERE NOT (a.status <=> b.status)
+         OR NOT (a.total_price <=> b.total_price)"""
+    val viaSql = ext.sql(s"""
+      WITH base AS (
+        SELECT status, count(1) AS n_orders,
+          count(total_price) AS n_vals,
+          sum(CAST(total_price AS DECIMAL(18,2))) AS sum_total
+        FROM ($snapA) GROUP BY status),
+      delta AS (
+        SELECT status,
+          sum(sg) AS d_n,
+          sum(CASE WHEN m IS NOT NULL THEN sg ELSE 0L END) AS d_vals,
+          sum(sg * m) AS d_sum
+        FROM (
+          SELECT status,
+            CASE WHEN change_type IN ('insert', 'update_postimage')
+              THEN 1L ELSE -1L END AS sg,
+            CAST(total_price AS DECIMAL(18,2)) AS m
+          FROM ($feed) f) signed
+        GROUP BY status)
+      SELECT status, n_orders, n_vals,
+        CASE WHEN n_vals = 0L THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(sum_dec AS DOUBLE) END AS sum_total
+      FROM (
+        SELECT coalesce(b.status, d.status) AS status,
+          coalesce(b.n_orders, 0L) + coalesce(d.d_n, 0L) AS n_orders,
+          coalesce(b.n_vals, 0L) + coalesce(d.d_vals, 0L) AS n_vals,
+          coalesce(b.sum_total, CAST(0 AS DECIMAL(18,2))) +
+            coalesce(d.d_sum, CAST(0 AS DECIMAL(18,2))) AS sum_dec
+        FROM base b FULL OUTER JOIN delta d ON b.status <=> d.status)
+      WHERE n_orders > 0L""")
+    val api = SparkEntry.queries("cdc2_incremental_agg")(ext, sf0001)
+    assert(rowsOf(viaSql) === rowsOf(api),
+      "cdc2 SQL-text results diverged from the DataFrame path")
+    // and both reproduce the direct aggregate of snapshot B — the
+    // invariant, readable straight off the SQL text
+    val direct = ext.sql(s"""
+      SELECT status, count(1) AS n_orders, count(total_price) AS n_vals,
+        CAST(sum(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_total
+      FROM ($snapB) GROUP BY status""")
+    assert(rowsOf(viaSql) === rowsOf(direct))
+  }
+
   test("extensions registry: functions resolve ONLY through GraftExtensions") {
     // the base test session never injected them — proves resolution rides
     // the extension, not some global registry side effect
