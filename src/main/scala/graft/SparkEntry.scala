@@ -298,7 +298,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           count(col("total_price")).as("n_vals"),
           sum(col("total_price").cast(money)).as("sum_total"))
+      // the ONE double boundary lives at the query edge (the oracle
+      // convention) — the operator itself keeps DECIMAL end to end so
+      // chained refreshes stay exact
       ChangeFeed.maintainAgg(base, feed, "status", "total_price")
+        .withColumn("sum_total", col("sum_total").cast("double"))
     }),
 
     // ---- training-data pipeline extensions (SURVEY.md §2.11) --------------
@@ -2186,6 +2190,52 @@ object SparkEntry {
           sum(col("c_acctbal").cast(money)).cast("double").as("idle_balance"))
     }),
 
+    // E177 (X21): WAITING-SUPPLIER census — the TPC-H Q21 shape, the
+    // one multi-correlated self-join pattern the x-tier lacked:
+    // suppliers whose lineitem was the ONLY late line in a
+    // multi-supplier finalized order (correlated EXISTS another-
+    // supplier line AND NOT EXISTS another-supplier LATE line against
+    // the same table under different aliases). Spark-first rewrite:
+    // both quantifiers collapse into per-order distinct-supplier
+    // counts over ONE orderkey-partitioned window (collect_set —
+    // per-order line counts are bounded by construction), so the fact
+    // shuffles ONCE instead of three self-join passes; the
+    // supplier⋈nation dimension broadcasts onto the supplier-grain
+    // aggregate. Lateness = shipped > 60 days after order date (this
+    // schema carries no commit/receipt dates; the quantifier structure
+    // is the point). The oracle runs the LITERAL EXISTS / NOT EXISTS
+    // form — two genuinely different decompositions of the answer.
+    "x21_waiting_suppliers" -> ((s, d) => {
+      val o = Sources.table(s, d, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      // restricting to F orders before the window is safe: the
+      // quantifier lines share l1's orderkey, hence l1's (F) order
+      val l = Sources.table(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      val qual = l
+        .withColumn("ns", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("nl", size(collect_set(
+          when(col("late"), col("l_suppkey"))).over(w)))
+        .where(col("late") && col("ns") > 1 && col("nl") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+      val supp = Sources.table(s, d, "supplier")
+        .join(Sources.table(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_regionkey") === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      qual.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
     "x13_shipping_priority" -> ((s, d) => {
       val cutoff = to_timestamp(lit("1998-07-01"))
       val rev = col("l_extendedprice").cast(money) *
@@ -3093,6 +3143,32 @@ object SparkEntry {
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
       GROUP BY 1""",
+
+    // x21 oracle: the LITERAL correlated-quantifier form (the Spark
+    // query runs the windowed distinct-count rewrite — genuinely
+    // different decompositions; equivalence: EXISTS other-supplier
+    // line == order has >= 2 distinct suppliers, NOT EXISTS
+    // other-supplier late line == the late-supplier set is exactly
+    // {l1's supplier})
+    "x21_waiting_suppliers" -> """
+      SELECT s.s_name, count(*)::BIGINT AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        AND n.n_regionkey = 0
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 100""",
 
     "x13_shipping_priority" -> """
       SELECT l_orderkey,

@@ -46,28 +46,34 @@ object BfsHops {
   val HopIters = 4
 
   /** (product_id, hop) for every product within [[HopIters]] hops of
-    * the hub; the hub itself is hop 0. */
+    * the hub; the hub itself is hop 0. Lifetime: the family contract on
+    * [[PageRank.copurchaseEdges]] (this operator set the convention). */
   def hubHops(lineitem: DataFrame, iters: Int = HopIters): DataFrame = {
     val edges = PageRank.copurchaseEdges(lineitem).persist()
-    try {
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      var hops = deg.orderBy(col("deg").desc, col("src")).limit(1)
-        .select(col("src").as("node"), lit(0L).as("hop"))
-      for (_ <- 1 to iters) {
-        val expand = hops.join(edges, hops("node") === edges("src"))
-          .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
-        // one blocking job per round (the d9 discipline); the (node,
-        // hop)-narrow frame is checkpointed so next round's two
-        // consumers read blocks, not a doubling subtree
-        hops = hops.unionByName(expand)
-          .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-          .localCheckpoint(true)
-      }
-      // the final frame reads only round-K checkpoint blocks — the edge
-      // cache has no remaining consumer and is released here, not by a
-      // caller contract
-      hops.select(col("node").as("product_id"), col("hop"))
-    } finally { edges.unpersist(); () }
+    try hubHopsFromEdges(edges, iters)
+    finally { edges.unpersist(); () }
+  }
+
+  /** Composition form over a CALLER-persisted edge relation (the
+    * SharedGraph path): rounds materialize eagerly in-method, so the
+    * returned frame reads only round-K checkpoint blocks and holds no
+    * reference to the caller's cache. */
+  def hubHopsFromEdges(edges: DataFrame,
+      iters: Int = HopIters): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var hops = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0L).as("hop"))
+    for (_ <- 1 to iters) {
+      val expand = hops.join(edges, hops("node") === edges("src"))
+        .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
+      // one blocking job per round (the d9 discipline); the (node,
+      // hop)-narrow frame is checkpointed so next round's two
+      // consumers read blocks, not a doubling subtree
+      hops = hops.unionByName(expand)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+    }
+    hops.select(col("node").as("product_id"), col("hop"))
   }
 
   /** Oracle twin: the same seed election and K unrolled min-relaxation

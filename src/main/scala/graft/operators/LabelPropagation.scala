@@ -49,14 +49,36 @@ object LabelPropagation {
     // 64 s) — the round cost lives in the two vote aggregates, and the
     // skewed dst layout makes the cached scan worse than the exchange
     // it saves. Measured negative result; recorded in BASELINE.
+    // Lifetime: the family contract on [[PageRank.copurchaseEdges]] —
+    // rounds are eager, so the cache has no consumer left by return.
     val edges = PageRank.copurchaseEdges(lineitem).persist()
+    try communitiesFromEdges(edges, iters)
+    finally { edges.unpersist(); () }
+  }
+
+  /** Composition form over a CALLER-persisted edge relation (the
+    * SharedGraph path): rounds materialize eagerly in-method, so the
+    * returned frame reads only round-K checkpoint blocks and holds no
+    * reference to the caller's cache. */
+  def communitiesFromEdges(edges: DataFrame,
+      iters: Int = LpaIters): DataFrame = {
     // symmetrized edges: every non-isolated node appears as src
     val nodes = edges.select(col("src")).distinct()
     var labels = nodes.select(col("src").as("node"),
       col("src").as("label")).localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH on the node-grain label side (round 12): the
+      // edge⋈state join is the canonical shuffled-hash case — the
+      // build side is node-grain (linear in nodes, tiny per reduce
+      // partition) while SMJ would SORT the edge-grain side twice per
+      // round. Measured: at ×100 under the 8 GiB harness heap the SMJ
+      // form OOMs in its sort/spill-merge whatever the partition count
+      // (32/128/256 all die — the "raise shuffle partitions" lever is
+      // a measured negative result); the checkpointed label state has
+      // no stats, so the planner can't discover the asymmetry itself.
       val votes = edges
-        .join(labels, edges("dst") === labels("node"))
+        .join(labels.hint("shuffle_hash"),
+          edges("dst") === labels("node"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       labels = votes

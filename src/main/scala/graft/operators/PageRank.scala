@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * hash-verifiable fixpoint, irrelevant to ranking.
   *
   * Scale shape: degree and the edge relation build once and persist
-  * (cache-lifetime contract: the caller clearCache()s after
-  * materializing — the t14 convention); each round is ONE
-  * join-aggregate (shuffle on the node key, map-side-combined sum),
+  * (cache lifetime: the family contract on [[PageRank.copurchaseEdges]]
+  * — released in-method, shared via the FromEdges form); each round is
+  * ONE join-aggregate (shuffle on the node key, map-side-combined sum),
   * so K rounds = K blocking jobs exactly like d9's min-label loop.
   * Long arithmetic holds to ~10⁵ nodes per mass unit at this grid
   * (r·85 < 2⁶³); a 100-TB graph drops PrScale a decade or upgrades
@@ -55,7 +55,20 @@ object PageRank {
     org.apache.spark.sql.graft.TextExpressions.longDiv(a, b)
 
   /** Distinct undirected co-purchase edges, symmetrized (both
-    * directions present): products sharing at least one order. */
+    * directions present): products sharing at least one order.
+    *
+    * ONE graph, four consumers (g1 ranks, g2 counts closure, g3
+    * measures reach, g4 partitions) — and ONE cache-lifetime contract
+    * for the family (round-12 unification; BfsHops set the convention):
+    * every operator RELEASES every cache it creates, in-method, and
+    * returns a frame that holds no reference to them (iterative rounds
+    * are eagerly localCheckpoint-ed; single-dataflow results are
+    * eagerly materialized the same way before their internal persists
+    * drop). The `*FromEdges` overloads are the composition path — the
+    * SharedLabels convention applied to the graph family: the CALLER
+    * persists this relation once, feeds all four operators, and
+    * unpersists after (tools/SharedGraph measures the saving; the
+    * standalone entries do exactly that around a single consumer). */
   def copurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -69,10 +82,33 @@ object PageRank {
 
   /** PageRank over [[copurchaseEdges]]: (product_id, degree,
     * rank_scaled, pr). `rank_scaled` is the exact integer fixpoint
-    * state; `pr` is the one double boundary (÷PrScale). */
+    * state; `pr` is the one double boundary (÷PrScale). Lifetime: the
+    * family contract on [[copurchaseEdges]] — builds, persists, and
+    * releases its own graph in-method. */
   def productPageRank(lineitem: DataFrame,
       iters: Int = PrIters): DataFrame = {
     val edges = copurchaseEdges(lineitem).persist()
+    try productPageRankFromEdges(edges, iters)
+    finally { edges.unpersist(); () }
+  }
+
+  /** Composition form: rank over a CALLER-persisted edge relation (see
+    * [[copurchaseEdges]] for the contract — this never touches the
+    * caller's cache, eagerly materializes, and releases its own `ed`
+    * persist before returning). */
+  def productPageRankFromEdges(edges: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val (frame, ed) = rankDataflow(edges, iters)
+    try frame.localCheckpoint(true)
+    finally { ed.unpersist(); () }
+  }
+
+  /** The lazy rank dataflow (plan-inspectable: PlanSpec/PageRankSpec
+    * pin its shape — the persisted per-round join input, no global
+    * sort, no cross join). Returns the result frame and the internal
+    * `ed` persist the public entries release after materializing. */
+  private[graft] def rankDataflow(edges: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // src, dst, deg(src): the per-round join input — persisted so the
     // expensive distinct self-join never re-runs inside the loop
@@ -90,10 +126,11 @@ object PageRank {
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
     }
-    ranks.join(deg, ranks("node") === deg("src"))
+    (ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node").as("product_id"), col("deg").as("degree"),
         col("r").as("rank_scaled"),
-        (col("r").cast("double") / lit(PrScale.toDouble)).as("pr"))
+        (col("r").cast("double") / lit(PrScale.toDouble)).as("pr")),
+      ed)
   }
 
   /** Oracle twin: the same graph, degrees, and K unrolled integer

@@ -47,10 +47,30 @@ object Triangles {
     *
     * The symmetric edge relation persists for its three consumers
     * (degree, orientation, nothing re-runs the distinct self-join);
-    * cache-lifetime contract as in g1/t14: caller clearCache()s after
-    * materializing. */
+    * cache lifetime: the family contract on
+    * [[PageRank.copurchaseEdges]] — built, persisted and released
+    * in-method here, caller-owned in the FromEdges form. */
   def triangleCensus(lineitem: DataFrame): DataFrame = {
     val edges = PageRank.copurchaseEdges(lineitem).persist()
+    try triangleCensusFromEdges(edges)
+    finally { edges.unpersist(); () }
+  }
+
+  /** Composition form over a CALLER-persisted edge relation (the
+    * SharedGraph path): eagerly materializes the node-grain census and
+    * releases its own `oriented` persist before returning. */
+  def triangleCensusFromEdges(edges: DataFrame): DataFrame = {
+    val (frame, oriented) = censusDataflow(edges)
+    try frame.localCheckpoint(true)
+    finally { oriented.unpersist(); () }
+  }
+
+  /** The lazy census dataflow (plan-inspectable: the gate pins the
+    * persisted adjacency and the equi-join enumeration). Returns the
+    * census frame and the internal `oriented` persist the public
+    * entries release after materializing. */
+  private[graft] def censusDataflow(edges: DataFrame)
+      : (DataFrame, DataFrame) = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Oriented edges: keep the (lower-rank → higher-rank) direction of
     // each symmetric pair, carrying both endpoint degrees for the
@@ -77,7 +97,7 @@ object Triangles {
     val perNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.select(col("src").as("node"), col("deg"))
+    (deg.select(col("src").as("node"), col("deg"))
       .join(perNode, Seq("node"), "left")
       .select(col("node").as("product_id"),
         col("deg").as("degree"),
@@ -85,7 +105,8 @@ object Triangles {
         when(col("deg") < 2, lit(0.0)).otherwise(
           (coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double") /
             (col("deg") * (col("deg") - lit(1L))).cast("double"))
-          .as("lcc"))
+          .as("lcc")),
+      oriented)
   }
 
   /** Oracle twin: same graph + degrees; triangles enumerated once by

@@ -70,8 +70,12 @@ object ChangeFeed {
     * can take): maintain(agg(A), diff(A, B)) ≡ agg(B) — two genuinely
     * different decompositions of the same answer, compared bit-for-bit
     * by the driver. Exact arithmetic: counts are longs, measures sum in
-    * DECIMAL(18,2) and fold to DOUBLE only at the boundary (the money
-    * convention), so maintenance order cannot fork the result.
+    * DECIMAL(18,2) END TO END — the output keeps the decimal (callers
+    * wanting a display double cast at THEIR boundary, as the cdc2 query
+    * does), so chained refreshes maintain on exact state and
+    * maintenance order cannot fork the result. (A review caught the
+    * earlier form folding the output to double, which silently promoted
+    * a CHAINED refresh's sums to float arithmetic.)
     *
     * Scale shape: one narrow signed projection of the feed (churn-
     * sized), one map-side-combined group aggregate over it, one keyed
@@ -84,9 +88,11 @@ object ChangeFeed {
     * (the classic AVG-maintenance requirement): `sum` over an all-NULL
     * group is NULL, and only the non-null count can tell "this group's
     * last real value was just deleted → NULL" apart from "sums cancel
-    * → 0". Output carries the same four columns (`sum_total` folded to
-    * DOUBLE at the boundary) so it can serve as the NEXT refresh's
-    * base. The output names are this operator's contract (the KPI
+    * → 0". Output carries the same four columns with `sum_total` still
+    * DECIMAL(18,2), i.e. the output IS a valid `base` — chaining
+    * refreshes is closed over this schema and stays bit-exact
+    * (spec-pinned: a two-refresh chain equals the direct aggregate).
+    * The output names are this operator's contract (the KPI
     * convention), not parameters. */
   def maintainAgg(base: DataFrame, feed: DataFrame, key: String,
       measure: String): DataFrame = {
@@ -115,9 +121,11 @@ object ChangeFeed {
       .where(col("n_orders") > 0L)
       .select(col(key), col("n_orders"), col("n_vals"),
         // a group with rows but no non-null measures sums to NULL,
-        // exactly like the direct aggregate
-        when(col("n_vals") === 0L, lit(null).cast("double"))
-          .otherwise(col("sum_dec").cast("double")).as("sum_total"))
+        // exactly like the direct aggregate; the decimal is KEPT (cast
+        // back to the money precision from the widened sum type) so the
+        // output is a legal next-refresh base
+        when(col("n_vals") === 0L, lit(null).cast(money))
+          .otherwise(col("sum_dec").cast(money)).as("sum_total"))
   }
 
   /** The CDF read path over the manifest store: diff two committed epochs

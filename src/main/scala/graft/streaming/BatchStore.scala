@@ -34,8 +34,9 @@ object BatchStore {
     * increments [[read]] and latest-snapshot [[graft.streaming.CdcApply
     * .readLatest]] — a protocol change lands in one place): marked,
     * numeric `batch=<id>` directories, optionally strictly before
-    * `beforeBatch`. A bare `batch=` dir (empty id) is junk and is
-    * skipped, never parsed. */
+    * `beforeBatch`. Junk names are skipped, never parsed — including
+    * all-digit ids beyond Long range (the Try guard: a directory the
+    * store could never have written must not crash the readers). */
   def committedIds(spark: SparkSession, storeDir: String,
       beforeBatch: Option[Long] = None): Seq[Long] = {
     val p = new HPath(storeDir)
@@ -45,7 +46,7 @@ object BatchStore {
       .map(_.getPath.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch="))
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
       .filter(id => beforeBatch.forall(id < _))
       .filter(id => fs.exists(
         new HPath(s"$storeDir/batch=$id/$Marker")))

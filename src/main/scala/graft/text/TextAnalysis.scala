@@ -429,7 +429,13 @@ object TextAnalysis {
   private def raceKeyed(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
-        size(toksCol).cast("long").as("n_tokens"))
+        // NULL-robust token count (review item): Spark's size() is -1
+        // or NULL on a NULL array depending on dialect flags, and the
+        // DuckDB oracle's len() is NULL — fold BOTH to 0 so an empty or
+        // NULL doc races with weight 1 on every surface instead of
+        // silently dropping out of (or forking) the sample
+        greatest(coalesce(size(toksCol), lit(0)), lit(0))
+          .cast("long").as("n_tokens"))
       .select(col("doc_id"), col("source"),
         (lit(1L) + expr(s"n_tokens DIV $ReservoirUnit")).as("weight"))
       .select(col("doc_id"), col("source"), col("weight"),
@@ -470,7 +476,8 @@ object TextAnalysis {
   def stratifiedReservoirSql(kPerStratum: Int = StratumK): String = s"""
     WITH w AS (
       SELECT doc_id, source,
-        1 + len(${tokensSql(normSql("text"))})::BIGINT // $ReservoirUnit
+        1 + greatest(coalesce(len(${tokensSql(normSql("text"))}), 0), 0)::BIGINT
+          // $ReservoirUnit
           AS weight
       FROM documents),
     draws AS (
@@ -493,7 +500,8 @@ object TextAnalysis {
   def weightedReservoirSql(k: Int = ReservoirK): String = s"""
     WITH w AS (
       SELECT doc_id,
-        1 + len(${tokensSql(normSql("text"))})::BIGINT // $ReservoirUnit
+        1 + greatest(coalesce(len(${tokensSql(normSql("text"))}), 0), 0)::BIGINT
+          // $ReservoirUnit
           AS weight
       FROM documents),
     draws AS (

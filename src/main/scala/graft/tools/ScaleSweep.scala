@@ -261,7 +261,10 @@ object ScaleSweep {
     // a map-side-combined min + TakeOrderedAndProject — expect linear,
     // flat 3 jobs, constant k-row output; s7 = the same core with a
     // source-partitioned WindowGroupLimit — same curve, |sources|·k rows
-    "s6_weighted_reservoir", "s7_stratified_reservoir")
+    "s6_weighted_reservoir", "s7_stratified_reservoir",
+    // x21 = one fact shuffle on orderkey (window), supplier-grain agg,
+    // broadcast dims, constant top-100 — expect linear, flat jobs
+    "x21_waiting_suppliers")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the
@@ -447,9 +450,16 @@ object ScaleSweep {
       .map(_.split(",").map(_.trim).toSet)
     val queries = SweepQueries.filter(q => only.forall(_.contains(q)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the cluster's first sizing lever, exposed so OOM cells can be
+    // re-measured at higher partition counts WITHOUT a bigger heap
+    // (g4 ×100: partial-agg/shuffle pressure scales with rows per
+    // partition, and raising the count is what a real cluster turns
+    // before provisioning memory)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -73,6 +73,7 @@ class ChangeFeedSpec extends SparkSpec {
         count(col("total_price")).as("n_vals"),
         sum(col("total_price").cast(money)).as("sum_total"))
     val out = ChangeFeed.maintainAgg(base, fd, "status", "total_price")
+      .withColumn("sum_total", col("sum_total").cast("double"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(3))).toMap
     val direct = b.groupBy(col("status"))
@@ -126,10 +127,49 @@ class ChangeFeedSpec extends SparkSpec {
         .maintainAgg(aggOf(a, toDouble = false), fd, "status",
           "total_price")
         .collect().map(_.toString).sorted.toSeq
-      val direct = aggOf(b, toDouble = true)
+      // the output is DECIMAL end to end now — compare against the
+      // exact direct aggregate, no double boundary in the middle
+      val direct = aggOf(b, toDouble = false)
         .collect().map(_.toString).sorted.toSeq
       assert(maintained === direct, s"seed $i")
     }
+  }
+
+  test("cdc2 chained: maintain(maintain(agg(A), diff(A,B)), diff(B,C)) == agg(C) bit-for-bit") {
+    // the review-caught contract hole, pinned: the output IS a legal
+    // next-refresh base (sum_total stays DECIMAL), so a two-refresh
+    // chain lands on the direct aggregate of the final snapshot with
+    // exact decimal arithmetic throughout — no float promotion
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val money = DecimalType(18, 2)
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("total_price", DoubleType)))
+    def snapP(rows: (Long, String, java.lang.Double)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), s2)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("status")).agg(count(lit(1)).as("n_orders"),
+        count(col("total_price")).as("n_vals"),
+        sum(col("total_price").cast(money)).as("sum_total"))
+    val a = snapP((1L, "open", 10.25), (2L, "open", 20.5),
+      (3L, "gone", 5.0), (5L, "closed", null))
+    val b = snapP((1L, "open", 10.25), (2L, "closed", 20.5),
+      (5L, "closed", 1.75), (4L, "new", 7.0))
+    val c = snapP((2L, "closed", 21.0), (5L, "closed", null),
+      (6L, "open", 0.5))
+    val keys = Seq("id"); val tracked = Seq("status", "total_price")
+    val r1 = ChangeFeed.maintainAgg(aggOf(a),
+      ChangeFeed.diff(a, b, keys, tracked), "status", "total_price")
+    // the chain: r1 feeds straight back in as the base — the schema
+    // closure the decimal output exists for
+    val r2 = ChangeFeed.maintainAgg(r1,
+      ChangeFeed.diff(b, c, keys, tracked), "status", "total_price")
+    assert(r2.schema("sum_total").dataType === money,
+      "chained output must still carry the exact decimal")
+    assert(r2.collect().map(_.toString).sorted.toSeq ===
+      aggOf(c).collect().map(_.toString).sorted.toSeq)
   }
 
   test("betweenEpochs diffs two committed store epochs through readAt") {
@@ -162,5 +202,115 @@ class ChangeFeedSpec extends SparkSpec {
       ("2024-06-01", 1L, "update_preimage"),
       ("2024-06-01", 5L, "update_postimage"),
       ("2024-06-03", 3L, "insert")))
+  }
+
+  // ---- E175: the streaming cdc2 twin (CdcAggMaintain) -------------------
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  private val ordKeys = Seq("order_id")
+  private val ordTracked = Seq("status", "total_price")
+
+  private def ordSnaps(dir: String) = {
+    val ords = graft.io.RefShape.orders(spark, dir)
+      .select(col("order_id"), col("status"), col("total_price"))
+    val a = ords.filter(pmod(col("order_id"), lit(5)) =!= 4)
+    val b = ords.filter(pmod(col("order_id"), lit(7)) =!= 2)
+      .withColumn("total_price",
+        when(pmod(col("order_id"), lit(3)) === 0, col("total_price") + 1.0)
+          .otherwise(col("total_price")))
+    // C moves some keys BETWEEN groups (status rewrite) on top of more
+    // churn — the second refresh must exercise the preimage subtraction
+    val c = ords.filter(pmod(col("order_id"), lit(4)) =!= 1)
+      .withColumn("status",
+        when(pmod(col("order_id"), lit(9)) === 0, lit("X"))
+          .otherwise(col("status")))
+      .withColumn("total_price",
+        when(pmod(col("order_id"), lit(6)) === 0, col("total_price") * 2.0)
+          .otherwise(col("total_price")))
+    (a, b, c)
+  }
+
+  private def statusAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("total_price")).as("n_vals"),
+        sum(col("total_price").cast(DecimalType(18, 2))).as("sum_total"))
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("status"), col("n_orders"), col("n_vals"),
+      col("sum_total").cast("double").as("sum_total"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("cdc2 streaming: key-split chunks then a second refresh land on agg(C); replay is a no-op") {
+    import graft.streaming.CdcAggMaintain
+    val (a, b, c) = ordSnaps("/root/testdata/sf0.001")
+    val feedAB = ChangeFeed.diff(a, b, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val feedBC = ChangeFeed.diff(b, c, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val aggDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-agg").toString
+    val base0 = statusAgg(a)
+    // batches 0/1: ONE diff split per-key (the cdc1 contract) — the
+    // intermediate state is the hybrid snapshot's aggregate, and the
+    // end state must equal the direct aggregate of B
+    def chunk(p: Int) = feedAB.filter(pmod(col("order_id"), lit(2)) === p)
+    CdcAggMaintain.processBatch(chunk(0), 0L, aggDir, base0,
+      "status", "total_price")
+    CdcAggMaintain.processBatch(chunk(1), 1L, aggDir, base0,
+      "status", "total_price")
+    val afterB = graft.streaming.CdcApply.readLatest(spark, aggDir).get
+    assert(sortedRows(afterB) === sortedRows(statusAgg(b)),
+      "key-split chunks must land on the direct aggregate of B")
+    // batch 2: the next snapshot-consistent refresh — the store's
+    // snapshot (not base0) is the base, i.e. the chained maintain
+    CdcAggMaintain.processBatch(feedBC, 2L, aggDir, base0,
+      "status", "total_price")
+    val afterC = graft.streaming.CdcApply.readLatest(spark, aggDir).get
+    assert(sortedRows(afterC) === sortedRows(statusAgg(c)),
+      "the chained refresh must land on the direct aggregate of C")
+    assert(afterC.schema("sum_total").dataType === DecimalType(18, 2),
+      "the stored snapshot must keep the exact decimal through parquet")
+    // replay: re-running batch 2 reads only snapshots < 2 as its base
+    // and overwrites its own output — the state is unchanged
+    CdcAggMaintain.processBatch(feedBC, 2L, aggDir, base0,
+      "status", "total_price")
+    assert(sortedRows(
+      graft.streaming.CdcApply.readLatest(spark, aggDir).get) ===
+      sortedRows(statusAgg(c)), "replayed batch id must be a no-op")
+  }
+
+  test("cdc2 streaming: a checkpointed restart continues batch ids over the aggregate store") {
+    import graft.streaming.{CdcAggMaintain, CdcApply}
+    import java.nio.file.Files
+    val (a, b, c) = ordSnaps("/root/testdata/sf0.001")
+    val feedAB = ChangeFeed.diff(a, b, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val feedBC = ChangeFeed.diff(b, c, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val in = Files.createTempDirectory("graft-cdcagg-in").toString
+    val aggDir = Files.createTempDirectory("graft-cdcagg-st").toString
+    val ckpt = Files.createTempDirectory("graft-cdcagg-ck").toString
+    val base0 = statusAgg(a)
+    val schema = feedAB.schema
+    feedAB.coalesce(1).write.parquet(s"$in/f1")
+    def start() = CdcAggMaintain.start(
+      spark.readStream.schema(schema).parquet(s"$in/*"),
+      aggDir, base0, "status", "total_price", ckpt)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // "crash"; the next refresh arrives; the SAME checkpoint must
+    // continue batch numbering so phase 1's aggregate is prior state
+    feedBC.coalesce(1).write.parquet(s"$in/f2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sortedRows(CdcApply.readLatest(spark, aggDir).get) ===
+      sortedRows(statusAgg(c)),
+      "the restarted stream must land on the direct aggregate of C")
+    val snaps = new java.io.File(aggDir).list()
+      .filter(_.startsWith("batch="))
+    assert(snaps.length >= 2, s"expected >=2 snapshots: ${snaps.toSeq}")
   }
 }

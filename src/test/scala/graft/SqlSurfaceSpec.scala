@@ -348,7 +348,8 @@ class SqlSurfaceSpec extends SparkSpec {
               1L + (n_tokens DIV $ReservoirUnit) AS weight
             FROM (
               SELECT doc_id, source,
-                CAST(size(${toksSql("text")}) AS BIGINT) AS n_tokens
+                CAST(greatest(coalesce(size(${toksSql("text")}), 0), 0)
+                AS BIGINT) AS n_tokens
               FROM documents) t) w) d
         GROUP BY doc_id, source, weight) keys
       ORDER BY race_key ASC, doc_id ASC LIMIT $ReservoirK""")
