@@ -962,6 +962,17 @@ object SparkEntry {
       Dedup.dupSpanRate(
         Dedup.withSpanTwinsSourced(Sources.table(s, d, "documents")))),
 
+    // E180 (R4): winnowing fingerprints — the MOSS selection scheme
+    // over r2's span hashes: guaranteed-coverage SPARSE fingerprints
+    // (one integer window-min per position), then doc pairs sharing a
+    // df-capped selected fingerprint. The published answer to "keep
+    // which k-gram hashes" — r2 keeps all and filters by frequency,
+    // this keeps ~2/(w+1) with a detection-floor theorem (w+k−1
+    // tokens), spec-pinned. Same planted prefix twins as r2.
+    "r4_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(
+        Dedup.withSpanTwins(Sources.table(s, d, "documents")))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -1161,6 +1172,14 @@ object SparkEntry {
     // grain, d1's one-shuffle plan over the frame generator.
     "mm2_frame_dedup" -> ((s, d) =>
       Multimodal.frameDedup(s, Sources.table(s, d, "documents"))),
+
+    // E181 (MM3): perceptual frame NEAR-dup — d5's SimHash shape at the
+    // multimodal grain, closing the ladder mm2 starts: per-frame 32-bit
+    // perceptual signatures (top bit of each nibble — the MediaCodec
+    // seam's stand-in), 16-bit band pigeonhole, XOR-popcount filter,
+    // media-object pair report. Planted one-bit twins (byte 0 XOR 0x80).
+    "mm3_frame_neardup" -> ((s, d) =>
+      Multimodal.frameNearDupPairs(Sources.table(s, d, "documents"))),
 
     // E13: multimodal binary plumbing — synth payloads, partition-wise
     // decode stub, frame sampling. The stub's byte-stat features follow
@@ -2218,10 +2237,13 @@ object SparkEntry {
             col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_orderkey"))
+      // both quantifier counts in ONE projection → one Window node
+      // (two stacked withColumns would plan two)
       val qual = l
-        .withColumn("ns", size(collect_set(col("l_suppkey")).over(w)))
-        .withColumn("nl", size(collect_set(
-          when(col("late"), col("l_suppkey"))).over(w)))
+        .select(col("l_suppkey"), col("late"),
+          size(collect_set(col("l_suppkey")).over(w)).as("ns"),
+          size(collect_set(
+            when(col("late"), col("l_suppkey"))).over(w)).as("nl"))
         .where(col("late") && col("ns") > 1 && col("nl") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
@@ -2234,6 +2256,62 @@ object SparkEntry {
         .select(col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(100)
+    }),
+
+    // E178 (X22): MIN-COST SUPPLIER per part — the TPC-H Q2 shape, the
+    // x-tier's remaining correlated-scalar pattern: for every scoped
+    // part, the supplier(s) achieving the MINIMUM cost within a region
+    // (ties all returned, Q2's semantics). The schema carries no
+    // partsupp table, so the catalog is DERIVED: cheapest observed
+    // line price per (part, supplier) — one map-side-combined
+    // aggregate. Spark-first rewrite: the correlated
+    // `cost = (SELECT min(cost) ... WHERE same part)` becomes a
+    // part-partitioned window MIN + filter — the argmin rides the
+    // aggregate's own shuffle key (no join-back, no second scan of the
+    // fact); region/part dims broadcast. The oracle runs the LITERAL
+    // correlated scalar subquery — two genuinely different
+    // decompositions of the answer.
+    "x22_mincost_supplier" -> ((s, d) => {
+      val ps = Sources.table(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast(money)).as("cost"))
+      val supp = Sources.table(s, d, "supplier")
+        .join(Sources.table(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_regionkey") === 1)
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      val pt = Sources.table(s, d, "part")
+        .where(col("p_size") <= 10 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_brand"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      ps.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .withColumn("min_cost", min(col("cost")).over(w))
+        .where(col("cost") === col("min_cost"))
+        .select(col("l_partkey").as("partkey"), col("p_brand").as("brand"),
+          col("s_name"), col("nation"),
+          col("cost").cast("double").as("cost"))
+    }),
+
+    // E179 (X23): ORDER-COUNT DISTRIBUTION — the TPC-H Q13 shape, the
+    // one double-aggregate pattern the x-tier lacked: count per
+    // customer INCLUDING zeros (the left join is the semantics — an
+    // inner join silently drops never-ordered customers from the 0
+    // bucket), then the histogram of those counts. Scale: the outer
+    // join and the per-customer count share the custkey shuffle (AQE
+    // reuses the partitioning); the second aggregate runs at count
+    // grain — tiny. No window, no sort.
+    "x23_order_count_histogram" -> ((s, d) => {
+      val o = Sources.table(s, d, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Sources.table(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
     }),
 
     "x13_shipping_priority" -> ((s, d) => {
@@ -2943,6 +3021,8 @@ object SparkEntry {
       Dedup.dupSpansSql(Dedup.withSpanTwinsSql("documents")),
     "r3_dup_span_rate" ->
       Dedup.dupSpanRateSql(Dedup.withSpanTwinsSourcedSql("documents")),
+    "r4_winnow_pairs" ->
+      Dedup.winnowPairsSql(Dedup.withSpanTwinsSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d14_containment" ->
@@ -3169,6 +3249,38 @@ object SparkEntry {
       GROUP BY 1
       ORDER BY numwait DESC, s_name ASC
       LIMIT 100""",
+
+    // x22 oracle: the LITERAL Q2 correlated scalar subquery (the Spark
+    // query runs the part-partitioned window-min rewrite)
+    "x22_mincost_supplier" -> """
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+          min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT ps.l_partkey AS partkey, p.p_brand AS brand,
+        s.s_name, n.n_name AS nation, CAST(ps.cost AS DOUBLE) AS cost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+      JOIN part p ON p.p_partkey = ps.l_partkey
+        AND p.p_size <= 10 AND p.p_type = 'SMALL'
+      WHERE ps.cost = (
+        SELECT min(ps2.cost) FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          AND n2.n_regionkey = 1
+        WHERE ps2.l_partkey = ps.l_partkey)""",
+
+    // x23 oracle: the literal Q13 left-outer double aggregate
+    "x23_order_count_histogram" -> """
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count""",
 
     "x13_shipping_priority" -> """
       SELECT l_orderkey,
@@ -3569,6 +3681,7 @@ object SparkEntry {
 
     "mm1_media_summary" -> Multimodal.mediaSummarySql,
     "mm2_frame_dedup" -> Multimodal.frameDedupSql,
+    "mm3_frame_neardup" -> Multimodal.frameNearDupSql(),
 
     "w2_fifo_next" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

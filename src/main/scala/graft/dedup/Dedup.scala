@@ -1327,6 +1327,123 @@ object Dedup {
       count(*)::BIGINT AS n_starts
     FROM sp GROUP BY doc_id, span_no"""
 
+  // ---- R4 (E180): winnowing fingerprints -----------------------------------
+
+  /** Winnowing window width: each sliding window of [[WinnowW]]
+    * consecutive [[SpanN]]-gram hashes selects exactly one fingerprint. */
+  val WinnowW = 4
+
+  /** Integer argmin encoding base for the winnowing selection: a window's
+    * fingerprint is min(h · 2³¹ + (2³¹−1 − pos)) — smallest hash wins,
+    * ties break to the RIGHTMOST position (the paper's robust tie rule) —
+    * decoded back to (h, pos) by integer division/mod. h < 10⁹+7 < 2³⁰
+    * and any realistic doc position < 2³¹ keep the product well inside
+    * int64, and the same pure-integer expression runs on both engines
+    * (the no-libm / no-struct-compare oracle discipline). */
+  val WinnowEnc = 1L << 31
+
+  /** Shared-fingerprint df cap: a fingerprint selected by more than this
+    * many docs is boilerplate (the d7 DF-cap discipline) and is dropped
+    * before the pair join. */
+  val WinnowDfCap = 50
+
+  /** R4 (E180): WINNOWING fingerprint selection + shared-fingerprint
+    * pairs — the Schleimer–Wilkerson–Aiken (MOSS) local fingerprinting
+    * scheme, the published answer to "which k-gram hashes do you KEEP":
+    * r2/r3 flag spans from corpus-wide frequency (every position kept,
+    * then filtered), winnowing keeps a GUARANTEED-coverage sparse subset
+    * up front — in every window of [[WinnowW]] consecutive k-gram hashes
+    * select the minimum (rightmost on ties), dedupe. Density ≈ 2/(w+1)
+    * of positions, and the scheme's theorem gives the detection floor:
+    * any match of at least w + k − 1 = [[WinnowW]]+[[SpanN]]−1 tokens
+    * shares at least one selected fingerprint (spec-pinned on a fixture;
+    * the planted 15-token prefix twins clear the 8-token floor and are
+    * all found). The argmin runs as ONE integer window-min via
+    * [[WinnowEnc]] — no struct ordering, so the DuckDB oracle computes
+    * the identical selection.
+    *
+    * Scale shape: one narrow corpus pass (tokenize → Horner span hashes
+    * → posexplode), one doc-partitioned running window (never a global
+    * sort), a fingerprint-grain df aggregate, and the pair join meets
+    * only on SELECTED fingerprints — candidate volume is winnowed
+    * density × df-capped fan-out, the sparse form of r2's every-position
+    * join. Fingerprint sets per doc are ~2/(w+1) of spans, so the state
+    * the pair join shuffles is a fraction of d2's shingle relation. */
+  def winnowFingerprints(docs: DataFrame, n: Int = SpanN,
+      w: Int = WinnowW): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokenHashes(tokens(norm(col("text")))).as("th"))
+      .select(col("doc_id"),
+        posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // both frame aggregates in ONE projection → one Window node
+    sh
+      .select(col("doc_id"),
+        count(lit(1)).over(win).as("nwin"),
+        min(col("h") * lit(WinnowEnc) +
+          (lit(WinnowEnc - 1) - col("pos"))).over(win).as("sel"))
+      // only FULL windows select (the last w-1 positions start none) —
+      // a doc shorter than n+w-1 tokens yields no fingerprint, exactly
+      // the scheme's contract (nothing below the guarantee floor)
+      .where(col("nwin") === w)
+      .select(col("doc_id"), expr(s"sel DIV $WinnowEnc").as("h"),
+        (lit(WinnowEnc - 1) - pmod(col("sel"), lit(WinnowEnc))).as("pos"))
+      .distinct()
+  }
+
+  /** The pair report over [[winnowFingerprints]]: doc pairs sharing at
+    * least one selected (df-capped) fingerprint, with the shared count —
+    * the plagiarism-candidate relation a similarity review reads. */
+  def winnowPairs(docs: DataFrame, n: Int = SpanN, w: Int = WinnowW,
+      dfCap: Int = WinnowDfCap): DataFrame = {
+    val fp = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .select(col("h"))
+    val pruned = fp.join(rare, Seq("h"))
+    pruned.as("a")
+      .join(pruned.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** R4 oracle: the identical integer selection as DuckDB window SQL. */
+  def winnowPairsSql(corpus: String, n: Int = SpanN, w: Int = WinnowW,
+      dfCap: Int = WinnowDfCap): String = s"""
+    WITH corpus AS ($corpus),
+    th AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM corpus),
+    shl AS (
+      SELECT doc_id, ${spanHashesFromThSql("th", n)} AS shl FROM th),
+    sh AS (
+      SELECT doc_id, pos::BIGINT AS pos, shl[pos::INT] AS h
+      FROM (SELECT doc_id, unnest(range(1, len(shl) + 1)) AS pos, shl
+            FROM shl) u),
+    win AS (
+      SELECT doc_id,
+        min(h * $WinnowEnc + ($WinnowEnc - 1 - pos)) OVER fr AS sel,
+        count(*) OVER fr AS nwin
+      FROM sh
+      WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)),
+    fp AS (
+      SELECT DISTINCT doc_id, sel // $WinnowEnc AS h
+      FROM win WHERE nwin = $w),
+    rare AS (
+      SELECT h FROM fp GROUP BY h HAVING count(*) <= $dfCap)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      count(*)::BIGINT AS n_shared
+    FROM (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h)) a
+    JOIN (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h)) b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
   /** D11 (E91): fuzzy VOCABULARY pairs — near-identical token forms
     * (typos, OCR slips, inflection noise) found by edit distance over the
     * vocabulary, the normalization tier BELOW document near-dup: d2/d3

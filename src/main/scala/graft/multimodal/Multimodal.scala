@@ -246,6 +246,165 @@ object Multimodal {
     FROM fp GROUP BY 1
     HAVING count(*) >= 2"""
 
+  // ---- MM3 (E181): perceptual frame NEAR-dup ------------------------------
+
+  /** Per-frame signature width: one bit per hex digit of the
+    * [[FrameSize]]-byte frame (2 per byte) — 32 bits. */
+  val SigBits = 2 * FrameSize
+
+  /** Bands for the near-dup pigeonhole: [[Mm3MaxHamming]] + 1 halves of
+    * [[SigBits]]/2 = 16 bits — hamming ≤ 1 leaves at least one half
+    * exactly equal, and 16-bit keys keep random band collisions at
+    * ~2·n²/2¹⁶ candidate pairs (the d5 band-width lesson: 8-bit bands
+    * would admit ~1.6 % of all cross pairs as candidates). */
+  val Mm3BandMod = 1L << (SigBits / 2)
+  val Mm3MaxHamming = 1
+
+  /** Twin id offset — the dedup-corpus convention (far above any fanned
+    * doc id). */
+  val MediaTwinOffset = 10000000L
+
+  private val HexTable = "0123456789abcdef"
+
+  /** Media objects as (doc_id, lowercase payload hex) — mm3 works at the
+    * hex grain throughout (the mm2 oracle's `ph` form, now on BOTH
+    * engines), so signature/twin arithmetic is identical by construction. */
+  def mediaHex(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), lower(hex(col("payload"))).as("ph"))
+
+  /** Corpus with planted perceptual NEAR-dup twins: every 10th media
+    * object gets a copy whose FIRST hex digit has its top nibble bit
+    * flipped (digit + 8 mod 16 ≡ byte XOR 0x80) — a one-bit signature
+    * perturbation, the "re-encoded with one changed pixel block" stand-in
+    * that exact frame dedup (mm2's md5 grain) cannot see. */
+  def withNearDupMediaHex(media: DataFrame): DataFrame = {
+    val v = conv(substring(col("ph"), 1, 1), 16, 10).cast("long")
+    val flipped = lit(HexTable)
+      .substr((pmod(v + 8, lit(16L)) + 1).cast("int"), lit(1))
+    media.unionByName(media
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + MediaTwinOffset).as("doc_id"),
+        concat(flipped, col("ph").substr(lit(2), length(col("ph"))))
+          .as("ph")))
+  }
+
+  /** Per-frame PERCEPTUAL signature: bit j of the 32-bit signature is
+    * [hex digit j of the frame ≥ '8'] — i.e. the top bit of each nibble,
+    * the byte-statistics stand-in for a real perceptual hash's
+    * per-block luminance threshold (with a real codec this column comes
+    * from [[MediaCodec]]; the plan is identical). Computed as one
+    * MSB-first integer fold (acc·2 + bit — no shift builtins, same fold
+    * both engines). Only FULL frames fingerprint (floor, not ceil — a
+    * perceptual hash is defined on whole blocks): a sub-block tail stub
+    * would zero-pad into a low-entropy signature and cluster every
+    * short-tail media object into one degenerate near-dup blob
+    * (measured before the guard: 151,807 pairs at sf0.1, almost all
+    * tail-stub collisions, vs the meaningful relation after). */
+  def frameSignatures(media: DataFrame): DataFrame = {
+    val nf = expr(s"CAST(length(ph) AS BIGINT) DIV ${2 * FrameSize}")
+    // an all-tail payload (shorter than one frame) yields zero frames
+    // EXPLICITLY — sequence(0, -1) is an illegal-range runtime error
+    // (the sampleFrames lesson)
+    val frameIdx = when(nf === 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nf - 1))
+    media
+      .select(col("doc_id"), col("ph"),
+        explode(frameIdx).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        col("ph").substr((col("frame_no") * (2 * FrameSize) + 1).cast("int"),
+          lit(2 * FrameSize)).as("fh"))
+      .select(col("doc_id"), col("frame_no"),
+        aggregate(sequence(lit(1), lit(SigBits)), lit(0L),
+          (acc, j) => acc * 2 +
+            when(col("fh").substr(j.cast("int"), lit(1)) >= "8", 1L)
+              .otherwise(0L)).as("sig"))
+  }
+
+  /** MM3 query (E181): perceptual frame NEAR-dup — the d5 SimHash shape
+    * at the multimodal grain, closing the ladder mm2 starts: mm2 drops
+    * bitwise-identical frames, this finds frames whose signatures differ
+    * in ≤ [[Mm3MaxHamming]] bit (re-encodes, one-block edits) via the
+    * band pigeonhole — each frame posts its two 16-bit signature halves,
+    * candidates meet on an exact (band, key) equi-join (never all-pairs),
+    * the cheap XOR popcount filter runs before dedup, and the report
+    * aggregates to media-object pairs. Planted twins guarantee
+    * findable positives at any scale (hamming 1 on frame 0, hamming 0 on
+    * the repeated-digest tail frames — both within the threshold).
+    *
+    * Scale shape: the signature pass is one narrow generator scan (the
+    * mm2 frame stream with an integer fold instead of md5); the join is
+    * d5's banded equi-join — candidate volume ≈ 2·n²/2¹⁶ random pairs
+    * plus the genuine near-dups; everything after runs at candidate
+    * grain. */
+  def frameNearDupPairs(docs: DataFrame,
+      maxHamming: Int = Mm3MaxHamming): DataFrame = {
+    val sigs = frameSignatures(withNearDupMediaHex(mediaHex(
+      mediaCorpus(docs))))
+    val banded = sigs.select(col("doc_id"), col("frame_no"), col("sig"),
+      explode(array(
+        struct(lit(0L).as("band"),
+          expr(s"sig DIV $Mm3BandMod").as("key")),
+        struct(lit(1L).as("band"),
+          pmod(col("sig"), lit(Mm3BandMod)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("frame_no"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.frame_no").as("frame_a"),
+        col("y.doc_id").as("doc_b"), col("y.frame_no").as("frame_b"),
+        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+  }
+
+  /** MM3 oracle: the identical hex-grain pipeline in DuckDB (the
+    * [[payloadBaseCtesSql]] synthesis, the same +8-mod-16 twin digit, the
+    * same MSB-first signature fold, bands, popcount). */
+  def frameNearDupSql(maxHamming: Int = Mm3MaxHamming): String = s"""
+    WITH $payloadBaseCtesSql,
+    m0 AS (SELECT doc_id, ph FROM pbase),
+    media AS (
+      SELECT doc_id, ph FROM m0
+      UNION ALL
+      SELECT doc_id + $MediaTwinOffset AS doc_id,
+        substr('$HexTable',
+          (((strpos('$HexTable', substr(ph, 1, 1)) - 1 + 8) % 16) + 1)::INT,
+          1) || substr(ph, 2) AS ph
+      FROM m0 WHERE doc_id % 10 = 0),
+    fr AS (
+      SELECT doc_id,
+        unnest(range(0, len(ph) // ${2 * FrameSize})) AS frame_no, ph
+      FROM media),
+    sg AS (
+      SELECT doc_id, frame_no::BIGINT AS frame_no,
+        list_reduce(list_prepend(0::BIGINT, list_transform(
+          range(1, ${SigBits + 1}),
+          j -> CASE WHEN substr(ph,
+              (frame_no * ${2 * FrameSize} + j)::INT, 1) >= '8'
+            THEN 1::BIGINT ELSE 0::BIGINT END)),
+          (acc, b) -> acc * 2 + b) AS sig
+      FROM fr),
+    banded AS (
+      SELECT doc_id, frame_no, sig, 0::BIGINT AS band,
+        sig // $Mm3BandMod AS key FROM sg
+      UNION ALL
+      SELECT doc_id, frame_no, sig, 1::BIGINT AS band,
+        sig % $Mm3BandMod AS key FROM sg)
+    SELECT doc_a, doc_b, count(*)::BIGINT AS n_frame_pairs,
+      min(hamming) AS min_hamming
+    FROM (
+      SELECT DISTINCT x.doc_id AS doc_a, x.frame_no AS frame_a,
+        y.doc_id AS doc_b, y.frame_no AS frame_b,
+        bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sig, y.sig)) <= $maxHamming) cand
+    GROUP BY 1, 2"""
+
   /** DuckDB twin of [[mediaSummary]]: payload synthesis (md5/repeat/
     * truncate), byte statistics, rolling hash, and frame fingerprints all
     * recomputed from the md5 HEX string — bytes are recovered by folding

@@ -264,7 +264,26 @@ object ScaleSweep {
     "s6_weighted_reservoir", "s7_stratified_reservoir",
     // x21 = one fact shuffle on orderkey (window), supplier-grain agg,
     // broadcast dims, constant top-100 — expect linear, flat jobs
-    "x21_waiting_suppliers")
+    "x21_waiting_suppliers",
+    // x22 = one (part, supplier) fact aggregate + a part-keyed window
+    // on the aggregate grain + broadcast dims — expect linear, flat;
+    // output rides the scoped-part count (×N under the fan-out)
+    "x22_mincost_supplier",
+    // x23 = one custkey outer join + per-customer count (shared
+    // shuffle) + a count-grain histogram — expect linear, flat jobs,
+    // constant ~20-row output (the per-copy count distribution is
+    // preserved exactly by the disjoint-replica fan-out)
+    "x23_order_count_histogram",
+    // r4 = one positioned-span pass + a doc-partitioned running window
+    // + selected-fingerprint pair join: the sparse (~2/(w+1) density)
+    // form of r2's every-position relation — expect r2's curve with a
+    // smaller pair side; twins ×N ⇒ pairs ~×N (per-copy token spaces
+    // are disjoint, so cross-copy fingerprints never collide)
+    "r4_winnow_pairs",
+    // mm3 = one payload-hex generator scan (integer signature fold) +
+    // d5's banded equi-join at frame grain — expect linear scan, the
+    // candidate side ~2·frames²/2^16 + planted twins (×N); flat jobs
+    "mm3_frame_neardup")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

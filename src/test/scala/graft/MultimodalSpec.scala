@@ -99,4 +99,56 @@ class MultimodalSpec extends SparkSpec
     assert(Set("doc_id", "format", "byte_len", "mean_byte", "width",
       "sampled_frames", "distinct_frames").subsetOf(cols))
   }
+
+  test("mm3: signature bit j is [hex digit j >= '8'], MSB-first; only full frames fingerprint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def ofHex(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ph", StringType))))
+    // hand-computed: digits '9','f','0','7' → bits 1,1,0,0, then 28
+    // zeros: sig = binary 1100…0 = 3 · 2^30
+    val one = ofHex((1L, "9f07" + "0" * 28))
+    val sig = Multimodal.frameSignatures(one).head()
+    assert(sig.getLong(1) === 0L)
+    assert(sig.getLong(2) === 3L * (1L << 30))
+    // 33 digits = one FULL frame + a 1-digit tail: the stub must NOT
+    // fingerprint (a zero-padded tail signature would cluster every
+    // short-tail object into one degenerate near-dup blob), and an
+    // all-tail payload yields zero frames, not an error
+    val sigs = Multimodal.frameSignatures(
+      ofHex((2L, "0" * Multimodal.SigBits + "f"), (3L, "ff")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sigs.toSeq === Seq((2L, 0L, 0L)))
+  }
+
+  test("mm3: the planted one-bit twin lands hamming 1 on frame 0, and every twin pair is found") {
+    import org.apache.spark.sql.functions._
+    // the twin digit is +8 mod 16 = the nibble top bit: signature
+    // hamming vs the original's frame 0 is EXACTLY 1; repeated-digest
+    // tail frames match at hamming 0 — both inside the threshold, so
+    // the banded join must report every planted pair
+    val out = Multimodal.frameNearDupPairs(docs).cache()
+    try {
+      val pairs = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))).toSet // a, b, minham
+      val planted = docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .collect().map(_.getLong(0))
+      assert(planted.nonEmpty)
+      planted.foreach { d =>
+        val hit = pairs.find(p => p._1 === d &&
+          p._2 === d + Multimodal.MediaTwinOffset)
+        assert(hit.nonEmpty, s"twin pair ($d) missing")
+        // tail frames of the md5-repeated payload tie at hamming 0
+        assert(hit.get._3 === 0L, s"twin pair ($d) min hamming")
+      }
+      // and the pigeonhole premise holds on every reported pair
+      assert(out.agg(max(col("min_hamming"))).head().getLong(0)
+        <= Multimodal.Mm3MaxHamming)
+      ()
+    } finally { out.unpersist(); () }
+  }
 }

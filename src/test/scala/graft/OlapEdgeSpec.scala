@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+/** Edge-case fixtures for the x22/x23 TPC-H shapes — the semantics the
+  * sf corpora happen not to exercise (no cost ties at either SF; the
+  * oracle gate can't see an untraveled branch). Each test runs the REAL
+  * `SparkEntry.queries` lambda over a planted parquet directory, so the
+  * pinned behavior is the shipped query's, not a re-derivation's.
+  */
+class OlapEdgeSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.parquet(s"$dir/$name.parquet")
+
+  test("x22: cost ties all return; an out-of-region cheaper supplier never suppresses them") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-x22").toString
+    // nation 1 is in region 1 (the query's scope), nation 2 is not
+    write(d, "nation", Seq((1, "INSCOPE", 1), (2, "ELSEWHERE", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey"))
+    write(d, "supplier", Seq(
+      (1L, "s#1", 1), (2L, "s#2", 1), (3L, "s#3", 2))
+      .toDF("s_suppkey", "s_name", "s_nationkey"))
+    // part 10 in scope; part 11 fails the size filter
+    write(d, "part", Seq(
+      (10L, "BRAND-A", "SMALL", 5), (11L, "BRAND-B", "SMALL", 40))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size"))
+    // s1 and s2 tie at the in-region minimum (5.0; s1's cheaper line
+    // wins its own (part, supplier) min first); s3 undercuts at 3.0 but
+    // sits outside the region — Q2's trap: the correlated min must be
+    // REGION-SCOPED, or s3 would suppress both tie rows
+    write(d, "lineitem", Seq(
+      (10L, 1L, 7.0), (10L, 1L, 5.0), (10L, 2L, 5.0), (10L, 3L, 3.0),
+      (11L, 1L, 1.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice"))
+    val out = SparkEntry.queries("x22_mincost_supplier")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(out === Set(
+      (10L, "BRAND-A", "s#1", "INSCOPE", 5.0),
+      (10L, "BRAND-A", "s#2", "INSCOPE", 5.0)))
+  }
+
+  test("x23: never-ordered and urgent-only customers both land in the zero bucket") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-x23").toString
+    write(d, "customer", Seq(1L, 2L, 3L).toDF("c_custkey"))
+    // customer 1: two counted orders; customer 2: only URGENT orders —
+    // Q13's trap: the priority predicate belongs to the JOIN (an outer
+    // WHERE would erase the row, an inner join the customer); customer
+    // 3: no orders at all
+    write(d, "orders", Seq(
+      (101L, 1L, "5-LOW"), (102L, 1L, "2-HIGH"), (103L, 2L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority"))
+    val out = SparkEntry.queries("x23_order_count_histogram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((2L, 1L), (0L, 2L)))
+  }
+}

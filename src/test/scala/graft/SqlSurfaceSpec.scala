@@ -361,6 +361,214 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("s7 via spark.sql: the stratified race keeps its WindowGroupLimit") {
+    import graft.text.TextAnalysis._
+    import graft.functions.TextFunctions.HashP
+    val viaSql = assertParity("s7_stratified_reservoir", s"""
+      SELECT source, rk, doc_id, weight, race_key FROM (
+        SELECT source, doc_id, weight, race_key,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY race_key ASC, doc_id ASC) AS BIGINT) AS rk
+        FROM (
+          SELECT doc_id, source, weight,
+            min(pmod(pmod(doc_id, ${HashP}L) * ${RaceA}L + j * ${RaceB}L,
+              ${HashP}L)) AS race_key
+          FROM (
+            SELECT doc_id, source, weight,
+              explode(sequence(1L, weight)) AS j
+            FROM (
+              SELECT doc_id, source,
+                1L + (n_tokens DIV $ReservoirUnit) AS weight
+              FROM (
+                SELECT doc_id, source,
+                  CAST(greatest(coalesce(size(${toksSql("text")}), 0), 0)
+                  AS BIGINT) AS n_tokens
+                FROM documents) t) w) d
+          GROUP BY doc_id, source, weight) keys) ranked
+      WHERE rk <= $StratumK""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the SQL path must keep the per-stratum pre-truncation: each
+    // shuffle partition retains <= k rows per source BEFORE the sort —
+    // never a full per-source sort, never a global one
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
+  test("e8 via spark.sql: the outer interval join stays an equi-join, never a nested loop") {
+    val viaSql = assertParity("e8_attribution_outer", s"""
+      WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+          timestamp_seconds(unix_seconds(CAST(ts AS TIMESTAMP))) AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id AS c_user,
+          timestamp_seconds(unix_seconds(CAST(ts AS TIMESTAMP))) AS c_ts
+        FROM events WHERE event_type = 'click')
+      SELECT purchase_id, p_user AS user_id, click_id,
+        unix_timestamp(p_ts) AS p_epoch, unix_timestamp(c_ts) AS c_epoch
+      FROM p LEFT JOIN c ON p_user = c_user AND c_ts <= p_ts
+        AND c_ts >= p_ts - INTERVAL 1800 SECONDS""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the user-key equality must drive the join (the interval bounds
+    // ride as a residual) — a nested-loop/cartesian form would pay
+    // |purchases|·|clicks| at any scale
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("g4 via spark.sql: K unrolled vote rounds with the shuffled-hash hint elect the same communities") {
+    import graft.operators.LabelPropagation.LpaIters
+    // the SQL-only user's form: the DataFrame loop's per-round
+    // localCheckpoint is a lifecycle choice (lineage truncation), not a
+    // semantic one, so plan SHAPES are incomparable by construction —
+    // the pin is result identity plus the scale feature that closed the
+    // ×100 heap wall: every vote round joins SHUFFLE_HASH on the
+    // node-grain label side (SMJ's edge-grain sorts were the OOM)
+    val rounds = (1 to LpaIters).map { k =>
+      s"""l$k AS (
+        SELECT src AS node, -(vmax.nl) AS label FROM (
+          SELECT src, max(named_struct('cnt', cnt, 'nl', nl)) AS vmax
+          FROM (
+            SELECT /*+ SHUFFLE_HASH(p) */ e.src, -p.label AS nl,
+              count(1) AS cnt
+            FROM edges e JOIN l${k - 1} p ON e.dst = p.node
+            GROUP BY e.src, p.label) v
+          GROUP BY src) a)"""
+    }.mkString(",\n      ")
+    val viaSql = ext.sql(s"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      $rounds
+      SELECT node AS product_id, label AS community FROM l$LpaIters""")
+    val api = SparkEntry.queries("g4_lpa_communities")(ext, sf0001)
+    assert(rowsOf(viaSql) === rowsOf(api),
+      "g4 SQL-text communities diverged from the DataFrame path")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= LpaIters,
+      plan.take(2000))
+  }
+
+  test("x21 via spark.sql: both quantifiers stay ONE window; bounded top-100") {
+    val viaSql = assertParity("x21_waiting_suppliers", s"""
+      WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+                 WHERE o_orderstatus = 'F'),
+      l AS (SELECT l_orderkey, l_suppkey,
+              l_shipdate > o_orderdate + INTERVAL 60 DAYS AS late
+            FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+      q AS (SELECT l_suppkey, count(1) AS numwait FROM (
+              SELECT l_suppkey, late,
+                size(collect_set(l_suppkey)
+                  OVER (PARTITION BY l_orderkey)) AS ns,
+                size(collect_set(CASE WHEN late THEN l_suppkey END)
+                  OVER (PARTITION BY l_orderkey)) AS nl
+              FROM l) t
+            WHERE late AND ns > 1 AND nl = 1
+            GROUP BY l_suppkey)
+      SELECT /*+ BROADCAST(sn) */ s_name, numwait
+      FROM q JOIN (SELECT s_suppkey, s_name FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                     AND n_regionkey = 0) sn
+        ON l_suppkey = s_suppkey
+      ORDER BY numwait DESC, s_name ASC LIMIT 100""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the Q21 rewrite's whole point: three correlated self-join passes
+    // collapsed into one orderkey window + a bounded top-k
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("x22 via spark.sql: the correlated min rides the part window; dims broadcast") {
+    val viaSql = assertParity("x22_mincost_supplier", s"""
+      SELECT l_partkey AS partkey, p_brand AS brand, s_name, nation,
+        CAST(cost AS DOUBLE) AS cost
+      FROM (
+        SELECT /*+ BROADCAST(sn), BROADCAST(pt) */
+          ps.l_partkey, pt.p_brand, sn.s_name, sn.nation, ps.cost,
+          min(ps.cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+        FROM (SELECT l_partkey, l_suppkey,
+                min(CAST(l_extendedprice AS $money)) AS cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+        JOIN (SELECT s_suppkey, s_name, n_name AS nation
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                AND n_regionkey = 1) sn
+          ON ps.l_suppkey = sn.s_suppkey
+        JOIN (SELECT p_partkey, p_brand FROM part
+              WHERE p_size <= 10 AND p_type = 'SMALL') pt
+          ON ps.l_partkey = pt.p_partkey) t
+      WHERE cost = min_cost""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
+  test("x23 via spark.sql: the zero-preserving double aggregate holds as SQL text") {
+    assertParity("x23_order_count_histogram", """
+      SELECT c_count, count(1) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey) per_cust
+      GROUP BY c_count""")
+    ()
+  }
+
+  test("r4 via spark.sql: span_hashes resolves native; the integer window-min selection holds") {
+    import graft.dedup.Dedup
+    val corpusSql = s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${Dedup.TwinOffset}L AS doc_id,
+        array_join(slice(${toksSql("text")}, 1, 15), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0"""
+    // fp feeds the df cap AND both sides of the pair join — inlined
+    // three times, as the DataFrame plan duplicates the subtree; the
+    // double distinct ((doc,h,pos) then (doc,h)) mirrors the DataFrame's
+    // winnowFingerprints → winnowPairs composition exactly
+    val fpSql = s"""
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT DISTINCT doc_id, sel DIV ${Dedup.WinnowEnc} AS h,
+          ${Dedup.WinnowEnc - 1}L - pmod(sel, ${Dedup.WinnowEnc}L) AS pos
+        FROM (
+          SELECT doc_id,
+            min(h * ${Dedup.WinnowEnc}L + (${Dedup.WinnowEnc - 1}L - pos))
+              OVER fr AS sel,
+            count(1) OVER fr AS nwin
+          FROM (
+            SELECT doc_id, CAST(pos0 + 1 AS BIGINT) AS pos, h FROM (
+              SELECT doc_id,
+                posexplode(span_hashes(token_hashes(${toksSql("text")}),
+                  ${Dedup.SpanN})) AS (pos0, h)
+              FROM ($corpusSql) corpus) px) sh
+          WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${Dedup.WinnowW - 1} FOLLOWING)) w
+        WHERE nwin = ${Dedup.WinnowW}) fpd"""
+    val prunedSql = s"""
+      SELECT fp.doc_id, fp.h FROM ($fpSql) fp
+      JOIN (SELECT h FROM ($fpSql) f2 GROUP BY h
+            HAVING count(1) <= ${Dedup.WinnowDfCap}) rare
+        ON fp.h = rare.h"""
+    val viaSql = assertParity("r4_winnow_pairs", s"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        count(1) AS n_shared
+      FROM ($prunedSql) a JOIN ($prunedSql) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id""")
+    assert(usesNative[org.apache.spark.sql.graft.SpanHashes](viaSql))
+    assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
+  }
+
   test("cdc2 via spark.sql: the signed maintenance fold and null-safe key join hold as SQL text") {
     // the incremental-maintenance consumer as the SQL a warehouse job
     // would ship: the cdf1 feed inlined, the signed churn aggregate,
@@ -474,7 +682,7 @@ object SqlSurfaceSpec {
     }
   } match { case s =>
     Seq("orders", "lineitem", "part", "documents", "embeddings",
-      "customer", "supplier", "nation", "region").foreach { t =>
+      "customer", "supplier", "nation", "region", "events").foreach { t =>
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $t USING parquet
                 OPTIONS (path '/root/testdata/sf0.001/$t.parquet')""")
     }

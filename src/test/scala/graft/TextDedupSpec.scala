@@ -635,6 +635,70 @@ class TextDedupSpec extends SparkSpec {
     assert(out("srcC") === ((6L, 0L, 0.0)))
   }
 
+  test("r4: winnowing guarantee — a shared run of w+k-1 tokens is always caught") {
+    // the scheme's detection floor (Schleimer–Wilkerson–Aiken theorem):
+    // a match of length >= w+k-1 = 4+5-1 = 8 tokens contains one FULL
+    // window of w identical k-gram hashes, and that window's selection
+    // (rightmost min) is a function of the window contents alone — both
+    // docs select the same fingerprint. Exactly-at-the-floor fixture:
+    // 8 shared tokens, everything else unique.
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, s"u1 u2 u3 $shared"),
+      (2L, s"$shared v1 v2"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")) // no overlap — no pair
+    val pairs = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("r4: window selection is the rightmost minimal hash; selections subset the span hashes") {
+    // all-identical tokens -> every 5-gram hash is EQUAL, so each full
+    // window must select its rightmost position: 9 tokens = 5 spans =
+    // 2 full windows (starts 1, 2) covering positions 1-4 and 2-5 ->
+    // selected positions exactly {4, 5}
+    val d = docs((1L, Seq.fill(9)("rep").mkString(" ")))
+    val fp = Dedup.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(fp.map(_._2).toSet === Set(4L, 5L))
+    assert(fp.map(_._1).distinct.length === 1) // one repeated hash
+    // and on a varied doc: every selected hash is one of the doc's span
+    // hashes at its claimed position, and the count respects the
+    // coverage bounds (>= ceil(nwin/w): one selection serves at most w
+    // windows; <= nwin: one per window)
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d2 = docs((7L, text))
+    val th = TextFunctions.tokenHashes(
+      TextFunctions.tokens(TextFunctions.norm(col("text"))))
+    val spans = d2.select(TextFunctions.spanHashesFromTh(th, 5).as("sh"))
+      .head().getSeq[Long](0)
+    val nwin = spans.length - Dedup.WinnowW + 1 // 16 spans -> 13 windows
+    val sel = Dedup.winnowFingerprints(d2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    sel.foreach { case (h, pos) =>
+      assert(spans(pos.toInt - 1) === h, s"fingerprint ($h, $pos)")
+    }
+    assert(sel.length >= (nwin + Dedup.WinnowW - 1) / Dedup.WinnowW &&
+      sel.length <= nwin, s"got ${sel.length} of $nwin windows")
+  }
+
+  test("r4: every planted prefix twin is caught on the real corpus") {
+    // the r2 corpus convention: every 10th doc gets a 15-token-prefix
+    // twin — 15 >= the 8-token floor, so winnowing must pair each twin
+    // with its original (dfCap must not prune the planted evidence)
+    val corpus = Dedup.withSpanTwins(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    val pairs = Dedup.winnowPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = corpus.where(col("doc_id") >= Dedup.TwinOffset)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(twins.nonEmpty)
+    twins.foreach { t =>
+      assert(pairs.contains((t - Dedup.TwinOffset, t)),
+        s"twin pair (${t - Dedup.TwinOffset}, $t) not caught")
+    }
+  }
+
   test("d11: fuzzy vocab pairs meet exactly once and respect the distance cap") {
     // vocab: cat/cart (Δlen=1, dist 1), cat/bat (equal len, dist 1),
     // cat/dog (dist 3 — must not appear). Repetition makes frequencies
