@@ -59,12 +59,20 @@ object PageRank {
     *
     * ONE graph, four consumers (g1 ranks, g2 counts closure, g3
     * measures reach, g4 partitions) — and ONE cache-lifetime contract
-    * for the family (round-12 unification; BfsHops set the convention):
-    * every operator RELEASES every cache it creates, in-method, and
-    * returns a frame that holds no reference to them (iterative rounds
-    * are eagerly localCheckpoint-ed; single-dataflow results are
-    * eagerly materialized the same way before their internal persists
-    * drop). The `*FromEdges` overloads are the composition path — the
+    * for the family (round 12 settled it by MEASUREMENT, one contract
+    * per operator class): ITERATIVE operators (g3, g4) checkpoint each
+    * round and release everything in-method — their lineage must
+    * truncate regardless, so the eager materialization is already paid
+    * for; SINGLE-dataflow operators (g1, g2) return the LAZY dataflow
+    * over interior persists that the CALLER releases after
+    * materializing (clearCache — the t14 convention), because BOTH
+    * eager-release forms measured 3–4× slower at sf0.1 (GraphAb A/B;
+    * BASELINE round 12): `localCheckpoint(true)` materializes through
+    * `Dataset.rdd` with the plan finalized before adaptive execution,
+    * and a `persist()+count()` cache build equally runs without AQE
+    * (cached-plan output partitioning must stay stable) — either way
+    * the node-grain joins AQE would runtime-plan fall back to static
+    * SMJ. The `*FromEdges` overloads are the composition path — the
     * SharedLabels convention applied to the graph family: the CALLER
     * persists this relation once, feeds all four operators, and
     * unpersists after (tools/SharedGraph measures the saving; the
@@ -83,25 +91,33 @@ object PageRank {
   /** PageRank over [[copurchaseEdges]]: (product_id, degree,
     * rank_scaled, pr). `rank_scaled` is the exact integer fixpoint
     * state; `pr` is the one double boundary (÷PrScale). Lifetime: the
-    * family contract on [[copurchaseEdges]] — builds, persists, and
-    * releases its own graph in-method. */
+    * family contract on [[copurchaseEdges]] — lazy dataflow over
+    * interior persists, released by the caller after materializing. */
   def productPageRank(lineitem: DataFrame,
-      iters: Int = PrIters): DataFrame = {
-    val edges = copurchaseEdges(lineitem).persist()
-    try productPageRankFromEdges(edges, iters)
-    finally { edges.unpersist(); () }
-  }
+      iters: Int = PrIters): DataFrame =
+    productPageRankFromEdges(copurchaseEdges(lineitem).persist(), iters)
 
   /** Composition form: rank over a CALLER-persisted edge relation (see
-    * [[copurchaseEdges]] for the contract — this never touches the
-    * caller's cache, eagerly materializes, and releases its own `ed`
-    * persist before returning). */
+    * [[copurchaseEdges]] for the contract). Returns the LAZY dataflow —
+    * the caller materializes and then releases the interior persists
+    * (`clearCache()` after consuming, the t14 convention; the
+    * SharedGraph driver releases once after all four consumers).
+    *
+    * Lazy is a MEASURED choice, twice over (round 12, GraphAb A/B at
+    * sf0.1): eager in-method materialization costs 3–4× here whichever
+    * way it's done — `localCheckpoint(true)` materializes through
+    * `Dataset.rdd` (plan finalized WITHOUT adaptive execution: g1
+    * 9.5 s vs 3.2 lazy, g2 12.8 vs 3.2) and `persist()+count()` builds
+    * the cache with AQE's runtime join planning equally disabled
+    * (output partitioning of a cached plan must stay stable: g1 9.2,
+    * g2 22.3). Only the lazy form lets AQE pick the physical joins at
+    * every scale, so single-dataflow operators return it and the
+    * release moves to the caller; ITERATIVE operators (g3/g4) keep
+    * in-method checkpoint+release — their rounds must truncate lineage
+    * regardless, and their bands carry that cost. */
   def productPageRankFromEdges(edges: DataFrame,
-      iters: Int = PrIters): DataFrame = {
-    val (frame, ed) = rankDataflow(edges, iters)
-    try frame.localCheckpoint(true)
-    finally { ed.unpersist(); () }
-  }
+      iters: Int = PrIters): DataFrame =
+    rankDataflow(edges, iters)._1
 
   /** The lazy rank dataflow (plan-inspectable: PlanSpec/PageRankSpec
     * pin its shape — the persisted per-round join input, no global

@@ -48,22 +48,22 @@ object Triangles {
     * The symmetric edge relation persists for its three consumers
     * (degree, orientation, nothing re-runs the distinct self-join);
     * cache lifetime: the family contract on
-    * [[PageRank.copurchaseEdges]] — built, persisted and released
-    * in-method here, caller-owned in the FromEdges form. */
-  def triangleCensus(lineitem: DataFrame): DataFrame = {
-    val edges = PageRank.copurchaseEdges(lineitem).persist()
-    try triangleCensusFromEdges(edges)
-    finally { edges.unpersist(); () }
-  }
+    * [[PageRank.copurchaseEdges]] — the returned dataflow is LAZY and
+    * the caller releases the interior persists after materializing
+    * (clearCache — the t14 convention). */
+  def triangleCensus(lineitem: DataFrame): DataFrame =
+    triangleCensusFromEdges(PageRank.copurchaseEdges(lineitem).persist())
 
   /** Composition form over a CALLER-persisted edge relation (the
-    * SharedGraph path): eagerly materializes the node-grain census and
-    * releases its own `oriented` persist before returning. */
-  def triangleCensusFromEdges(edges: DataFrame): DataFrame = {
-    val (frame, oriented) = censusDataflow(edges)
-    try frame.localCheckpoint(true)
-    finally { oriented.unpersist(); () }
-  }
+    * SharedGraph path): returns the LAZY census dataflow — the caller
+    * materializes, then releases the interior persists (clearCache
+    * after consuming). Lazy is the measured round-12 choice: both
+    * eager materializations (localCheckpoint's `.rdd` path AND a
+    * persist+count cache build) run without AQE's runtime join
+    * planning and cost 4× here — see
+    * [[PageRank.productPageRankFromEdges]] for the numbers. */
+  def triangleCensusFromEdges(edges: DataFrame): DataFrame =
+    censusDataflow(edges)._1
 
   /** The lazy census dataflow (plan-inspectable: the gate pins the
     * persisted adjacency and the equi-join enumeration). Returns the

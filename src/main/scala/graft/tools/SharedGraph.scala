@@ -41,10 +41,18 @@ object SharedGraph {
       System.err.println(f"[shared-graph] $label: $dt%.2f s")
       dt
     }
+    // the g1/g2 contract is caller-released interior caches (the lazy
+    // AQE form — see PageRank.copurchaseEdges); in this dedicated JVM
+    // clearCache IS the caller release. Between independent ops it also
+    // prevents plan-equal cache reuse (g2 silently riding g1's edges
+    // would fake the very saving this harness measures).
+    val spark2 = spark
     for (pass <- 1 to 2) {
       val indep = timed(s"pass$pass independent (g1+g2+g3+g4 standalone)") {
         PageRank.productPageRank(li).count()
+        spark2.catalog.clearCache()
         Triangles.triangleCensus(li).count()
+        spark2.catalog.clearCache()
         BfsHops.hubHops(li).count()
         LabelPropagation.communities(li).count()
       }
@@ -55,7 +63,7 @@ object SharedGraph {
           Triangles.triangleCensusFromEdges(edges).count()
           BfsHops.hubHopsFromEdges(edges).count()
           LabelPropagation.communitiesFromEdges(edges).count()
-        } finally { edges.unpersist(); () }
+        } finally { spark2.catalog.clearCache(); () }
       }
       println(f"""{"pass": $pass, "independent_sec": $indep%.2f, """ +
         f""""shared_sec": $shared%.2f, "saving": ${1 - shared / indep}%.3f}""")

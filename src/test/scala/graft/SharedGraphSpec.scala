@@ -42,33 +42,47 @@ class SharedGraphSpec extends SparkSpec {
     }
   }
 
-  test("lifetime: standalone operators leave no cache residue (in-method release)") {
+  test("lifetime: iterative operators release in-method; single-dataflow caches release on demand") {
     // a UNIQUE input frame (no other suite builds this exact plan, so
-    // the probe below is concurrency-safe under the parallel runner)
+    // the probes below are concurrency-safe under the parallel runner)
     val uin = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
-    PageRank.productPageRank(uin, iters = 2).count()
-    Triangles.triangleCensus(uin).count()
+    import org.apache.spark.storage.StorageLevel
+    // Dataset.storageLevel / unpersist consult the session CacheManager
+    // by plan equality — an equal plan probes (and releases) the cache
+    def edgesProbe = PageRank.copurchaseEdges(uin)
+    // ITERATIVE class (g3/g4): checkpointed rounds, everything released
+    // in-method — zero residue the moment the call returns
     BfsHops.hubHops(uin, iters = 2).count()
     LabelPropagation.communities(uin, iters = 2).count()
-    import org.apache.spark.storage.StorageLevel
-    // Dataset.storageLevel consults the session CacheManager by plan
-    // equality — NONE means no residue for that exact build
-    val edgesProbe = PageRank.copurchaseEdges(uin)
     assert(edgesProbe.storageLevel === StorageLevel.NONE,
-      "a standalone graph operator left its edge relation cached")
-    // ...and the internal derived persists (g1's per-round join input)
+      "an iterative graph operator left its edge relation cached")
+    // SINGLE-dataflow class (g1/g2): the returned frame is the LAZY
+    // dataflow (the measured AQE choice — BASELINE round 12), interior
+    // persists live until the CALLER releases them...
+    PageRank.productPageRank(uin, iters = 2).count()
+    assert(edgesProbe.storageLevel !== StorageLevel.NONE,
+      "g1's interior persists are caller-released by contract")
+    // ...and a plan-equal unpersist releases exactly them (the
+    // clearCache-free form of the caller contract)
     val deg = edgesProbe.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    assert(edgesProbe.join(deg, Seq("src")).storageLevel ===
-      StorageLevel.NONE, "g1 left its per-round join input cached")
+    val edProbe = edgesProbe.join(deg, Seq("src"))
+    edProbe.unpersist()
+    edgesProbe.unpersist()
+    assert(edgesProbe.storageLevel === StorageLevel.NONE)
+    assert(edProbe.storageLevel === StorageLevel.NONE)
   }
 
-  test("results stay readable after the in-method release (eager materialization)") {
-    // the returned frames must not reference the dropped caches: force
-    // a SECOND full read after the operator returned
+  test("results stay readable after the caller releases the interior caches") {
     val out = PageRank.productPageRank(li)
     val first = rows(out)
+    // release every interior persist the g1 build created, then re-read:
+    // the lazy frame must recompute the identical result through lineage
+    val edgesProbe = PageRank.copurchaseEdges(li)
+    val deg = edgesProbe.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edgesProbe.join(deg, Seq("src")).unpersist()
+    edgesProbe.unpersist()
     assert(first === rows(out),
-      "re-reading the returned frame must reproduce the result without " +
-        "the internal caches")
+      "re-reading after the caller releases the interior caches must " +
+        "reproduce the result")
   }
 }
