@@ -569,6 +569,64 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
   }
 
+  test("mm3 via spark.sql: the hex-grain perceptual pipeline holds as SQL text") {
+    import graft.multimodal.Multimodal._
+    val fhx = 2 * FrameSize
+    // the synthesized media corpus at the hex grain (mediaCorpus ∘
+    // mediaHex, mirrored op for op), then the +8-mod-16 twin arm
+    val mediaSql = s"""
+      SELECT doc_id,
+        lower(hex(substr(to_binary(repeat(md5(CAST(text AS BINARY)), 8),
+          'hex'), 1, CAST(pmod(doc_id, 97) + 32 AS INT)))) AS ph
+      FROM documents"""
+    val corpusSql = s"""
+      SELECT doc_id, ph FROM ($mediaSql) m0
+      UNION ALL
+      SELECT doc_id + $MediaTwinOffset AS doc_id,
+        concat(substr('0123456789abcdef',
+          CAST(pmod(CAST(conv(substring(ph, 1, 1), 16, 10) AS BIGINT)
+            + 8, 16) + 1 AS INT), 1),
+          substr(ph, 2, length(ph))) AS ph
+      FROM ($mediaSql) m1 WHERE pmod(doc_id, 10) = 0"""
+    val bandedSql = s"""
+      SELECT doc_id, frame_no, sig, bk.band AS band, bk.key AS key
+      FROM (
+        SELECT doc_id, frame_no, sig, explode(array(
+          named_struct('band', 0L, 'key', sig DIV $Mm3BandMod),
+          named_struct('band', 1L, 'key', pmod(sig, $Mm3BandMod)))) AS bk
+        FROM (
+          SELECT doc_id, frame_no,
+            aggregate(sequence(1, ${2 * FrameSize}), 0L, (acc, j) ->
+              acc * 2 + CASE WHEN substr(fh, CAST(j AS INT), 1) >= '8'
+                THEN 1L ELSE 0L END) AS sig
+          FROM (
+            SELECT doc_id, frame_no,
+              substr(ph, CAST(frame_no * $fhx + 1 AS INT), $fhx) AS fh
+            FROM (
+              SELECT doc_id, ph, explode(
+                CASE WHEN CAST(length(ph) AS BIGINT) DIV $fhx = 0
+                  THEN CAST(array() AS ARRAY<BIGINT>)
+                  ELSE sequence(0L, CAST(length(ph) AS BIGINT)
+                    DIV $fhx - 1) END) AS frame_no
+              FROM ($corpusSql) media) fx) sh) sg) bx"""
+    val viaSql = assertParity("mm3_frame_neardup", s"""
+      SELECT doc_a, doc_b, count(1) AS n_frame_pairs,
+        min(hamming) AS min_hamming
+      FROM (
+        SELECT DISTINCT x.doc_id AS doc_a, x.frame_no AS frame_a,
+          y.doc_id AS doc_b, y.frame_no AS frame_b,
+          CAST(bit_count(x.sig ^ y.sig) AS BIGINT) AS hamming
+        FROM ($bandedSql) x JOIN ($bandedSql) y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        WHERE CAST(bit_count(x.sig ^ y.sig) AS BIGINT) <= $Mm3MaxHamming)
+      GROUP BY doc_a, doc_b""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // candidates meet on the banded equi-join — never a nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("cdc2 via spark.sql: the signed maintenance fold and null-safe key join hold as SQL text") {
     // the incremental-maintenance consumer as the SQL a warehouse job
     // would ship: the cdf1 feed inlined, the signed churn aggregate,
