@@ -1174,11 +1174,25 @@ object SparkEntry {
       Multimodal.frameDedup(s, Sources.table(s, d, "documents"))),
 
     // E181 (MM3): perceptual frame NEAR-dup — d5's SimHash shape at the
-    // multimodal grain, closing the ladder mm2 starts: per-frame 32-bit
-    // perceptual signatures (top bit of each nibble — the MediaCodec
-    // seam's stand-in), 16-bit band pigeonhole, XOR-popcount filter,
+    // multimodal grain, closing the ladder mm2 starts: per-frame
+    // perceptual signatures (nibble-threshold bits — the MediaCodec
+    // seam's stand-in), band pigeonhole, XOR-popcount filter,
     // media-object pair report. Planted one-bit twins (byte 0 XOR 0x80).
+    // 32-bit EXHIBIT width — opts in explicitly (the d5 convention);
+    // the production default is mm3x's 60.
     "mm3_frame_neardup" -> ((s, d) =>
+      Multimodal.frameNearDupPairs(Sources.table(s, d, "documents"),
+        bits = Multimodal.SigBits)),
+
+    // E182 (MM3X): the DEFAULT width — same banded pipeline at 60 bits
+    // (top TWO bits per nibble over 30 of the 32 frame digits; 30-bit
+    // half keys). The d5→d5x lesson applied at frame grain: 16-bit band
+    // keys admit ~2n²/2^16 random candidates — the term d5's history
+    // measured into a quadratic wall on a signature-concentrated
+    // corpus; 30-bit halves push it to ~2n²/2^30 (tools/Mm3Ab records
+    // both curves). frameNearDupPairs defaults to this width; the
+    // 32-bit density-watch exhibit (mm3) is the explicit-arg variant.
+    "mm3x_frame_neardup60" -> ((s, d) =>
       Multimodal.frameNearDupPairs(Sources.table(s, d, "documents"))),
 
     // E13: multimodal binary plumbing — synth payloads, partition-wise
@@ -2314,6 +2328,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    // E183 (X24): DOMINANT-SUPPLIER census — the TPC-H Q20 shape, the
+    // x-tier's remaining correlated pattern: a nested semi-join whose
+    // inner predicate is a correlated AGGREGATE comparison (Q20's
+    // "availqty > half the part's shipped quantity"). The schema
+    // carries no partsupp, so the catalog is DERIVED (the x22
+    // convention): per (part, supplier) shipped quantity in the scoped
+    // year, and a supplier qualifies if for SOME scoped part it
+    // shipped MORE THAN HALF of the part's total — strict >, exact
+    // DECIMAL sums (ties at exactly half never qualify; OlapEdgeSpec
+    // pins the boundary). Spark-first rewrite: the correlated
+    // `(SELECT sum ... same part)` becomes a part-partitioned window
+    // SUM on the aggregate grain (x22's no-join-back trick), the part
+    // scope broadcasts INTO the fact scan before the aggregate, and
+    // the IN-subquery becomes a supplier-grain distinct + left-semi.
+    // The oracle runs the LITERAL nested IN + correlated scalar form.
+    "x24_dominant_supplier" -> ((s, d) => {
+      val scoped = Sources.table(s, d, "part")
+        .where(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val ps = Sources.table(s, d, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(broadcast(scoped), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(money)).as("qty"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      val dominant = ps
+        .select(col("l_suppkey"), col("qty"),
+          sum(col("qty")).over(w).as("part_total"))
+        .where(col("qty") * 2 > col("part_total"))
+        .select(col("l_suppkey")).distinct()
+      Sources.table(s, d, "supplier")
+        .join(Sources.table(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_regionkey") === 2)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("n_name").as("nation"))
+        .orderBy(col("s_name").asc)
+    }),
+
     "x13_shipping_priority" -> ((s, d) => {
       val cutoff = to_timestamp(lit("1998-07-01"))
       val rev = col("l_extendedprice").cast(money) *
@@ -3282,6 +3337,28 @@ object SparkEntry {
         GROUP BY c_custkey) c_orders
       GROUP BY c_count""",
 
+    // x24 oracle: the LITERAL Q20 nested form — IN-subquery over the
+    // derived catalog with a correlated scalar aggregate (the Spark
+    // query runs the part-partitioned window-sum rewrite)
+    "x24_dominant_supplier" -> """
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2)
+      SELECT s_name, n_name AS nation
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey AND n_regionkey = 2
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM ps
+        WHERE qty * 2 > (SELECT sum(qty) FROM ps ps2
+                         WHERE ps2.l_partkey = ps.l_partkey))
+      ORDER BY s_name""",
+
     "x13_shipping_priority" -> """
       SELECT l_orderkey,
         substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS order_date,
@@ -3681,7 +3758,9 @@ object SparkEntry {
 
     "mm1_media_summary" -> Multimodal.mediaSummarySql,
     "mm2_frame_dedup" -> Multimodal.frameDedupSql,
-    "mm3_frame_neardup" -> Multimodal.frameNearDupSql(),
+    "mm3_frame_neardup" ->
+      Multimodal.frameNearDupSql(bits = Multimodal.SigBits),
+    "mm3x_frame_neardup60" -> Multimodal.frameNearDupSql(),
 
     "w2_fifo_next" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

@@ -1335,7 +1335,9 @@ object Dedup {
 
   /** Integer argmin encoding base for the winnowing selection: a window's
     * fingerprint is min(h · 2³¹ + (2³¹−1 − pos)) — smallest hash wins,
-    * ties break to the RIGHTMOST position (the paper's robust tie rule) —
+    * ties break to the RIGHTMOST position (the paper's standard winnowing
+    * tie rule — "robust winnowing" is the distinct variant that prefers
+    * the previous window's selection) —
     * decoded back to (h, pos) by integer division/mod. h < 10⁹+7 < 2³⁰
     * and any realistic doc position < 2³¹ keep the product well inside
     * int64, and the same pure-integer expression runs on both engines

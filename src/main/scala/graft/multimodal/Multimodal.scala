@@ -248,15 +248,32 @@ object Multimodal {
 
   // ---- MM3 (E181): perceptual frame NEAR-dup ------------------------------
 
-  /** Per-frame signature width: one bit per hex digit of the
-    * [[FrameSize]]-byte frame (2 per byte) — 32 bits. */
+  /** EXHIBIT per-frame signature width: one bit per hex digit of the
+    * [[FrameSize]]-byte frame (2 per byte) — 32 bits. Kept as the
+    * measured narrow-signature exhibit (the d5 role); the production
+    * default is [[SigBitsWide]]. */
   val SigBits = 2 * FrameSize
 
-  /** Bands for the near-dup pigeonhole: [[Mm3MaxHamming]] + 1 halves of
-    * [[SigBits]]/2 = 16 bits — hamming ≤ 1 leaves at least one half
-    * exactly equal, and 16-bit keys keep random band collisions at
-    * ~2·n²/2¹⁶ candidate pairs (the d5 band-width lesson: 8-bit bands
-    * would admit ~1.6 % of all cross pairs as candidates). */
+  /** PRODUCTION per-frame signature width — the d5→d5x lesson applied at
+    * frame grain: 32-bit signature spaces saturate on concentrated
+    * corpora (d5's measured density wall), so the default folds the top
+    * TWO bits of each nibble — a second, finer luminance threshold per
+    * block in perceptual-hash terms — over the first [[SigNibblesWide]]
+    * of the frame's 32 hex digits: 60 bits, the repo's standard wide
+    * width (d5x), leaving int64 sign/overflow headroom. The trade is
+    * explicit: the last 2 digits of each frame carry no bits (60 of the
+    * 64 available), bought for 2¹⁴× sparser random band collisions
+    * (30-bit vs 16-bit half keys). */
+  val SigBitsWide = 60
+  val SigNibblesWide: Int = SigBitsWide / 2
+
+  /** Bands for the near-dup pigeonhole at the EXHIBIT width:
+    * [[Mm3MaxHamming]] + 1 halves of [[SigBits]]/2 = 16 bits — hamming
+    * ≤ 1 leaves at least one half exactly equal, and 16-bit keys keep
+    * random band collisions at ~2·n²/2¹⁶ candidate pairs (the d5
+    * band-width lesson: 8-bit bands would admit ~1.6 % of all cross
+    * pairs as candidates; the [[SigBitsWide]] default's 30-bit halves
+    * push the same term to ~2·n²/2³⁰). */
   val Mm3BandMod = 1L << (SigBits / 2)
   val Mm3MaxHamming = 1
 
@@ -300,7 +317,18 @@ object Multimodal {
     * short-tail media object into one degenerate near-dup blob
     * (measured before the guard: 151,807 pairs at sf0.1, almost all
     * tail-stub collisions, vs the meaningful relation after). */
-  def frameSignatures(media: DataFrame): DataFrame = {
+  def frameSignatures(media: DataFrame): DataFrame =
+    frameHexes(media)
+      .select(col("doc_id"), col("frame_no"),
+        aggregate(sequence(lit(1), lit(SigBits)), lit(0L),
+          (acc, j) => acc * 2 +
+            when(col("fh").substr(j.cast("int"), lit(1)) >= "8", 1L)
+              .otherwise(0L)).as("sig"))
+
+  /** (doc_id, frame_no, fh): the FULL-frame hex stream both signature
+    * widths fold over — floor framing (see [[frameSignatures]] for the
+    * measured tail-stub guard). */
+  private def frameHexes(media: DataFrame): DataFrame = {
     val nf = expr(s"CAST(length(ph) AS BIGINT) DIV ${2 * FrameSize}")
     // an all-tail payload (shorter than one frame) yields zero frames
     // EXPLICITLY — sequence(0, -1) is an illegal-range runtime error
@@ -313,41 +341,49 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"),
         col("ph").substr((col("frame_no") * (2 * FrameSize) + 1).cast("int"),
           lit(2 * FrameSize)).as("fh"))
-      .select(col("doc_id"), col("frame_no"),
-        aggregate(sequence(lit(1), lit(SigBits)), lit(0L),
-          (acc, j) => acc * 2 +
-            when(col("fh").substr(j.cast("int"), lit(1)) >= "8", 1L)
-              .otherwise(0L)).as("sig"))
   }
 
-  /** MM3 query (E181): perceptual frame NEAR-dup — the d5 SimHash shape
-    * at the multimodal grain, closing the ladder mm2 starts: mm2 drops
-    * bitwise-identical frames, this finds frames whose signatures differ
-    * in ≤ [[Mm3MaxHamming]] bit (re-encodes, one-block edits) via the
-    * band pigeonhole — each frame posts its two 16-bit signature halves,
-    * candidates meet on an exact (band, key) equi-join (never all-pairs),
-    * the cheap XOR popcount filter runs before dedup, and the report
-    * aggregates to media-object pairs. Planted twins guarantee
-    * findable positives at any scale (hamming 1 on frame 0, hamming 0 on
-    * the repeated-digest tail frames — both within the threshold).
+  /** WIDE per-frame perceptual signature — the [[SigBitsWide]] default:
+    * each of the first [[SigNibblesWide]] hex digits contributes its top
+    * TWO bits (nibble value DIV 4 ∈ 0..3), folded MSB-first as
+    * acc·4 + pair — 60 bits from the same hex stream, same fold
+    * discipline on both engines. The planted twin digit (+8 mod 16)
+    * moves its nibble's top pair by exactly ±2 = one signature bit, so
+    * twin structure (hamming 1 on frame 0, 0 on repeated-digest tails)
+    * is width-invariant. Digits [[SigNibblesWide]]+1..32 carry no bits —
+    * the documented 60-of-64 trade. */
+  def frameSignaturesWide(media: DataFrame): DataFrame =
+    frameHexes(media)
+      .select(col("doc_id"), col("frame_no"),
+        aggregate(sequence(lit(1), lit(SigNibblesWide)), lit(0L),
+          (acc, j) => acc * 4 + shiftright(
+            conv(col("fh").substr(j.cast("int"), lit(1)), 16, 10)
+              .cast("long"), 2)).as("sig"))
+
+  /** MM3/MM3X query (E181/E182): perceptual frame NEAR-dup — the d5
+    * SimHash shape at the multimodal grain, closing the ladder mm2
+    * starts: mm2 drops bitwise-identical frames, this finds frames whose
+    * signatures differ in ≤ [[Mm3MaxHamming]] bit (re-encodes, one-block
+    * edits) via the band pigeonhole — each frame posts its two
+    * `bits`/2-bit signature halves, candidates meet on an exact
+    * (band, key) equi-join (never all-pairs), the cheap XOR popcount
+    * filter runs before dedup, and the report aggregates to media-object
+    * pairs. Planted twins guarantee findable positives at any scale
+    * (hamming 1 on frame 0, hamming 0 on the repeated-digest tail frames
+    * — both within the threshold).
     *
     * Scale shape: the signature pass is one narrow generator scan (the
     * mm2 frame stream with an integer fold instead of md5); the join is
-    * d5's banded equi-join — candidate volume ≈ 2·n²/2¹⁶ random pairs
-    * plus the genuine near-dups; everything after runs at candidate
-    * grain. */
+    * d5's banded equi-join — candidate volume ≈ 2·n²/2^(bits/2) random
+    * pairs plus the genuine near-dups; everything after runs at
+    * candidate grain. Default width is the scale-safe [[SigBitsWide]]
+    * (30-bit half keys); pass `bits = SigBits` for the measured 32-bit
+    * density-watch exhibit (the d5/d5x twin-pair convention — tools/Mm3Ab
+    * records both widths' candidate-volume curves in BASELINE). */
   def frameNearDupPairs(docs: DataFrame,
-      maxHamming: Int = Mm3MaxHamming): DataFrame = {
-    val sigs = frameSignatures(withNearDupMediaHex(mediaHex(
-      mediaCorpus(docs))))
-    val banded = sigs.select(col("doc_id"), col("frame_no"), col("sig"),
-      explode(array(
-        struct(lit(0L).as("band"),
-          expr(s"sig DIV $Mm3BandMod").as("key")),
-        struct(lit(1L).as("band"),
-          pmod(col("sig"), lit(Mm3BandMod)).as("key")))).as("bk"))
-      .select(col("doc_id"), col("frame_no"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      maxHamming: Int = Mm3MaxHamming,
+      bits: Int = SigBitsWide): DataFrame = {
+    val banded = bandedFrames(docs, bits)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -361,10 +397,57 @@ object Multimodal {
         min(col("hamming")).as("min_hamming"))
   }
 
+  /** The twinned corpus' banded frame signatures at either width — the
+    * candidate-generation half of [[frameNearDupPairs]], factored so the
+    * candidate-volume harness (tools/Mm3Ab) measures exactly the
+    * relation the query joins. */
+  private[graft] def bandedFrames(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits == SigBits || bits == SigBitsWide,
+      s"mm3 signature width $bits: only the $SigBits-bit exhibit and " +
+        s"the $SigBitsWide-bit default exist (a third width is a design " +
+        "change, not a parameter)")
+    val sigs =
+      if (bits == SigBits)
+        frameSignatures(withNearDupMediaHex(mediaHex(mediaCorpus(docs))))
+      else
+        frameSignaturesWide(withNearDupMediaHex(mediaHex(mediaCorpus(docs))))
+    val bandMod = 1L << (bits / 2)
+    sigs.select(col("doc_id"), col("frame_no"), col("sig"),
+      explode(array(
+        struct(lit(0L).as("band"),
+          expr(s"sig DIV $bandMod").as("key")),
+        struct(lit(1L).as("band"),
+          pmod(col("sig"), lit(bandMod)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("frame_no"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** The DuckDB mirror of the per-frame signature fold at either width
+    * (`ph`/`frame_no` in scope). */
+  private def sigFoldSql(bits: Int): String = {
+    require(bits == SigBits || bits == SigBitsWide,
+      s"mm3 signature width $bits: only $SigBits and $SigBitsWide exist")
+    if (bits == SigBits) s"""
+        list_reduce(list_prepend(0::BIGINT, list_transform(
+          range(1, ${SigBits + 1}),
+          j -> CASE WHEN substr(ph,
+              (frame_no * ${2 * FrameSize} + j)::INT, 1) >= '8'
+            THEN 1::BIGINT ELSE 0::BIGINT END)),
+          (acc, b) -> acc * 2 + b)"""
+    else s"""
+        list_reduce(list_prepend(0::BIGINT, list_transform(
+          range(1, ${SigNibblesWide + 1}),
+          j -> ((strpos('$HexTable', substr(ph,
+              (frame_no * ${2 * FrameSize} + j)::INT, 1)) - 1)
+            // 4)::BIGINT)),
+          (acc, b) -> acc * 4 + b)"""
+  }
+
   /** MM3 oracle: the identical hex-grain pipeline in DuckDB (the
     * [[payloadBaseCtesSql]] synthesis, the same +8-mod-16 twin digit, the
-    * same MSB-first signature fold, bands, popcount). */
-  def frameNearDupSql(maxHamming: Int = Mm3MaxHamming): String = s"""
+    * same MSB-first signature fold at either width, bands, popcount). */
+  def frameNearDupSql(maxHamming: Int = Mm3MaxHamming,
+      bits: Int = SigBitsWide): String = s"""
     WITH $payloadBaseCtesSql,
     m0 AS (SELECT doc_id, ph FROM pbase),
     media AS (
@@ -381,19 +464,14 @@ object Multimodal {
       FROM media),
     sg AS (
       SELECT doc_id, frame_no::BIGINT AS frame_no,
-        list_reduce(list_prepend(0::BIGINT, list_transform(
-          range(1, ${SigBits + 1}),
-          j -> CASE WHEN substr(ph,
-              (frame_no * ${2 * FrameSize} + j)::INT, 1) >= '8'
-            THEN 1::BIGINT ELSE 0::BIGINT END)),
-          (acc, b) -> acc * 2 + b) AS sig
+        ${sigFoldSql(bits)} AS sig
       FROM fr),
     banded AS (
       SELECT doc_id, frame_no, sig, 0::BIGINT AS band,
-        sig // $Mm3BandMod AS key FROM sg
+        sig // ${1L << (bits / 2)} AS key FROM sg
       UNION ALL
       SELECT doc_id, frame_no, sig, 1::BIGINT AS band,
-        sig % $Mm3BandMod AS key FROM sg)
+        sig % ${1L << (bits / 2)} AS key FROM sg)
     SELECT doc_a, doc_b, count(*)::BIGINT AS n_frame_pairs,
       min(hamming) AS min_hamming
     FROM (

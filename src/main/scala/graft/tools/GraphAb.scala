@@ -35,7 +35,11 @@ object GraphAb {
           n
         } finally { edges.unpersist(); () }
       }
-      timed(s"p$pass g2 B localCheckpoint (shipping)") {
+      // after commit 9e20699 the shipping triangleCensus IS the lazy
+      // form, so B times the shipping entry point (≈ A plus its own
+      // interior cache handling), NOT the deleted localCheckpoint form —
+      // variant C rebuilds that one inline for the contrast
+      timed(s"p$pass g2 B shipping (lazy)") {
         Triangles.triangleCensus(li).count()
       }
       timed(s"p$pass g2 C pre-materialized + localCheckpoint") {
@@ -58,7 +62,7 @@ object GraphAb {
           n
         } finally { edges.unpersist(); () }
       }
-      timed(s"p$pass g1 B localCheckpoint (shipping)") {
+      timed(s"p$pass g1 B shipping (lazy)") {
         PageRank.productPageRank(li).count()
       }
     }

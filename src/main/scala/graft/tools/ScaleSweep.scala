@@ -274,6 +274,11 @@ object ScaleSweep {
     // constant ~20-row output (the per-copy count distribution is
     // preserved exactly by the disjoint-replica fan-out)
     "x23_order_count_histogram",
+    // x24 = one date+name-scoped fact aggregate (broadcast part scope
+    // inside the scan) + a part-keyed window at aggregate grain + a
+    // supplier-grain distinct/semi-join — expect linear scan, flat
+    // jobs; output rides the per-copy dominant-supplier set (×N)
+    "x24_dominant_supplier",
     // r4 = one positioned-span pass + a doc-partitioned running window
     // + selected-fingerprint pair join: the sparse (~2/(w+1) density)
     // form of r2's every-position relation — expect r2's curve with a
@@ -283,7 +288,12 @@ object ScaleSweep {
     // mm3 = one payload-hex generator scan (integer signature fold) +
     // d5's banded equi-join at frame grain — expect linear scan, the
     // candidate side ~2·frames²/2^16 + planted twins (×N); flat jobs
-    "mm3_frame_neardup")
+    "mm3_frame_neardup",
+    // mm3x = the same pipeline at the 60-bit default width: the
+    // candidate side's random term drops to ~2·frames²/2^30 (tools/
+    // Mm3Ab records both widths' raw candidate counts) — expect the
+    // same linear scan with a smaller join side
+    "mm3x_frame_neardup60")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

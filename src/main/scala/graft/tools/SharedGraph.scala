@@ -46,13 +46,12 @@ object SharedGraph {
     // clearCache IS the caller release. Between independent ops it also
     // prevents plan-equal cache reuse (g2 silently riding g1's edges
     // would fake the very saving this harness measures).
-    val spark2 = spark
     for (pass <- 1 to 2) {
       val indep = timed(s"pass$pass independent (g1+g2+g3+g4 standalone)") {
         PageRank.productPageRank(li).count()
-        spark2.catalog.clearCache()
+        spark.catalog.clearCache()
         Triangles.triangleCensus(li).count()
-        spark2.catalog.clearCache()
+        spark.catalog.clearCache()
         BfsHops.hubHops(li).count()
         LabelPropagation.communities(li).count()
       }
@@ -63,7 +62,7 @@ object SharedGraph {
           Triangles.triangleCensusFromEdges(edges).count()
           BfsHops.hubHopsFromEdges(edges).count()
           LabelPropagation.communitiesFromEdges(edges).count()
-        } finally { spark2.catalog.clearCache(); () }
+        } finally { spark.catalog.clearCache(); () }
       }
       println(f"""{"pass": $pass, "independent_sec": $indep%.2f, """ +
         f""""shared_sec": $shared%.2f, "saving": ${1 - shared / indep}%.3f}""")

@@ -124,31 +124,68 @@ class MultimodalSpec extends SparkSpec
     assert(sigs.toSeq === Seq((2L, 0L, 0L)))
   }
 
-  test("mm3: the planted one-bit twin lands hamming 1 on frame 0, and every twin pair is found") {
+  test("mm3/mm3x: the planted one-bit twin lands hamming 1 on frame 0, and every twin pair is found at BOTH widths") {
     import org.apache.spark.sql.functions._
     // the twin digit is +8 mod 16 = the nibble top bit: signature
-    // hamming vs the original's frame 0 is EXACTLY 1; repeated-digest
+    // hamming vs the original's frame 0 is EXACTLY 1 at either width
+    // (the top-2-bit pair moves by ±2 = one bit); repeated-digest
     // tail frames match at hamming 0 — both inside the threshold, so
     // the banded join must report every planted pair
-    val out = Multimodal.frameNearDupPairs(docs).cache()
-    try {
-      val pairs = out.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(3))).toSet // a, b, minham
-      val planted = docs.select(col("doc_id"))
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .collect().map(_.getLong(0))
-      assert(planted.nonEmpty)
-      planted.foreach { d =>
-        val hit = pairs.find(p => p._1 === d &&
-          p._2 === d + Multimodal.MediaTwinOffset)
-        assert(hit.nonEmpty, s"twin pair ($d) missing")
-        // tail frames of the md5-repeated payload tie at hamming 0
-        assert(hit.get._3 === 0L, s"twin pair ($d) min hamming")
-      }
-      // and the pigeonhole premise holds on every reported pair
-      assert(out.agg(max(col("min_hamming"))).head().getLong(0)
-        <= Multimodal.Mm3MaxHamming)
-      ()
-    } finally { out.unpersist(); () }
+    val planted = docs.select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    Seq(Multimodal.SigBits, Multimodal.SigBitsWide).foreach { bits =>
+      val out = Multimodal.frameNearDupPairs(docs, bits = bits).cache()
+      try {
+        val pairs = out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(3))).toSet // a, b, minham
+        planted.foreach { d =>
+          val hit = pairs.find(p => p._1 === d &&
+            p._2 === d + Multimodal.MediaTwinOffset)
+          assert(hit.nonEmpty, s"twin pair ($d) missing at $bits bits")
+          // tail frames of the md5-repeated payload tie at hamming 0
+          assert(hit.get._3 === 0L, s"twin pair ($d) min hamming at $bits")
+        }
+        // and the pigeonhole premise holds on every reported pair
+        assert(out.agg(max(col("min_hamming"))).head().getLong(0)
+          <= Multimodal.Mm3MaxHamming)
+        ()
+      } finally { out.unpersist(); () }
+    }
+  }
+
+  test("mm3x: wide signature folds the top TWO bits of each of the first 30 nibbles; digits 31-32 carry none") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def ofHex(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ph", StringType))))
+    // hand-computed: digits '9','f','0','7' → top-2-bit pairs 2,3,0,1,
+    // then 26 zero digits; MSB-first base-4 fold
+    val expected = Seq(2L, 3L, 0L, 1L).padTo(30, 0L)
+      .foldLeft(0L)((a, b) => a * 4 + b)
+    val one = ofHex((1L, "9f07" + "0" * 28))
+    val sig = Multimodal.frameSignaturesWide(one).head()
+    assert(sig.getLong(1) === 0L)
+    assert(sig.getLong(2) === expected)
+    // the documented 60-of-64 trade: two frames differing ONLY in
+    // digits 31-32 share the wide signature (the 32-bit fold still
+    // separates them on digit 31's top bit)
+    val tailDiff = ofHex((2L, "0" * 32), (3L, "0" * 30 + "ff"))
+    val wide = Multimodal.frameSignaturesWide(tailDiff)
+      .collect().map(_.getLong(2)).distinct
+    assert(wide.length === 1, "digits 31-32 must not reach the wide fold")
+    val narrow = Multimodal.frameSignatures(tailDiff)
+      .collect().map(_.getLong(2)).distinct
+    assert(narrow.length === 2)
+    // full-frame-only guard is shared with the 32-bit path: a 1-digit
+    // tail never fingerprints, an all-tail payload yields zero frames
+    val sigs = Multimodal.frameSignaturesWide(
+      ofHex((4L, "0" * 32 + "f"), (5L, "ff")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sigs.toSeq === Seq((4L, 0L, 0L)))
   }
 }

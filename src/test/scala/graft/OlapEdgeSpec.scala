@@ -60,4 +60,43 @@ class OlapEdgeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((2L, 1L), (0L, 2L)))
   }
+
+  test("x24: exactly-half never qualifies; single-supplier parts do; name/date/region scopes all bind") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-x24").toString
+    // nation 1 is in region 2 (the query's scope), nation 2 is not
+    write(d, "nation", Seq((1, "INSCOPE", 2), (2, "ELSEWHERE", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey"))
+    write(d, "supplier", Seq(
+      (1L, "s#1", 1), (2L, "s#2", 1), (3L, "s#3", 1), (4L, "s#4", 1),
+      (5L, "s#5", 2))
+      .toDF("s_suppkey", "s_name", "s_nationkey"))
+    // 'small…' names are in scope; part 11 fails the name prefix
+    write(d, "part", Seq(
+      (10L, "small bolt"), (11L, "big bolt"), (12L, "small gear"),
+      (13L, "small cog"), (14L, "small nut"))
+      .toDF("p_partkey", "p_name"))
+    // part 10: s1/s2 at EXACTLY half each — strict > must exclude both;
+    // part 12: s3 30 vs s4 10 (s3 dominant), plus s2's 100 shipped in
+    //   1995 — outside the window, so it neither qualifies s2 nor
+    //   inflates the part total s3 is measured against;
+    // part 13: single supplier s4 (two lines, summed) — trivially
+    //   dominant, and s4 must appear ONCE though part 12 rejects it;
+    // part 11: s1 dominant but the name is out of scope;
+    // part 14: s5 dominant but its nation is out of region
+    write(d, "lineitem", Seq(
+      (10L, 1L, 10.0, "1996-05-01"), (10L, 2L, 10.0, "1996-06-01"),
+      (12L, 3L, 30.0, "1996-03-01"), (12L, 4L, 10.0, "1996-03-02"),
+      (12L, 2L, 100.0, "1995-06-01"),
+      (13L, 4L, 3.0, "1996-07-01"), (13L, 4L, 2.0, "1996-07-02"),
+      (11L, 1L, 50.0, "1996-08-01"),
+      (14L, 5L, 50.0, "1996-09-01"))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "ship")
+      .withColumn("l_shipdate", to_timestamp(col("ship"))).drop("ship"))
+    val out = SparkEntry.queries("x24_dominant_supplier")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // collect() preserves the ORDER BY — pinned alongside the set
+    assert(out.toSeq === Seq(("s#3", "INSCOPE"), ("s#4", "INSCOPE")))
+  }
 }

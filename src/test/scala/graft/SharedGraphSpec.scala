@@ -81,8 +81,16 @@ class SharedGraphSpec extends SparkSpec {
     val deg = edgesProbe.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     edgesProbe.join(deg, Seq("src")).unpersist()
     edgesProbe.unpersist()
-    assert(first === rows(out),
+    // the re-read below re-materializes the interior persists; release
+    // them again on the way out so no residue outlives this test in the
+    // shared session (later suites probe the CacheManager)
+    try assert(first === rows(out),
       "re-reading after the caller releases the interior caches must " +
         "reproduce the result")
+    finally {
+      edgesProbe.join(deg, Seq("src")).unpersist()
+      edgesProbe.unpersist()
+      ()
+    }
   }
 }

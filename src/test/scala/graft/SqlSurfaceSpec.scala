@@ -524,6 +524,37 @@ class SqlSurfaceSpec extends SparkSpec {
     ()
   }
 
+  test("x24 via spark.sql: the correlated half-sum rides the part window; the semi-join binds last") {
+    val viaSql = assertParity("x24_dominant_supplier", s"""
+      SELECT s_name, n_name AS nation
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 2
+      LEFT SEMI JOIN (
+        SELECT DISTINCT l_suppkey FROM (
+          SELECT l_suppkey, qty,
+            sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+          FROM (
+            SELECT /*+ BROADCAST(pt) */ l_partkey, l_suppkey,
+              sum(CAST(l_quantity AS $money)) AS qty
+            FROM lineitem
+            JOIN (SELECT p_partkey FROM part
+                  WHERE p_name LIKE 'small%') pt
+              ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey) ps) t
+        WHERE qty * 2 > part_total) dom
+      ON s_suppkey = dom.l_suppkey
+      ORDER BY s_name ASC""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the part scope reaches the fact scan as a broadcast, and the
+    // output sort runs on the post-semi-join supplier grain only
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("r4 via spark.sql: span_hashes resolves native; the integer window-min selection holds") {
     import graft.dedup.Dedup
     val corpusSql = s"""
@@ -569,17 +600,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
   }
 
-  test("mm3 via spark.sql: the hex-grain perceptual pipeline holds as SQL text") {
+  // -- mm3/mm3x shared SQL text (the hex-grain perceptual pipeline) --------
+  // the synthesized media corpus at the hex grain (mediaCorpus ∘
+  // mediaHex, mirrored op for op), then the +8-mod-16 twin arm
+  private def mm3CorpusSql: String = {
     import graft.multimodal.Multimodal._
-    val fhx = 2 * FrameSize
-    // the synthesized media corpus at the hex grain (mediaCorpus ∘
-    // mediaHex, mirrored op for op), then the +8-mod-16 twin arm
     val mediaSql = s"""
       SELECT doc_id,
         lower(hex(substr(to_binary(repeat(md5(CAST(text AS BINARY)), 8),
           'hex'), 1, CAST(pmod(doc_id, 97) + 32 AS INT)))) AS ph
       FROM documents"""
-    val corpusSql = s"""
+    s"""
       SELECT doc_id, ph FROM ($mediaSql) m0
       UNION ALL
       SELECT doc_id + $MediaTwinOffset AS doc_id,
@@ -588,17 +619,22 @@ class SqlSurfaceSpec extends SparkSpec {
             + 8, 16) + 1 AS INT), 1),
           substr(ph, 2, length(ph))) AS ph
       FROM ($mediaSql) m1 WHERE pmod(doc_id, 10) = 0"""
-    val bandedSql = s"""
+  }
+
+  /** The banded frame-signature relation as SQL text at either width
+    * (`sigFold` = the per-frame fold over `fh`, `bandMod` = half-key
+    * modulus). */
+  private def mm3BandedSql(sigFold: String, bandMod: Long): String = {
+    import graft.multimodal.Multimodal._
+    val fhx = 2 * FrameSize
+    s"""
       SELECT doc_id, frame_no, sig, bk.band AS band, bk.key AS key
       FROM (
         SELECT doc_id, frame_no, sig, explode(array(
-          named_struct('band', 0L, 'key', sig DIV $Mm3BandMod),
-          named_struct('band', 1L, 'key', pmod(sig, $Mm3BandMod)))) AS bk
+          named_struct('band', 0L, 'key', sig DIV $bandMod),
+          named_struct('band', 1L, 'key', pmod(sig, $bandMod)))) AS bk
         FROM (
-          SELECT doc_id, frame_no,
-            aggregate(sequence(1, ${2 * FrameSize}), 0L, (acc, j) ->
-              acc * 2 + CASE WHEN substr(fh, CAST(j AS INT), 1) >= '8'
-                THEN 1L ELSE 0L END) AS sig
+          SELECT doc_id, frame_no, $sigFold AS sig
           FROM (
             SELECT doc_id, frame_no,
               substr(ph, CAST(frame_no * $fhx + 1 AS INT), $fhx) AS fh
@@ -608,8 +644,12 @@ class SqlSurfaceSpec extends SparkSpec {
                   THEN CAST(array() AS ARRAY<BIGINT>)
                   ELSE sequence(0L, CAST(length(ph) AS BIGINT)
                     DIV $fhx - 1) END) AS frame_no
-              FROM ($corpusSql) media) fx) sh) sg) bx"""
-    val viaSql = assertParity("mm3_frame_neardup", s"""
+              FROM ($mm3CorpusSql) media) fx) sh) sg) bx"""
+  }
+
+  private def mm3PairsSql(bandedSql: String): String = {
+    import graft.multimodal.Multimodal._
+    s"""
       SELECT doc_a, doc_b, count(1) AS n_frame_pairs,
         min(hamming) AS min_hamming
       FROM (
@@ -619,10 +659,35 @@ class SqlSurfaceSpec extends SparkSpec {
         FROM ($bandedSql) x JOIN ($bandedSql) y
           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
         WHERE CAST(bit_count(x.sig ^ y.sig) AS BIGINT) <= $Mm3MaxHamming)
-      GROUP BY doc_a, doc_b""")
+      GROUP BY doc_a, doc_b"""
+  }
+
+  test("mm3 via spark.sql: the hex-grain perceptual pipeline holds as SQL text") {
+    import graft.multimodal.Multimodal._
+    val sigFold = s"""aggregate(sequence(1, $SigBits), 0L, (acc, j) ->
+              acc * 2 + CASE WHEN substr(fh, CAST(j AS INT), 1) >= '8'
+                THEN 1L ELSE 0L END)"""
+    val viaSql = assertParity("mm3_frame_neardup",
+      mm3PairsSql(mm3BandedSql(sigFold, Mm3BandMod)))
     val plan = viaSql.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     // candidates meet on the banded equi-join — never a nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("mm3x via spark.sql: the 60-bit default width holds as SQL text") {
+    import graft.multimodal.Multimodal._
+    // the wide fold: top TWO bits per nibble (value DIV 4) over the
+    // first 30 digits, base-4 MSB-first — conv + shiftright, exactly
+    // the DataFrame expressions
+    val sigFold = s"""aggregate(sequence(1, $SigNibblesWide), 0L,
+              (acc, j) -> acc * 4 + shiftright(CAST(conv(
+                substr(fh, CAST(j AS INT), 1), 16, 10) AS BIGINT), 2))"""
+    val viaSql = assertParity("mm3x_frame_neardup60",
+      mm3PairsSql(mm3BandedSql(sigFold, 1L << (SigBitsWide / 2))))
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
