@@ -313,4 +313,67 @@ class ChangeFeedSpec extends SparkSpec {
       .filter(_.startsWith("batch="))
     assert(snaps.length >= 2, s"expected >=2 snapshots: ${snaps.toSeq}")
   }
+
+  test("cdc capstone: ONE feed drives BOTH consumers with a crash/restart between refreshes; dimension slice and aggregate both equal the direct computation") {
+    // the composition the pieces exist for (round-13 verdict task 3):
+    // one CDF stream fans out to CdcApply (feed → SCD2 dimension) and
+    // CdcAggMaintain (feed → maintained KPI) as SIBLING foreachBatch
+    // consumers over their own BatchStore dirs, each with its own
+    // checkpoint; the stream is killed between the two refreshes and
+    // restarted on the same checkpoints. End state must satisfy all
+    // three equalities a warehouse audit would run: current slice ≡
+    // final snapshot, maintained aggregate ≡ direct aggregate, and the
+    // two consumers agree with EACH OTHER (agg of current slice).
+    import graft.streaming.{CdcAggMaintain, CdcApply}
+    import graft.merge.Scd2
+    import java.nio.file.Files
+    val (a, b, c) = ordSnaps("/root/testdata/sf0.001")
+    val feedAB = ChangeFeed.diff(a, b, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val feedBC = ChangeFeed.diff(b, c, ordKeys, ordTracked)
+      .localCheckpoint(true)
+    val in = Files.createTempDirectory("graft-cap-in").toString
+    val dimDir = Files.createTempDirectory("graft-cap-dim").toString
+    val aggDir = Files.createTempDirectory("graft-cap-agg").toString
+    val ckDim = Files.createTempDirectory("graft-cap-ckd").toString
+    val ckAgg = Files.createTempDirectory("graft-cap-cka").toString
+    val dim0 = Scd2.init(a, Scd2.D0)
+    val base0 = statusAgg(a)
+    val schema = feedAB.schema
+    def startBoth() = (
+      CdcApply.start(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        dimDir, dim0, ordKeys, ordTracked,
+        id => f"2024-07-${id + 1}%02d", ckDim),
+      CdcAggMaintain.start(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        aggDir, base0, "status", "total_price", ckAgg))
+    feedAB.coalesce(1).write.parquet(s"$in/f1")
+    val (q1, q2) = startBoth()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    // "crash" between refreshes; the next snapshot-consistent diff
+    // arrives; the SAME checkpoints must continue batch numbering on
+    // BOTH consumers so each one's phase-1 snapshot is prior state
+    feedBC.coalesce(1).write.parquet(s"$in/f2")
+    val (q3, q4) = startBoth()
+    try { q3.processAllAvailable(); q4.processAllAvailable() }
+    finally { q3.stop(); q4.stop() }
+    // 1. the dimension's CURRENT slice is snapshot C, column for column
+    val cur = CdcApply.readLatest(spark, dimDir).get
+      .filter(col("is_current"))
+      .select(col("order_id"), col("status"), col("total_price"))
+    def keyRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(keyRows(cur) === keyRows(c),
+      "the dimension's current slice must equal the final snapshot")
+    // 2. the maintained aggregate is the direct aggregate of C
+    val maintained = CdcApply.readLatest(spark, aggDir).get
+    assert(sortedRows(maintained) === sortedRows(statusAgg(c)),
+      "the maintained aggregate must equal the direct aggregate of C")
+    // 3. the two consumers agree: aggregating the dimension's current
+    // slice reproduces the maintained KPI (the cross-consumer audit)
+    assert(sortedRows(statusAgg(cur)) === sortedRows(maintained),
+      "the dimension and aggregate consumers must agree with each other")
+  }
 }
