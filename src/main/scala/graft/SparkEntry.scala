@@ -318,6 +318,18 @@ object SparkEntry {
     "t18_truncation_audit" -> ((s, d) =>
       TextAnalysis.truncationAudit(Sources.table(s, d, "documents"))),
 
+    // E184 (PK2): context-window packing — the concat-and-chunk step a
+    // pretraining run applies after curation: per source, docs
+    // concatenate in doc_id order into one token stream cut into
+    // fixed-budget windows; docs straddle cuts (GPT-style packing, no
+    // padding). Window-grain report: docs touched, tokens held,
+    // leading doc. One source-partitioned running sum (never a global
+    // sort), one sequence-explode, window-grain aggregate. Distinct
+    // from pk1 (E48), which assigns whole docs to sequences and may
+    // overshoot: this cuts at EXACT boundaries.
+    "pk2_context_windows" -> ((s, d) =>
+      TextAnalysis.contextPacking(Sources.table(s, d, "documents"))),
+
     // E2: language-ID by stopword-marker scoring.
     "t2_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Sources.table(s, d, "documents"))),
@@ -2901,6 +2913,7 @@ object SparkEntry {
 
     "t1_token_stats" -> TextAnalysis.tokenStatsSql,
     "t18_truncation_audit" -> TextAnalysis.truncationAuditSql,
+    "pk2_context_windows" -> TextAnalysis.contextPackingSql(),
     "t2_lang_id" -> TextAnalysis.langIdSql,
     "t3_quality_score" -> TextAnalysis.qualityScoreSql,
     "t4_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -3341,4 +3341,89 @@ object TextAnalysis {
     SELECT doc_id, md5($normT) AS fp_md5,
       ${charHashSql(normT)} AS fp_roll
     FROM documents"""
+
+  // ---- PK2 (E184): context-window packing ---------------------------------
+
+  /** Tokens per packed context window — the pretraining sequence length
+    * this exhibit packs against (a real run packs at 2k–8k; the packing
+    * arithmetic is budget-independent). Distinct from [[PackBudget]]:
+    * E48 assigns whole DOCS to sequences (never splits, may overshoot),
+    * this cuts the concatenated stream at EXACT window boundaries. */
+  val CtxWindowTokens = 256
+
+  /** PK2 (E184): CONTEXT-WINDOW PACKING — the concat-and-chunk step a
+    * pretraining run applies after curation: per source, documents are
+    * concatenated in a deterministic order (doc_id — the rerun-stable
+    * convention) into one token stream that is cut into fixed
+    * [[PackBudget]]-token windows; documents straddle cuts (the GPT-style
+    * packing semantics — no padding, a window may start mid-document).
+    * The report is at WINDOW grain: how many documents each window
+    * touches, how many of its tokens it actually holds (only the stream
+    * tail window is short), and the leading document (provenance).
+    *
+    * Decomposition: token offsets are a per-source running sum — START =
+    * cumsum(n_tok) − n_tok, END = cumsum(n_tok), BOTH framed in the one
+    * window projection (two stacked withColumns would plan two Window
+    * nodes); a document's token span [start, end) intersects windows
+    * start DIV B .. (end−1) DIV B, emitted by one sequence-explode; the
+    * per-window token share is the interval overlap — pure integer
+    * arithmetic, exactly mirrored in DuckDB. Zero-token documents hold
+    * no span and pack into no window (sequence(a, a−1) would be an
+    * illegal range — the mm3/sampleFrames guard, applied here as a
+    * filter).
+    *
+    * Scale: one narrow token-count scan; ONE source-partitioned window
+    * (each source shard packs its own stream — the distributed packing
+    * scheme; never a global sort); the explode emits ~total_tokens/B
+    * window rows (+1 per straddle); the final aggregate runs at window
+    * grain. At 100 TB each source's cumsum is a range-partitioned
+    * prefix sum — the plan carries no corpus-wide ordering anywhere. */
+  def contextPacking(docs: DataFrame, budget: Int = CtxWindowTokens)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val spans = docs
+      .select(col("source"), col("doc_id"),
+        size(toksCol).cast("long").as("n_tok"))
+      // both offsets from ONE running sum in ONE projection
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (sum(col("n_tok")).over(w) - col("n_tok")).as("tok_start"),
+        sum(col("n_tok")).over(w).as("tok_end"))
+      .where(col("n_tok") > 0)
+    spans
+      .select(col("source"), col("doc_id"), col("tok_start"),
+        col("tok_end"),
+        explode(sequence(expr(s"tok_start DIV $budget"),
+          expr(s"(tok_end - 1) DIV $budget"))).as("window_id"))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("tok_end"), (col("window_id") + 1) * budget) -
+          greatest(col("tok_start"), col("window_id") * budget))
+          .as("win_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  /** PK2 oracle: the identical integer packing in DuckDB. */
+  def contextPackingSql(budget: Int = CtxWindowTokens): String = s"""
+    WITH t AS (
+      SELECT source, doc_id,
+        coalesce(len(${tokensSql(normSql("text"))}), 0)::BIGINT AS n_tok
+      FROM documents),
+    spans AS (
+      -- DuckDB's windowed sum over BIGINT is HUGEINT: cast back so
+      -- range()/arithmetic stay in the engines' common BIGINT plane
+      SELECT source, doc_id, n_tok,
+        (sum(n_tok) OVER w - n_tok)::BIGINT AS tok_start,
+        (sum(n_tok) OVER w)::BIGINT AS tok_end
+      FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+    spanned AS (
+      SELECT source, doc_id, tok_start, tok_end,
+        unnest(range(tok_start // $budget, (tok_end - 1) // $budget + 1))
+          AS window_id
+      FROM spans WHERE n_tok > 0)
+    SELECT source, window_id, count(*)::BIGINT AS n_docs,
+      sum(least(tok_end, (window_id + 1) * $budget) -
+          greatest(tok_start, window_id * $budget))::BIGINT AS win_tokens,
+      min(doc_id) AS first_doc
+    FROM spanned GROUP BY 1, 2"""
 }

@@ -293,7 +293,11 @@ object ScaleSweep {
     // candidate side's random term drops to ~2·frames²/2^30 (tools/
     // Mm3Ab records both widths' raw candidate counts) — expect the
     // same linear scan with a smaller join side
-    "mm3x_frame_neardup60")
+    "mm3x_frame_neardup60",
+    // pk2 = one token-count scan + a source-partitioned prefix sum +
+    // a ~tokens/budget span explode — expect linear wall, flat jobs;
+    // output rides the stream token total (×N under the fan-out)
+    "pk2_context_windows")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -523,4 +523,62 @@ class CorpusOpsSpec extends SparkSpec {
         s"planted twins not all flagged: $twinPairs < $nEval")
     } finally out.unpersist()
   }
+
+  test("pk2: straddle splits are exact, boundaries bind, zero-token docs pack nowhere, streams are per-source") {
+    import spark.implicits._
+    // budget 8; token counts chosen to exercise every boundary case:
+    //   d1 (3) + d2 (5): d2 ENDS exactly at the window-0 boundary —
+    //     it must land in window 0 only, filling it to exactly 8;
+    //   d3 (10): starts exactly AT a boundary and straddles windows
+    //     1..2 — the split must be exact (8 tokens to w1, 2 to w2);
+    //   d4 (0 tokens): packs into NO window and must not shift the
+    //     offsets of anything after it;
+    //   d5 (6): completes window 2 (2 + 6 = 8);
+    //   d6 in source b: its own stream, a short tail window of 4.
+    def t(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val fixture = Seq(
+      (1L, "a", t(3)), (2L, "a", t(5)), (3L, "a", t(10)),
+      (4L, "a", ""), (5L, "a", t(6)), (6L, "b", t(4)))
+      .toDF("doc_id", "source", "text")
+    val expected = Set(
+      ("a", 0L, 2L, 8L, 1L), ("a", 1L, 1L, 8L, 3L),
+      ("a", 2L, 2L, 8L, 3L), ("b", 0L, 1L, 4L, 6L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val out = rows(TextAnalysis.contextPacking(fixture, budget = 8))
+    assert(out === expected)
+    // the packing is a pure function of (source, doc_id, text) — any
+    // partitioning of the input produces the identical windows
+    assert(rows(TextAnalysis.contextPacking(fixture.repartition(5),
+      budget = 8)) === expected)
+    // conservation on the real corpus: per source, window tokens sum
+    // to the stream's token total, and every non-tail window holds
+    // exactly the budget
+    val real = TextAnalysis.contextPacking(docs).cache()
+    try {
+      val bySrc = real.groupBy(col("source"))
+        .agg(sum(col("win_tokens")).as("packed"),
+          max(col("window_id")).as("last_w"))
+      val totals = docs.select(col("source"),
+        size(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.norm(col("text"))))
+          .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("total"))
+      val joined = bySrc.join(totals, "source").collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(r.getAs[Long]("packed") === r.getAs[Long]("total"),
+          s"token conservation failed for ${r.getAs[String]("source")}")
+      }
+      val nonTail = real.as("r").join(
+          real.groupBy(col("source")).agg(max(col("window_id")).as("lw")),
+          "source")
+        .filter(col("window_id") < col("lw"))
+        .filter(col("win_tokens") =!= TextAnalysis.CtxWindowTokens)
+      assert(nonTail.isEmpty,
+        "every non-tail window must hold exactly the budget")
+      ()
+    } finally { real.unpersist(); () }
+  }
 }

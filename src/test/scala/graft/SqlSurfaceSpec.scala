@@ -142,6 +142,37 @@ class SqlSurfaceSpec extends SparkSpec {
        |     ELSE split($normed, ' ', -1) END""".stripMargin
   }
 
+  test("pk2 via spark.sql: one running-sum window feeds the span explode; no global sort") {
+    import graft.text.TextAnalysis.CtxWindowTokens
+    val b = CtxWindowTokens
+    val cums = s"sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)"
+    val viaSql = assertParity("pk2_context_windows", s"""
+      SELECT source, window_id, count(1) AS n_docs,
+        sum(least(tok_end, (window_id + 1) * $b) -
+            greatest(tok_start, window_id * $b)) AS win_tokens,
+        min(doc_id) AS first_doc
+      FROM (
+        SELECT source, doc_id, tok_start, tok_end,
+          explode(sequence(tok_start DIV $b, (tok_end - 1) DIV $b))
+            AS window_id
+        FROM (
+          SELECT source, doc_id, n_tok,
+            $cums - n_tok AS tok_start,
+            $cums AS tok_end
+          FROM (
+            SELECT source, doc_id,
+              CAST(size(${toksSql("text")}) AS BIGINT) AS n_tok
+            FROM documents) t) spans
+        WHERE n_tok > 0) spanned
+      GROUP BY source, window_id""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // per-source streams: the cumsum partitions by source, never a
+    // corpus-wide range sort
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    assert("Window".r.findAllIn(plan).size >= 1, plan.take(1500))
+  }
+
   test("t7 via spark.sql: corpus-stats join-back keeps the broadcast DF side") {
     // `tok` is consumed twice (df-count + join-back) — inlined twice, as
     // the DataFrame plan duplicates the subtree.
