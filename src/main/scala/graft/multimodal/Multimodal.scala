@@ -411,6 +411,14 @@ object Multimodal {
         frameSignatures(withNearDupMediaHex(mediaHex(mediaCorpus(docs))))
       else
         frameSignaturesWide(withNearDupMediaHex(mediaHex(mediaCorpus(docs))))
+    bandSigs(sigs, bits)
+  }
+
+  /** Band an existing frame-signature relation (doc_id, frame_no, sig)
+    * into the two-half pigeonhole — the piece the STREAMING consumer
+    * ([[graft.streaming.StreamFrameNearDup]]) shares with the batch
+    * query, so the band arithmetic can never fork between them. */
+  def bandSigs(sigs: DataFrame, bits: Int = SigBitsWide): DataFrame = {
     val bandMod = 1L << (bits / 2)
     sigs.select(col("doc_id"), col("frame_no"), col("sig"),
       explode(array(
