@@ -838,6 +838,17 @@ object SparkEntry {
       TextAnalysis.ngramContamination(
         TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
 
+    // E186 (C5): SPAN-level decontamination — c2 says WHICH train docs
+    // overlap the eval set, this says WHERE: maximal contiguous token
+    // spans whose 5-gram hashes appear among the eval docs' grams —
+    // the excision report (cut the quote, keep the doc). r2's
+    // positioned-hash island machinery with c2's eval scoping in place
+    // of the corpus-frequency flag; eval side broadcast as a distinct
+    // hash set; eval docs excluded from the report.
+    "c5_contamination_spans" -> ((s, d) =>
+      TextAnalysis.contaminationSpans(
+        TextAnalysis.withSourcedTwins(Sources.table(s, d, "documents")))),
+
     // E129 (C4): SEMANTIC decontamination — the embedding-space tier
     // completing the contamination ladder (c1 exact → c2 n-gram → c3
     // lexical near-dup → this): train vectors cosine-matching any eval
@@ -3045,6 +3056,8 @@ object SparkEntry {
             FROM documents)
       GROUP BY 1""",
     "c2_ngram_decontamination" -> TextAnalysis.ngramContaminationSql(
+      TextAnalysis.withSourcedTwinsSql("documents")),
+    "c5_contamination_spans" -> TextAnalysis.contaminationSpansSql(
       TextAnalysis.withSourcedTwinsSql("documents")),
     "c3_neardup_decon" -> Dedup.crossCorpusNearDupsSql(
       TextAnalysis.withSourcedTwinsSql("documents")),

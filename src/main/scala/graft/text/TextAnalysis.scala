@@ -2280,6 +2280,86 @@ object TextAnalysis {
           col("n_docs")).as("contamination_rate"))
   }
 
+  /** C5 (E186): SPAN-level decontamination — the excision report the
+    * doc-level ladder (c1 exact → c2 n-gram → c3 near-dup → c4
+    * semantic) stops short of: c2 says WHICH train docs overlap the
+    * eval set, this says WHERE — the maximal contiguous token spans of
+    * each train doc whose [[graft.functions.TextFunctions
+    * .spanHashesFromTh]] n-gram hashes appear among the eval docs'
+    * grams. That is the span-grain decontamination a release report
+    * actually publishes (quote the benchmark → cut the quote, keep the
+    * doc): flag-the-doc wastes the 99 % of a long doc that is clean,
+    * and token offsets are what the excision step needs.
+    *
+    * Plan: r2's positioned-hash machinery with c2's eval scoping in
+    * place of the corpus-frequency flag — one narrow pass per side
+    * builds positioned Horner hashes (8 bytes/position, no shingle
+    * strings), the eval side collapses to a DISTINCT hash set
+    * (benchmark suites are tiny by nature — broadcast), the train
+    * stream equi-joins it, and flagged positions merge into maximal
+    * spans by r2's per-doc island windows (positions p, p' merge when
+    * p' − p ≤ n). Offsets are 1-based token indexes, end = last
+    * flagged start + n − 1. Eval docs themselves are excluded from the
+    * report (they are the benchmark, not the training corpus). */
+  def contaminationSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    def positioned(d: DataFrame) = d
+      .select(col("doc_id"), tokenHashes(toksCol).as("th"))
+      .select(col("doc_id"),
+        posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("h"))
+    val evalH = positioned(docs.filter(isEval)).select(col("h")).distinct()
+    val flagged = positioned(docs.filter(!isEval))
+      .join(broadcast(evalH), Seq("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("news",
+        when(col("gap").isNull || col("gap") > n, 1L).otherwise(0L))
+      .withColumn("span_no", sum(col("news")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_no"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
+  /** C5 oracle: the identical positioned-hash/island pipeline in
+    * DuckDB (r2's oracle with the eval-set join in place of the
+    * frequency flag). */
+  def contaminationSpansSql(corpus: String, n: Int = 5): String = s"""
+    WITH corpus2 AS ($corpus),
+    th AS (
+      SELECT doc_id, ${tokenHashesSql(tokensSql(normSql("text")))} AS th
+      FROM corpus2),
+    shl AS (
+      SELECT doc_id, ${spanHashesFromThSql("th", n)} AS shl FROM th),
+    shp AS (
+      SELECT doc_id, unnest(range(1, len(shl) + 1)) AS pos, shl FROM shl),
+    sh2 AS (
+      SELECT doc_id, pos::BIGINT AS pos, shl[pos::INT] AS h FROM shp),
+    evalh AS (SELECT DISTINCT h FROM sh2 WHERE doc_id % 97 = 0),
+    flagged AS (
+      SELECT s.doc_id, s.pos FROM sh2 s JOIN evalh e ON e.h = s.h
+      WHERE s.doc_id % 97 <> 0),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+          OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END AS news
+      FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (
+      SELECT doc_id, pos,
+        sum(news) OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+      FROM isl)
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+      (max(pos) + ${n - 1})::BIGINT AS span_end,
+      count(*)::BIGINT AS n_grams
+    FROM sp GROUP BY doc_id, span_no"""
+
   def ngramContaminationSql(corpus: String, n: Int = 5): String = s"""
     WITH corpus2 AS ($corpus),
     sh AS (

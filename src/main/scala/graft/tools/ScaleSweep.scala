@@ -297,7 +297,13 @@ object ScaleSweep {
     // pk2 = one token-count scan + a source-partitioned prefix sum +
     // a ~tokens/budget span explode — expect linear wall, flat jobs;
     // output rides the stream token total (×N under the fan-out)
-    "pk2_context_windows")
+    "pk2_context_windows",
+    // c5 = r2's positioned-hash stream with the eval-set join in
+    // place of the frequency flag: the eval side grows with the id
+    // space (~corpus/97) but stays a broadcast hash set (the c2/c3
+    // shape); flagged positions ride the twins — expect linear wall,
+    // flat jobs, output ~×N
+    "c5_contamination_spans")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

@@ -524,6 +524,30 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("c5: spans locate the quoted run exactly; islands merge at gap <= n; eval docs never report") {
+    import spark.implicits._
+    // eval doc 97 (id % 97 == 0): tokens a..h. Train doc 1 quotes its
+    // middle six tokens — 5-gram hashes match at train positions 3 and
+    // 4 only, which must merge into ONE span covering tokens 3..8
+    // (exactly the quoted run "a b c d e f"). Train doc 2 quotes two
+    // SEPARATED runs (gap > n) — two spans, not one. Doc 3 shares
+    // nothing. The eval doc itself never appears in the report.
+    val fixture = Seq(
+      (97L, "a b c d e f g h"),
+      (1L, "x y a b c d e f z w"),
+      (2L, "a b c d e q q q q q q a b c d e"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = TextAnalysis.contaminationSpans(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 2: grams "a b c d e" at positions 1 and 12; gap 11 > 5 → two
+    // single-gram spans, each covering its 5 tokens
+    assert(out === Set(
+      (1L, 3L, 8L, 2L),
+      (2L, 1L, 5L, 1L), (2L, 12L, 16L, 1L)))
+  }
+
   test("pk2: straddle splits are exact, boundaries bind, zero-token docs pack nowhere, streams are per-source") {
     import spark.implicits._
     // budget 8; token counts chosen to exercise every boundary case:

@@ -631,6 +631,46 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
   }
 
+  test("c5 via spark.sql: the positioned-hash island merge holds; the eval hash set broadcasts") {
+    import graft.dedup.Dedup
+    val n = 5
+    val corpusSql = s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${Dedup.TwinOffset}L AS doc_id,
+        concat(text, ' spark') AS text FROM documents"""
+    def posSql(pred: String) = s"""
+      SELECT doc_id, CAST(pos0 + 1 AS BIGINT) AS pos, h FROM (
+        SELECT doc_id,
+          posexplode(span_hashes(token_hashes(${toksSql("text")}), $n))
+            AS (pos0, h)
+        FROM ($corpusSql) corpus WHERE $pred) px"""
+    val viaSql = assertParity("c5_contamination_spans", s"""
+      SELECT doc_id, min(pos) AS span_start,
+        max(pos) + ${n - 1}L AS span_end, count(1) AS n_grams
+      FROM (
+        SELECT doc_id, pos,
+          sum(news) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
+        FROM (
+          SELECT doc_id, pos,
+            CASE WHEN gap IS NULL OR gap > $n THEN 1L ELSE 0L END AS news
+          FROM (
+            SELECT /*+ BROADCAST(e) */ t.doc_id, t.pos,
+              t.pos - lag(t.pos, 1) OVER (PARTITION BY t.doc_id
+                ORDER BY t.pos) AS gap
+            FROM (${posSql("pmod(doc_id, 97) <> 0")}) t
+            JOIN (SELECT DISTINCT h
+                  FROM (${posSql("pmod(doc_id, 97) = 0")}) ev) e
+              ON t.h = e.h) g) ns) sp
+      GROUP BY doc_id, span_no""")
+    assert(usesNative[org.apache.spark.sql.graft.SpanHashes](viaSql))
+    assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
+    val plan = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   // -- mm3/mm3x shared SQL text (the hex-grain perceptual pipeline) --------
   // the synthesized media corpus at the hex grain (mediaCorpus ∘
   // mediaHex, mirrored op for op), then the +8-mod-16 twin arm
