@@ -2294,8 +2294,12 @@ object TextAnalysis {
     * Plan: r2's positioned-hash machinery with c2's eval scoping in
     * place of the corpus-frequency flag — one narrow pass per side
     * builds positioned Horner hashes (8 bytes/position, no shingle
-    * strings), the eval side collapses to a DISTINCT hash set
-    * (benchmark suites are tiny by nature — broadcast), the train
+    * strings), the eval side collapses to a DISTINCT hash set and is
+    * broadcast — an explicit SIZE ASSUMPTION, not a law: real benchmark
+    * suites are tiny, but THIS repo's derived eval set (doc_id % 97)
+    * grows with the corpus, so at broadcast-threshold scale the hint
+    * must come off and the optimizer pick the join (the c2/c3 caveat;
+    * ScaleSweep's c5 comment carries the same note), the train
     * stream equi-joins it, and flagged positions merge into maximal
     * spans by r2's per-doc island windows (positions p, p' merge when
     * p' − p ≤ n). Offsets are 1-based token indexes, end = last
@@ -3435,7 +3439,7 @@ object TextAnalysis {
     * pretraining run applies after curation: per source, documents are
     * concatenated in a deterministic order (doc_id — the rerun-stable
     * convention) into one token stream that is cut into fixed
-    * [[PackBudget]]-token windows; documents straddle cuts (the GPT-style
+    * [[CtxWindowTokens]]-token windows; documents straddle cuts (the GPT-style
     * packing semantics — no padding, a window may start mid-document).
     * The report is at WINDOW grain: how many documents each window
     * touches, how many of its tokens it actually holds (only the stream
