@@ -996,6 +996,17 @@ object SparkEntry {
       Dedup.winnowPairs(
         Dedup.withSpanTwins(Sources.table(s, d, "documents")))),
 
+    // R5: PARAGRAPH-grain dedup — the published middle rung between
+    // doc-level d1 (misses a repeated paragraph inside distinct docs)
+    // and span-level r2 (reports offsets, not a drop list): fixed
+    // token blocks fingerprinted (d1's md5 convention), ONE
+    // fingerprint groupBy elects first-occurrence keepers, r3-shape
+    // per-source drop-rate report. Corpus plants shared-first-
+    // paragraph twins (header/boilerplate case).
+    "r5_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(
+        Dedup.withSharedParagraphs(Sources.table(s, d, "documents")))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -3104,6 +3115,8 @@ object SparkEntry {
       Dedup.dupSpanRateSql(Dedup.withSpanTwinsSourcedSql("documents")),
     "r4_winnow_pairs" ->
       Dedup.winnowPairsSql(Dedup.withSpanTwinsSql("documents")),
+    "r5_paragraph_dedup" ->
+      Dedup.paragraphDedupSql(Dedup.withSharedParagraphsSql("documents")),
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d14_containment" ->

@@ -1501,4 +1501,140 @@ object Dedup {
     WHERE ka.k = greatest(ka.len_a, kb.len_b)
       AND ka.token_a < kb.token_b
       AND levenshtein(ka.token_a, kb.token_b) <= $maxDist"""
+
+  // ---- R5: paragraph-grain dedup -------------------------------------------
+
+  /** Paragraph width in tokens. The repo's synthetic corpus carries no
+    * newlines, so "paragraph" is a FIXED token block (documented stand-in:
+    * a real corpus splits on `\n\n` first and falls back to fixed blocks
+    * for wall-of-text docs — the Dolma/CCNet convention; the dedup
+    * arithmetic below is delimiter-agnostic). */
+  val ParaTokens = 16
+
+  /** Id offset for [[withSharedParagraphs]] twins — its own band above
+    * [[TwinOffset]] (+10 M) and [[QuoteOffset]] (+20 M). */
+  val ParaOffset = 30000000L
+
+  /** Max paragraphs per doc assumed by the keeper key encoding
+    * `doc_id · 2²⁰ + para_no` (smallest (doc, position) occurrence wins,
+    * one integer min — no struct ordering semantics in the contract). */
+  val ParaNoBits = 20
+
+  /** Corpus with planted SHARED-paragraph positives: every 5th doc gets a
+    * twin (id +[[ParaOffset]], source inherited) whose FIRST [[ParaTokens]]
+    * tokens are the original's verbatim and whose remainder is the rest
+    * REVERSED — so the twin shares exactly one paragraph with its original
+    * (the repeated header/boilerplate case) while being neither an exact
+    * dup (d1's grain) nor mostly-duplicated (r2's span grain would flag
+    * the same block; this tier DROPS it). Docs of ≤ [[ParaTokens]] tokens
+    * make the twin a verbatim copy — the degenerate case the spec pins. */
+  def withSharedParagraphs(docs: DataFrame): DataFrame = {
+    val toks = tokens(norm(col("text")))
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + ParaOffset).as("doc_id"),
+          array_join(concat(slice(toks, 1, ParaTokens),
+            reverse(slice(toks, lit(ParaTokens + 1),
+              greatest(size(toks) - ParaTokens, lit(0))))), " ").as("text"),
+          col("source")))
+  }
+
+  def withSharedParagraphsSql(docs: String): String = {
+    val t = tokensSql(normSql("text"))
+    s"""
+    SELECT doc_id, text, source FROM $docs
+    UNION ALL
+    SELECT doc_id + $ParaOffset AS doc_id,
+      array_to_string(list_concat(list_slice(t, 1, $ParaTokens),
+        list_reverse(list_slice(t, ${ParaTokens + 1}, len(t)))), ' ')
+        AS text, source
+    FROM (SELECT doc_id, $t AS t, source FROM $docs)
+    WHERE doc_id % 5 = 0"""
+  }
+
+  /** R5: PARAGRAPH-grain dedup — the published middle rung the ladder
+    * skipped (Dolma/The Pile dedupe at paragraph grain): doc-level d1
+    * misses a repeated paragraph inside otherwise-distinct docs, and
+    * span-level r2 reports offsets, not a drop list. This elects, per
+    * distinct paragraph CONTENT, the first occurrence (smallest
+    * (doc_id, para_no)) as keeper and reports the r3-shape per-source
+    * audit: docs, paragraphs, droppable duplicate paragraphs, and the
+    * drop rate a curation run acts on.
+    *
+    * Plan (mm2's grain-explode dedup at text grain): docs explode to
+    * [[ParaTokens]]-token blocks (the tail block keeps its short length —
+    * equal-content tails still match, a 4-token tail never matches a
+    * 16-token block), each block md5-fingerprinted (d1's convention);
+    * ONE fingerprint groupBy elects keepers (never all-pairs — the
+    * shuffle key is the fingerprint, exactly d1 at paragraph grain); the
+    * occurrence stream joins the keeper back and aggregates to source
+    * grain. Zero-token docs hold no block (the pk2 guard) but still
+    * count as docs. Scale: block volume ≈ tokens/[[ParaTokens]] rows;
+    * two shuffles (fp, source) + the corpus-side doc count; no window,
+    * no sort, no pair join anywhere. */
+  def paragraphDedup(docs: DataFrame, paraTokens: Int = ParaTokens)
+      : DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), col("source"),
+        tokens(norm(col("text"))).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(tk) - 1) DIV $paraTokens")),
+          b => md5(array_join(
+            slice(col("tk"), b * paraTokens + 1, lit(paraTokens)), " ")
+            .cast("binary")))).as(Seq("para_no", "fp")))
+      .select(col("source"), col("fp"),
+        (col("doc_id") * lit(1L << ParaNoBits) + col("para_no")).as("k"))
+    val keeper = keyed.groupBy(col("fp")).agg(min(col("k")).as("keeper"))
+    val stats = keyed.join(keeper, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("k") =!= col("keeper"), 1L).otherwise(0L))
+          .as("dup_paras"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("dup_paras"), lit(0L)).as("dup_paras"),
+        // a source of only empty docs has no paragraphs: NULL rate, the
+        // DuckDB 0/0 answer (ANSI Spark would otherwise throw)
+        when(coalesce(col("n_paras"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("dup_paras"), lit(0L)).cast("double") /
+            col("n_paras").cast("double"))
+          .as("dup_para_rate"))
+  }
+
+  /** R5 oracle: the identical block/fingerprint/keeper pipeline in
+    * DuckDB (`//` truncates like Spark DIV on the non-negative sizes
+    * here; both engines md5 the same single-space block join). */
+  def paragraphDedupSql(corpus: String, paraTokens: Int = ParaTokens)
+      : String = s"""
+    WITH corpus AS ($corpus),
+    tk AS (
+      SELECT doc_id, source, ${tokensSql(normSql("text"))} AS t
+      FROM corpus),
+    keyed AS (
+      SELECT source,
+        md5(array_to_string(
+          list_slice(t, b * $paraTokens + 1, (b + 1) * $paraTokens), ' '))
+          AS fp,
+        doc_id * ${1L << ParaNoBits} + b AS k
+      FROM (SELECT doc_id, source, t,
+              unnest(range(0, (len(t) - 1) // $paraTokens + 1)) AS b
+            FROM tk WHERE len(t) > 0)),
+    keeper AS (SELECT fp, min(k) AS keeper FROM keyed GROUP BY 1),
+    st AS (
+      SELECT source, count(*)::BIGINT AS n_paras,
+        sum(CASE WHEN k <> keeper THEN 1 ELSE 0 END)::BIGINT AS dup_paras
+      FROM keyed JOIN keeper USING (fp) GROUP BY 1),
+    d AS (SELECT source, count(*)::BIGINT AS n_docs FROM corpus GROUP BY 1)
+    SELECT d.source, d.n_docs,
+      coalesce(st.n_paras, 0)::BIGINT AS n_paras,
+      coalesce(st.dup_paras, 0)::BIGINT AS dup_paras,
+      coalesce(st.dup_paras, 0)::DOUBLE / coalesce(st.n_paras, 0)::DOUBLE
+        AS dup_para_rate
+    FROM d LEFT JOIN st ON st.source = d.source"""
 }

@@ -382,8 +382,24 @@ object Multimodal {
     * records both widths' candidate-volume curves in BASELINE). */
   def frameNearDupPairs(docs: DataFrame,
       maxHamming: Int = Mm3MaxHamming,
-      bits: Int = SigBitsWide): DataFrame = {
-    val banded = bandedFrames(docs, bits)
+      bits: Int = SigBitsWide): DataFrame =
+    pairsFromBanded(bandedFrames(docs, bits), maxHamming)
+
+  /** [[frameNearDupPairs]] over an EXISTING frame-signature relation
+    * (doc_id, frame_no, sig) — the form that makes the pair pipeline
+    * SIGNATURE-SOURCE-AGNOSTIC: the hex-fold defaults, the
+    * [[FrameCodec]] mapPartitions seam, and the streaming store all feed
+    * the identical banded join (MultimodalSpec pins the seam
+    * equivalence). */
+  def frameNearDupPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int = Mm3MaxHamming,
+      bits: Int = SigBitsWide): DataFrame =
+    pairsFromBanded(bandSigs(sigs, bits), maxHamming)
+
+  /** The candidate-join half shared by both entries above: banded
+    * equi-join → popcount filter → pair dedup → media-object rollup. */
+  private def pairsFromBanded(banded: DataFrame,
+      maxHamming: Int): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -395,7 +411,6 @@ object Multimodal {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_frame_pairs"),
         min(col("hamming")).as("min_hamming"))
-  }
 
   /** The twinned corpus' banded frame signatures at either width — the
     * candidate-generation half of [[frameNearDupPairs]], factored so the
@@ -412,6 +427,66 @@ object Multimodal {
       else
         frameSignaturesWide(withNearDupMediaHex(mediaHex(mediaCorpus(docs))))
     bandSigs(sigs, bits)
+  }
+
+  /** Frame-grain codec seam — [[MediaCodec]]'s contract one tier down
+    * the ladder: a real perceptual hasher (pHash/videohash binding)
+    * allocates its context once per partition and maps each frame's RAW
+    * BYTES to a signature long. The scaladoc claim "with a real codec
+    * this column comes from the same seam, plan unchanged" is executable
+    * through [[frameSignaturesVia]] + [[frameNearDupPairsFromSigs]]:
+    * MultimodalSpec pins that [[TopBitsFrameCodec]] (the byte-domain
+    * twin of [[frameSignaturesWide]]'s hex fold) reproduces the default
+    * signatures BIT-FOR-BIT through this seam, and that an alternative
+    * codec changes only signature values — never the downstream join/
+    * aggregate plan. */
+  trait FrameCodec extends Serializable {
+    /** Executor-side, once per partition: build the codec context and
+      * return the per-frame signature function. Frames arrive as exactly
+      * [[FrameSize]] raw bytes (full frames only — the floor-framing
+      * guard runs before the seam). */
+    def openPartition(): Array[Byte] => Long
+  }
+
+  /** The default codec: [[frameSignaturesWide]]'s fold in the BYTE
+    * domain — the top two bits of each of the first [[SigNibblesWide]]
+    * nibbles, MSB-first. Exists to make the seam contract testable
+    * (codec path ≡ Catalyst fold, bit-for-bit), and as the template a
+    * real perceptual hasher replaces. */
+  object TopBitsFrameCodec extends FrameCodec {
+    def openPartition(): Array[Byte] => Long = bytes => {
+      var acc = 0L
+      var i = 0
+      while (i < SigNibblesWide) {
+        val b = bytes(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        acc = acc * 4 + (nib >>> 2)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_no", LongType),
+    StructField("sig", LongType)))
+
+  /** Per-frame signatures through the [[FrameCodec]] mapPartitions seam
+    * (the [[decodeFeatures]] shape at frame grain): the same full-frame
+    * stream as the hex folds, decoded to raw bytes, one codec context
+    * per partition, narrow end to end — media signature work never
+    * shuffles regardless of the codec behind the seam. */
+  def frameSignaturesVia(media: DataFrame, codec: FrameCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(sigSchema)
+    frameHexes(media)
+      .select(col("doc_id"), col("frame_no"), unhex(col("fh")).as("fb"))
+      .mapPartitions { rows =>
+        val sig = codec.openPartition() // once per partition
+        rows.map { r =>
+          Row(r.getLong(0), r.getLong(1), sig(r.getAs[Array[Byte]](2)))
+        }
+      }(enc)
   }
 
   /** Band an existing frame-signature relation (doc_id, frame_no, sig)

@@ -619,6 +619,90 @@ object Similarity {
     index.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** FORGET keys from a persisted [[writeIvfSqIndex]] index — the GDPR
+    * erase path the vector tier was missing: `Pipeline.forgetKeys`
+    * removes a subject from the document store and its history, but an
+    * embedding that stays searchable is not erased. Per-cell left-anti
+    * REWRITE of only the touched cell partitions (the E100
+    * partition-rewrite philosophy at the vector tier):
+    *
+    *  - ONE column-pruned scan of (vec_id, cell) finds the touched
+    *    cells — a request-grain collect (forgotten keys live in at most
+    *    |keys| cells), never the index data;
+    *  - each touched `cell=N` dir is rewritten dropping the keys and
+    *    swapped RENAME-ASIDE (rewrite → `_fk_tmp.cell=N`, live →
+    *    `_fk_old.cell=N`, tmp → live, old dropped): a readable copy of
+    *    the cell exists at every instant, and the leading `_` keeps
+    *    both transient dirs invisible to Spark's partition discovery;
+    *  - a cell ERASED EMPTY is retired (dir removed — an absent dir is
+    *    exactly what partition pruning expects of an empty cell);
+    *  - untouched cells are never opened, so they stay byte-identical
+    *    (spec-pinned);
+    *  - a recovery preamble finishes or rolls back any half-done swap a
+    *    crash left behind, so a RERUN is safe and idempotent (the keys
+    *    are already gone → touched set empty → no-op, spec-pinned).
+    *
+    * Append-after-forget ≡ rebuild-without-keys: the quantizer is a pure
+    * function of the seed corpus, so dropping rows commutes with
+    * [[ivfSqAppend]] (spec-pinned bit-for-bit).
+    *
+    * @return rows deleted from the index. */
+  def ivfSqForget(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame): Long = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(
+      new java.net.URI(graft.io.Sources.normalizeScheme(path)),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new HPath(path)
+    if (!fs.exists(root)) return 0L
+    // recovery preamble: a tmp dir is an incomplete rewrite (drop it —
+    // the live cell is intact); an old dir beside a live cell is a
+    // completed swap's leftover (drop it); an old dir WITHOUT its live
+    // cell is a crash between the two renames (roll the live copy back)
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("_fk_tmp.")) { fs.delete(st.getPath, true); () }
+      else if (nm.startsWith("_fk_old.")) {
+        val live = new HPath(root, nm.stripPrefix("_fk_old."))
+        if (fs.exists(live)) { fs.delete(st.getPath, true); () }
+        else { fs.rename(st.getPath, live); () }
+      }
+    }
+    val k = keys.select(col("vec_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = spark.read.parquet(path)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .join(k, Seq("vec_id"))
+        .select(col("cell")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ |request keys| cells
+      var deleted = 0L
+      touched.sorted.foreach { c =>
+        val dir = new HPath(root, s"cell=$c")
+        val cur = spark.read.parquet(dir.toString)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val kept = cur.join(k, Seq("vec_id"), "left_anti")
+          val total = cur.count()
+          val keptN = kept.count()
+          deleted += total - keptN
+          val old = new HPath(root, s"_fk_old.cell=$c")
+          if (keptN == 0L) {
+            // retired cell: no tmp write — rename aside, then drop
+            fs.rename(dir, old); fs.delete(old, true); ()
+          } else {
+            val tmp = new HPath(root, s"_fk_tmp.cell=$c")
+            kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            fs.rename(dir, old)
+            fs.rename(tmp, new HPath(root, s"cell=$c"))
+            fs.delete(old, true); ()
+          }
+        } finally { cur.unpersist(); () }
+      }
+      deleted
+    } finally { k.unpersist(); () }
+  }
+
   /** Search an [[ivfSqIndex]]-shaped index: `queryVecs` (raw vectors)
     * quantize and probe their `nprobe` nearest cells under `seedCorpus`'s
     * quantizer; candidates score by code cosine and rank via the bounded

@@ -42,13 +42,21 @@ object StreamFrameNearDup {
     * check) can drive it without a streaming query. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       outDir: String, bits: Int = Multimodal.SigBitsWide,
-      maxHamming: Int = Multimodal.Mm3MaxHamming): Unit = {
+      maxHamming: Int = Multimodal.Mm3MaxHamming,
+      codec: Option[Multimodal.FrameCodec] = None): Unit = {
     val spark = batch.sparkSession
     val media = batch.select(col("doc_id"), col("ph"))
-    // the batch's ONE signature pass — every consumer below reuses it
-    val sigs = (if (bits == Multimodal.SigBits) Multimodal.frameSignatures(media)
-      else Multimodal.frameSignaturesWide(media))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch's ONE signature pass — every consumer below reuses it.
+    // A codec routes it through the FrameCodec mapPartitions seam (real
+    // perceptual hash); everything downstream — bands, store protocol,
+    // drop logic — is signature-source-agnostic (MultimodalSpec pins the
+    // default codec bit-identical to the hex fold).
+    val sigs = (codec match {
+      case Some(c) => Multimodal.frameSignaturesVia(media, c)
+      case None if bits == Multimodal.SigBits =>
+        Multimodal.frameSignatures(media)
+      case None => Multimodal.frameSignaturesWide(media)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val banded = Multimodal.bandSigs(sigs, bits)
       // within-batch: an object near-duplicating a LOWER-id batch
@@ -92,14 +100,19 @@ object StreamFrameNearDup {
   /** Streaming entry: drive [[processBatch]] from a media-hex stream.
     * `checkpointDir` is REQUIRED — without a durable checkpoint a
     * restarted query renumbers batches from 0 and the per-batch-id
-    * idempotence contract breaks. */
+    * idempotence contract breaks. `bits`/`maxHamming` thread through to
+    * [[processBatch]] (same defaults), so the 32-bit exhibit width is
+    * reachable from a stream without hand-rolling foreachBatch. */
   def start(media: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(100L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(100L),
+      bits: Int = Multimodal.SigBitsWide,
+      maxHamming: Int = Multimodal.Mm3MaxHamming,
+      codec: Option[Multimodal.FrameCodec] = None): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, storeDir, outDir)
+        processBatch(b, id, storeDir, outDir, bits, maxHamming, codec)
       }
       .trigger(trigger)
       .start()

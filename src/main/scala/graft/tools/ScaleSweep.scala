@@ -303,7 +303,12 @@ object ScaleSweep {
     // space (~corpus/97) but stays a broadcast hash set (the c2/c3
     // shape); flagged positions ride the twins — expect linear wall,
     // flat jobs, output ~×N
-    "c5_contamination_spans")
+    "c5_contamination_spans",
+    // r5 = d1's fingerprint-groupBy plan at paragraph (16-token block)
+    // grain: block volume ~tokens/16, two shuffles (fp, source), no
+    // window/pair join anywhere — expect linear wall, flat jobs,
+    // constant |sources|-row output
+    "r5_paragraph_dedup")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

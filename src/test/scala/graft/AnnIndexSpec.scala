@@ -88,6 +88,103 @@ class AnnIndexSpec extends SparkSpec {
     assert(res2(back) === res2(Similarity.ivfSqIndex(emb, base)))
   }
 
+  /** Byte-level fingerprint of every `cell=N` dir under `path`:
+    * dir → file → (length, content md5). */
+  private def cellBytes(path: String): Map[String, Map[String, (Long, String)]] =
+    new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> ((f.length(), md.digest(bytes).map("%02x".format(_))
+            .mkString))
+        }.toMap
+      }.toMap
+
+  test("forget: touched cells rewrite, untouched stay byte-identical, rerun no-ops") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-fk")
+      .toString
+    val path = s"$dir/index"
+    val index = Similarity.ivfSqIndex(emb, emb)
+    Similarity.writeIvfSqIndex(index, path)
+    // victims: EVERY vector of the smallest cell (must retire the dir)
+    // plus two from the largest (must rewrite, not retire)
+    val byCell = index.groupBy(col("cell").cast("long").as("cell"))
+      .agg(org.apache.spark.sql.functions.collect_list(col("vec_id"))
+        .as("ids"))
+      .collect().map(r => r.getAs[Long]("cell") ->
+        r.getSeq[Long](r.fieldIndex("ids"))).toMap
+    val emptyCell = byCell.minBy { case (c, ids) => (ids.size, c) }._1
+    val trimCell = byCell.maxBy { case (c, ids) => (ids.size, -c) }._1
+    val victims = byCell(emptyCell) ++ byCell(trimCell).sorted.take(2)
+    val keysDf = spark.createDataFrame(
+      victims.map(Tuple1(_))).toDF("vec_id")
+    val before = cellBytes(path)
+    val deleted = Similarity.ivfSqForget(spark, path, keysDf)
+    assert(deleted === victims.size)
+    val after = cellBytes(path)
+    assert(!after.contains(s"cell=$emptyCell"),
+      "a cell erased empty must retire its directory")
+    assert(after.contains(s"cell=$trimCell"))
+    before.foreach { case (cell, files) =>
+      if (cell != s"cell=$emptyCell" && cell != s"cell=$trimCell")
+        assert(after(cell) === files,
+          s"$cell untouched by the forget must stay byte-identical")
+    }
+    // the disk index now equals a rebuild WITHOUT the keys, and no
+    // forgotten id is searchable
+    val back = spark.read.parquet(path)
+      .select("vec_id", "cell", "codes", "n2")
+      .withColumn("cell", col("cell").cast("long"))
+    val expect = Similarity.ivfSqIndex(
+      emb.filter(!col("vec_id").isin(victims: _*)), emb)
+    assert(rows(back) === rows(expect))
+    val hits = Similarity.ivfSqSearch(back,
+        emb.filter(col("vec_id") < 10), emb, k = 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(hits.intersect(victims.toSet).isEmpty,
+      "forgotten vec_ids must never appear in search results")
+    // rerun: idempotent — zero deletions, every surviving cell
+    // byte-identical to the post-forget state
+    assert(Similarity.ivfSqForget(spark, path, keysDf) === 0L)
+    assert(cellBytes(path) === after)
+  }
+
+  test("forget: append-after-forget == rebuild-without-keys; crashed swap recovers") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-fk2")
+      .toString
+    val path = s"$dir/index"
+    Similarity.writeIvfSqIndex(Similarity.ivfSqIndex(base, base), path)
+    val victims = Seq(3L, 57L, 201L)
+    val keysDf = spark.createDataFrame(victims.map(Tuple1(_))).toDF("vec_id")
+    assert(Similarity.ivfSqForget(spark, path, keysDf) === victims.size)
+    // simulate a crash between the two swap renames: live dir moved
+    // aside, tmp never promoted — the next call's preamble must roll
+    // the live copy back before doing anything else
+    val cells = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    val crashed = new java.io.File(path, cells.head)
+    val aside = new java.io.File(path, s"_fk_old.${cells.head}")
+    assert(crashed.renameTo(aside))
+    assert(Similarity.ivfSqForget(spark, path, keysDf) === 0L)
+    assert(new java.io.File(path, cells.head).isDirectory &&
+      !aside.exists(), "the recovery preamble must restore the live cell")
+    // append AFTER the forget: the same quantizer seeds, so the disk
+    // state must equal a rebuild over (base minus keys) + batch
+    Similarity.writeIvfSqIndex(Similarity.ivfSqIndex(batch, base), path)
+    val back = spark.read.parquet(path)
+      .select("vec_id", "cell", "codes", "n2")
+      .withColumn("cell", col("cell").cast("long"))
+    val expect = Similarity.ivfSqIndex(
+      base.filter(!col("vec_id").isin(victims: _*)).unionByName(batch),
+      base)
+    assert(rows(back) === rows(expect))
+  }
+
   test("native PqEncode == composed argmin, seeded and trained codebooks") {
     // the codegen'd argmin loop must emit the IDENTICAL code arrays as
     // the array_sort-over-structs formulation it replaced — same fold

@@ -188,4 +188,82 @@ class MultimodalSpec extends SparkSpec
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sigs.toSeq === Seq((4L, 0L, 0L)))
   }
+
+  // a deterministic NON-hex alternative codec: the BOTTOM two bits of
+  // each nibble — a genuinely different signature space. The planted
+  // twin digit (+8 mod 16) moves only the nibble's TOP bit, so twins
+  // tie at hamming 0 under this codec and must still be caught.
+  private object LowBitsFrameCodec extends Multimodal.FrameCodec {
+    def openPartition(): Array[Byte] => Long = bytes => {
+      var acc = 0L
+      var i = 0
+      while (i < Multimodal.SigNibblesWide) {
+        val b = bytes(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        acc = acc * 4 + (nib & 3)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  test("frame-codec seam: the default codec reproduces the hex fold bit-for-bit; pairs are source-invariant") {
+    // the executable form of "with a real codec this column comes from
+    // the same seam, plan unchanged": TopBitsFrameCodec computes the
+    // SAME signature from raw frame bytes through the mapPartitions
+    // seam that frameSignaturesWide folds from hex — every (doc, frame,
+    // sig) row identical across the whole twinned corpus...
+    val hexed = Multimodal.withNearDupMediaHex(Multimodal.mediaHex(media))
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val viaFold = sigRows(Multimodal.frameSignaturesWide(hexed))
+    assert(viaFold ===
+      sigRows(Multimodal.frameSignaturesVia(hexed, Multimodal.TopBitsFrameCodec)))
+    // ...and therefore the pair report through the codec path equals
+    // the shipping mm3x query output exactly
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(pairRows(Multimodal.frameNearDupPairsFromSigs(
+        Multimodal.frameSignaturesVia(hexed, Multimodal.TopBitsFrameCodec)))
+      === pairRows(Multimodal.frameNearDupPairs(docs)))
+  }
+
+  test("frame-codec seam: an alternative codec changes values, not the plan; twins still caught") {
+    import org.apache.spark.sql.functions._
+    val hexed = Multimodal.withNearDupMediaHex(Multimodal.mediaHex(media))
+    val alt = Multimodal.frameNearDupPairsFromSigs(
+      Multimodal.frameSignaturesVia(hexed, LowBitsFrameCodec))
+    val ship = Multimodal.frameNearDupPairs(docs)
+    // the downstream plan is codec-invariant: the join/aggregate
+    // skeleton (everything after the signature source) is identical —
+    // the source-side pushed FILTERS legitimately differ (a codegen fold
+    // pushes null guards a mapPartitions source cannot), which is why
+    // the pin compares structure, then asserts the popcount filter and
+    // join discipline explicitly on the codec plan
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case n if Seq("Join", "Aggregate", "Deduplicate")
+          .exists(n.nodeName.startsWith) => n.nodeName
+      }
+    assert(skeleton(alt) === skeleton(ship))
+    val plan = alt.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"),
+      "the hamming popcount filter must survive the codec path")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // values differ (a different signature space) but the planted twins
+    // tie at hamming 0 under the low-bit codec — every pair still found
+    val pairs = alt.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val planted = docs.select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      assert(pairs.contains((d, d + Multimodal.MediaTwinOffset, 0L)),
+        s"twin pair ($d) missing under the alternative codec")
+    }
+  }
 }

@@ -631,6 +631,53 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(usesNative[org.apache.spark.sql.graft.TokenRollHashes](viaSql))
   }
 
+  test("r5 via spark.sql: one fingerprint groupBy elects keepers; no pair join, no window") {
+    import graft.dedup.Dedup
+    val p = Dedup.ParaTokens
+    val enc = 1L << Dedup.ParaNoBits
+    val corpusSql = s"""
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + ${Dedup.ParaOffset}L AS doc_id,
+        array_join(concat(slice(t, 1, $p),
+          reverse(slice(t, ${p + 1}, greatest(size(t) - $p, 0)))), ' ')
+          AS text, source
+      FROM (SELECT doc_id, ${toksSql("text")} AS t, source
+            FROM documents) b0
+      WHERE doc_id % 5 = 0"""
+    val keyedSql = s"""
+      SELECT source, fp, doc_id * ${enc}L + para_no AS k FROM (
+        SELECT doc_id, source,
+          posexplode(transform(sequence(0, (size(tk) - 1) DIV $p),
+            b -> md5(CAST(array_join(slice(tk, b * $p + 1, $p), ' ')
+              AS BINARY)))) AS (para_no, fp)
+        FROM (SELECT doc_id, source, ${toksSql("text")} AS tk
+              FROM ($corpusSql) c) tkd
+        WHERE size(tk) > 0) px"""
+    val viaSql = assertParity("r5_paragraph_dedup", s"""
+      SELECT d.source, d.n_docs, coalesce(st.n_paras, 0L) AS n_paras,
+        coalesce(st.dup_paras, 0L) AS dup_paras,
+        CASE WHEN coalesce(st.n_paras, 0L) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(coalesce(st.dup_paras, 0L) AS DOUBLE) /
+            CAST(st.n_paras AS DOUBLE) END AS dup_para_rate
+      FROM (SELECT source, count(1) AS n_docs FROM ($corpusSql) cc
+            GROUP BY source) d
+      LEFT JOIN (
+        SELECT source, count(1) AS n_paras,
+          sum(CASE WHEN k != keeper THEN 1L ELSE 0L END) AS dup_paras
+        FROM ($keyedSql) ky
+        JOIN (SELECT fp, min(k) AS keeper FROM ($keyedSql) k2 GROUP BY fp) kp
+          ON ky.fp = kp.fp
+        GROUP BY source) st ON st.source = d.source""")
+    // the whole dedup is groupBy machinery: keeper election must carry
+    // NO pair self-join and NO window — the d1-at-paragraph-grain claim
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "r5 must not plan a window")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "r5 keeper election degenerated into a pair join: " + plan.take(1000))
+  }
+
   test("c5 via spark.sql: the positioned-hash island merge holds; the eval hash set broadcasts") {
     import graft.dedup.Dedup
     val n = 5

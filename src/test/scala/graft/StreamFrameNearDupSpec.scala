@@ -69,6 +69,29 @@ class StreamFrameNearDupSpec extends SparkSpec {
       "store increments must be bit-identical to frameSignaturesWide")
   }
 
+  test("a codec through the seam leaves the stream bit-identical (the default codec case)") {
+    // the FrameCodec seam carries the streaming rung unchanged: running
+    // the same two batches with the codec path must produce BYTE-level
+    // equal decisions and store increments as the hex-fold default
+    def drive(codec: Option[Multimodal.FrameCodec])
+        : (Set[Long], Seq[String]) = {
+      val store = Files.createTempDirectory("graft-sfn-codec").toString
+      val out = Files.createTempDirectory("graft-sfn-codec-out").toString
+      StreamFrameNearDup.processBatch(
+        media((1L, zeros), (2L, effs), (3L, zerosTwin), (6L, "ff")),
+        0L, store, out, codec = codec)
+      StreamFrameNearDup.processBatch(
+        media((4L, effsTwin), (5L, fresh)), 1L, store, out, codec = codec)
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      val stored = StreamFrameNearDup.readStore(spark, store).get
+        .select("doc_id", "frame_no", "sig")
+        .collect().map(_.toString).sorted.toSeq
+      (survivors, stored)
+    }
+    assert(drive(Some(Multimodal.TopBitsFrameCodec)) === drive(None))
+  }
+
   test("replaying a batch id overwrites its own output (exactly-once)") {
     val store = Files.createTempDirectory("graft-sfn-store3").toString
     val out = Files.createTempDirectory("graft-sfn-out3").toString

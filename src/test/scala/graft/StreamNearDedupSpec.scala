@@ -120,4 +120,109 @@ class StreamNearDedupSpec extends SparkSpec {
     StreamNearDedup.processBatch(docs((2L, b)), 1L, store, out)
     assert(StreamNearDedup.readStore(spark, store).get.count() === 2L)
   }
+
+  test("curation capstone: ONE doc stream through dedup, survivors feed the volume monitor, crash/restart mid-stream") {
+    // the cross-tier composition the pieces exist for (the CDC-capstone
+    // shape on the CURATION stream): a twinned doc stream runs through
+    // StreamNearDedup; the survivor BatchStore output is ITSELF the
+    // source of a second streaming stage — AnomalyMonitor maintaining
+    // per-SOURCE volume stats (doc_id→source by stream-static join,
+    // value = token count) — each stage on its own BatchStore dirs and
+    // checkpoint. The stream is killed between the two input files and
+    // restarted on the same checkpoints. The audit triangle: streamed
+    // survivors ≡ the one-shot batch dedup of the full input; the
+    // maintained stats ≡ direct stats of those batch survivors; and the
+    // two consumers agree with each other (stats of the dedup
+    // consumer's own survivor store reproduce the monitor's state).
+    import graft.streaming.{AnomalyMonitor, BatchStore}
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{size => asize, _}
+    val base = graft.io.Sources.table(spark, sf0001, "documents")
+    val corpus = Dedup.withNearDups(base).localCheckpoint(true)
+    val srcDim = base.select(col("doc_id"), col("source"))
+      .unionByName(base.select(
+        (col("doc_id") + Dedup.TwinOffset).as("doc_id"), col("source")))
+      .localCheckpoint(true)
+    def enrich(d: org.apache.spark.sql.DataFrame) = d
+      .join(srcDim, Seq("doc_id"))
+      .select(col("doc_id").as("event_id"),
+        col("source").as("event_type"),
+        asize(TextFunctions.tokens(TextFunctions.norm(col("text"))))
+          .cast("double").as("value"))
+    val in = Files.createTempDirectory("graft-cur-in").toString
+    val survOut = Files.createTempDirectory("graft-cur-surv").toString
+    val sigStore = Files.createTempDirectory("graft-cur-sig").toString
+    val statsStore = Files.createTempDirectory("graft-cur-stats").toString
+    val alertOut = Files.createTempDirectory("graft-cur-alert").toString
+    val ckDedup = Files.createTempDirectory("graft-cur-ckd").toString
+    val ckMon = Files.createTempDirectory("graft-cur-ckm").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def startBoth() = (
+      StreamNearDedup.start(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        sigStore, survOut, ckDedup),
+      AnomalyMonitor.start(
+        enrich(spark.readStream.schema(schema).parquet(s"$survOut/*")),
+        statsStore, alertOut, ckMon))
+    corpus.filter(col("doc_id") < Dedup.TwinOffset)
+      .coalesce(1).write.parquet(s"$in/f1")
+    val (q1, q2) = startBoth()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    // "crash" mid-stream; the twins arrive; the SAME checkpoints must
+    // continue batch numbering on BOTH stages
+    corpus.filter(col("doc_id") >= Dedup.TwinOffset)
+      .coalesce(1).write.parquet(s"$in/f2")
+    val (q3, q4) = startBoth()
+    try { q3.processAllAvailable(); q4.processAllAvailable() }
+    finally { q3.stop(); q4.stop() }
+    // 1. streamed survivors ≡ the same operator driven DIRECTLY as two
+    // batches (no engine, no checkpoints): the stream adds nothing.
+    // NOTE deliberately NOT "≡ one-shot dedup of the full input":
+    // greedy near-dup dedup is order-dependent on loser CHAINS — e.g.
+    // a twin whose original lost within phase 1 is dropped by the
+    // one-shot run (it pairs the lower-id loser) but kept by ANY
+    // incremental view (the loser never reaches the store) — observed
+    // live on this corpus (doc 10000438). d15 documents the
+    // incremental semantics as the contract; the engine-equivalence
+    // below is the composition property this capstone pins.
+    val refStore = Files.createTempDirectory("graft-cur-ref").toString
+    val refOut = Files.createTempDirectory("graft-cur-refout").toString
+    StreamNearDedup.processBatch(
+      corpus.filter(col("doc_id") < Dedup.TwinOffset), 0L,
+      refStore, refOut)
+    StreamNearDedup.processBatch(
+      corpus.filter(col("doc_id") >= Dedup.TwinOffset), 1L,
+      refStore, refOut)
+    val batchSurv = spark.read.parquet(s"$refOut/batch=*")
+    val streamedSurv = BatchStore.read(spark, survOut).get
+    val streamedIds = streamedSurv.select("doc_id").as[Long].collect().toSet
+    assert(streamedIds ===
+      batchSurv.select("doc_id").as[Long].collect().toSet,
+      "streamed survivors must equal the directly-driven batch dedup")
+    // ...and the recall the composition exists for: nearly every
+    // planted twin drops (MinHash banding is a per-pair PROBABILITY,
+    // not a theorem — doc 413's twin misses all bands on this corpus,
+    // deterministically; r4's winnowing floor is the guaranteed tier),
+    // so pin a hard floor rather than per-pair absolutes
+    val twinsIn = corpus.filter(col("doc_id") >= Dedup.TwinOffset).count()
+    val twinsSurvived = streamedIds.count(_ >= Dedup.TwinOffset)
+    assert(twinsSurvived <= twinsIn / 20,
+      s"twin drop recall collapsed: $twinsSurvived of $twinsIn survived")
+    // 2. the maintained per-source stats ≡ direct stats of the survivors
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val maintained = AnomalyMonitor.mergedStats(
+      BatchStore.read(spark, statsStore).get)
+    assert(rows(maintained) === rows(AnomalyMonitor.statsOf(
+        enrich(batchSurv))),
+      "maintained stats must equal direct stats of the survivors")
+    // 3. the consumers agree with EACH OTHER: stats over the dedup
+    // stage's own survivor store reproduce the monitor's state
+    assert(rows(AnomalyMonitor.statsOf(enrich(streamedSurv)))
+      === rows(maintained),
+      "the dedup and monitor consumers must agree with each other")
+  }
 }

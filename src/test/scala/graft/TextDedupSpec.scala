@@ -699,6 +699,56 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  private val sourcedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private def sourcedDocs(rows: (Long, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t, s) => Row(i, t, s) }, 2), sourcedSchema)
+
+  test("r5: paragraph keeper election, tail isolation, empty docs") {
+    // paraTokens = 4 for a hand-checkable fixture. Blocks:
+    //  doc 1 (s1): [p1 p2 p3 p4] [q1 q2 q3 q4]   — both keepers
+    //  doc 2 (s2): [x1 x2 x3 x4] [p1 p2 p3 p4]   — block 1 dups doc 1's
+    //                block 0 at a DIFFERENT position (content, not offset)
+    //  doc 3 (s1): [q1 q2 q3 q4] [q1 q2 q3 q4]   — both dup doc 1's block
+    //                1 (the within-doc repeat counts too)
+    //  doc 4 (s2): [q1 q2]                        — a 2-token tail must
+    //                NOT match the 4-token [q1 q2 q3 q4] block
+    //  doc 5 (s3): zero tokens — counted as a doc, holds no paragraph
+    val d = sourcedDocs(
+      (1L, "p1 p2 p3 p4 q1 q2 q3 q4", "s1"),
+      (2L, "x1 x2 x3 x4 p1 p2 p3 p4", "s2"),
+      (3L, "q1 q2 q3 q4 q1 q2 q3 q4", "s1"),
+      (4L, "q1 q2", "s2"),
+      (5L, "", "s3"))
+    val out = Dedup.paragraphDedup(d, paraTokens = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_paras"),
+          r.getAs[Long]("dup_paras")))).toMap
+    assert(out("s1") === ((2L, 4L, 2L)))
+    assert(out("s2") === ((2L, 3L, 1L)))
+    assert(out("s3") === ((1L, 0L, 0L)))
+  }
+
+  test("r5: every planted shared-paragraph twin drops on the real corpus") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = Dedup.withSharedParagraphs(base)
+    val twinCount = corpus
+      .where(col("doc_id") >= Dedup.ParaOffset).count()
+    assert(twinCount > 0)
+    val rows = Dedup.paragraphDedup(corpus).collect()
+    // every twin shares its first paragraph with its original, so at
+    // least one occurrence per twin loses the keeper election
+    val dupTotal = rows.map(_.getAs[Long]("dup_paras")).sum
+    assert(dupTotal >= twinCount,
+      s"dup_paras $dupTotal < planted twin count $twinCount")
+    // doc conservation: the report partitions the corpus by source
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+  }
+
   test("d11: fuzzy vocab pairs meet exactly once and respect the distance cap") {
     // vocab: cat/cart (Δlen=1, dist 1), cat/bat (equal len, dist 1),
     // cat/dog (dist 3 — must not appear). Repetition makes frequencies
