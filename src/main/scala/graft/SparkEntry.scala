@@ -931,6 +931,21 @@ object SparkEntry {
     "t9_bpe_tokenize" -> ((s, d) =>
       TextAnalysis.bpeTokenize(Sources.table(s, d, "documents"))),
 
+    // T22: unigram-LM tokenizer TRAINING (the SentencePiece family,
+    // Kudo 2018 — the OTHER public tokenizer beside t8's BPE): seed =
+    // single chars + top-64 weighted substrings, 3 hard-EM (Viterbi)
+    // iterations at VOCABULARY grain with Laplace-smoothed counts,
+    // deterministic prune. Oracle = identical iterations unrolled as
+    // CTE stages with the DP as a DuckDB list fold.
+    "t22_unigram_train" -> ((s, d) =>
+      TextAnalysis.unigramTrain(Sources.table(s, d, "documents"))),
+
+    // T23: unigram tokenization APPLY — t9's join-back shape under the
+    // t22 vocabulary: distinct words Viterbi-segment once (broadcast
+    // back), per-source fertility report (the t16 columns).
+    "t23_unigram_tokenize" -> ((s, d) =>
+      TextAnalysis.unigramTokenize(Sources.table(s, d, "documents"))),
+
     // E7: MinHash(16) + LSH(4 bands) near-dup candidates.
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(
@@ -3080,6 +3095,8 @@ object SparkEntry {
     "ch1_chunk_overlap" -> TextAnalysis.chunkOverlapSql(),
     "t8_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "t9_bpe_tokenize" -> TextAnalysis.bpeTokenizeSql(),
+    "t22_unigram_train" -> TextAnalysis.unigramTrainSql(),
+    "t23_unigram_tokenize" -> TextAnalysis.unigramTokenizeSql(),
     "pipe1_corpus_prep" -> TextAnalysis.corpusPrepSql(),
     "dq1_expectations" -> Validation.expectationsSql("orders",
       Validation.OrdersExpectations),

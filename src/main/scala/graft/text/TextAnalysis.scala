@@ -3068,6 +3068,272 @@ object TextAnalysis {
     FROM tok JOIN words$iters w USING (word)
     GROUP BY 1"""
 
+  // ---- T22/T23: unigram-LM (SentencePiece-family) tokenizer ----------------
+
+  /** Longest candidate piece in characters — bounds the Viterbi fan-in
+    * (≤ [[UniMaxPieceLen]] candidates per position) and the seed
+    * substring volume. */
+  val UniMaxPieceLen = 4
+
+  /** Multi-character seed pieces kept (by corpus frequency) beside the
+    * ALWAYS-kept single characters — the trainer's working vocabulary. */
+  val UniSeedMulti = 64
+
+  /** Fixed EM iterations — bounded like [[BpeMergeIters]] and the
+    * oracle's unroll depth. */
+  val UniEmIters = 3
+
+  /** Multi-character pieces surviving the final prune (single characters
+    * always survive — the SentencePiece required-character rule). */
+  val UniFinalMulti = 32
+
+  /** T22/T23's shared Viterbi segmentation under piece-count map `m`
+    * with Laplace-smoothed probabilities p = (cnt + 1) / `tpv` (tpv =
+    * total count + vocabulary size — smoothing keeps zero-count pieces
+    * usable, the required-character guarantee): best(j) = max over
+    * piece lengths s of best(j−s) · p(word[j−s+1..j]), ties to the
+    * LONGER piece (one candidate per s, so (score, s) is a total order
+    * and the inner max is fold-order-independent — the two engines may
+    * fold differently). The outer fold appends one best struct per
+    * position; multiplication associates as score · (p) with p divided
+    * first, mirrored with explicit parentheses in [[uniViterbiSql]] so
+    * the double chains are bit-identical. Hard-EM (Viterbi counts, the
+    * tractable deterministic variant of Kudo 2018's E-step) is what the
+    * trainer folds over this. Words containing a character absent from
+    * `m` would yield a NULL best struct (empty candidate set) — not
+    * reachable from the trainer or the apply (the seed holds every
+    * corpus character and the prune never drops singles). */
+  private[graft] def viterbiSeg(word: Column, m: Column, tpv: Double)
+      : Column = {
+    val len = length(word)
+    val init = array(struct(lit(1.0).as("score"), lit(0).as("s"),
+      array().cast("array<string>").as("seg")))
+    val nullBest =
+      lit(null).cast("struct<score:double,s:int,seg:array<string>>")
+    val dp = aggregate(sequence(lit(1), len), init, (acc, j) => {
+      val cands = filter(
+        transform(sequence(lit(1), least(lit(UniMaxPieceLen), j)), s => {
+          val prev = element_at(acc, j - s + 1)
+          val piece = word.substr(j - s + 1, s)
+          struct(
+            (prev.getField("score") *
+              ((try_element_at(m, piece) + lit(1L)).cast("double") /
+                lit(tpv))).as("score"),
+            s.as("s"),
+            concat(prev.getField("seg"), array(piece)).as("seg"))
+        }),
+        c => c.getField("score").isNotNull)
+      val best = aggregate(cands, nullBest, (b, c) =>
+        when(b.isNull, c)
+          .when(c.getField("score") > b.getField("score") ||
+            (c.getField("score") === b.getField("score") &&
+              c.getField("s") > b.getField("s")), c)
+          .otherwise(b))
+      concat(acc, array(best))
+    })
+    element_at(dp, len + 1).getField("seg")
+  }
+
+  /** T22's driver loop — the t8 shape for the OTHER public tokenizer
+    * family (unigram LM, Kudo 2018 — what SentencePiece/Llama/T5
+    * actually ship): the corpus is scanned ONCE into the word-frequency
+    * table; everything after runs at VOCABULARY grain (sub-linear in
+    * corpus size). Seed = every single character + the [[UniSeedMulti]]
+    * most frequent multi-character substrings (≤ [[UniMaxPieceLen]]
+    * chars, occurrence-weighted by word frequency, ties piece-ascending
+    * — a bounded TakeOrderedAndProject, then a bounded collect: the
+    * t9/codebook convention). Each EM iteration is ONE vocabulary-width
+    * job: Viterbi-segment every distinct word under the current counts
+    * (hard EM), fold usage back to counts (unused pieces drop to 0 but
+    * stay in the vocabulary — Laplace keeps them reachable; the SET is
+    * fixed through EM, the PRUNE picks the output). Returns the pruned
+    * vocabulary ordered by (count desc, piece asc): all single
+    * characters + the top [[UniFinalMulti]] multi-char pieces. */
+  private[graft] def unigramVocab(docs: DataFrame,
+      iters: Int = UniEmIters): Seq[(String, Long)] = {
+    val words = docs.select(explode(toksCol).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = words.select(col("freq"),
+        explode(flatten(transform(
+          sequence(lit(1), length(col("word"))), st =>
+            transform(sequence(lit(1),
+              least(lit(UniMaxPieceLen), length(col("word")) - st + 1)),
+              l => col("word").substr(st, l))))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed0 = try {
+        val singles = subs.filter(length(col("piece")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val multis = subs.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(UniSeedMulti)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (singles ++ multis).toSeq
+      } finally { subs.unpersist(); () }
+      val seedPieces = seed0.map(_._1)
+      val vocabV = seedPieces.size
+      var counts = seed0.toMap
+      for (_ <- 1 to iters) {
+        val tpv = (counts.valuesIterator.sum + vocabV).toDouble
+        val usage = words.select(col("freq"),
+            explode(viterbiSeg(col("word"), typedlit(counts), tpv))
+              .as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        counts = seedPieces.map(p => p -> usage.getOrElse(p, 0L)).toMap
+      }
+      val fin = counts.toSeq
+      val kept = fin.filter(_._1.length == 1) ++
+        fin.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }.take(UniFinalMulti)
+      kept.sortBy { case (p, c) => (-c, p) }
+    } finally { words.unpersist(); () }
+  }
+
+  /** T22: unigram-LM tokenizer TRAINING — the trained-vocabulary
+    * artifact `(rank, piece, piece_len, cnt)` a SentencePiece-family
+    * trainer ships, ranked by final Viterbi count (ties piece-asc).
+    * See [[unigramVocab]] for the scale argument; the oracle unrolls
+    * the identical seed + EM iterations as CTE stages (the
+    * unrolled-Lloyd/BPE convention) with the Viterbi DP as a DuckDB
+    * list fold mirroring [[viterbiSeg]] operation for operation. */
+  def unigramTrain(docs: DataFrame, iters: Int = UniEmIters): DataFrame = {
+    val vocab = unigramVocab(docs, iters)
+    docs.sparkSession.createDataFrame(
+      vocab.zipWithIndex.map { case ((p, c), i) =>
+        (i + 1L, p, p.length.toLong, c) })
+      .toDF("rank", "piece", "piece_len", "cnt")
+  }
+
+  /** T23: unigram tokenization APPLY — t9's join-back shape under the
+    * T22 vocabulary: every DISTINCT word Viterbi-segments ONCE under
+    * the pruned vocabulary (vocabulary grain, broadcast back — never
+    * per-occurrence), then the per-source fertility report (the t16
+    * columns for the unigram family; ratios of exact long sums). */
+  def unigramTokenize(docs: DataFrame, iters: Int = UniEmIters)
+      : DataFrame = {
+    val vocab = unigramVocab(docs, iters)
+    val tpv = (vocab.map(_._2).sum + vocab.size).toDouble
+    val m = typedlit(vocab.toMap)
+    val wordSubs = docs.select(explode(toksCol).as("word")).distinct()
+      .select(col("word"),
+        size(viterbiSeg(col("word"), m, tpv)).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
+      .join(broadcast(wordSubs), Seq("word"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_uni_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_uni_tokens"),
+        (col("n_uni_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"))
+  }
+
+  /** The DuckDB mirror of [[viterbiSeg]]: the DP as a list fold whose
+    * accumulator is a list of (score, s, seg) structs — one entry per
+    * position — with the position recovered as len(acc) (DuckDB's
+    * list_reduce takes no zero element, so the fold runs over
+    * same-typed dummy elements with the init prepended). Candidate
+    * probability parenthesized exactly as the Spark fold multiplies. */
+  private def uniViterbiSql(word: String, m: String, tpv: String)
+      : String = s"""
+    list_reduce(
+      list_prepend([{'score': 1.0::DOUBLE, 's': 0, 'seg': []::VARCHAR[]}],
+        list_transform(range(1, length($word) + 1),
+          i -> [{'score': 0.0::DOUBLE, 's': 0, 'seg': []::VARCHAR[]}])),
+      (acc, x) -> list_append(acc,
+        list_reduce(
+          list_filter(
+            list_transform(range(1, least($UniMaxPieceLen, len(acc)) + 1),
+              s -> {'score': acc[len(acc) - s + 1].score *
+                      (($m[substr($word, (len(acc) - s + 1)::INT, s::INT)][1]
+                        + 1)::DOUBLE / $tpv),
+                    's': s::INT,
+                    'seg': list_append(acc[len(acc) - s + 1].seg,
+                      substr($word, (len(acc) - s + 1)::INT, s::INT))}),
+            c -> c.score IS NOT NULL),
+          (b, c) -> CASE WHEN c.score > b.score OR
+              (c.score = b.score AND c.s > b.s) THEN c ELSE b END))
+    )[length($word) + 1].seg"""
+
+  /** Shared CTE pipeline of the unigram oracles: word table → seed
+    * (singles + top multi substrings) → `vocab0..vocab{iters}` via the
+    * unrolled EM, each stage's count map/total packed into a 1-row
+    * `env{k}` frame, ending in the pruned `keep` + its `envp`. */
+  private def uniStagesSql(iters: Int): String = {
+    def envSql(k: Int) = s"""
+    env$k AS (
+      SELECT map(list(piece ORDER BY piece), list(cnt ORDER BY piece)) AS m,
+        (sum(cnt) + count(*))::DOUBLE AS tpv
+      FROM vocab$k)"""
+    def stage(k: Int) = s"""
+    use${k + 1} AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+        SELECT w.freq,
+          unnest(${uniViterbiSql("w.word", "e.m", "e.tpv")}) AS piece
+        FROM words w CROSS JOIN env$k e)
+      GROUP BY 1),
+    vocab${k + 1} AS (
+      SELECT v.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+      FROM vocab$k v LEFT JOIN use${k + 1} u ON u.piece = v.piece)"""
+    s"""words AS (
+      SELECT word, count(*)::BIGINT AS freq
+      FROM (SELECT unnest(${tokensSql(normSql("text"))}) AS word
+            FROM documents)
+      GROUP BY 1),
+    st AS (
+      SELECT word, freq, unnest(range(1, length(word) + 1)) AS st
+      FROM words),
+    pc AS (
+      SELECT freq, substr(word, st::INT, l::INT) AS piece
+      FROM (SELECT word, freq, st,
+              unnest(range(1,
+                least($UniMaxPieceLen, length(word) - st + 1) + 1)) AS l
+            FROM st)),
+    subs AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM pc GROUP BY 1),
+    vocab0 AS (
+      SELECT piece, cnt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT $UniSeedMulti)),
+    ${(0 until iters).map(k => envSql(k) + "," + stage(k)).mkString(",")},
+    keep AS (
+      SELECT piece, cnt FROM vocab$iters WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM vocab$iters WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT $UniFinalMulti))"""
+  }
+
+  def unigramTrainSql(iters: Int = UniEmIters): String = s"""
+    WITH ${uniStagesSql(iters)}
+    SELECT row_number() OVER (ORDER BY cnt DESC, piece ASC)::BIGINT AS rank,
+      piece, length(piece)::BIGINT AS piece_len, cnt
+    FROM keep"""
+
+  def unigramTokenizeSql(iters: Int = UniEmIters): String = s"""
+    WITH ${uniStagesSql(iters)},
+    envp AS (
+      SELECT map(list(piece ORDER BY piece), list(cnt ORDER BY piece)) AS m,
+        (sum(cnt) + count(*))::DOUBLE AS tpv
+      FROM keep),
+    wsub AS (
+      SELECT w.word,
+        len(${uniViterbiSql("w.word", "e.m", "e.tpv")})::BIGINT AS n_sub
+      FROM words w CROSS JOIN envp e),
+    tok AS (
+      SELECT doc_id, source, unnest(${tokensSql(normSql("text"))}) AS word
+      FROM documents)
+    SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      count(*)::BIGINT AS n_words,
+      sum(w.n_sub)::BIGINT AS n_uni_tokens,
+      sum(w.n_sub)::DOUBLE / count(*)::DOUBLE AS fertility
+    FROM tok JOIN wsub w USING (word)
+    GROUP BY 1"""
+
   // ---- T16 (E116): tokenizer fertility audit -------------------------------
 
   /** T16 (E116): tokenizer FERTILITY audit — the tokenizer-quality

@@ -308,7 +308,14 @@ object ScaleSweep {
     // grain: block volume ~tokens/16, two shuffles (fp, source), no
     // window/pair join anywhere — expect linear wall, flat jobs,
     // constant |sources|-row output
-    "r5_paragraph_dedup")
+    "r5_paragraph_dedup",
+    // t22/t23: the unigram trainer runs at VOCABULARY grain — under the
+    // open-vocab fan-out the vocabulary (and the per-word DP work)
+    // grows ×N alongside one corpus tokenization scan; the seed width
+    // and EM job count are FIXED (3 iterations, 1 job each) — the t8
+    // shape: expect ≤ linear wall, flat per-round structure. t23 adds
+    // the corpus-width broadcast join-back (the t9 curve).
+    "t22_unigram_train", "t23_unigram_tokenize")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

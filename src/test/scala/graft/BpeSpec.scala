@@ -161,4 +161,120 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum === t9sum,
       "the audit's source totals must re-aggregate t9's doc totals")
   }
+
+  // ---- T22/T23: the unigram-LM family ------------------------------------
+
+  /** Independent imperative Viterbi under Laplace-smoothed counts —
+    * mirrors [[TextAnalysis.viterbiSeg]]'s contract (longer piece wins
+    * ties) with classic arrays instead of a column fold. */
+  private def refViterbi(w: String, counts: Map[String, Long],
+      tpv: Double): Seq[String] = {
+    val best = new Array[(Double, Int, List[String])](w.length + 1)
+    best(0) = (1.0, 0, Nil)
+    for (j <- 1 to w.length) {
+      var cur: (Double, Int, List[String]) = null
+      for (s <- 1 to math.min(TextAnalysis.UniMaxPieceLen, j)) {
+        val piece = w.substring(j - s, j)
+        counts.get(piece).foreach { c =>
+          val score = best(j - s)._1 * ((c + 1).toDouble / tpv)
+          if (cur == null || score > cur._1 ||
+              (score == cur._1 && s > cur._2))
+            cur = (score, s, piece :: best(j - s)._3)
+        }
+      }
+      best(j) = cur
+    }
+    best(w.length)._3.reverse
+  }
+
+  /** Independent reference trainer: seed → hard-EM → prune, mirroring
+    * [[TextAnalysis.unigramVocab]]'s published semantics. */
+  private def refUnigram(wordFreq: Map[String, Long],
+      iters: Int): Seq[(String, Long)] = {
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, f) <- wordFreq; st <- 0 until w.length;
+         l <- 1 to math.min(TextAnalysis.UniMaxPieceLen, w.length - st))
+      subCnt(w.substring(st, st + l)) += f
+    val singles = subCnt.filter(_._1.length == 1).toSeq
+    val multis = subCnt.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(TextAnalysis.UniSeedMulti)
+    var counts = (singles ++ multis).toMap
+    val vocabV = counts.size
+    for (_ <- 1 to iters) {
+      val tpv = (counts.values.sum + vocabV).toDouble
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- wordFreq; p <- refViterbi(w, counts, tpv))
+        usage(p) += f
+      counts = counts.keys.map(p => p -> usage(p)).toMap
+    }
+    val fin = counts.toSeq
+    val kept = fin.filter(_._1.length == 1) ++
+      fin.filter(_._1.length > 1).sortBy { case (p, c) => (-c, p) }
+        .take(TextAnalysis.UniFinalMulti)
+    kept.sortBy { case (p, c) => (-c, p) }
+  }
+
+  test("t22: unigramTrain reproduces the reference EM trainer on sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val wordFreq = docs
+      .select(explode(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.norm(col("text")))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refUnigram(wordFreq, TextAnalysis.UniEmIters)
+      .zipWithIndex.map { case ((p, c), i) =>
+        (i + 1L, p, p.length.toLong, c) }
+    val got = TextAnalysis.unigramTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === want)
+    // EM must have promoted multi-char pieces with live counts, or the
+    // corpus isn't exercising the interesting regime
+    assert(got.exists { case (_, p, _, c) => p.length > 1 && c > 0 })
+  }
+
+  test("t22: Viterbi ties go to the LONGER piece; Laplace keeps zero-count pieces usable") {
+    import spark.implicits._
+    // counts {a:3, b:4, ab:1} at tpv 10: score('ab') = 2/10 and
+    // score('a')*score('b') = (4/10)*(5/10) — the same double (halving
+    // is exact), a genuine tie — the longer piece must win
+    val m = typedlit(Map("a" -> 3L, "b" -> 4L, "ab" -> 1L))
+    val seg = Seq("ab").toDF("word")
+      .select(TextAnalysis.viterbiSeg(col("word"), m, 10.0).as("seg"))
+      .head().getSeq[String](0)
+    assert(seg === Seq("ab"))
+    // zero-count pieces (EM drove them to 0) still segment via Laplace
+    val m0 = typedlit(Map("x" -> 0L, "y" -> 0L))
+    val seg0 = Seq("xy").toDF("word")
+      .select(TextAnalysis.viterbiSeg(col("word"), m0, 10.0).as("seg"))
+      .head().getSeq[String](0)
+    assert(seg0 === Seq("x", "y"))
+  }
+
+  test("t23: unigram fertility cross-foots t16's word stream and bounds hold") {
+    import graft.io.Sources
+    val docs = Sources.table(spark, sf0001, "documents")
+    val uni = TextAnalysis.unigramTokenize(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_uni_tokens"), r.getAs[Double]("fertility"))))
+      .toMap
+    assert(uni.nonEmpty)
+    // the unigram apply walks the SAME word stream as the BPE audit:
+    // per-source doc and word counts must agree exactly
+    val bpe = TextAnalysis.fertilityAudit(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_chars")))).toMap
+    assert(uni.keySet === bpe.keySet)
+    uni.foreach { case (src, (nd, nw, nu, fert)) =>
+      assert((nd, nw) === ((bpe(src)._1, bpe(src)._2)),
+        s"$src: word stream diverged from t16's")
+      // every word ≥ 1 piece, every piece ≥ 1 char
+      assert(nu >= nw && nu <= bpe(src)._3, s"$src: fertility bounds")
+      assert(fert === nu.toDouble / nw.toDouble)
+    }
+  }
 }

@@ -313,6 +313,61 @@ class SqlSurfaceSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(2000))
   }
 
+  test("t23 via spark.sql: the literal-vocab Viterbi apply holds as SQL text") {
+    import graft.text.TextAnalysis
+    // the SQL-only user's form of the t8-family trainer boundary: the
+    // trained vocabulary arrives as a literal map (trn1's convention —
+    // the driver loop itself is not one SQL statement), the Viterbi DP
+    // is the same aggregate/filter/transform fold as the Column version
+    val vocab = TextAnalysis.unigramVocab(
+      graft.io.Sources.table(ext, sf0001, "documents"))
+    val tpvStr = new java.math.BigDecimal(
+      (vocab.map(_._2).sum + vocab.size).toDouble).toPlainString
+    val mlit =
+      s"map(${vocab.map { case (p, c) => s"'$p', ${c}L" }.mkString(", ")})"
+    val p = TextAnalysis.UniMaxPieceLen
+    val vit = s"""
+      element_at(aggregate(sequence(1, length(word)),
+        array(named_struct('score', CAST(1.0 AS DOUBLE), 's', 0,
+          'seg', CAST(array() AS ARRAY<STRING>))),
+        (acc, j) -> concat(acc, array(
+          aggregate(
+            filter(transform(sequence(1, least($p, j)), s ->
+              named_struct(
+                'score', element_at(acc, j - s + 1).score *
+                  (CAST(try_element_at($mlit, substr(word, j - s + 1, s))
+                      + 1L AS DOUBLE)
+                    / CAST($tpvStr AS DOUBLE)),
+                's', s,
+                'seg', concat(element_at(acc, j - s + 1).seg,
+                  array(substr(word, j - s + 1, s))))),
+              c -> c.score IS NOT NULL),
+            CAST(NULL AS STRUCT<score: DOUBLE, s: INT, seg: ARRAY<STRING>>),
+            (b, c) -> CASE WHEN b IS NULL THEN c
+              WHEN c.score > b.score OR
+                (c.score = b.score AND c.s > b.s) THEN c
+              ELSE b END)))),
+        length(word) + 1).seg"""
+    val viaSql = assertParity("t23_unigram_tokenize", s"""
+      SELECT source, n_docs, n_words, n_uni_tokens,
+        CAST(n_uni_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+      FROM (
+        SELECT /*+ BROADCAST(ws) */ source,
+          count(DISTINCT doc_id) AS n_docs, count(1) AS n_words,
+          sum(n_sub) AS n_uni_tokens
+        FROM (SELECT doc_id, source, explode(${toksSql("text")}) AS word
+              FROM documents) tok
+        JOIN (SELECT word, CAST(size($vit) AS BIGINT) AS n_sub
+              FROM (SELECT DISTINCT explode(${toksSql("text")}) AS word
+                    FROM documents) w) ws
+          USING (word)
+        GROUP BY source) agg""")
+    // vocabulary-sized side broadcasts; no window anywhere in the apply
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    assert(!plan.contains("Window"), "t23 must not plan a window")
+  }
+
   test("trn1 via spark.sql: the literal-weight-map training loop runs as SQL text") {
     import graft.text.TextAnalysis._
     val b = PtronBuckets.toLong
