@@ -173,12 +173,25 @@ object Bench {
       s"""\"$k\":{"jobs":${r.jobs},"stages":${r.stages},"tasks":${r.tasks}$ph}"""
     }.mkString("{", ",", "}")
     val total = best.map(_._2.sec).sum
+    // Reference-surface 13-query subset (the round-1 baseline set in
+    // BASELINE.md): summed here so the close and the judge read the
+    // subset-vs-baseline number straight off the metric line instead of
+    // recomputing it from a detail file that later runs may replace.
+    val subsetNames = Set(
+      "a1_category_kpi", "a2_order_kpi_complete", "a3_order_kpi_items_only",
+      "a4_order_kpi_orders_only", "a6_null_check", "a8_distinct_keys",
+      "j3_ri_items_without_order", "j4_ri_items_without_product",
+      "m1_merge_category_kpi", "p1_filter_project",
+      "p3_anti_orders_without_items", "u1_union_parts_agg",
+      "w1_processing_date")
+    val subsetRuns = best.filter { case (n, _) => subsetNames.contains(n) }
+    val subsetSum = subsetRuns.map(_._2.sec).sum
     // queries whose EVERY pass failed: announced in the metric line so a
     // "fast" total can never quietly mean "measured nothing"
     val nErrors = selected.count { case (n, _) =>
       runs.collect { case (`n`, r) => r }.forall(_.failed) }
     val metricLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"extra":${extraRuns.size},"errors":$nErrors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${best.size},"passes":$passes,"extra":${extraRuns.size},"errors":$nErrors,"subset":${r4(subsetSum)},"subset_n":${subsetRuns.size},"sf":"$sfDir"}"""
     val detail = {
       val perPass = runs.map { case (k, r) =>
         val ph = if (r.phases.isEmpty) "" else phasesJson(r.phases)
@@ -197,6 +210,16 @@ object Bench {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+      // bench_detail.json is overwritten by EVERY run, including
+      // SPARK_GRAFT_ONLY mini-runs — two round closes lost their subset
+      // detail to a later re-measure. Each run also writes a timestamped
+      // copy that nothing ever clobbers; the close cites that file.
+      val runDir = java.nio.file.Paths.get("target", "bench_runs")
+      java.nio.file.Files.createDirectories(runDir)
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      java.nio.file.Files.write(
+        runDir.resolve(s"detail_$stamp.json"), detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"""{"bench_counts":$counts}""")
     println(s"""{"bench_seconds":$qs}""")

@@ -11,7 +11,7 @@ import graft.merge.{KpiMerge, Scd2}
 import graft.multimodal.Multimodal
 import graft.pipeline.ChangeFeed
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{DomainCuration, TextAnalysis}
 import graft.validate.Validation
 
 /** Driver contract — one named query per implemented operator from
@@ -1022,6 +1022,15 @@ object SparkEntry {
       Dedup.paragraphDedup(
         Dedup.withSharedParagraphs(Sources.table(s, d, "documents")))),
 
+    // E194 (DOM1): registrable-domain-grain curation — the CCNet/
+    // RefinedWeb/FineWeb filtering grain: per-domain mass audit +
+    // blocklist + relative per-domain token cap (cap-the-giant at
+    // domain grain, s7's philosophy), with a public-suffix-lite
+    // registrable-domain rule over deterministic fixture URLs
+    // (planted blocklisted + oversized domains).
+    "dom1_domain_audit" -> ((s, d) =>
+      DomainCuration.domainAudit(Sources.table(s, d, "documents"))),
+
     // E8: 32-bit SimHash signatures.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(
@@ -1243,6 +1252,17 @@ object SparkEntry {
     // 32-bit density-watch exhibit (mm3) is the explicit-arg variant.
     "mm3x_frame_neardup60" -> ((s, d) =>
       Multimodal.frameNearDupPairs(Sources.table(s, d, "documents"))),
+
+    // E193 (MM4): a REAL image-format perceptual hash through the
+    // FrameCodec seam — the public aHash (mean-threshold bitmap) over
+    // nibble-grain grayscale frames, on a masked low-dynamic-range
+    // corpus with planted BRIGHTNESS-jittered twins: aHash's shifted
+    // mean catches them at hamming 0 where the raw top-bits codec
+    // misses every one (the property that makes a perceptual hash
+    // perceptual, executable). Same banded pair pipeline as mm3/mm3x
+    // (frameNearDupPairsFromSigs — textually shared).
+    "mm4_ahash_neardup" -> ((s, d) =>
+      Multimodal.aHashNearDupPairs(Sources.table(s, d, "documents"))),
 
     // E13: multimodal binary plumbing — synth payloads, partition-wise
     // decode stub, frame sampling. The stub's byte-stat features follow
@@ -3134,6 +3154,7 @@ object SparkEntry {
       Dedup.winnowPairsSql(Dedup.withSpanTwinsSql("documents")),
     "r5_paragraph_dedup" ->
       Dedup.paragraphDedupSql(Dedup.withSharedParagraphsSql("documents")),
+    "dom1_domain_audit" -> DomainCuration.domainAuditSql,
     "d7_jaccard_dfcap" ->
       Dedup.ngramJaccardDfCappedSql(Dedup.withNearDupsSql("documents")),
     "d14_containment" ->
@@ -3817,6 +3838,7 @@ object SparkEntry {
     "mm3_frame_neardup" ->
       Multimodal.frameNearDupSql(bits = Multimodal.SigBits),
     "mm3x_frame_neardup60" -> Multimodal.frameNearDupSql(),
+    "mm4_ahash_neardup" -> Multimodal.aHashNearDupSql(),
 
     "w2_fifo_next" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type

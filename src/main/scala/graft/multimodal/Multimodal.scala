@@ -441,6 +441,14 @@ object Multimodal {
     * codec changes only signature values — never the downstream join/
     * aggregate plan. */
   trait FrameCodec extends Serializable {
+    /** Width in bits of the signatures this codec emits. The banding
+      * arithmetic downstream must derive from THIS, never from an
+      * independent caller-supplied width — a codec emitting 60-bit
+      * signatures banded with 32-bit arithmetic silently produces
+      * over-wide keys and misses every half-match
+      * ([[graft.streaming.StreamFrameNearDup.processBatch]] asserts the
+      * coupling). */
+    def bits: Int
     /** Executor-side, once per partition: build the codec context and
       * return the per-frame signature function. Frames arrive as exactly
       * [[FrameSize]] raw bytes (full frames only — the floor-framing
@@ -454,6 +462,7 @@ object Multimodal {
     * (codec path ≡ Catalyst fold, bit-for-bit), and as the template a
     * real perceptual hasher replaces. */
   object TopBitsFrameCodec extends FrameCodec {
+    def bits: Int = SigBitsWide
     def openPartition(): Array[Byte] => Long = bytes => {
       var acc = 0L
       var i = 0
@@ -461,6 +470,46 @@ object Multimodal {
         val b = bytes(i / 2) & 0xff
         val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
         acc = acc * 4 + (nib >>> 2)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** MM4 codec: a REAL image-format perceptual hash through the seam —
+    * the public AVERAGE-HASH (aHash) algorithm, the first rung of the
+    * pHash family (mean-threshold bitmap: downscale, gray, compare each
+    * block to the image mean). The [[FrameSize]]-byte frame is read as a
+    * raw grayscale image at NIBBLE grain — 32 pixels of 4-bit depth, the
+    * 16-byte analogue of aHash's canonical 8×8/64-bit shape — and bit j
+    * is `pixel_j · 32 > Σpixels` (strictly-greater integer compare: no
+    * division, no float, bitwise cross-engine), folded MSB-first.
+    *
+    * The property that makes aHash a PERCEPTUAL hash is executable here:
+    * a uniform brightness shift adds the same constant c to every pixel,
+    * so `(p+c)·32 > Σ+32c ⟺ p·32 > Σ` — the signature is EXACTLY
+    * invariant (absent saturation), while [[TopBitsFrameCodec]] reads
+    * raw high bits and sees every pixel change. [[aHashNearDupPairs]]
+    * plants exactly such twins: aHash catches them at hamming 0, the
+    * top-bits codec misses them entirely (spec-pinned both ways). */
+  object AHashFrameCodec extends FrameCodec {
+    /** 32 nibble-pixels ⇒ 32-bit bitmap — [[SigBits]], so the banding
+      * arithmetic downstream is the measured 16-bit-half exhibit width. */
+    def bits: Int = SigBits
+    def openPartition(): Array[Byte] => Long = bytes => {
+      var sum = 0L
+      var i = 0
+      while (i < FrameSize) {
+        val b = bytes(i) & 0xff
+        sum += (b >>> 4) + (b & 0xf)
+        i += 1
+      }
+      var acc = 0L
+      i = 0
+      while (i < 2 * FrameSize) {
+        val b = bytes(i / 2) & 0xff
+        val px = if (i % 2 == 0) b >>> 4 else b & 0xf
+        acc = acc * 2 + (if (px * (2L * FrameSize) > sum) 1L else 0L)
         i += 1
       }
       acc
@@ -555,6 +604,105 @@ object Multimodal {
       UNION ALL
       SELECT doc_id, frame_no, sig, 1::BIGINT AS band,
         sig % ${1L << (bits / 2)} AS key FROM sg)
+    SELECT doc_a, doc_b, count(*)::BIGINT AS n_frame_pairs,
+      min(hamming) AS min_hamming
+    FROM (
+      SELECT DISTINCT x.doc_id AS doc_a, x.frame_no AS frame_a,
+        y.doc_id AS doc_b, y.frame_no AS frame_b,
+        bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sig, y.sig)) <= $maxHamming) cand
+    GROUP BY 1, 2"""
+
+  // ---- MM4 (E193): aHash perceptual near-dup through the codec seam ------
+
+  /** The aHash tier's media stream: every payload masked to LOW DYNAMIC
+    * RANGE (each nibble-pixel `& 7`, one `translate` over the hex form) —
+    * the deterministic stand-in for under-exposed frames, guaranteeing
+    * the [[withBrightnessTwinsHex]] +4-per-nibble brightness shift
+    * saturates nowhere (real aHash is shift-invariant only absent
+    * saturation; the fixture keeps the property EXACT so the twin catch
+    * is hash-verifiable, not probabilistic). */
+  def maskedMediaHex(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      translate(col("ph"), "89abcdef", "01234567").as("ph"))
+
+  /** Corpus with planted BRIGHTNESS-JITTERED twins: every 10th media
+    * object gets a copy with +4 on every nibble-pixel (byte +0x44 — a
+    * uniform brightness lift, digit-wise `translate` on the masked hex).
+    * The perceptual-hash discriminator: [[AHashFrameCodec]]'s mean
+    * threshold shifts with the pixels, so twin signatures are IDENTICAL
+    * (hamming 0); [[TopBitsFrameCodec]] reads each nibble's raw top two
+    * bits, which +4 moves on EVERY nibble — frame hamming 30 of 60, not
+    * even a band candidate. The mm3 twin (one flipped digit) is the
+    * opposite exhibit: visible to both codecs. */
+  def withBrightnessTwinsHex(media: DataFrame): DataFrame =
+    media.unionByName(media
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + MediaTwinOffset).as("doc_id"),
+        translate(col("ph"), "01234567", "456789ab").as("ph")))
+
+  /** MM4 query (E193): perceptual near-dup with a REAL image-format
+    * hash — the first rung of the pHash family — through the
+    * [[FrameCodec]] seam: the masked corpus plus brightness twins,
+    * signatures via [[AHashFrameCodec]] (mapPartitions, narrow), then
+    * the IDENTICAL banded pair pipeline as mm3/mm3x
+    * ([[frameNearDupPairsFromSigs]] — textually shared, so the plan
+    * skeleton cannot fork). Twins are caught at hamming 0 by
+    * construction; the spec pins that the top-bits codec on the same
+    * corpus misses every one. */
+  def aHashNearDupPairs(docs: DataFrame,
+      maxHamming: Int = Mm3MaxHamming): DataFrame =
+    frameNearDupPairsFromSigs(
+      frameSignaturesVia(
+        withBrightnessTwinsHex(maskedMediaHex(mediaHex(mediaCorpus(docs)))),
+        AHashFrameCodec),
+      maxHamming, AHashFrameCodec.bits)
+
+  /** MM4 oracle: the identical pipeline in DuckDB — mask and jitter as
+    * digit `translate`s, the aHash fold as an exact integer
+    * pixel·32 > Σpixels bitmap (two list stages: pixels, then sum, then
+    * the MSB-first fold), and the mm3 band/popcount/rollup tail at the
+    * [[SigBits]] width. */
+  def aHashNearDupSql(maxHamming: Int = Mm3MaxHamming): String = s"""
+    WITH $payloadBaseCtesSql,
+    m0 AS (
+      SELECT doc_id, translate(ph, '89abcdef', '01234567') AS ph
+      FROM pbase),
+    media AS (
+      SELECT doc_id, ph FROM m0
+      UNION ALL
+      SELECT doc_id + $MediaTwinOffset AS doc_id,
+        translate(ph, '01234567', '456789ab') AS ph
+      FROM m0 WHERE doc_id % 10 = 0),
+    fr AS (
+      SELECT doc_id,
+        unnest(range(0, len(ph) // ${2 * FrameSize})) AS frame_no, ph
+      FROM media),
+    px AS (
+      SELECT doc_id, frame_no::BIGINT AS frame_no,
+        list_transform(range(1, ${2 * FrameSize + 1}),
+          j -> (strpos('$HexTable', substr(ph,
+            (frame_no * ${2 * FrameSize} + j)::INT, 1)) - 1)::BIGINT) AS p
+      FROM fr),
+    sm AS (
+      SELECT doc_id, frame_no, p,
+        list_reduce(list_prepend(0::BIGINT, p), (a, x) -> a + x) AS s
+      FROM px),
+    sg AS (
+      SELECT doc_id, frame_no,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(p, v -> CASE WHEN v * ${2 * FrameSize} > s
+            THEN 1::BIGINT ELSE 0::BIGINT END)),
+          (acc, b) -> acc * 2 + b) AS sig
+      FROM sm),
+    banded AS (
+      SELECT doc_id, frame_no, sig, 0::BIGINT AS band,
+        sig // ${1L << (SigBits / 2)} AS key FROM sg
+      UNION ALL
+      SELECT doc_id, frame_no, sig, 1::BIGINT AS band,
+        sig % ${1L << (SigBits / 2)} AS key FROM sg)
     SELECT doc_a, doc_b, count(*)::BIGINT AS n_frame_pairs,
       min(hamming) AS min_hamming
     FROM (

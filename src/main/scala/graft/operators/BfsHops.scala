@@ -49,7 +49,7 @@ object BfsHops {
     * the hub; the hub itself is hop 0. Lifetime: the family contract on
     * [[PageRank.copurchaseEdges]] (this operator set the convention). */
   def hubHops(lineitem: DataFrame, iters: Int = HopIters): DataFrame = {
-    val edges = PageRank.copurchaseEdges(lineitem).persist()
+    val edges = GraphState.persistGraph(PageRank.copurchaseEdges(lineitem))
     try hubHopsFromEdges(edges, iters)
     finally { edges.unpersist(); () }
   }
@@ -69,9 +69,8 @@ object BfsHops {
       // one blocking job per round (the d9 discipline); the (node,
       // hop)-narrow frame is checkpointed so next round's two
       // consumers read blocks, not a doubling subtree
-      hops = hops.unionByName(expand)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint(true)
+      hops = GraphState.checkpoint(hops.unionByName(expand)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop")))
     }
     hops.select(col("node").as("product_id"), col("hop"))
   }

@@ -51,7 +51,9 @@ object LabelPropagation {
     // it saves. Measured negative result; recorded in BASELINE.
     // Lifetime: the family contract on [[PageRank.copurchaseEdges]] —
     // rounds are eager, so the cache has no consumer left by return.
-    val edges = PageRank.copurchaseEdges(lineitem).persist()
+    // [[GraphState]] picks the level: memory-first by default, DISK_ONLY
+    // under the ×300 heap lever (results invariant, spec-pinned).
+    val edges = GraphState.persistGraph(PageRank.copurchaseEdges(lineitem))
     try communitiesFromEdges(edges, iters)
     finally { edges.unpersist(); () }
   }
@@ -64,8 +66,8 @@ object LabelPropagation {
       iters: Int = LpaIters): DataFrame = {
     // symmetrized edges: every non-isolated node appears as src
     val nodes = edges.select(col("src")).distinct()
-    var labels = nodes.select(col("src").as("node"),
-      col("src").as("label")).localCheckpoint(true)
+    var labels = GraphState.checkpoint(nodes.select(col("src").as("node"),
+      col("src").as("label")))
     for (_ <- 1 to iters) {
       // SHUFFLE_HASH on the node-grain label side (round 12): the
       // edge⋈state join is the canonical shuffled-hash case — the
@@ -81,11 +83,10 @@ object LabelPropagation {
           edges("dst") === labels("node"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      labels = votes
+      labels = GraphState.checkpoint(votes
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("b"))
-        .select(col("src").as("node"), (-col("b.nl")).as("label"))
-        .localCheckpoint(true)
+        .select(col("src").as("node"), (-col("b.nl")).as("label")))
     }
     labels.select(col("node").as("product_id"),
       col("label").as("community"))

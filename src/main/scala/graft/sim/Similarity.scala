@@ -631,9 +631,15 @@ object Similarity {
     *    |keys| cells), never the index data;
     *  - each touched `cell=N` dir is rewritten dropping the keys and
     *    swapped RENAME-ASIDE (rewrite → `_fk_tmp.cell=N`, live →
-    *    `_fk_old.cell=N`, tmp → live, old dropped): a readable copy of
-    *    the cell exists at every instant, and the leading `_` keeps
-    *    both transient dirs invisible to Spark's partition discovery;
+    *    `_fk_old.cell=N`, tmp → live, old dropped): a durable copy of
+    *    the cell exists on disk at every instant (recoverable by the
+    *    preamble), but between the two renames the LIVE `cell=N` dir is
+    *    absent and the aside copy's leading `_` hides it from partition
+    *    discovery — this path is SINGLE-WRITER and assumes no concurrent
+    *    reader: a search running during a forget may transiently miss
+    *    the cell being swapped. Every rename's boolean result is
+    *    checked; a failed rename aborts BEFORE the old aside is dropped,
+    *    so the preamble can always roll the cell back;
     *  - a cell ERASED EMPTY is retired (dir removed — an absent dir is
     *    exactly what partition pruning expects of an empty cell);
     *  - untouched cells are never opened, so they stay byte-identical
@@ -655,6 +661,15 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     val root = new HPath(path)
     if (!fs.exists(root)) return 0L
+    // HDFS-contract rename reports failure as `false`, not an exception;
+    // an unchecked false between "live renamed aside" and "tmp renamed
+    // live" would let the delete(old) below destroy the last copy of the
+    // cell. Every rename in this method goes through this guard.
+    def mustRename(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"ivfSqForget: rename $src -> $dst failed; aborting before any" +
+            " delete so the recovery preamble can roll the cell back")
     // recovery preamble: a tmp dir is an incomplete rewrite (drop it —
     // the live cell is intact); an old dir beside a live cell is a
     // completed swap's leftover (drop it); an old dir WITHOUT its live
@@ -665,7 +680,7 @@ object Similarity {
       else if (nm.startsWith("_fk_old.")) {
         val live = new HPath(root, nm.stripPrefix("_fk_old."))
         if (fs.exists(live)) { fs.delete(st.getPath, true); () }
-        else { fs.rename(st.getPath, live); () }
+        else mustRename(st.getPath, live)
       }
     }
     val k = keys.select(col("vec_id")).distinct()
@@ -689,12 +704,18 @@ object Similarity {
           val old = new HPath(root, s"_fk_old.cell=$c")
           if (keptN == 0L) {
             // retired cell: no tmp write — rename aside, then drop
-            fs.rename(dir, old); fs.delete(old, true); ()
+            mustRename(dir, old); fs.delete(old, true); ()
           } else {
             val tmp = new HPath(root, s"_fk_tmp.cell=$c")
             kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            fs.rename(dir, old)
-            fs.rename(tmp, new HPath(root, s"cell=$c"))
+            mustRename(dir, old)
+            val liveDir = new HPath(root, s"cell=$c")
+            mustRename(tmp, liveDir)
+            // drop the aside only once the live dir verifiably exists —
+            // until then the aside is the only recoverable copy
+            if (!fs.exists(liveDir))
+              throw new java.io.IOException(
+                s"ivfSqForget: $liveDir absent after swap; keeping $old")
             fs.delete(old, true); ()
           }
         } finally { cur.unpersist(); () }

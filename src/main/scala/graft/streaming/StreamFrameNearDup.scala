@@ -46,6 +46,13 @@ object StreamFrameNearDup {
       codec: Option[Multimodal.FrameCodec] = None): Unit = {
     val spark = batch.sparkSession
     val media = batch.select(col("doc_id"), col("ph"))
+    // a codec fixes the signature width; the independent `bits` param
+    // still drives bandSigs below — require the two agree, or wide
+    // signatures get banded with narrow-width arithmetic and every
+    // half-match is silently missed
+    codec.foreach(c => require(bits == c.bits,
+      s"bits=$bits disagrees with codec width ${c.bits}: banding derives " +
+        "from `bits`, so pass bits = codec.bits"))
     // the batch's ONE signature pass — every consumer below reuses it.
     // A codec routes it through the FrameCodec mapPartitions seam (real
     // perceptual hash); everything downstream — bands, store protocol,

@@ -3150,7 +3150,8 @@ object TextAnalysis {
     * vocabulary ordered by (count desc, piece asc): all single
     * characters + the top [[UniFinalMulti]] multi-char pieces. */
   private[graft] def unigramVocab(docs: DataFrame,
-      iters: Int = UniEmIters): Seq[(String, Long)] = {
+      iters: Int = UniEmIters,
+      seedMulti: Int = UniSeedMulti): Seq[(String, Long)] = {
     val words = docs.select(explode(toksCol).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3167,7 +3168,7 @@ object TextAnalysis {
         val singles = subs.filter(length(col("piece")) === 1)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val multis = subs.filter(length(col("piece")) > 1)
-          .orderBy(col("cnt").desc, col("piece").asc).limit(UniSeedMulti)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         (singles ++ multis).toSeq
       } finally { subs.unpersist(); () }
@@ -3210,7 +3211,14 @@ object TextAnalysis {
     * T22 vocabulary: every DISTINCT word Viterbi-segments ONCE under
     * the pruned vocabulary (vocabulary grain, broadcast back — never
     * per-occurrence), then the per-source fertility report (the t16
-    * columns for the unigram family; ratios of exact long sums). */
+    * columns for the unigram family; ratios of exact long sums).
+    *
+    * The `broadcast(wordSubs)` hint below is an explicit SIZE
+    * ASSUMPTION, not a law (the c5 caveat at this call site): the
+    * DISTINCT-word relation grows with the corpus under an open
+    * vocabulary, so at broadcast-threshold scale the hint must come off
+    * and the optimizer pick the join — the segmentation stays
+    * vocabulary-grain either way; only the join-back strategy changes. */
   def unigramTokenize(docs: DataFrame, iters: Int = UniEmIters)
       : DataFrame = {
     val vocab = unigramVocab(docs, iters)

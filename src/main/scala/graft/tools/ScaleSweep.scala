@@ -315,7 +315,18 @@ object ScaleSweep {
     // and EM job count are FIXED (3 iterations, 1 job each) — the t8
     // shape: expect ≤ linear wall, flat per-round structure. t23 adds
     // the corpus-width broadcast join-back (the t9 curve).
-    "t22_unigram_train", "t23_unigram_tokenize")
+    "t22_unigram_train", "t23_unigram_tokenize",
+    // mm4 = mm3's banded pair pipeline with aHash signatures through
+    // the mapPartitions codec seam — same linear signature scan (narrow
+    // regardless of codec) + the 32-bit-width banded join (16-bit half
+    // keys); twins ×N ⇒ pairs ~×N
+    "mm4_ahash_neardup",
+    // dom1 = one narrow token-count scan + a domain-partitioned window
+    // + two domain-keyed aggregates — linear wall, flat jobs; the
+    // fixture domain set is doc_id-modulus-derived, so output stays
+    // ~constant (~115 domains) at any fan-out while the giants' share
+    // (and the relative cap) is scale-free
+    "dom1_domain_audit")
 
   /** Substitute every token through the copy-`k` open-vocabulary
     * injection; `subst` is the collected token→token map (bounded: the

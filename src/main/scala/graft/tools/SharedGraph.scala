@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{BfsHops, LabelPropagation, PageRank, Triangles}
+import graft.operators.{BfsHops, GraphState, LabelPropagation, PageRank, Triangles}
 
 /** Round-12 measurement (verdict item): is a SHARED edge relation worth
   * it for the graph family? g1 (PageRank), g2 (triangles), g3 (BFS
@@ -56,7 +56,11 @@ object SharedGraph {
         LabelPropagation.communities(li).count()
       }
       val shared = timed(s"pass$pass shared (edges built once)") {
-        val edges = PageRank.copurchaseEdges(li).persist()
+        // the caller-persisted family edge cache rides the GraphState
+        // lever too: at ×300 the shared relation is the heap's single
+        // biggest tenant, and the composition was skipped last round
+        // precisely because its consumers hit the memory walls
+        val edges = GraphState.persistGraph(PageRank.copurchaseEdges(li))
         try {
           PageRank.productPageRankFromEdges(edges).count()
           Triangles.triangleCensusFromEdges(edges).count()

@@ -194,6 +194,7 @@ class MultimodalSpec extends SparkSpec
   // twin digit (+8 mod 16) moves only the nibble's TOP bit, so twins
   // tie at hamming 0 under this codec and must still be caught.
   private object LowBitsFrameCodec extends Multimodal.FrameCodec {
+    def bits: Int = Multimodal.SigBitsWide
     def openPartition(): Array[Byte] => Long = bytes => {
       var acc = 0L
       var i = 0
@@ -265,5 +266,64 @@ class MultimodalSpec extends SparkSpec
       assert(pairs.contains((d, d + Multimodal.MediaTwinOffset, 0L)),
         s"twin pair ($d) missing under the alternative codec")
     }
+  }
+
+  test("mm4: aHash catches brightness twins the top-bits codec misses; plan skeleton unchanged") {
+    import org.apache.spark.sql.functions._
+    val jittered = Multimodal.withBrightnessTwinsHex(
+      Multimodal.maskedMediaHex(Multimodal.mediaHex(media)))
+    // the perceptual property at SIGNATURE grain: a uniform brightness
+    // shift moves the mean with the pixels, so every twin frame's aHash
+    // is bit-identical to its original's (exact, not approximate — the
+    // masked corpus guarantees no saturation)
+    val sigs = Multimodal.frameSignaturesVia(jittered,
+      Multimodal.AHashFrameCodec)
+    val orig = sigs.filter(col("doc_id") < Multimodal.MediaTwinOffset &&
+      pmod(col("doc_id"), lit(10)) === 0)
+    val twin = sigs.filter(col("doc_id") >= Multimodal.MediaTwinOffset)
+      .select((col("doc_id") - Multimodal.MediaTwinOffset).as("doc_id"),
+        col("frame_no"), col("sig").as("tsig"))
+    val matched = orig.join(twin, Seq("doc_id", "frame_no")).cache()
+    try {
+      assert(matched.count() > 0)
+      assert(matched.filter(col("sig") =!= col("tsig")).count() === 0L,
+        "aHash must be exactly invariant under the brightness shift")
+    } finally { matched.unpersist(); () }
+    // ...and at PAIR grain: the shipping mm4 query reports every planted
+    // twin at hamming 0
+    val planted = docs.select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    val mm4 = Multimodal.aHashNearDupPairs(docs)
+    val pairs = mm4.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    planted.foreach { d =>
+      assert(pairs.contains((d, d + Multimodal.MediaTwinOffset, 0L)),
+        s"brightness twin ($d) missing under aHash")
+    }
+    // the counter-exhibit: the top-bits codec reads raw high bits, which
+    // the +4-per-nibble shift moves on EVERY nibble (frame hamming 30 —
+    // not even a band candidate): on the SAME corpus it misses every twin
+    val topPairs = Multimodal.frameNearDupPairsFromSigs(
+        Multimodal.frameSignaturesVia(jittered, Multimodal.TopBitsFrameCodec))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { d =>
+      assert(!topPairs.contains((d, d + Multimodal.MediaTwinOffset)),
+        s"top-bits codec should not see brightness twin ($d)")
+    }
+    // the pair pipeline is textually shared with mm3x — pin the
+    // join/aggregate skeleton anyway (the E189 discipline), plus the
+    // popcount filter and join type on the executed plan
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case n if Seq("Join", "Aggregate", "Deduplicate")
+          .exists(n.nodeName.startsWith) => n.nodeName
+      }
+    assert(skeleton(mm4) === skeleton(Multimodal.frameNearDupPairs(docs)))
+    val plan = mm4.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 }

@@ -938,6 +938,67 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowsOf(viaSql) === rowsOf(direct))
   }
 
+  test("dom1 via spark.sql: suffix rule + domain-partitioned cap window; no global sort") {
+    import graft.text.DomainCuration
+    val urlSql = s"""
+      SELECT doc_id,
+        'https://' ||
+        CASE WHEN doc_id % 5 = 0 THEN ''
+             WHEN doc_id % 5 = 1 THEN 'www.'
+             WHEN doc_id % 5 = 2 THEN 'cdn.static.'
+             WHEN doc_id % 5 = 3 THEN 'm.'
+             ELSE 'a.b.' END ||
+        CASE WHEN doc_id % 89 = 0 THEN 'spamden'
+             WHEN doc_id % 97 < 40 THEN 'megafarm'
+             ELSE 'dom' || CAST(doc_id % 37 AS STRING) END ||
+        '.' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+             WHEN doc_id % 3 = 1 THEN 'com'
+             ELSE 'org' END ||
+        '/p/' || CAST(doc_id AS STRING) AS url,
+        CAST(coalesce(size(${toksSql("text")}), 0) AS BIGINT) AS n_tokens
+      FROM documents"""
+    val perDocSql = s"""
+      SELECT doc_id, n_tokens,
+        CASE WHEN size(labels) >= 3 AND array_join(slice(labels, -2, 2), '.')
+              IN ('co.uk', 'com.au', 'co.jp')
+          THEN array_join(slice(labels, -3, 3), '.')
+          ELSE array_join(slice(labels, -2, 2), '.') END AS domain
+      FROM (SELECT doc_id, n_tokens,
+              split(regexp_extract(url, '^https?://([^/]+)', 1), '\\\\.')
+                AS labels
+            FROM ($urlSql) u) l"""
+    // the corpus total is a driver-side scalar in the API plan (the
+    // bounded-collect convention), so the SQL twin interpolates the
+    // same number as a literal — the t23 literal-vocab discipline
+    val total = ext.sql(s"SELECT sum(n_tokens) AS t FROM ($urlSql) t")
+      .head().getLong(0)
+    val cap = total / DomainCuration.CapDenom
+    val blockSql = "('spamden.com', 'spamden.org', 'spamden.co.uk')"
+    val viaSql = assertParity("dom1_domain_audit", s"""
+      SELECT domain, count(1) AS n_docs, sum(n_tokens) AS n_tokens,
+        CAST(sum(n_tokens) AS DOUBLE) / CAST(${total}L AS DOUBLE)
+          AS token_share,
+        max(CASE WHEN domain IN $blockSql THEN 1L ELSE 0L END)
+          AS blocklisted,
+        sum(CASE WHEN kept THEN 1L ELSE 0L END) AS kept_docs,
+        sum(CASE WHEN kept THEN n_tokens ELSE 0L END) AS kept_tokens
+      FROM (
+        SELECT domain, n_tokens,
+          (NOT domain IN $blockSql) AND
+            sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= ${cap}L
+            AS kept
+        FROM ($perDocSql) p) f
+      GROUP BY domain""")
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "the cap must run in a window")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "the cap window partitions by domain — never a global sort")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("extensions registry: functions resolve ONLY through GraftExtensions") {
     // the base test session never injected them — proves resolution rides
     // the extension, not some global registry side effect
