@@ -26,7 +26,10 @@ object UniKnobs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.count() // warm the scan so cell 1 doesn't pay listing/footers
+    // untimed warmup of the FULL trainer (not just the scan): the first
+    // measured run otherwise absorbs Janino/JIT for the Viterbi fold
+    // and reads 3-5x over steady state (observed 12.8 vs 4.2 s at x10)
+    TextAnalysis.unigramVocab(docs, 3, 64)
     val cells = Seq((64, 3), (256, 3), (64, 5), (256, 5))
     val results = cells.map { case (seed, iters) =>
       val t0 = System.nanoTime()

@@ -253,6 +253,41 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(seg0 === Seq("x", "y"))
   }
 
+  test("t22: the knobs measured — iters is the stable knob, seed width is not") {
+    // the knob probe's spec pin (tools/UniKnobs carries the wall
+    // numbers; BASELINE the table). MEASURED answers, both pinned:
+    //  - 3 -> 5 EM iterations leave the kept vocabulary AND its
+    //    ranking identical (hard-EM has converged by 3 — the exhibit's
+    //    iteration count is sufficient, not merely cheap);
+    //  - widening the seed pool 4x REPLACES a majority of the kept
+    //    multis (20 of 32 at this SF) and reshuffles the survivors —
+    //    the vocabulary is genuinely a function of the candidate pool
+    //    (true of the published algorithm: SentencePiece vocabularies
+    //    shift with seeding), so the seed is a MODEL parameter, not a
+    //    free performance knob. What IS invariant: every single char
+    //    kept (the required-character rule), the pruned size, and
+    //    determinism per setting.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def vocabAt(seed: Int, iters: Int = TextAnalysis.UniEmIters) =
+      TextAnalysis.unigramVocab(docs, iters, seed)
+    val base = vocabAt(TextAnalysis.UniSeedMulti)
+    def multis(v: Seq[(String, Long)]) = v.filter(_._1.length > 1).map(_._1)
+    def singles(v: Seq[(String, Long)]) = v.filter(_._1.length == 1).map(_._1)
+    // iters knob: identical kept set and ranking
+    val more = vocabAt(TextAnalysis.UniSeedMulti, TextAnalysis.UniEmIters + 2)
+    assert(multis(more) === multis(base))
+    // seed knob: same SIZE and required chars, but a genuinely
+    // different vocabulary — if this ever becomes stable, the probe's
+    // BASELINE table is stale and the exhibit story needs re-measuring
+    val wide = vocabAt(TextAnalysis.UniSeedMulti * 4)
+    assert(singles(wide).toSet === singles(base).toSet)
+    assert(multis(wide).size === multis(base).size)
+    assert(multis(wide) !== multis(base),
+      "seed widening stopped changing the vocabulary — re-measure")
+    // determinism per setting
+    assert(vocabAt(TextAnalysis.UniSeedMulti * 4) === wide)
+  }
+
   test("t23: unigram fertility cross-foots t16's word stream and bounds hold") {
     import graft.io.Sources
     val docs = Sources.table(spark, sf0001, "documents")
