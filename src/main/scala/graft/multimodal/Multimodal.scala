@@ -316,14 +316,25 @@ object Multimodal {
     * would zero-pad into a low-entropy signature and cluster every
     * short-tail media object into one degenerate near-dup blob
     * (measured before the guard: 151,807 pairs at sf0.1, almost all
-    * tail-stub collisions, vs the meaningful relation after). */
+    * tail-stub collisions, vs the meaningful relation after).
+    *
+    * The MSB-first fold acc·2 + bit over digits 1..32 IS the base-2
+    * positional reading of the per-digit bit string, so it is computed
+    * as ONE codegen expression — `translate` maps each hex digit to its
+    * threshold bit ('0'..'7' → '0', '8'..'f' → '1'), `conv(_, 2, 10)`
+    * reads the 32-char bit string as the integer. The previous
+    * higher-order `aggregate(sequence(1, 32), conv(substr(..)))` form
+    * evaluated 32 interpreted lambda steps per frame and was the
+    * measured 2/3 of the whole mm3 wall (the banded self-join
+    * recomputes BOTH sides — no exchange under a broadcast join — so
+    * the fold is paid twice); value-identical by construction, pinned
+    * by MultimodalSpec and the mm3 oracle hash. */
   def frameSignatures(media: DataFrame): DataFrame =
     frameHexes(media)
       .select(col("doc_id"), col("frame_no"),
-        aggregate(sequence(lit(1), lit(SigBits)), lit(0L),
-          (acc, j) => acc * 2 +
-            when(col("fh").substr(j.cast("int"), lit(1)) >= "8", 1L)
-              .otherwise(0L)).as("sig"))
+        conv(translate(col("fh"),
+          HexTable, "0000000011111111"), 2, 10)
+          .cast("long").as("sig"))
 
   /** (doc_id, frame_no, fh): the FULL-frame hex stream both signature
     * widths fold over — floor framing (see [[frameSignatures]] for the
@@ -351,14 +362,21 @@ object Multimodal {
     * moves its nibble's top pair by exactly ±2 = one signature bit, so
     * twin structure (hamming 1 on frame 0, 0 on repeated-digest tails)
     * is width-invariant. Digits [[SigNibblesWide]]+1..32 carry no bits —
-    * the documented 60-of-64 trade. */
+    * the documented 60-of-64 trade.
+    *
+    * Computed as ONE codegen expression (the [[frameSignatures]]
+    * rationale): the MSB-first fold acc·4 + (nibble DIV 4) is the
+    * base-4 positional reading of the digit string, so `translate`
+    * maps each hex digit to its top-two-bits base-4 digit and
+    * `conv(_, 4, 10)` reads the 30-char string — replacing 30
+    * interpreted lambda steps (substr + conv per digit) per frame,
+    * paid on both sides of the banded self-join. */
   def frameSignaturesWide(media: DataFrame): DataFrame =
     frameHexes(media)
       .select(col("doc_id"), col("frame_no"),
-        aggregate(sequence(lit(1), lit(SigNibblesWide)), lit(0L),
-          (acc, j) => acc * 4 + shiftright(
-            conv(col("fh").substr(j.cast("int"), lit(1)), 16, 10)
-              .cast("long"), 2)).as("sig"))
+        conv(translate(col("fh").substr(lit(1), lit(SigNibblesWide)),
+          HexTable, "0000111122223333"), 4, 10)
+          .cast("long").as("sig"))
 
   /** MM3/MM3X query (E181/E182): perceptual frame NEAR-dup — the d5
     * SimHash shape at the multimodal grain, closing the ladder mm2
