@@ -2120,7 +2120,11 @@ object SparkEntry {
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("pair_count"))
         .filter(col("pair_count") >= 2)
-      val ic = Baskets.itemCounts(baskets)
+      // persisted: joined back twice (cnt_a, cnt_b) — without a cache
+      // each join-back re-runs the item-count explode + aggregation
+      // (measured: its shuffle was written twice per run, the rec1
+      // pattern). Item grain, small; released by the house clearCache.
+      val ic = Baskets.itemCounts(baskets).persist()
       val bounds = baskets.agg(count(lit(1)).as("n_orders"))
       pairCnt
         .join(ic.select(col("p").as("part_a"), col("c").as("cnt_a")),

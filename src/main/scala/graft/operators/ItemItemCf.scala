@@ -40,17 +40,26 @@ object ItemItemCf {
   def recommend(lineitem: DataFrame, k: Int = 5,
       minCo: Long = 2L): DataFrame = {
     val baskets = Baskets.baskets(lineitem)
+    // persisted: the symmetrization below consumes pairCnt TWICE (src
+    // and rec direction), and without a cache each union branch re-runs
+    // the pair explode + aggregation — the single most expensive stage
+    // of the query (measured: the 12 MB pair-agg shuffle was written
+    // twice per run). Post-filter the relation is small (minCo prunes
+    // the tail); lifetime follows the house contract (Verify/Bench
+    // clearCache after each query).
     val pairCnt = Baskets.canonicalPairs(baskets)
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+      .persist()
     // A recommendation list is per-SOURCE, so the canonical (a<b) pair
     // relation symmetrizes — after the minCo prune, half the rows.
     val sym = pairCnt.select(col("part_a").as("src"),
         col("part_b").as("rec"), col("co"))
       .unionByName(pairCnt.select(col("part_b").as("src"),
         col("part_a").as("rec"), col("co")))
-    val ic = Baskets.itemCounts(baskets)
+    // persisted for the same reason: joined back twice (cnt_s, cnt_r).
+    val ic = Baskets.itemCounts(baskets).persist()
     val scored = sym
       .join(ic.select(col("p").as("src"), col("c").as("cnt_s")),
         Seq("src"))

@@ -841,18 +841,99 @@ object Validation {
     * first action. Same holds for [[equiDepthHistogramApprox]]. */
   def equiDepthHistogram(df: DataFrame, value: String,
       buckets: Int = 10): DataFrame = {
-    // buckets = 1 has no interior edges — the percentile array literal
-    // would be malformed SQL; fail with the real constraint
     require(buckets >= 2, s"equi-depth histogram needs >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    // 1-row frame with TWO cross-join consumers (bucket assignment and
-    // lo/hi attachment) — persisted so the full-fact percentile pass runs
-    // once, not per consumer. Lifetime contract as in m1/gapFilledDaily.
-    val edges = df.agg(
-      expr(s"percentile($value, array(${qs.mkString("D, ")}D))").as("es"),
-      min(col(value)).cast("double").as("mn"),
-      max(col(value)).cast("double").as("mx"))
-    histogramFromEdges(df, value, buckets, edges)
+    exactPercentilesAndBounds(df, value, qs) match {
+      case None => allNullHistogram(df)
+      case Some((es, mn, mx)) =>
+        histogramFromEdgeValues(df, value, buckets, es, mn, mx)
+    }
+  }
+
+  /** Exact multiset percentiles + min/max, computed PARALLEL: a
+    * value-grain count aggregation (map-side combined, any number of
+    * tasks) + ONE running-sum window over the DISTINCT-value relation +
+    * a ≤`2·|ps|+2`-row rank lookup, with Spark's `Percentile`
+    * interpolation replayed on the driver. The built-in `percentile()`
+    * is an ObjectHashAggregate whose final merge SERIALIZES the whole
+    * multiset through one reducer task (measured on v4: a 2 s
+    * single-task stage merging 600 k boxed map entries — 2/3 of the
+    * query); here the per-value counting parallelizes and the
+    * (value, count) relation — bounded by NDV, not row count — gets its
+    * global prefix sum from a distributed range-partitioned pass.
+    *
+    * Value-identical to `percentile(value, array(ps))` by construction:
+    * rank semantics (`valueAt(k)` = first value whose cumulative count
+    * exceeds k), `position = (n−1)·p`, floor/ceil bracketing, the
+    * equal-key shortcut, and the `(hi−pos)·lo + (pos−lo)·hi`
+    * interpolation replicate PercentileBase.getPercentile operation for
+    * operation (verified against the built-in in ValidationSpec).
+    * Caveat (documented, unexercised here): Percentile's driver-side
+    * map distinguishes -0.0 from 0.0 where Catalyst grouping normalizes
+    * them — identical for any column free of negative zero, which every
+    * caller's (price/quantity) column is.
+    *
+    * Returns None when the column has no non-null rows. */
+  private[graft] def exactPercentilesAndBounds(df: DataFrame,
+      value: String, ps: Seq[Double]): Option[(Seq[Double], Double, Double)] = {
+    val Wx = org.apache.spark.sql.expressions.Window
+    // The global prefix sum is DISTRIBUTED (no single-task window over
+    // the NDV-grain relation — that would serialize on NDV exactly the
+    // way percentile() serializes on row count): range-repartition the
+    // (value, count) relation by value (equal keys never split, ids
+    // ascending in value order), compute per-range offsets from the
+    // 32-row per-partition totals, and run the within-range running sum
+    // as a PARALLEL window partitioned by range id. Persisted because
+    // four consumers read it (total count, offsets, join-back, rank
+    // filter) and because the range boundaries come from a sampling
+    // pass — the cache pins ONE materialization so every consumer sees
+    // the same partitioning; released below — no handle leaks (the r8
+    // lesson).
+    val sorted = df.select(col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val n = sorted.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      if (n == 0) return None
+      val positions = ps.map(p => (n - 1).toDouble * p)
+      val ranks: Seq[Long] = (positions.flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)) ++
+        Seq(0L, n - 1)).distinct.sorted
+      val rl = typedlit(ranks)
+      // exclusive per-range offsets off a #partitions-row relation (the
+      // only single-task window — bounded by the partition count)
+      val offs = sorted.groupBy(col("pid")).agg(sum(col("c")).as("pc"))
+        .withColumn("off", coalesce(sum(col("pc")).over(
+          Wx.orderBy(col("pid"))
+            .rowsBetween(Wx.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      // each (v, c, cum) row covers 0-based ranks [cum−c, cum−1]
+      val hits = sorted
+        .join(broadcast(offs), Seq("pid"))
+        .withColumn("cum", col("off") + sum(col("c")).over(
+          Wx.partitionBy(col("pid")).orderBy(col("v"))
+            .rowsBetween(Wx.unboundedPreceding, Wx.currentRow)))
+        .filter(exists(rl,
+          r => r >= col("cum") - col("c") && r < col("cum")))
+        .select(col("v"), col("c"), col("cum")).collect()
+      def valueAt(k: Long): Double = hits.find(r =>
+        k >= r.getLong(2) - r.getLong(1) && k < r.getLong(2)).get.getDouble(0)
+      val es = positions.map { pos =>
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val lv = valueAt(lo)
+        if (hi == lo) lv
+        else {
+          val hv = valueAt(hi)
+          if (hv == lv) lv
+          else (hi.toDouble - pos) * lv + (pos - lo.toDouble) * hv
+        }
+      }
+      Some((es, valueAt(0L), valueAt(n - 1)))
+    } finally { sorted.unpersist(); () }
   }
 
   /** Shared bucket-assignment tail of the exact and approx equi-depth
@@ -867,20 +948,26 @@ object Validation {
   private def histogramFromEdges(df: DataFrame, value: String,
       buckets: Int, edges: DataFrame): DataFrame = {
     val r = edges.head()
-    if (r.isNullAt(1)) {
-      // min is NULL: the value column has no non-null rows. Mirror the
-      // oracle (and the pre-inline crossJoin plan) instead of NPE-ing on
-      // getDouble: with NULL edges every row's bucket expression is NULL
-      // (`size(filter(NULL, _)) + 1`), so a non-empty all-null table
-      // emits ONE (NULL, NULL, NULL, n) row and a truly empty table
-      // emits nothing — both engines agree
-      return df.select(lit(null).cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
-        .select(col("bucket"), lit(null).cast("double").as("lo"),
-          lit(null).cast("double").as("hi"), col("n_rows"))
-    }
-    val esLit = typedlit(r.getSeq[Double](0))
-    val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+    if (r.isNullAt(1)) allNullHistogram(df)
+    else histogramFromEdgeValues(df, value, buckets,
+      r.getSeq[Double](0), r.getDouble(1), r.getDouble(2))
+  }
+
+  /** The all-null / empty-table branch: min is NULL ⇔ the value column
+    * has no non-null rows. Mirror the oracle (and the pre-inline
+    * crossJoin plan) instead of NPE-ing on getDouble: with NULL edges
+    * every row's bucket expression is NULL (`size(filter(NULL, _)) +
+    * 1`), so a non-empty all-null table emits ONE (NULL, NULL, NULL, n)
+    * row and a truly empty table emits nothing — both engines agree. */
+  private def allNullHistogram(df: DataFrame): DataFrame =
+    df.select(lit(null).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"), lit(null).cast("double").as("lo"),
+        lit(null).cast("double").as("hi"), col("n_rows"))
+
+  private def histogramFromEdgeValues(df: DataFrame, value: String,
+      buckets: Int, esVals: Seq[Double], mn: Double, mx: Double): DataFrame = {
+    val esLit = typedlit(esVals)
     df.select((size(filter(esLit,
         e => e < col(value).cast("double"))) + 1).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))

@@ -405,4 +405,57 @@ class ValidationSpec extends SparkSpec {
       === false, "subset omits the uniqueness rule")
     assert(sql.contains("CASE WHEN o_totalprice IS NULL"))
   }
+
+  test("exactPercentilesAndBounds ≡ built-in percentile(), bit for bit") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // Tie-heavy + interpolating fixture: duplicates spanning the
+    // bracketing ranks exercise the equal-key shortcut, odd counts force
+    // fractional positions, negatives and irrationals exercise the
+    // (hi−pos)·lo + (pos−lo)·hi double arithmetic; a null is dropped.
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      5.0, 5.0, 5.0, -3.25, 0.1, 0.1, 7.75, 2.0 / 3.0, 2.0 / 3.0,
+      math.Pi, -3.25, 11.5, null, 0.1, 1e-9, 123456.789, 5.0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 3),
+      StructType(Seq(StructField("x", DoubleType))))
+    val ps = Seq(0.0, 0.05, 0.1, 0.25, 0.5, 0.7, 0.75, 0.9, 0.99, 1.0)
+    val Some((es, mn, mx)) =
+      Validation.exactPercentilesAndBounds(df, "x", ps)
+    val ref = df.agg(
+        expr(s"percentile(x, array(${ps.mkString("D, ")}D))").as("es"),
+        org.apache.spark.sql.functions.min(col("x")).as("mn"),
+        org.apache.spark.sql.functions.max(col("x")).as("mx")).head()
+    val refEs = ref.getSeq[Double](0)
+    ps.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(es(i)) ===
+        java.lang.Double.doubleToLongBits(refEs(i)), s"p=${ps(i)}")
+    }
+    assert(mn === ref.getDouble(1) && mx === ref.getDouble(2))
+    // and on the real bench column shape: near-unique doubles
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_extendedprice"))
+    val qs = (1 until 10).map(i => i.toDouble / 10)
+    val Some((es2, mn2, mx2)) =
+      Validation.exactPercentilesAndBounds(li, "l_extendedprice", qs)
+    val ref2 = li.agg(
+        expr(s"percentile(l_extendedprice, array(${qs.mkString("D, ")}D))")
+          .as("es"),
+        org.apache.spark.sql.functions.min(col("l_extendedprice")).as("mn"),
+        org.apache.spark.sql.functions.max(col("l_extendedprice")).as("mx"))
+      .head()
+    val refEs2 = ref2.getSeq[Double](0)
+    qs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(es2(i)) ===
+        java.lang.Double.doubleToLongBits(refEs2(i)), s"q=${qs(i)}")
+    }
+    assert(mn2 === ref2.getDouble(1) && mx2 === ref2.getDouble(2))
+    // all-null and empty inputs take the None branch
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(null: java.lang.Double), Row(null: java.lang.Double)), 2),
+      StructType(Seq(StructField("x", DoubleType))))
+    assert(Validation.exactPercentilesAndBounds(nulls, "x", ps).isEmpty)
+    assert(Validation.exactPercentilesAndBounds(
+      nulls.filter(col("x").isNotNull), "x", ps).isEmpty)
+  }
 }
