@@ -49,7 +49,22 @@ object BfsHops {
     * the hub; the hub itself is hop 0. Lifetime: the family contract on
     * [[PageRank.copurchaseEdges]] (this operator set the convention). */
   def hubHops(lineitem: DataFrame, iters: Int = HopIters): DataFrame = {
-    val edges = GraphState.persistGraph(PageRank.copurchaseEdges(lineitem))
+    // The edge cache is laid out FOR the per-round join: repartitioned
+    // on src (the round join key) and sorted within partitions, so each
+    // of the K sort-merge joins reads the cache with its partitioning
+    // AND ordering already satisfied — zero edge-side exchange, zero
+    // edge-side sort, every round (measured before: once the
+    // checkpointed frontier outgrows the broadcast threshold the round
+    // join re-shuffled and re-sorted the full edge relation per round —
+    // 3 identical 22 MB exchanges). One extra exchange at build time
+    // buys K exchange-free rounds; the same layout is what a bucketed
+    // edge table gives a 100-TB cluster (guide §2.4). g4 keeps its
+    // plain cache deliberately: its round join keys on dst with a
+    // skewed layout, where the pre-partitioned cache measured SLOWER
+    // (the round-12 GraphAb negative) — the contract stays per
+    // operator, set by measurement.
+    val edges = GraphState.persistGraph(PageRank.copurchaseEdges(lineitem)
+      .repartition(col("src")).sortWithinPartitions("src"))
     try hubHopsFromEdges(edges, iters)
     finally { edges.unpersist(); () }
   }
@@ -68,7 +83,16 @@ object BfsHops {
         .select(col("dst").as("node"), (col("hop") + lit(1L)).as("hop"))
       // one blocking job per round (the d9 discipline); the (node,
       // hop)-narrow frame is checkpointed so next round's two
-      // consumers read blocks, not a doubling subtree
+      // consumers read blocks, not a doubling subtree. Round-15
+      // measured negative (recorded per the no-silent-caps rule): both
+      // a LAZY localCheckpoint and plain lazy per-round persists were
+      // tried to collapse the K round jobs into the caller's single
+      // action — neither does (localCheckpoint's `Dataset.rdd`
+      // finalizes the AQE plan by eagerly running the round's shuffle
+      // stages; cached rounds still materialize as per-stage jobs
+      // under AQE), and both measured at or above the eager form
+      // (4.7 / 5.1 / 5.9 s at sf0.1), so the eager, ×300-proven
+      // lifecycle stays.
       hops = GraphState.checkpoint(hops.unionByName(expand)
         .groupBy(col("node")).agg(min(col("hop")).as("hop")))
     }

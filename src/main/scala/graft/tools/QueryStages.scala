@@ -2,7 +2,7 @@ package graft.tools
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev profiling harness: per-stage task counts, shuffle bytes and wall
@@ -32,7 +32,17 @@ object QueryStages {
     final case class St(id: Int, name: String, tasks: Int, ms: Long,
         sr: Long, sw: Long, in: Long)
     val stages = mutable.ArrayBuffer.empty[St]
+    val stageJob = mutable.Map.empty[Int, Int]
+    val jobDesc = mutable.Map.empty[Int, String]
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        j.stageIds.foreach(sid => stageJob(sid) = j.jobId)
+        jobDesc(j.jobId) = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val ms = (for { a <- i.completionTime; b <- i.submissionTime }
@@ -55,7 +65,9 @@ object QueryStages {
         spark.catalog.clearCache()
         println(f"\n===== $n pass $pass: $dt%.2f s, ${stages.size} stages, ${stages.map(_.tasks).sum} tasks")
         stages.sortBy(_.id).foreach { s =>
-          println(f"  [${s.id}%3d] ${s.ms}%6d ms ${s.tasks}%4d tasks  in=${s.in / 1024}%8d KB  sr=${s.sr / 1024}%7d KB  sw=${s.sw / 1024}%7d KB  ${s.name}")
+          val j = stageJob.getOrElse(s.id, -1)
+          val d = jobDesc.getOrElse(j, "").take(50)
+          println(f"  [j$j%3d s${s.id}%3d] ${s.ms}%6d ms ${s.tasks}%4d tasks  in=${s.in / 1024}%8d KB  sr=${s.sr / 1024}%7d KB  sw=${s.sw / 1024}%7d KB  ${s.name}  | $d")
         }
       }
     }
