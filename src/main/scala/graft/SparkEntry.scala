@@ -57,9 +57,15 @@ object SparkEntry {
     // consumer. It is brand×day grain (calendar-bounded, tiny at any SF),
     // so caching is the right trade at 100 TB too. Lifetime contract as
     // in m1: Verify/Bench clearCache() after every query.
-    val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-      .groupBy(col("p.brand").as("brand"),
-        to_date(substring(col("o.created_at"), 1, 10)).as("d"))
+    // the day key is evaluated on the ORDERS side BEFORE the join:
+    // grouping by to_date(substring(created_at)) directly would run the
+    // string→date conversion once per JOINED row (items grain, ~4× the
+    // orders), and Catalyst does not push grouping expressions below a
+    // join on its own. Same expression, same values, order grain.
+    val o2 = o(s, d).withColumn("d",
+      to_date(substring(col("created_at"), 1, 10)))
+    val daily = Kpi.threeWayJoin(o2, oi(s, d), p(s, d))
+      .groupBy(col("p.brand").as("brand"), col("o.d"))
       .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
       .persist()
     val bounds = daily.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
@@ -87,9 +93,13 @@ object SparkEntry {
     * materialization and the merge as separate phases ([[benchPhases]])
     * while the query itself stays one composition. */
   private def m1Projection(s: SparkSession, d: String): DataFrame =
-    Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+    // date key on the orders side pre-join (the gapFilledDaily
+    // convention: the select would otherwise run substring per JOINED
+    // row, items grain)
+    Kpi.threeWayJoin(o(s, d).withColumn("order_date",
+        substring(col("created_at"), 1, 10)), oi(s, d), p(s, d))
       .select(col("p.category").as("category"),
-        substring(col("o.created_at"), 1, 10).as("order_date"),
+        col("o.order_date"),
         col("oi.id").as("id"),
         col("oi.sale_price").cast(money).as("sale_price"),
         col("oi.status").as("status"))
@@ -1198,9 +1208,13 @@ object SparkEntry {
     // E26: rollup — multi-level aggregation (day×category, day, grand
     // total) in ONE pass via the Expand operator; the KPI-history rollup
     // a reporting layer runs over the store.
+    // the date key is evaluated on the ORDERS side before the join
+    // (items grain is ~4× orders; Catalyst won't push grouping
+    // expressions below a join) — the gapFilledDaily convention.
     "x2_rollup_revenue" -> ((s, d) =>
-      Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-        .rollup(substring(col("o.created_at"), 1, 10).as("order_date"),
+      Kpi.threeWayJoin(o(s, d).withColumn("order_date",
+          substring(col("created_at"), 1, 10)), oi(s, d), p(s, d))
+        .rollup(col("o.order_date"),
           col("p.category").as("category"))
         .agg(sum(col("oi.sale_price").cast(money)).cast("double")
             .as("revenue"),
@@ -1641,9 +1655,12 @@ object SparkEntry {
     // (the window runs over the AGGREGATED frame, never the fact), the
     // standard shape for KPI-history queries over the store.
     "x7_running_revenue" -> ((s, d) => {
-      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
+      // date key on the orders side pre-join (the gapFilledDaily
+      // convention)
+      val daily = Kpi.threeWayJoin(o(s, d).withColumn("order_date",
+          substring(col("created_at"), 1, 10)), oi(s, d), p(s, d))
         .groupBy(col("p.category").as("category"),
-          substring(col("o.created_at"), 1, 10).as("order_date"))
+          col("o.order_date"))
         .agg(sum(col("oi.sale_price").cast(money)).as("rev_dec"))
       val W = org.apache.spark.sql.expressions.Window
       val w = W.partitionBy(col("category")).orderBy(col("order_date"))
@@ -1664,9 +1681,12 @@ object SparkEntry {
     // aggregated away. Same single-scan Expand machinery as x2's rollup;
     // the tag is what makes the combined result table self-describing,
     // exactly how an OLAP cache materializes every grain at once.
+    // month key on the orders side pre-join (the gapFilledDaily
+    // convention)
     "x8_cube_revenue" -> ((s, d) =>
-      Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-        .cube(substring(col("o.created_at"), 1, 7).as("order_month"),
+      Kpi.threeWayJoin(o(s, d).withColumn("order_month",
+          substring(col("created_at"), 1, 7)), oi(s, d), p(s, d))
+        .cube(col("o.order_month"),
           col("p.category").as("category"))
         .agg(sum(col("oi.sale_price").cast(money)).cast("double")
             .as("revenue"),
@@ -2686,8 +2706,11 @@ object SparkEntry {
     // by revenue (genuine Window.partitionBy + rank, the shape the
     // reference's KPI store would be queried with).
     "x1_top_category_daily" -> ((s, d) => {
-      val daily = Kpi.threeWayJoin(o(s, d), oi(s, d), p(s, d))
-        .groupBy(substring(col("o.created_at"), 1, 10).as("order_date"),
+      // date key on the orders side pre-join (the gapFilledDaily
+      // convention)
+      val daily = Kpi.threeWayJoin(o(s, d).withColumn("order_date",
+          substring(col("created_at"), 1, 10)), oi(s, d), p(s, d))
+        .groupBy(col("o.order_date"),
           col("p.category").as("category"))
         .agg(sum(col("oi.sale_price").cast(money)).cast("double")
           .as("revenue"))

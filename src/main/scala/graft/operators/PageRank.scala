@@ -125,7 +125,13 @@ object PageRank {
     * `ed` persist the public entries release after materializing. */
   private[graft] def rankDataflow(edges: DataFrame,
       iters: Int): (DataFrame, DataFrame) = {
+    // persisted (lazy, caller-released like `ed`): deg has K+2
+    // consumers — the ed build, every round's node-list rebuild, and
+    // the final join — and the pruned consumer subtrees defeat exchange
+    // reuse (measured: its aggregation shuffle was written twice per
+    // run). Node grain, tiny.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist()
     // src, dst, deg(src): the per-round join input — persisted so the
     // expensive distinct self-join never re-runs inside the loop
     val ed = edges.join(deg, Seq("src")).persist()

@@ -71,7 +71,11 @@ object Triangles {
     * entries release after materializing. */
   private[graft] def censusDataflow(edges: DataFrame)
       : (DataFrame, DataFrame) = {
+    // persisted (lazy, caller-released like `oriented`): deg feeds
+    // three consumers (both orientation sides + the final census join)
+    // whose pruned subtrees defeat exchange reuse — the g1 pattern.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist()
     // Oriented edges: keep the (lower-rank → higher-rank) direction of
     // each symmetric pair, carrying both endpoint degrees for the
     // wedge-side rank comparison.
