@@ -41,27 +41,13 @@ object Dedup {
         (col("doc_id") + TwinOffset).as("doc_id"),
         concat(col("text"), lit(" spark")).as("text")))
 
-  /** Spread a FEW-SPLIT corpus scan across the session's cores before
-    * an expensive per-row expansion (tokenize → shingle/hash explode →
-    * signature aggregation): a corpus whose bytes fit in one or two
-    * input splits pins that whole narrow chain to one or two tasks
-    * (measured: the 64-permutation MinHash partial aggregation ran on
-    * the 2 scan tasks of the twin-union corpus — ~0.4 s serial per
-    * dedup query while 30 cores idled). This is the guide's input-skew
-    * remedy (repartition right after the read), made SCALE-ADAPTIVE:
-    * it fires only when the scan carries fewer partitions than the
-    * session's parallelism, so a real corpus — whose splits already
-    * exceed the core count — passes through untouched and never pays
-    * the extra shuffle. Hash-partitioned on doc_id (deterministic,
-    * retry-safe; never round-robin). Applied INSIDE the signature
-    * pipelines, not at corpus synthesis: spreading the corpus itself
-    * re-shapes every downstream consumer (measured on d16: +50 % —
-    * its election/split tails turned into 32-task stages of nothing). */
-  private[graft] def spreadSmallScan(docs: DataFrame): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions >= p) docs
-    else docs.repartition(p, col("doc_id"))
-  }
+  /** See [[graft.functions.TextFunctions.spreadSmallScan]] — applied
+    * INSIDE the signature pipelines, not at corpus synthesis: spreading
+    * the corpus itself re-shapes every downstream consumer (measured on
+    * d16: +50 % — its election/split tails turned into 32-task stages
+    * of tiny work). */
+  private def spreadSmallScan(docs: DataFrame): DataFrame =
+    graft.functions.TextFunctions.spreadSmallScan(docs)
 
   def withNearDupsSql(docs: String): String = s"""
     SELECT doc_id, text FROM $docs
@@ -1233,7 +1219,7 @@ object Dedup {
     // flagged join-back — materialize it once (disk-backed, the t10/
     // pipe1/d7 persist policy; released by the caller's cache clear), or
     // the scan→tokenize→explode subtree runs twice over the corpus
-    val sh = docs
+    val sh = spreadSmallScan(docs)
       .select(col("doc_id"), tokenHashes(tokens(norm(col("text")))).as("th"))
       .select(col("doc_id"),
         posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))
@@ -1395,7 +1381,7 @@ object Dedup {
     * the pair join shuffles is a fraction of d2's shingle relation. */
   def winnowFingerprints(docs: DataFrame, n: Int = SpanN,
       w: Int = WinnowW): DataFrame = {
-    val sh = docs
+    val sh = spreadSmallScan(docs)
       .select(col("doc_id"), tokenHashes(tokens(norm(col("text")))).as("th"))
       .select(col("doc_id"),
         posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))

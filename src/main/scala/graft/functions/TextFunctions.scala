@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Spread a FEW-SPLIT corpus scan across the session's cores before
+    * an expensive per-row expansion (tokenize → shingle/hash explode →
+    * signature/posting aggregation): a corpus whose bytes fit in one
+    * or two input splits pins that whole narrow chain to one or two
+    * tasks (measured: the 64-permutation MinHash partial aggregation
+    * ran on the 2 scan tasks of the twin-union corpus, and the BM25
+    * tokenization on the raw corpus's single split — ~0.4 s serial per
+    * query while 30 cores idled). This is the guide's input-skew
+    * remedy (repartition right after the read), made SCALE-ADAPTIVE:
+    * it fires only when the scan carries fewer partitions than the
+    * session's parallelism, so a real corpus — whose splits already
+    * exceed the core count — passes through untouched and never pays
+    * the extra shuffle. Hash-partitioned on doc_id (deterministic,
+    * retry-safe; never round-robin — the guide's SPARK-38388 note). */
+  def spreadSmallScan(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= p) docs
+    else docs.repartition(p, col("doc_id"))
+  }
+
   /** Mod prime for the rolling hash — fits h*31+cp well inside a long. */
   val HashP = 1000000007L
 

@@ -249,7 +249,8 @@ object TextAnalysis {
     * swept scale; a 100-TB corpus upgrades the products to
     * DECIMAL(38,0) before the double boundary — the v5 discipline). */
   def distinctiveTerms(docs: DataFrame, k: Int = 10): DataFrame = {
-    val st = docs.select(col("source"), explode(toksCol).as("token"))
+    val st = spreadSmallScan(docs)
+      .select(col("source"), explode(toksCol).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("a"))
       .persist()
@@ -640,7 +641,8 @@ object TextAnalysis {
     * may differ in the last ulp, while integer-ratio arithmetic is
     * bitwise-identical cross-engine. */
   def tokenRarity(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
+    val tok = spreadSmallScan(docs)
+      .select(col("doc_id"), explode(toksCol).as("token"))
     val dfreq = tok.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     // the DF table is VOCABULARY-width (sub-linear in corpus size) —
@@ -1191,7 +1193,10 @@ object TextAnalysis {
   def bm25TopKRetrieval(docs: DataFrame,
       numQueries: Int = Bm25Queries, k: Int = Bm25TopK): DataFrame = {
     val k1 = Bm25K1
-    val tok = docs.select(col("doc_id"), tokenHashes(toksCol).as("th"))
+    // corpus-width tokenization parallelized across cores (the
+    // spreadSmallScan input-skew remedy; no-op on a many-split corpus)
+    val tok = spreadSmallScan(docs)
+      .select(col("doc_id"), tokenHashes(toksCol).as("th"))
     // ONE corpus tokenization: postings persist (the d7 convention —
     // released by the runner's per-query cache clear) and serve all four
     // consumers (df table, corpus stats, candidate join); N/avgdl are
@@ -2308,7 +2313,7 @@ object TextAnalysis {
   def contaminationSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isEval = pmod(col("doc_id"), lit(97)) === 0
-    def positioned(d: DataFrame) = d
+    def positioned(d: DataFrame) = spreadSmallScan(d)
       .select(col("doc_id"), tokenHashes(toksCol).as("th"))
       .select(col("doc_id"),
         posexplode(spanHashesFromTh(col("th"), n)).as(Seq("pos0", "h")))
@@ -2402,7 +2407,10 @@ object TextAnalysis {
     * at equal (tf, df) rank identically in both engines. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"), explode(toksCol).as("token"))
+    // spreadSmallScan: the tokenize+explode partial ran on the raw
+    // corpus's single input split
+    val tok = spreadSmallScan(docs)
+      .select(col("doc_id"), explode(toksCol).as("token"))
     // tf feeds BOTH the df re-aggregate and the scored join — materialize
     // it once (disk-backed, the pipe1/d7 persist policy; released by the
     // caller's cache clear), or the scan→explode→aggregate subtree runs
@@ -2905,7 +2913,8 @@ object TextAnalysis {
     // isolated newSession() clone (SessionBridge — shared cache, separate
     // confs) with a width adapted to the measured vocabulary and AQE off;
     // the caller session is never touched.
-    val words0 = docs.select(explode(toksCol).as("word"))
+    val words0 = spreadSmallScan(docs)
+      .select(explode(toksCol).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
       .persist()
@@ -3045,13 +3054,14 @@ object TextAnalysis {
     // alone as a query; a production pipeline passes bpeMerges' output in)
     val merges = bpeMerges(docs, iters).collect()
       .map(r => (r.getString(1), r.getString(2)))
+    val sd = spreadSmallScan(docs)
     val vocabSyms = merges.foldLeft(
-      docs.select(explode(toksCol).as("word")).distinct()
+      sd.select(explode(toksCol).as("word")).distinct()
         .withColumn("syms",
           regexp_extract_all(col("word"), lit("."), lit(0)))) {
       case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
     }.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
-    docs.select(col("doc_id"), explode(toksCol).as("word"))
+    sd.select(col("doc_id"), explode(toksCol).as("word"))
       .join(broadcast(vocabSyms), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -3152,7 +3162,11 @@ object TextAnalysis {
   private[graft] def unigramVocab(docs: DataFrame,
       iters: Int = UniEmIters,
       seedMulti: Int = UniSeedMulti): Seq[(String, Long)] = {
-    val words = docs.select(explode(toksCol).as("word"))
+    // spread so the one corpus-width cache build parallelizes past the
+    // raw scan's single input split (the persist below already serves
+    // the seed build and every EM iteration)
+    val words = spreadSmallScan(docs)
+      .select(explode(toksCol).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -3224,10 +3238,11 @@ object TextAnalysis {
     val vocab = unigramVocab(docs, iters)
     val tpv = (vocab.map(_._2).sum + vocab.size).toDouble
     val m = typedlit(vocab.toMap)
-    val wordSubs = docs.select(explode(toksCol).as("word")).distinct()
+    val sd = spreadSmallScan(docs)
+    val wordSubs = sd.select(explode(toksCol).as("word")).distinct()
       .select(col("word"),
         size(viterbiSeg(col("word"), m, tpv)).cast("long").as("n_sub"))
-    docs.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
+    sd.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
       .join(broadcast(wordSubs), Seq("word"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -3361,14 +3376,15 @@ object TextAnalysis {
       : DataFrame = {
     val merges = bpeMerges(docs, iters).collect()
       .map(r => (r.getString(1), r.getString(2)))
+    val sd = spreadSmallScan(docs)
     val vocabSyms = merges.foldLeft(
-      docs.select(explode(toksCol).as("word")).distinct()
+      sd.select(explode(toksCol).as("word")).distinct()
         .withColumn("syms",
           regexp_extract_all(col("word"), lit("."), lit(0)))) {
       case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
     }.select(col("word"), length(col("word")).cast("long").as("n_chars"),
       size(col("syms")).cast("long").as("n_sub"))
-    docs.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
+    sd.select(col("doc_id"), col("source"), explode(toksCol).as("word"))
       .join(broadcast(vocabSyms), Seq("word"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),

