@@ -35,11 +35,11 @@ object TextFunctions {
     * exceed the core count — passes through untouched and never pays
     * the extra shuffle. Hash-partitioned on doc_id (deterministic,
     * retry-safe; never round-robin — the guide's SPARK-38388 note). */
-  def spreadSmallScan(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def spreadSmallScan(docs: org.apache.spark.sql.DataFrame,
+      key: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions >= p) docs
-    else docs.repartition(p, col("doc_id"))
+    else docs.repartition(p, col(key))
   }
 
   /** Mod prime for the rolling hash — fits h*31+cp well inside a long. */

@@ -138,12 +138,16 @@ object Validation {
     * The data-quality report a pipeline runs before trusting a new
     * drop. */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // the N-distinct Expand multiplies rows N+1-fold BEFORE the partial
+    // aggregate, so a single-split scan serializes (N+1)·rows of agg
+    // work on one task — spread it (no-op on a many-split table)
+    val sdf = graft.functions.TextFunctions.spreadSmallScan(df, cols.head)
     val aggs = cols.flatMap(c => Seq(
       count(when(col(c).isNull, lit(1))).as(s"n_$c"),
       countDistinct(col(c)).as(s"d_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = sdf.agg(aggs.head, aggs.tail: _*)
     val stacked = cols
       .map(c => s"'$c', `n_$c`, `d_$c`, `mn_$c`, `mx_$c`").mkString(", ")
     wide.select(expr(s"stack(${cols.size}, $stacked) AS " +
