@@ -35,6 +35,17 @@ object TextFunctions {
     * exceed the core count — passes through untouched and never pays
     * the extra shuffle. Hash-partitioned on doc_id (deterministic,
     * retry-safe; never round-robin — the guide's SPARK-38388 note). */
+  /** The BARE key is the right spread expression (measured, twice):
+    * hash(key) pre-satisfies every downstream groupBy that clusters on
+    * a superset of the key, ELIDING that aggregation's exchange — one
+    * less shuffle per pipeline. The flip side is that an elided
+    * exchange can no longer be REUSED by the two sides of a banded
+    * self-join (the signature aggregation then computes once per
+    * side), but the A/B (xxhash64-mangled key, which preserves every
+    * downstream exchange) measured the elision strictly better even on
+    * the self-join pipelines: 12-query family 25.6 s bare vs 30.1 s
+    * mangled — parallel recompute of a narrow aggregation is cheaper
+    * than shuffling it once and reusing. */
   def spreadSmallScan(docs: org.apache.spark.sql.DataFrame,
       key: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
